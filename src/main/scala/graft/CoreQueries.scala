@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventTimeOps._
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** The reference engine's declared query surface (SURVEY.md §2), batch form,
+  * over the `events` table (`ts` = event time, `event_type`/`user_id` = key —
+  * the `url` analog of `Pageview.scala:8-11`).
+  *
+  * Streaming forms of the same pipelines (min-of-inputs watermark, append
+  * emission) live in [[graft.streaming.WatermarkPipeline]] and are validated
+  * by ScalaTest, not the SQL oracle (SURVEY.md §5.3).
+  */
+object CoreQueries {
+
+  /** Watermark cutoff used by q_late_filter — the batch analog of "the
+    * event-time watermark has reached this point" (O3/O8). */
+  val WatermarkCutoff: java.sql.Timestamp =
+    java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O1: source scan + projection. Column pruning reaches the parquet scan
+    // (ReadSchema excludes `props`); at 100 TB this is the difference between
+    // reading 5 columns and reading the whole table.
+    "q_source_scan" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")),
+
+    // O4+O6: keyed count without a window (keyBy → fold).
+    "q_keyed_count" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // O4+O5+O6+O7: THE reference query — count per key per 1h tumbling
+    // event-time window (`Main.scala:24-26`).
+    "q_window_count_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .countPerKeyPerWindow("ts", "1 hour", "event_type")),
+
+    // Same operator chain, different window width and key — proves the
+    // window/key parameters generalize (reference hard-codes 1h/url).
+    "q_window_count_daily_user" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .countPerKeyPerWindow("ts", "1 day", "user_id")),
+
+    // O6 with a non-count Numeric fold (`WindowAggregate.scala:22-31`
+    // is generic in `R: Numeric`; reference only instantiates count).
+    "q_window_agg_sum" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .aggPerKeyPerWindow("ts", "1 hour", Seq("event_type"),
+          Exact.sum2(col("value")).as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .select("window_start", "window_end", "event_type", "sum_value", "cnt")),
+
+    // O3/O8 batch analog: only windows the watermark has passed, i.e. the
+    // rows a 0-lateness event-time trigger would have emitted by the cutoff.
+    "q_late_filter" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .windowsFiredBy("ts", "1 hour", WatermarkCutoff)
+        .select("event_id", "ts", "event_type")))
+
+  def oracles: Map[String, String] = Map(
+    "q_source_scan" ->
+      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events",
+
+    "q_keyed_count" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+
+    "q_window_count_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+        |       event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_window_count_daily_user" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |       CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+        |       user_id, count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_window_agg_sum" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+        |       event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_late_filter" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin)
+}

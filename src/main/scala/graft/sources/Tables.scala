@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * The reference engine's only source is an in-memory parallel collection
+  * (`/root/reference/src/main/scala/com/banno/flink/Main.scala:22`,
+  * `SplittableIteratorFromSeqs.scala:8-15`); our engine's primary source is
+  * columnar Parquet read through Spark's vectorized reader, which at 100 TB
+  * is the right substrate: predicate pushdown, column pruning and partition
+  * pruning all happen at the scan.
+  *
+  * Scale note: at cluster scale these reads are directory-partitioned; a
+  * `local[32]` test reads a single file. Nothing here hard-codes
+  * parallelism — Spark splits files by `spark.sql.files.maxPartitionBytes`.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark does not model;
+    * read it as a nanos long (legacy conf, set here so callers need not
+    * care) and convert to microsecond TimestampType. The sub-microsecond
+    * digits are zero in the testdata, and the DuckDB oracles cast to
+    * microsecond TIMESTAMP identically. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+}
