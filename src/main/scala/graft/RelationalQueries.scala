@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Relational coverage over the TPC-H-ish tables: joins (broadcast, semi,
+  * anti), multi-way joins, rollup, SQL window functions, distinct
+  * aggregation, set operations, top-k.
+  *
+  * The reference has no joins at all (SURVEY.md §2 "everything else is
+  * absent"); these are the extension surface a user needs from a general
+  * analytics engine, each written so Catalyst picks the scale-correct
+  * physical plan:
+  *  - dimension tables (`customer`, `part`, `supplier`, `nation`, `region`)
+  *    are `broadcast()` — at 100 TB the fact tables shuffle 0 bytes for
+  *    these joins;
+  *  - filters sit on the scan side of every join so parquet pushdown
+  *    prunes row groups before the join;
+  *  - top-k uses `orderBy.limit` which Spark executes as TakeOrderedAndProject
+  *    (per-partition heap + driver merge), never a full sort.
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: wide aggregate over the biggest fact table with a
+    // pushed-down date filter. Exact decimal sums (see Exact) keep the
+    // result bit-stable under any partitioning.
+    "q_tpch_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.sum2(col("l_quantity")).as("sum_qty"),
+          Exact.sum2(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          Exact.avg2(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"))),
+
+    // Broadcast hash join: fact (orders) joined to a broadcast dimension
+    // (customer). Revenue per market segment.
+    "q_join_segment_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(Exact.sum2(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders"))),
+
+    // Multi-way join: one fact scan, two broadcast dimensions, no
+    // fact-side shuffle until the final aggregation.
+    "q_join_brand_volume" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(Exact.sum2(col("l_quantity")).as("sum_qty"),
+             countDistinct(col("s_suppkey")).as("n_suppliers"),
+             count(lit(1)).as("n_lines"))),
+
+    // ROLLUP grouping sets over a snowflake join (customer -> nation ->
+    // region, both broadcast).
+    // NB: rollup(String*) trips the analyzer's ambiguous-self-join check on
+    // join outputs; rollup(Column*) over a projected frame does not.
+    "q_rollup_region_nation" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             Exact.sum2(col("c_acctbal")).as("sum_acctbal"))),
+
+    // Top-k: TakeOrderedAndProject (bounded per-partition heaps), not a
+    // global sort — the only plan that survives 100 TB. Deterministic
+    // tiebreak on the key.
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // SQL window function (rank within partition) — note "window" here is
+    // the analytic kind, not the event-time kind (SURVEY.md §2 note).
+    "q_window_rank_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")),
+
+    // Distinct aggregation (expand + two-phase aggregate in Spark).
+    "q_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events"))),
+
+    // Left semi join (EXISTS): parts that shipped at least once.
+    "q_semi_parts_shipped" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .join(Tables.lineitem(s, dir).select("l_partkey"),
+              col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_brand")),
+
+    // Left anti join (NOT EXISTS): customers with no orders in 2001+.
+    // The filter lands on the build side before the join.
+    "q_anti_dormant_customers" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+                .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+                .select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")),
+
+    // Set operation: nations that have both customers and suppliers.
+    "q_intersect_nations" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").cast("long").as("nationkey")))))
+
+  def oracles: Map[String, String] = Map(
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_brand_volume" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT s_suppkey) AS n_suppliers,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q_rollup_region_nation" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_window_rank_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_semi_parts_shipped" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q_anti_dormant_customers" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+
+    "q_intersect_nations" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin)
+}

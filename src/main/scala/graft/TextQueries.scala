@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Text analysis + JSON extraction over the `documents` / `events` tables —
+  * the training-data-pipeline surface (token counting, quality scoring,
+  * language ID, fingerprinting, term frequency).
+  *
+  * All per-document computation is narrow (no shuffle) and codegen'd; the
+  * only shuffles are final aggregations (term frequency), which do map-side
+  * partial aggregation first. At 100 TB each of these runs as a single scan
+  * stage.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting per document (narrow, zero shuffle).
+    "q_text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          nTokens(col("text")).cast("long").as("n_tokens"),
+          nDistinctTokens(col("text")).cast("long").as("n_distinct"),
+          col("n_chars"))),
+
+    // Quality scoring: mean token length + stopword ratio, exact ratios.
+    "q_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          meanTokenLen(col("text")).as("mean_token_len"),
+          stopwordRatio(col("text")).as("stop_ratio"),
+          (col("n_chars").cast("double") / nTokens(col("text"))).as("chars_per_token"))),
+
+    // Language ID heuristic (stopword-hit argmax), compared against the
+    // labeled lang column.
+    "q_text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          langId(col("text")).as("pred_lang"))),
+
+    // Rolling-hash fingerprint per doc (the dedup-ready signature).
+    "q_text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // Corpus term frequency: explode tokens -> count per term. Map-side
+    // partial agg bounds the shuffle at vocabulary size, not corpus size.
+    "q_text_termfreq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // JSON extraction from the events props column (row-level).
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // JSON-derived aggregation: bucket k, count + exact sum of value.
+    "q_json_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"),
+          col("value"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("cnt"), Exact.sum2(col("value")).as("sum_value"))))
+
+  private val langCase: String = {
+    val langs = graft.functions.TextFunctions.Stopwords.toSeq.sortBy(_._1)
+    def score(words: Seq[String]) =
+      s"len(list_filter(string_split(text,' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val scores = langs.map { case (l, ws) => s"${score(ws)} AS s_$l" }.mkString(", ")
+    val best = s"greatest(${langs.map(l => s"s_${l._1}").mkString(",")})"
+    val cases = langs.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    val scoreCols = langs.map(l => s"s_${l._1}").mkString(", ")
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id, lang, $best AS m, $scoreCols
+       |      FROM (SELECT doc_id, lang, $scores FROM documents))""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |  n_chars
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS mean_token_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) AS chars_per_token
+        |FROM documents""".stripMargin,
+
+    "q_text_langid" -> langCase,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_text_termfreq" ->
+      """SELECT term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text,' ')) AS term FROM documents)
+        |GROUP BY term""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_json_agg" ->
+      """SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_bucket,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All are pure `org.apache.spark.sql.functions` compositions — whole-stage
+  * codegen'd, no UDFs — so they vectorize inside the scan stage and never
+  * break the codegen span. Every ratio is an exact int/int division (single
+  * IEEE op) so results are bit-stable for the oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer. The corpus is single-space separated; at 100 TB
+    * the same expression runs inside the scan's codegen stage. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def nDistinctTokens(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length = (sum of token lengths) / n_tokens, both exact ints. */
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      nTokens(text)
+
+  /** Per-language stopword lists (tiny, embedded — the heuristic's "model").
+    * Chosen from common function words; deterministic and SQL-expressible. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "est"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai", "wo", "you", "ta"))
+
+  /** Count of tokens belonging to a fixed stopword set. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Quality score components: stopword ratio over the English list
+    * (fraction of function words — low on keyword soup / boilerplate). */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text, Stopwords("en")).cast("double") / nTokens(text)
+
+  /** Language ID: argmax of per-language stopword hit counts with
+    * deterministic lexicographic tiebreak. An n-gram-free heuristic that
+    * maps to a CASE-expression in SQL; a production model would plug in at
+    * the same column signature. */
+  def langId(text: Column): Column = {
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, stopwordCount(text, words))
+    }
+    // pick lexicographically-first lang with maximal score
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash document fingerprint:
+    * fold(acc*31 + ascii(char)) mod 1e9+7 over the characters. Stable across
+    * engines (long arithmetic only) and cheap enough to run at the scan. */
+  val FingerprintMod = 1000000007L
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c)),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % FingerprintMod)
+}

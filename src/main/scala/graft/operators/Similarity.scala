@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`).
+  *
+  * Scores are computed in double precision with a fixed left-to-right fold,
+  * so results are bit-identical to a sequential engine's loop — which makes
+  * top-k ranks deterministic and oracle-comparable.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the candidate table — one scan, no shuffle until the per-query
+  * top-k, which is a bounded heap per partition via window rank over
+  * (query, score). The LSH path (see [[SimilarityLSH]]) buckets candidates
+  * by random-hyperplane signatures so each query only scores its bucket.
+  */
+object Similarity {
+
+  /** Promote a float array to double (element-wise exact). */
+  private def dbl(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity, computed as dot/(sqrt(dot_aa * dot_bb)) in double. */
+  def cosine(aF: Column, bF: Column): Column = {
+    val a = dbl(aF); val b = dbl(bF)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries`, the `k` highest-
+    * scoring rows of `candidates` (ties broken by candidate id ascending).
+    * `queries` is broadcast — the candidate scan never shuffles its vectors.
+    */
+  def topK(queries: DataFrame, candidates: DataFrame, k: Int,
+           idColQ: String = "vec_id", idColC: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idColQ).as("query_id"), col(vecCol).as("q_vec")))
+    val c = candidates.select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(q)
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+}
