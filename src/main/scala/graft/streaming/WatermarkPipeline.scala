@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.Pageview
+
+/** The reference program's streaming dataflow, Spark-native.
+  *
+  * Reference semantics being reproduced (SURVEY.md §0, §2):
+  *  - per-partition event-time watermarks of `lastTimestamp - 1`
+  *    (`PageviewTimestampAssigner.scala:8-13`);
+  *  - downstream watermark = min over inputs of the per-input max
+  *    (`README.md:23-24,44-45`) — the behavior the example exists to
+  *    demonstrate;
+  *  - hash repartition by url (`Main.scala:24`);
+  *  - 1-hour tumbling event-time windows, epoch-aligned, half-open
+  *    (`Main.scala:25`, `WindowAggregate.scala:36-37`);
+  *  - fire each (key, window) exactly once when the watermark passes the
+  *    window end, allowed lateness 0 (`README.md:19-21,66`).
+  *
+  * Spark mapping: each skewed source is its own stream with its own
+  * `withWatermark`; `unionByName` + the DEFAULT
+  * `spark.sql.streaming.multipleWatermarkPolicy=min` gives exactly the
+  * min-of-inputs fixpoint, at micro-batch granularity instead of Flink's
+  * in-band watermark records. Append output mode emits each window once and
+  * evicts its state — the EventTimeTrigger + FoldingState eviction pair.
+  *
+  * Scale: state per (url, hour) is one long (Spark's streaming HashAggregate
+  * keeps partial counts in the state store, not event buffers) — identical
+  * state complexity to the reference's FoldingState, distributed over
+  * `spark.sql.shuffle.partitions` state-store partitions.
+  */
+object WatermarkPipeline {
+
+  /** Union N independently-watermarked pageview streams and count per url
+    * per tumbling window. `delay` = 0 seconds reproduces the reference's
+    * `lastTimestamp - 1` (effectively zero-lateness) watermark. */
+  def windowedCounts(streams: Seq[Dataset[Pageview]],
+                     width: String = "1 hour",
+                     delay: String = "0 seconds"): DataFrame = {
+    val watermarked = streams.map(_.withWatermark("ts", delay))
+    val unioned = watermarked.reduce(_ unionByName _)
+    unioned
+      .groupBy(window(col("ts"), width), col("url"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("url"), col("cnt"))
+  }
+
+  /** Batch replay of the same pipeline — must produce the same rows as the
+    * streaming run's complete output (tested property, SURVEY.md §5.4). */
+  def windowedCountsBatch(all: DataFrame, width: String = "1 hour"): DataFrame =
+    all
+      .groupBy(window(col("ts"), width), col("url"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("url"), col("cnt"))
+}
