@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, MinHashLSH, SimHash, Similarity, SimilarityLSH}
+import graft.functions.PortableHash
 import graft.sources.Tables
 
 /** Deduplication + similarity-search query surface (the training-data
@@ -45,12 +46,33 @@ object DedupQueries {
         .select("id_a", "id_b")
     }),
 
+    // MinHash-LSH candidate pairs — the 100 TB-scale dedup path (constant-
+    // size signatures + band-bucket join instead of all-pairs). The portable
+    // hash makes even this pipeline exactly oracle-checkable.
+    "q_dedup_minhash" -> ((s, dir) =>
+      MinHashLSH.candidatePairs(Tables.documents(s, dir),
+        "doc_id", "text", "lang")),
+
+    // SimHash near-dup pairs: chunk-collision candidates verified at
+    // Hamming <= 5 (complete for <= 3 by pigeonhole over 4 chunks).
+    "q_dedup_simhash" -> ((s, dir) =>
+      SimHash.nearDupPairs(Tables.documents(s, dir),
+        "doc_id", "text", "lang", maxHamming = 5)),
+
     // Brute-force cosine top-k: 10 query vectors against the rest.
     "q_sim_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.topK(
           e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
         .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // Hyperplane-LSH ANN: same top-k shape, bucket-joined instead of
+    // brute-force — the scale path.
+    "q_sim_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityLSH.annTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
     }))
 
   /** Explicit sequential-fold dot product in DuckDB SQL — element order and
@@ -65,7 +87,106 @@ object DedupQueries {
   private def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / sqrt((${sqlDot(a, a)}) * (${sqlDot(b, b)}))"
 
+  /** DuckDB replica of the MinHash-LSH pipeline (same permutation family,
+    * same portable hash, same band packing — see MinHashLSH/PortableHash). */
+  private val minhashSql: String = {
+    val P = PortableHash.P
+    val numBands = 6; val rowsPerBand = 2
+    val k = numBands * rowsPerBand
+    val sigExprs = (0 until k).map { i =>
+      val (a, b) = PortableHash.perm(i)
+      s"min((gh*$a+$b)%$P) AS sig_$i"
+    }.mkString(",\n  ")
+    val bands = (0 until numBands).map { j =>
+      s"SELECT doc_id, block, $j AS band, sig_${2 * j}*$P+sig_${2 * j + 1} AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang AS block, string_split(text,' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, block, unnest(list_distinct(
+       |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS gram
+       |  FROM toks WHERE len(t) >= 3),
+       |gh AS (
+       |  SELECT doc_id, block,
+       |    ${PortableHash.hash60Sql("gram")} % $P AS gh FROM grams),
+       |sigs AS (
+       |  SELECT doc_id, block,
+       |  $sigExprs
+       |  FROM gh GROUP BY doc_id, block),
+       |banded AS (
+       |  $bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.key = b.key AND a.block = b.block
+       | AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** DuckDB replica of the SimHash pipeline (same token hash, vote packing,
+    * chunk banding, Hamming verify — see SimHash). */
+  private val simhashSql: String = {
+    val sums = (0 until SimHash.Bits)
+      .map(j => s"sum(((th>>$j)&1)*2-1) AS s_$j").mkString(",\n    ")
+    val bits = (0 until SimHash.Bits)
+      .map(j => s"CASE WHEN s_$j > 0 THEN (CAST(1 AS BIGINT)<<$j) ELSE 0 END")
+      .mkString(" + ")
+    val chunkIdx = (0 until SimHash.NumChunks).mkString("[", ",", "]")
+    val chunkVals = (0 until SimHash.NumChunks)
+      .map(c => s"(simhash>>${c * SimHash.ChunkBits})&32767").mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang AS block, unnest(string_split(text,' ')) AS tok FROM documents),
+       |th AS (
+       |  SELECT doc_id, block, ${PortableHash.hash60Sql("tok")} AS th FROM toks),
+       |agg AS (
+       |  SELECT doc_id, block,
+       |    $sums
+       |  FROM th GROUP BY doc_id, block),
+       |sh AS (SELECT doc_id, block, $bits AS simhash FROM agg),
+       |chunks AS (
+       |  SELECT doc_id, block, simhash, unnest($chunkIdx) AS c,
+       |         unnest($chunkVals) AS ck FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.ck = b.ck AND a.block = b.block
+       |   AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, ham FROM cand WHERE ham <= 5""".stripMargin
+  }
+
+  /** DuckDB replica of the hyperplane-LSH ANN pipeline: plane weights are
+    * re-derived in SQL from the same md5 labels (see SimilarityLSH). */
+  private val annLshSql: String = {
+    def planeDot(vec: String, i: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${SimilarityLSH.Dim + 1}), dd ->
+         |    CAST($vec[dd] AS DOUBLE) *
+         |    ((CAST(('0x'||substr(md5('hp${i}_'||(dd-1)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0))),
+         |  (a, x) -> a + x)""".stripMargin
+    def bucket(t: Int): String = (0 until SimilarityLSH.NumPlanes).map { i =>
+      s"CASE WHEN (${planeDot("embedding", t * SimilarityLSH.NumPlanes + i)}) > 0 THEN (CAST(1 AS BIGINT)<<$i) ELSE 0 END"
+    }.mkString(" + ")
+    val bkCols = (0 until SimilarityLSH.NumTables)
+      .map(t => s"(${bucket(t)}) AS bk_$t").mkString(",\n  ")
+    val collide = (0 until SimilarityLSH.NumTables)
+      .map(t => s"q.bk_$t = c.bk_$t").mkString(" OR ")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding,
+       |  $bkCols
+       |  FROM embeddings)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC,
+       |               c.vec_id ASC) AS rank
+       |  FROM bucketed q JOIN bucketed c ON ($collide)
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_simhash" -> simhashSql,
+    "q_sim_ann_lsh" -> annLshSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -24,13 +24,17 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
 
-  /** Distinct word n-gram (shingle) set per document. */
+  /** Distinct word n-gram (shingle) set per document; empty for documents
+    * shorter than n tokens (guard needed because Spark's `sequence(1, stop)`
+    * DESCENDS when stop < 1 instead of producing an empty array). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Near-duplicate pairs by exact n-gram Jaccard, generated via an

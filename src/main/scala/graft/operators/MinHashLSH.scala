@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+
+/** MinHash + banded LSH near-duplicate candidate generation — the standard
+  * scale path for corpus dedup (shingle → minhash signature → band → bucket
+  * join), built entirely from codegen'd column functions over the portable
+  * 60-bit hash so the whole pipeline is oracle-checkable.
+  *
+  * Scale design (100 TB): per document the signature is `numBands * rowsPerBand`
+  * longs — constant size regardless of document length — computed in ONE
+  * aggregation over the exploded (doc, shingle) pairs (single shuffle keyed
+  * by doc_id). Candidate generation joins on (band index, band key): only
+  * documents agreeing on an entire band ever meet, so the join's fan-in per
+  * bucket is the collision count, not the corpus size. A hot bucket (all-
+  * identical boilerplate docs) is the residual skew risk — mitigate upstream
+  * with exact-dup removal first (q_dedup_exact), which collapses identical
+  * texts before LSH runs.
+  */
+object MinHashLSH {
+
+  /** Distinct (doc_id, block, shingle-hash) pairs. */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+              explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), col("block"), (hash60(col("gram")) % P).as("gh"))
+
+  /** MinHash signature: k = numBands * rowsPerBand permutation minima,
+    * one groupBy. */
+  def signatures(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                 n: Int, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val k = numBands * rowsPerBand
+    val sigCols = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      min((col("gh") * a + b) % P).as(s"sig_$i")
+    }
+    shingleHashes(df, idCol, textCol, blockCol, n)
+      .groupBy(col("doc_id"), col("block"))
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Candidate near-duplicate pairs: documents sharing at least one full
+    * band. rowsPerBand=2 packs a band key as sig0*P + sig1 (fits int64:
+    * P^2 < 2^62). */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     blockCol: String, n: Int = 3,
+                     numBands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand == 2, "band key packing implemented for rowsPerBand=2")
+    val sigs = signatures(df, idCol, textCol, blockCol, n, numBands, rowsPerBand)
+    val bandKeys: Column = array((0 until numBands).map { j =>
+      col(s"sig_${2 * j}") * P + col(s"sig_${2 * j + 1}")
+    }: _*)
+    val banded = sigs.select(col("doc_id"), col("block"),
+        posexplode(bandKeys).as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+}

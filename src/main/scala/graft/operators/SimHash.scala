@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+
+/** SimHash near-duplicate detection: each document folds its token hashes
+  * into a 60-bit signature (bit j set iff the +1/−1 votes of all tokens'
+  * j-th bits sum positive); near-dups are pairs at small Hamming distance.
+  *
+  * Scale design: signatures are computed with ONE explode + groupBy
+  * (60 codegen'd sum aggregates — shuffle keyed by doc, constant-width
+  * state); candidate pairs join on 15-bit signature chunks (any pair within
+  * Hamming distance 3 must agree on at least one of the 4 chunks —
+  * pigeonhole — so the chunk join is a complete candidate generator for
+  * d<=3 and a high-recall one slightly above). No all-pairs comparison
+  * anywhere. At 100 TB the residual cost is chunk-bucket skew; identical
+  * boilerplate should be removed by exact dedup first.
+  */
+object SimHash {
+  val Bits = 60
+  val ChunkBits = 15
+  val NumChunks: Int = Bits / ChunkBits // 4
+
+  /** (doc_id, block, simhash) — one row per input row. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 blockCol: String): DataFrame = {
+    val th = df
+      .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+              explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"), col("block"), hash60(col("tok")).as("th"))
+    val votes = (0 until Bits).map { j =>
+      sum(shiftright(col("th"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$j")
+    }
+    val packed = (0 until Bits).map { j =>
+      when(col(s"s_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    th.groupBy(col("doc_id"), col("block"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), col("block"), packed.as("simhash"))
+  }
+
+  /** Near-dup pairs: chunk-collision candidates verified at `maxHamming`.
+    * Complete for Hamming <= NumChunks - 1 = 3; approximate above. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, maxHamming: Int = 5): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, blockCol)
+    val chunkArr = array((0 until NumChunks).map { c =>
+      shiftright(col("simhash"), c * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1))
+    }: _*)
+    val chunks = sigs.select(col("doc_id"), col("block"), col("simhash"),
+      posexplode(chunkArr).as(Seq("c", "ck")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
+          col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+                .cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHamming)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane LSH for approximate nearest neighbors over embedding
+  * columns — the scale path beside [[Similarity.topK]]'s brute force.
+  *
+  * Hyperplane weights are derived from the portable md5 hash of
+  * "hp<i>_<dim>" labels, so the (deterministic, seedless) planes can be
+  * regenerated bit-identically inside DuckDB SQL — even the ANN pipeline is
+  * exactly oracle-checkable.
+  *
+  * Scale design: each vector is scanned once to compute its bucket (narrow,
+  * codegen'd); the query side is broadcast; candidates meet only within a
+  * bucket, so scoring work per query is the bucket occupancy, not the corpus
+  * size. More planes → smaller buckets → lower recall: the standard LSH
+  * trade; multi-probe or repeated tables raise recall at known cost.
+  */
+object SimilarityLSH {
+
+  val Dim = 64
+  val NumPlanes = 4
+  /** Number of independent hash tables; candidates are the union over
+    * tables. Recall on isotropic data ~= 1-(1-2^-NumPlanes)^NumTables;
+    * clustered real-world embeddings do far better because true neighbors
+    * share sign bits with probability 1-theta/pi per plane. */
+  val NumTables = 4
+
+  /** JVM replica of PortableHash.hash60 for plane generation. */
+  private def hash60(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Plane i, dimension d weight in [-1, 1]: (hash60("hp<i>_<d>") % 2001 - 1000)/1000. */
+  def planeWeight(i: Int, d: Int): Double =
+    (hash60(s"hp${i}_$d") % 2001L - 1000L) / 1000.0
+
+  private def planeCol(i: Int): Column =
+    array((0 until Dim).map(d => lit(planeWeight(i, d))): _*)
+
+  /** Bucket id within hash table `t`: sign bits of the vector's dot
+    * products with planes t*NumPlanes .. t*NumPlanes+NumPlanes-1. */
+  def bucket(vec: Column, t: Int): Column =
+    (0 until NumPlanes).map { i =>
+      val dot = aggregate(
+        zip_with(vec, planeCol(t * NumPlanes + i), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (table, bucket) pairs for a vector, one row per hash table. */
+  private def tableBuckets(vec: Column): Column =
+    array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"), bucket(vec, t).as("bk"))): _*)
+
+  /** ANN top-k: queries meet candidates that share a bucket in ANY of the
+    * hash tables (distinct union of per-table collisions), then exact
+    * cosine ranks the candidate set. */
+  def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              idColQ: String = "vec_id", idColC: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
+              explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("q_vec"), col("tb.t").as("t"), col("tb.bk").as("bk")))
+    val c = candidates
+      .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"),
+              explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("neighbor_id"), col("c_vec"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    c.join(q, Seq("t", "bk"))
+      .select("query_id", "neighbor_id", "q_vec", "c_vec")
+      .distinct()
+      .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+}
