@@ -60,6 +60,12 @@ object TextQueries {
         .groupBy("term")
         .agg(count(lit(1)).as("cnt"))),
 
+    // Multimodal plumbing: byte-level stats over the opaque-binary media
+    // table (full decode pipeline is exercised in MultimodalSpec — the
+    // decoder itself is a stub, see operators.Multimodal).
+    "q_multimodal_bytes" -> ((s, dir) =>
+      graft.operators.Multimodal.byteStats(s, dir)),
+
     // JSON extraction from the events props column (row-level).
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -120,6 +126,13 @@ object TextQueries {
       """SELECT term, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text,' ')) AS term FROM documents)
         |GROUP BY term""".stripMargin,
+
+    "q_multimodal_bytes" ->
+      """SELECT CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,
+        |  count(*) AS n_items,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` content + typed metadata,
+  * with decode / feature-extraction as batched per-partition transforms.
+  *
+  * Pattern (what a 100 TB media pipeline needs from the engine):
+  *  - media payloads are opaque BinaryType columns scanned from parquet —
+  *    never parsed by Catalyst, never part of a shuffle key; metadata
+  *    travels in narrow typed columns next to them;
+  *  - decoding runs via `mapPartitions` so a real codec/model is
+  *    initialized ONCE per partition (per executor task), then streams
+  *    through the partition's rows — the Scala analog of batched
+  *    `mapInPandas`;
+  *  - partitioning is controlled upstream (`repartition(n)`) so decode
+  *    parallelism is independent of file layout.
+  *
+  * The actual decoder is a STUB: the container has no image/audio codecs,
+  * so `decodeStub` computes a deterministic fake "feature vector" (byte
+  * histogram) with the exact shape, signature, and batching a real decoder
+  * would use. Swap `decodeStub` for a codec call; nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed media row: opaque bytes + structured metadata. */
+  case class MediaItem(media_id: Long, kind: String, content: Array[Byte],
+                       mime: String, n_bytes: Long)
+
+  /** Decoded features: fixed-width vector + dimensions "parsed" from content. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           features: Array[Double])
+
+  val FeatureDim = 16
+
+  /** Synthesize a media table from the documents corpus: text bytes stand in
+    * for an opaque payload (the plumbing neither knows nor cares). */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("lang") === "zh", lit("audio")).otherwise(lit("image")).as("kind"),
+        col("text").cast("binary").as("content"),
+        concat(lit("application/x-fake-"), col("lang")).as("mime"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .as[MediaItem]
+  }
+
+  /** STUB decoder: deterministic 16-bucket byte histogram, normalized.
+    * A real implementation would decode image pixels / audio frames here;
+    * per-partition init cost is amortized exactly like a codec's would be. */
+  def decodeStub(items: Iterator[MediaItem]): Iterator[MediaFeatures] = {
+    // (real pipeline: val codec = HeavyCodec.init() — once per partition)
+    items.map { m =>
+      val hist = new Array[Double](FeatureDim)
+      m.content.foreach(b => hist((b & 0xff) % FeatureDim) += 1.0)
+      val n = math.max(1.0, m.content.length.toDouble)
+      MediaFeatures(m.media_id, m.kind, m.n_bytes, hist.map(_ / n))
+    }
+  }
+
+  /** The full decode stage: controlled parallelism + batched decode. */
+  def extractFeatures(media: Dataset[MediaItem], partitions: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions).mapPartitions(decodeStub)
+  }
+
+  /** Oracle-checkable byte-level metadata over the media table. */
+  def byteStats(spark: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(spark, dir)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("n_bytes")).as("total_bytes"),
+           max(col("n_bytes")).as("max_bytes"))
+}
