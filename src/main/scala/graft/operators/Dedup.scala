@@ -24,41 +24,82 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
 
-  /** Distinct word n-gram (shingle) set per document; empty for documents
-    * shorter than n tokens (guard needed because Spark's `sequence(1, stop)`
-    * DESCENDS when stop < 1 instead of producing an empty array). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Distinct word n-gram (shingle) set from a TOKEN ARRAY column; empty for
+    * documents shorter than n tokens (guard needed because Spark's
+    * `sequence(1, stop)` DESCENDS when stop < 1 instead of producing an
+    * empty array).
+    *
+    * PERF: callers must pass a materialized token-array column (project
+    * `split(text, " ")` first), never `split(...)` inline — higher-order
+    * functions evaluate interpreted with no subexpression elimination, so an
+    * inline split would re-run the regex for every element_at reference
+    * (~300 splits per document; measured 5x slowdown of the whole shingle
+    * stage at sf0.1). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(
         transform(
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard, generated via an
-    * inverted-index join on shingles blocked by `blockCol` (e.g. language).
+  /** Convenience over a raw text column — only safe where the input frame
+    * projects the split once (see shinglesFromTokens). */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(split(text, " "), n)
+
+  /** Near-duplicate pairs by exact n-gram Jaccard, with PPJoin-style prefix
+    * filtering for candidate generation (exact — no false negatives):
     *
-    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|); the intersection size is the join
-    * match count, so no document pair that shares zero shingles is ever
-    * materialized. The final division is one exact int/int IEEE op.
+    * order each document's shingles by ascending global document frequency
+    * (rarest first); any pair with Jaccard >= t must share at least one
+    * shingle among each side's first `|G| - ceil(t*|G|) + 1` shingles, so
+    * the inverted-index join runs only over those prefixes. This removes
+    * the most frequent shingles — exactly the ones whose f^2 pair blowup
+    * dominates a naive shingle join — from candidate generation. Candidates
+    * are then verified exactly with one per-pair `array_intersect` (hash
+    * intersection inside codegen, no shuffle).
+    *
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|); the division is one exact int/int
+    * IEEE op, so scores are engine-portable.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-                       shingles(col(textCol), n).as("grams"))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).as("sz"))
-    val inv = sh.select(col("doc_id"), col("block"), explode(col("grams")).as("gram"))
-    val pairs = inv.as("a")
-      .join(inv.as("b"),
-            col("a.gram") === col("b.gram") && col("a.block") === col("b.block") &&
-              col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    // tokens materialized as their own projection (see shinglesFromTokens),
+    // then the per-doc gram arrays are persisted: three downstream branches
+    // (frequency table, prefix index, pair verification) would otherwise
+    // each recompute the shingle stage from the scan.
+    val base = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+                         split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("block"),
+              shinglesFromTokens(col("toks"), n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .persist()
+    val exploded = base.select(col("doc_id"), col("block"), col("sz"),
+                               explode(col("grams")).as("gram"))
+    val freq = exploded.groupBy("block", "gram").agg(count(lit(1)).as("df_"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df_").asc, col("gram").asc)
+    // broadcast the (small, vocabulary-sized) frequency table; join
+    // candidates on a 64-bit gram hash — a collision can only ADD a
+    // candidate pair, which exact verification below discards, so the
+    // result is unchanged while the self-join shuffles longs, not strings.
+    val prefixes = exploded
+      .join(broadcast(freq), Seq("block", "gram"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"), col("block"), xxhash64(col("gram")).as("gh"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.gh") === col("b.gh") && col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("grams").as("grams_a"),
+                        col("sz").as("sz_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("grams").as("grams_b"),
+                        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

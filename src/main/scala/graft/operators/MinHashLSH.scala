@@ -22,11 +22,14 @@ import graft.functions.PortableHash._
   */
 object MinHashLSH {
 
-  /** Distinct (doc_id, block, shingle-hash) pairs. */
+  /** Distinct (doc_id, block, shingle-hash) pairs. Tokens are projected
+    * before the shingle lambda runs (see Dedup.shinglesFromTokens PERF note). */
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
                             blockCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-              explode(Dedup.shingles(col(textCol), n)).as("gram"))
+              split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("block"),
+              explode(Dedup.shinglesFromTokens(col("toks"), n)).as("gram"))
       .select(col("doc_id"), col("block"), (hash60(col("gram")) % P).as("gh"))
 
   /** MinHash signature: k = numBands * rowsPerBand permutation minima,

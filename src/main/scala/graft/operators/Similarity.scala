@@ -18,18 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Promote a float array to double (element-wise exact). */
-  private def dbl(a: Column): Column = transform(a, x => x.cast("double"))
-
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product (double accumulation, left to right),
+    * compiled to a primitive codegen loop — see
+    * [[graft.functions.expressions.DotProduct]]. Bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.VectorExpressions.dot_native(a, b)
 
   /** Cosine similarity, computed as dot/(sqrt(dot_aa * dot_bb)) in double. */
-  def cosine(aF: Column, bF: Column): Column = {
-    val a = dbl(aF); val b = dbl(bF)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
 
   /** Brute-force cosine top-k: for each row of `queries`, the `k` highest-
     * scoring rows of `candidates` (ties broken by candidate id ascending).

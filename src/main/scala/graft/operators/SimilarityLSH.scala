@@ -50,9 +50,7 @@ object SimilarityLSH {
     * products with planes t*NumPlanes .. t*NumPlanes+NumPlanes-1. */
   def bucket(vec: Column, t: Int): Column =
     (0 until NumPlanes).map { i =>
-      val dot = aggregate(
-        zip_with(vec, planeCol(t * NumPlanes + i), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = Similarity.dot(vec, planeCol(t * NumPlanes + i))
       when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
