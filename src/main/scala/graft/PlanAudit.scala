@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Prints formatted physical plans for representative queries — the
+  * plan-shape audit behind SCALE.md. Run: sbt "runMain graft.PlanAudit" */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val interesting = Seq("q_source_scan", "q_tpch_pricing", "q_join_brand_volume",
+      "q_topk_orders", "q_window_count_hourly", "q_sim_topk")
+    interesting.foreach { name =>
+      println(s"========== $name ==========")
+      SparkEntry.queries(name)(s, dir).explain("formatted")
+    }
+    s.stop()
+  }
+}
