@@ -31,7 +31,13 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each row of `queries`, the `k` highest-
     * scoring rows of `candidates` (ties broken by candidate id ascending).
-    * `queries` is broadcast — the candidate scan never shuffles its vectors.
+    * `queries` is broadcast — the candidate scan never shuffles its vectors
+    * — and the per-query top-k runs as the bounded-heap
+    * [[graft.functions.expressions.TopKByScore]] aggregate: each map task
+    * keeps at most k entries per query, so the shuffle carries
+    * #queries x k heap entries instead of every scored candidate (the
+    * window-rank formulation would shuffle all #candidates x #queries
+    * scored rows to the rank stage).
     */
   def topK(queries: DataFrame, candidates: DataFrame, k: Int,
            idColQ: String = "vec_id", idColC: String = "vec_id",
@@ -41,10 +47,11 @@ object Similarity {
     val scored = c.crossJoin(q)
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.expressions.TopKAggregate
+        .top_k(col("score"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("neighbor_id"),
+              (col("pos") + 1).as("rank"), col("entry.score").as("score"))
   }
 }

@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions.{DotProduct, TopKByScore}
+
+/** Session extension registering the engine's custom Catalyst expressions
+  * as SQL functions, so the SQL surface is at parity with the Column API:
+  *
+  *   SELECT dot_product(a.embedding, b.embedding) ...
+  *   SELECT top_k(score, id, 10) ... GROUP BY query_id
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` — the standard
+  * SparkSessionExtensions injection point (SURVEY.md §7: custom code path
+  * (c)).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+    require(exprs.size == n,
+      s"$name expects $n arguments, got ${exprs.size}")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        arity("dot_product(a, b)", 2, exprs)
+        DotProduct(exprs(0), exprs(1))
+      }))
+
+    e.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k"),
+      (exprs: Seq[Expression]) => {
+        arity("top_k(score, id, k)", 3, exprs)
+        val k = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Number].intValue()
+        }
+        TopKByScore(exprs(0), exprs(1), k)
+      }))
+  }
+}

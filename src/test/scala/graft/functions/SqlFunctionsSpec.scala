@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** SQL surface of the custom Catalyst pieces registered through
+  * GraftExtensions (dot_product scalar, top_k bounded-heap aggregate),
+  * and equivalence of the heap-aggregate top-k with the window-rank
+  * formulation it replaces.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("dot_product is callable from SQL and matches manual computation") {
+    val s = spark
+    val r = s.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+    // float arrays promote per-element
+    val rf = s.sql(
+      "SELECT dot_product(array(CAST(0.5 AS FLOAT), CAST(1.5 AS FLOAT)), array(2.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(rf == 0.5 * 2.0 + 1.5 * 4.0)
+  }
+
+  test("top_k SQL aggregate returns (score desc, id asc) bounded arrays") {
+    val s = spark
+    s.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 0.9D, 10L), (1L, 0.9D, 7L), (1L, 0.5D, 1L), (1L, 0.95D, 3L),
+        |  (2L, 0.1D, 5L)
+        |AS t(g, score, id)""".stripMargin).createOrReplaceTempView("scores")
+    val rows = s.sql(
+      "SELECT g, top_k(score, id, 2) AS tk FROM scores GROUP BY g ORDER BY g")
+      .collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(g1 == Seq((0.95, 3L), (0.9, 7L)), s"ties break by id asc: $g1")
+    val g2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(g2 == Seq((0.1, 5L)))
+  }
+
+  test("heap-aggregate topK equals the window-rank formulation") {
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(s, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+
+    val viaHeap = graft.operators.Similarity.topK(q, c, k = 7)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val scored = c.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))))
+      .withColumn("score", graft.operators.Similarity.cosine(col("q_vec"), col("c_vec")))
+    val viaRank = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 7)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(viaHeap == viaRank)
+  }
+}
