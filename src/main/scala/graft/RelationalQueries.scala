@@ -120,6 +120,36 @@ object RelationalQueries {
               col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")),
 
+    // CUBE grouping sets (all 4 combinations of the two dimensions).
+    "q_cube_order_status" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             Exact.sum2(col("o_totalprice")).as("sum_price"))),
+
+    // UNION ALL across differently-sourced relations.
+    "q_union_roles" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nationkey"), lit("customer").as("role"))
+        .unionByName(
+          Tables.supplier(s, dir)
+            .select(col("s_nationkey").cast("long").as("nationkey"), lit("supplier").as("role")))
+        .groupBy("nationkey", "role")
+        .agg(count(lit(1)).as("n"))),
+
+    // Scalar-subquery shape: parts above their brand's average price
+    // (decimal-exact average; the aggregate side is broadcast).
+    "q_above_brand_avg" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+        .agg((sum(col("p_retailprice").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("avg_price"))
+      p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    }),
+
     // Set operation: nations that have both customers and suppliers.
     "q_intersect_nations" -> ((s, dir) =>
       Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
@@ -188,6 +218,27 @@ object RelationalQueries {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+
+    "q_cube_order_status" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_union_roles" ->
+      """SELECT nationkey, role, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS role FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, 'supplier' AS role FROM supplier)
+        |GROUP BY nationkey, role""".stripMargin,
+
+    "q_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part JOIN (
+        |  SELECT p_brand AS b_brand,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |  FROM part GROUP BY p_brand) ON p_brand = b_brand
+        |WHERE p_retailprice > avg_price""".stripMargin,
 
     "q_intersect_nations" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
