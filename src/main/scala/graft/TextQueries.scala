@@ -90,7 +90,7 @@ object TextQueries {
     val best = s"greatest(${langs.map(l => s"s_${l._1}").mkString(",")})"
     val cases = langs.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
     val scoreCols = langs.map(l => s"s_${l._1}").mkString(", ")
-    s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+    s"""SELECT doc_id, lang, CASE WHEN m = 0 THEN 'und' $cases ELSE 'und' END AS pred_lang
        |FROM (SELECT doc_id, lang, $best AS m, $scoreCols
        |      FROM (SELECT doc_id, lang, $scores FROM documents))""".stripMargin
   }

@@ -52,11 +52,13 @@ object TextFunctions {
     val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       (lang, stopwordCount(text, words))
     }
-    // pick lexicographically-first lang with maximal score
+    // pick lexicographically-first lang with maximal score; a document with
+    // ZERO hits in every list is undetermined, not the alphabet-first lang
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
-      when(score === best, lit(lang)).otherwise(acc)
-    }
+    when(best === 0, lit("und")).otherwise(
+      scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+        when(score === best, lit(lang)).otherwise(acc)
+      })
   }
 
   /** Polynomial rolling-hash document fingerprint:

@@ -39,14 +39,27 @@ case class TopKByScore(
   // the WORST entry under our (score desc, id asc) ranking — i.e. lowest
   // score, ties broken toward the larger id. Reversing only the score
   // comparator achieves exactly that: max = (smallest score, largest id).
+  // TotalOrdering ranks NaN above +Inf — the same "NaN is largest" rule
+  // Spark's and DuckDB's ORDER BY use — and is transitive, so NaN scores
+  // (e.g. cosine of a zero vector) rank deterministically first instead of
+  // poisoning the heap.
   private val heapOrdering: Ordering[(Double, Long)] =
     Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(heapOrdering)
 
+  // total order consistent with heapOrdering (a beats b <=> a < b there)
   private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    heapOrdering.compare(a, b) < 0
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k expects (score DOUBLE, id BIGINT), got " +
+          s"(${scoreExpr.dataType.simpleString}, ${idExpr.dataType.simpleString})")
 
   override def update(buf: mutable.PriorityQueue[(Double, Long)],
                       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {

@@ -67,7 +67,10 @@ object Dedup {
     // tokens materialized as their own projection (see shinglesFromTokens),
     // then the per-doc gram arrays are persisted: three downstream branches
     // (frequency table, prefix index, pair verification) would otherwise
-    // each recompute the shingle stage from the scan.
+    // each recompute the shingle stage from the scan. The cache is left to
+    // LRU eviction (no action runs inside this lazy builder to hang an
+    // unpersist on); callers running many queries in one session can
+    // spark.catalog.clearCache() between them.
     val base = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
                          split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), col("block"),
@@ -88,6 +91,9 @@ object Dedup {
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("block"), xxhash64(col("gram")).as("gh"))
+    // NOT persisted: the self-join's two sides are identical subplans, so
+    // Spark's ReusedExchange already computes the window shuffle once;
+    // caching here was measured to DEFEAT that reuse (6s -> 22s at sf0.1)
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.gh") === col("b.gh") && col("a.block") === col("b.block") &&

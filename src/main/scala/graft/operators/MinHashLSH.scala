@@ -57,6 +57,9 @@ object MinHashLSH {
     val bandKeys: Column = array((0 until numBands).map { j =>
       col(s"sig_${2 * j}") * P + col(s"sig_${2 * j + 1}")
     }: _*)
+    // NOT persisted: the self-join's sides are identical subplans and
+    // Spark's ReusedExchange computes the signature shuffle once — caching
+    // here was measured to defeat that reuse (1.4s -> 2.6s at sf0.1)
     val banded = sigs.select(col("doc_id"), col("block"),
         posexplode(bandKeys).as(Seq("band", "key")))
     banded.as("a")

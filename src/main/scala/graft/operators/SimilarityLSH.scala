@@ -73,10 +73,15 @@ object SimilarityLSH {
       .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"),
               explode(tableBuckets(col(vecCol))).as("tb"))
       .select(col("neighbor_id"), col("c_vec"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    // score BEFORE deduplicating multi-table collisions: the distinct then
+    // shuffles 24 bytes per pair instead of dragging both 64-float vectors
+    // through the exchange as part of the distinct key (scoring a duplicate
+    // collision <= NumTables times is cheap codegen work; shuffling its
+    // vectors is not).
     c.join(q, Seq("t", "bk"))
-      .select("query_id", "neighbor_id", "q_vec", "c_vec")
-      .distinct()
       .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("score")).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)))

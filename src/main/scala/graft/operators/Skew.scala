@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Uniform salt. Row-content hashing alone would send IDENTICAL rows
+    * (exactly the boilerplate-duplicate hot case) to one bucket, so mix in
+    * a per-row id; counts/sums are invariant to WHICH bucket a row lands
+    * in, so the nondeterministic id never affects results. */
+  private def salt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id() +: df.columns.map(col): _*),
+         lit(buckets))
+
   /** Exact count per key via salted two-stage aggregation. */
   def saltedCount(df: DataFrame, keyCols: Seq[String], buckets: Int,
                   countName: String = "cnt"): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).as("_salt")
-    df.select(col("*"), salt)
+    df.select(col("*"), salt(df, buckets).as("_salt"))
       .groupBy((keyCols :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_partial"))
       .groupBy(keyCols.map(col): _*)
@@ -36,8 +43,7 @@ object Skew {
   /** Exact decimal-stable sum per key via salted two-stage aggregation. */
   def saltedSum2(df: DataFrame, keyCols: Seq[String], valueCol: String,
                  buckets: Int, sumName: String = "sum_value"): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).as("_salt")
-    df.select(col("*"), salt)
+    df.select(col("*"), salt(df, buckets).as("_salt"))
       .groupBy((keyCols :+ "_salt").map(col): _*)
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("_partial"))
       .groupBy(keyCols.map(col): _*)

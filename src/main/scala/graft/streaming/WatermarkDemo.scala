@@ -45,8 +45,9 @@ object WatermarkDemo {
     // Drip-feed chunks so watermarks advance mid-stream like the reference's
     // paced source; the console shows windows firing as the min watermark
     // passes them and day-3 windows staying pending (README.md:54-58).
-    val chunks = p0.grouped(p0.size / 4).toSeq.zipAll(
-                 p1.grouped(p1.size / 4).toSeq, Seq.empty, Seq.empty)
+    val chunkSize = math.max(1, p0.size / 4)
+    val chunks = p0.grouped(chunkSize).toSeq.zipAll(
+                 p1.grouped(chunkSize).toSeq, Seq.empty, Seq.empty)
     chunks.foreach { case (c0, c1) =>
       if (c0.nonEmpty) m1.addData(c0)
       if (c1.nonEmpty) m2.addData(c1)
