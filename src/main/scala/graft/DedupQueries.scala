@@ -73,6 +73,24 @@ object DedupQueries {
       val e = Tables.embeddings(s, dir)
       SimilarityLSH.annTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+    }),
+
+    // Per-class embedding centroids, dimension-wise: posexplode -> one
+    // shuffle keyed by (label, dim). Exactness trick: scale each value by
+    // 2^40 (power-of-two multiply is exact in FP), truncate to long, sum
+    // exactly, divide back — quantization 2^-40 is far below float32
+    // precision, and every step is engine-portable. (Decimal casts are
+    // NOT: Spark rounds double->decimal via the shortest string repr,
+    // DuckDB via the exact binary expansion — they disagree ~1e-5/element
+    // at scale 12, measured.)
+    "q_embed_centroid" -> ((s, dir) => {
+      val scale = 1099511627776.0 // 2^40
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), (col("dim") + 1).cast("long").as("dim"))
+        .agg(((sum((col("v").cast("double") * scale).cast("long")).cast("double") / scale) /
+              count(lit(1))).as("centroid"),
+             count(lit(1)).as("n"))
     }))
 
   /** Explicit sequential-fold dot product in DuckDB SQL — element order and
@@ -187,6 +205,14 @@ object DedupQueries {
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,
+
+    "q_embed_centroid" ->
+      """SELECT label, CAST(dd AS BIGINT) AS dim,
+        |  (CAST(sum(CAST(trunc(CAST(embedding[dd] AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+        |    / 1099511627776.0) / count(*) AS centroid,
+        |  count(*) AS n
+        |FROM embeddings, range(1, 65) AS t(dd)
+        |GROUP BY label, dd""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
