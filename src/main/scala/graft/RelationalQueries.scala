@@ -120,6 +120,14 @@ object RelationalQueries {
               col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")),
 
+    // Exact median (continuous interpolation) per group — Spark sorts per
+    // group; DuckDB's quantile_cont uses the same p*(n-1) interpolation.
+    "q_median_price" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+             count(lit(1)).as("n"))),
+
     // CUBE grouping sets (all 4 combinations of the two dimensions).
     "q_cube_order_status" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -218,6 +226,11 @@ object RelationalQueries {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+
+    "q_median_price" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_cube_order_status" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
