@@ -53,6 +53,11 @@ object DedupQueries {
       MinHashLSH.candidatePairs(Tables.documents(s, dir),
         "doc_id", "text", "lang")),
 
+    // The composed production pipeline: exact dedup -> LSH candidates ->
+    // exact Jaccard verification of candidates only.
+    "q_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipeline(Tables.documents(s, dir), "doc_id", "text", "lang")),
+
     // SimHash near-dup pairs: chunk-collision candidates verified at
     // Hamming <= 5 (complete for <= 3 by pigeonhole over 4 chunks).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -107,7 +112,9 @@ object DedupQueries {
 
   /** DuckDB replica of the MinHash-LSH pipeline (same permutation family,
     * same portable hash, same band packing — see MinHashLSH/PortableHash). */
-  private val minhashSql: String = {
+  /** CTE chain for MinHash-LSH candidates over a source relation exposing
+    * (doc_id, lang, text); ends with a `cand(id_a, id_b)` CTE. */
+  private def minhashCtes(source: String): String = {
     val P = PortableHash.P
     val numBands = 6; val rowsPerBand = 2
     val k = numBands * rowsPerBand
@@ -118,8 +125,8 @@ object DedupQueries {
     val bands = (0 until numBands).map { j =>
       s"SELECT doc_id, block, $j AS band, sig_${2 * j}*$P+sig_${2 * j + 1} AS key FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, lang AS block, string_split(text,' ') AS t FROM documents),
+    s"""toks AS (
+       |  SELECT doc_id, lang AS block, string_split(text,' ') AS t FROM $source),
        |grams AS (
        |  SELECT doc_id, block, unnest(list_distinct(
        |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS gram
@@ -132,11 +139,36 @@ object DedupQueries {
        |  $sigExprs
        |  FROM gh GROUP BY doc_id, block),
        |banded AS (
-       |  $bands)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.key = b.key AND a.block = b.block
-       | AND a.doc_id < b.doc_id""".stripMargin
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.block = b.block
+       |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val minhashSql: String =
+    s"WITH ${minhashCtes("documents")}\nSELECT id_a, id_b FROM cand"
+
+  /** The composed production pipeline: exact dedup -> MinHash-LSH
+    * candidates -> exact Jaccard verification. */
+  private val pipelineSql: String = {
+    s"""WITH canonical AS (
+       |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, text
+       |  FROM documents GROUP BY text),
+       |${minhashCtes("canonical")},
+       |gsets AS (
+       |  SELECT doc_id, list_distinct(
+       |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS gs
+       |  FROM toks WHERE len(t) >= 3)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+       |    (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))) AS jaccard
+       |FROM cand
+       |JOIN gsets ga ON id_a = ga.doc_id
+       |JOIN gsets gb ON id_b = gb.doc_id
+       |WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+       |    (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))) >= 0.4""".stripMargin
   }
 
   /** DuckDB replica of the SimHash pipeline (same token hash, vote packing,
@@ -203,6 +235,7 @@ object DedupQueries {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,
 

@@ -24,6 +24,33 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
 
+  /** The composed production dedup pipeline (SCALE.md run order): exact
+    * dedup first (collapses identical texts — removing the hot-bucket skew
+    * LSH would otherwise hit), MinHash-LSH candidate generation on the
+    * canonical set, then exact n-gram-Jaccard verification of candidates
+    * only. Output: verified near-dup pairs (id_a, id_b, jaccard >= t). */
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
+                    blockCol: String, n: Int = 3, threshold: Double = 0.4): DataFrame = {
+    // canonical row per distinct text: min id + that row's block
+    // (struct min = lexicographic = arg-min by id)
+    val canonical = df
+      .groupBy(col(textCol).as("text"))
+      .agg(min(struct(col(idCol), col(blockCol))).as("c"))
+      .select(col("c")(idCol).as("doc_id"), col("c")(blockCol).as("lang"), col("text"))
+    val cand = MinHashLSH.candidatePairs(canonical, "doc_id", "text", "lang", n)
+    val gsets = canonical
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("gs"))
+    cand
+      .join(gsets.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
+      .join(gsets.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Distinct word n-gram (shingle) set from a TOKEN ARRAY column; empty for
     * documents shorter than n tokens (guard needed because Spark's
     * `sequence(1, stop)` DESCENDS when stop < 1 instead of producing an
