@@ -93,7 +93,11 @@ object DedupQueries {
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("label"), (col("dim") + 1).cast("long").as("dim"))
-        .agg(((sum((col("v").cast("double") * scale).cast("long")).cast("double") / scale) /
+        // per-element longs summed through decimal(38,0): matches DuckDB's
+        // HUGEINT sum exactly and cannot wrap even at 1e10 rows/group
+        // (a raw long sum would overflow at ~8e6 rows of |v|~1)
+        .agg(((sum((col("v").cast("double") * scale).cast("long").cast("decimal(38,0)"))
+                .cast("double") / scale) /
               count(lit(1))).as("centroid"),
              count(lit(1)).as("n"))
     }))
@@ -110,9 +114,9 @@ object DedupQueries {
   private def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / sqrt((${sqlDot(a, a)}) * (${sqlDot(b, b)}))"
 
-  /** DuckDB replica of the MinHash-LSH pipeline (same permutation family,
-    * same portable hash, same band packing — see MinHashLSH/PortableHash). */
-  /** CTE chain for MinHash-LSH candidates over a source relation exposing
+  /** CTE chain replicating the MinHash-LSH pipeline in DuckDB (same
+    * permutation family, portable hash, and band packing — see
+    * MinHashLSH/PortableHash) over a source relation exposing
     * (doc_id, lang, text); ends with a `cand(id_a, id_b)` CTE. */
   private def minhashCtes(source: String): String = {
     val P = PortableHash.P

@@ -122,6 +122,9 @@ object RelationalQueries {
 
     // Exact median (continuous interpolation) per group — Spark sorts per
     // group; DuckDB's quantile_cont uses the same p*(n-1) interpolation.
+    // NOTE exact percentile buffers each group's values (unbounded state);
+    // at 100 TB use approx_percentile — this query documents the exact
+    // semantics at oracle-checkable scale.
     "q_median_price" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy("o_orderstatus")

@@ -66,7 +66,10 @@ case class TopKByScore(
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
     if (s != null && i != null) {
-      val cand = (s.asInstanceOf[Double], i.asInstanceOf[Long])
+      // normalize -0.0 to +0.0: SQL ORDER BY treats signed zeros equal
+      // (tie-break by id), TotalOrdering does not
+      val sv = s.asInstanceOf[Double]
+      val cand = (if (sv == 0.0) 0.0 else sv, i.asInstanceOf[Long])
       if (buf.size < k) buf.enqueue(cand)
       else if (beats(cand, buf.head)) { buf.dequeue(); buf.enqueue(cand) }
     }

@@ -22,13 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Uniform salt. Row-content hashing alone would send IDENTICAL rows
-    * (exactly the boilerplate-duplicate hot case) to one bucket, so mix in
-    * a per-row id; counts/sums are invariant to WHICH bucket a row lands
-    * in, so the nondeterministic id never affects results. */
+  /** Uniform salt: round-robin on the per-row id. Row-content hashing
+    * would send IDENTICAL rows (exactly the boilerplate-duplicate hot case)
+    * to one bucket; the row id spreads them strictly evenly, and
+    * counts/sums are invariant to WHICH bucket a row lands in, so the
+    * nondeterministic id never affects results. */
   private def salt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id() +: df.columns.map(col): _*),
-         lit(buckets))
+    pmod(monotonically_increasing_id(), lit(buckets.toLong))
 
   /** Exact count per key via salted two-stage aggregation. */
   def saltedCount(df: DataFrame, keyCols: Seq[String], buckets: Int,

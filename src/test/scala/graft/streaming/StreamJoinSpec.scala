@@ -44,10 +44,10 @@ class StreamJoinSpec extends SparkSpec {
         Buy("u1", ts("2016-02-01T00:10:00Z"), 5.0),   // within 30m of u1 view
         Buy("u2", ts("2016-02-01T01:00:00Z"), 7.0))   // 55m after u2 view: no match
       q.processAllAvailable()
-      val rows = s.table("join_out").collect()
-        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
-      assert(rows == Set(("u1", "home", 5.0)),
-        s"only the in-range pair joins: $rows")
+      val rowsSeq = s.table("join_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(rowsSeq == Seq(("u1", "home", 5.0)),
+        s"only the in-range pair joins, emitted exactly once: $rowsSeq")
 
       // late-arriving purchase behind both watermarks is dropped
       buys.addData(Buy("u1", ts("2016-02-01T00:01:00Z"), 99.0))
