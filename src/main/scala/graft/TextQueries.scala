@@ -60,6 +60,21 @@ object TextQueries {
         .groupBy("term")
         .agg(count(lit(1)).as("cnt"))),
 
+    // Training-data curation filter: the keep/drop decision every corpus
+    // pipeline ends with, composed from the quality metrics (narrow,
+    // codegen'd, runs at the scan at any scale).
+    "q_quality_filter" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", nTokens(col("text")))
+        .withColumn("distinct_ratio",
+          nDistinctTokens(col("text")).cast("double") / col("n_tokens"))
+        .withColumn("chars_per_token", col("n_chars").cast("double") / col("n_tokens"))
+        .filter(col("n_tokens").between(20, 90) &&
+                col("distinct_ratio") >= 0.2 &&
+                col("chars_per_token") >= 3.0)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+                col("distinct_ratio"))),
+
     // Multimodal plumbing: byte-level stats over the opaque-binary media
     // table (full decode pipeline is exercised in MultimodalSpec — the
     // decoder itself is a stub, see operators.Multimodal).
@@ -126,6 +141,16 @@ object TextQueries {
       """SELECT term, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text,' ')) AS term FROM documents)
         |GROUP BY term""".stripMargin,
+
+    "q_quality_filter" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS distinct_ratio
+        |FROM documents
+        |WHERE len(string_split(text,' ')) BETWEEN 20 AND 90
+        |  AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |      / len(string_split(text,' ')) >= 0.2
+        |  AND CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) >= 3.0""".stripMargin,
 
     "q_multimodal_bytes" ->
       """SELECT CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,

@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Approximate aggregates (HLL++ via approx_count_distinct): engine-
+  * specific sketches have no cross-engine oracle, so correctness is a
+  * tolerance bound against the exact answer. */
+class SketchSpec extends SparkSpec {
+
+  test("approx_count_distinct is within its default 5% error of exact counts") {
+    val s = spark
+    val docs = Tables.documents(s, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"), col("lang"))
+    val rows = docs.groupBy("lang")
+      .agg(countDistinct(col("term")).as("exact"),
+           approx_count_distinct(col("term")).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"lang=${r.getString(0)} exact=$exact approx=$approx")
+    }
+  }
+}
