@@ -94,7 +94,8 @@ object RelationalQueries {
           Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
         .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")),
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                col("rn").cast("long").as("rn"))),
 
     // Distinct aggregation (expand + two-phase aggregate in Spark).
     "q_distinct_users" -> ((s, dir) =>

@@ -21,8 +21,20 @@ object Verify {
       // constraint up through shuffle-free pipelines, single-threading the
       // whole scan+compute; repartition keeps upstream parallelism and only
       // the final write is one task.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Timestamp columns are cast to TIMESTAMP_NTZ before writing: Spark's
+      // default TIMESTAMP is written UTC-adjusted (tz-aware to pyarrow and
+      // DuckDB readers) while the DuckDB oracle returns naive timestamps —
+      // with the session in UTC the wall-clock value is identical, only the
+      // parquet annotation changes.
+      try {
+        val out = fn(spark, sfDir)
+        val ntz = out.schema.fields.foldLeft(out) { (d, f) =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            d.withColumn(f.name, d(f.name).cast(org.apache.spark.sql.types.TimestampNTZType))
+          else d
+        }
+        ntz.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -52,6 +52,6 @@ object Similarity {
         .top_k(col("score"), col("neighbor_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
       .select(col("query_id"), col("entry.id").as("neighbor_id"),
-              (col("pos") + 1).as("rank"), col("entry.score").as("score"))
+              (col("pos") + 1).cast("long").as("rank"), col("entry.score").as("score"))
   }
 }

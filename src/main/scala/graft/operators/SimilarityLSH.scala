@@ -86,6 +86,6 @@ object SimilarityLSH {
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 }
