@@ -121,6 +121,28 @@ object RelationalQueries {
               col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")),
 
+    // TPC-H Q5 shape: 6-table join tree (two broadcast snowflake dims, two
+    // fact-fact joins) with a region filter and a date-range filter pushed
+    // to the scans. Catalyst orders the joins; local-supplier condition
+    // (customer and supplier share a nation) correlates the branches.
+    "q_tpch_local_supplier" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+              col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+              col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+                 (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_lines"))),
+
     // Exact median (continuous interpolation) per group — Spark sorts per
     // group; DuckDB's quantile_cont uses the same p*(n-1) interpolation.
     // NOTE exact percentile buffers each group's values (unbounded state);
@@ -230,6 +252,21 @@ object RelationalQueries {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+
+    "q_tpch_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     "q_median_price" ->
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS median_price,

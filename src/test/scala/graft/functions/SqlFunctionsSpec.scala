@@ -50,7 +50,7 @@ class SqlFunctionsSpec extends SparkSpec {
 
     val viaHeap = graft.operators.Similarity.topK(q, c, k = 7)
       .select("query_id", "neighbor_id", "rank")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     val scored = c.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
       .crossJoin(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))))
@@ -60,8 +60,8 @@ class SqlFunctionsSpec extends SparkSpec {
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= 7)
-      .select("query_id", "neighbor_id", "rank")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     assert(viaHeap == viaRank)
   }
