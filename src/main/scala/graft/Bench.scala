@@ -18,17 +18,25 @@ object Bench {
     // (the first query otherwise absorbs ~3-4 s of session warmup).
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted, fixed execution order: Map iteration order is arbitrary, and
+    // run-to-run order changes made round-1 timings incomparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY output column — .count() would let
       // Catalyst prune projection-only queries down to row counting.
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Dedup/SimHash persist() intermediates with no action to hang an
+      // unpersist on; drop them here so later queries aren't timed against
+      // a session carrying dozens of stale cached frames (round-1 bench
+      // showed 2-6x outliers from exactly this).
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

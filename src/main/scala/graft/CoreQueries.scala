@@ -37,6 +37,14 @@ object CoreQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))),
 
+    // The same keyed count through the two-stage salted aggregation
+    // (operators.Skew) — the hot-key mitigation path, end-to-end against
+    // the same oracle (identical results by associativity; the reference's
+    // own workload IS the skew story, Main.scala:13-16).
+    "q_keyed_count_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedCount(
+        Tables.events(s, dir), Seq("event_type"), buckets = 32)),
+
     // O4+O5+O6+O7: THE reference query — count per key per 1h tumbling
     // event-time window (`Main.scala:24-26`).
     "q_window_count_hourly" -> ((s, dir) =>
@@ -70,6 +78,9 @@ object CoreQueries {
       "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events",
 
     "q_keyed_count" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+
+    "q_keyed_count_salted" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
 
     "q_window_count_hourly" ->

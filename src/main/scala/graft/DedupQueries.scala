@@ -20,11 +20,16 @@ object DedupQueries {
 
     // Exact dedup on the event stream by natural key (event_id is the
     // reference's `Pageview.eventId` analog, added "precisely to enable"
-    // dedup — Pageview.scala:11).
+    // dedup — Pageview.scala:11). Survivor is the min (ts, event_type) row
+    // per event_id — deterministic on both engines even if duplicate rows
+    // ever disagree on their payload (dropDuplicates picks an ARBITRARY
+    // survivor, which only matched the oracle because testdata duplicates
+    // are full-row copies).
     "q_dedup_events" -> ((s, dir) =>
       Tables.events(s, dir)
-        .dropDuplicates("event_id")
-        .groupBy("event_type")
+        .groupBy("event_id")
+        .agg(min(struct(col("ts"), col("event_type"))).as("s"))
+        .groupBy(col("s").getField("event_type").as("event_type"))
         .agg(count(lit(1)).as("cnt"))),
 
     // Near-dup candidate pairs by exact word-3-gram Jaccard via the
@@ -33,18 +38,16 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir),
         "doc_id", "text", "lang", n = 3, threshold = 0.3)),
 
-    // Embedding near-dup pairs: exact cosine over label-blocked pairs.
-    "q_dedup_embedding" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), col("embedding"))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-        .filter(col("cos") >= 0.3)
-        .select("id_a", "id_b")
-    }),
+    // Embedding near-dup pairs: exact cosine over label-blocked pairs, with
+    // the block-size guardrail — blocks beyond maxBlockSize route through
+    // LSH bucketing instead of all-pairs (Dedup.embeddingNearDups). On the
+    // synthetic data every block is far under the threshold, so the result
+    // is the exact all-pairs answer the oracle computes; EmbeddingGuardSpec
+    // exercises the large-block path.
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", threshold = 0.3)
+        .select("id_a", "id_b")),
 
     // MinHash-LSH candidate pairs — the 100 TB-scale dedup path (constant-
     // size signatures + band-bucket join instead of all-pairs). The portable
@@ -256,7 +259,8 @@ object DedupQueries {
 
     "q_dedup_events" ->
       """SELECT event_type, count(*) AS cnt FROM (
-        |  SELECT event_type, row_number() OVER (PARTITION BY event_id) AS rn
+        |  SELECT event_type, row_number() OVER (
+        |    PARTITION BY event_id ORDER BY ts, event_type) AS rn
         |  FROM events) WHERE rn = 1
         |GROUP BY event_type""".stripMargin,
 

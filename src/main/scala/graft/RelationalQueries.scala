@@ -154,6 +154,17 @@ object RelationalQueries {
         .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
              count(lit(1)).as("n"))),
 
+    // The declared 100 TB path beside q_median_price: sketch percentile with
+    // BOUNDED state per group (exact percentile buffers every value). No
+    // DuckDB oracle — sketch internals are engine-specific, so the driver
+    // records a rows-only check; SketchSpec bounds the error against the
+    // exact median instead.
+    "q_approx_median_price" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"),
+             count(lit(1)).as("n"))),
+
     // CUBE grouping sets (all 4 combinations of the two dimensions).
     "q_cube_order_status" -> ((s, dir) =>
       Tables.orders(s, dir)

@@ -63,9 +63,18 @@ object TextFunctions {
 
   /** Polynomial rolling-hash document fingerprint:
     * fold(acc*31 + ascii(char)) mod 1e9+7 over the characters. Stable across
-    * engines (long arithmetic only) and cheap enough to run at the scan. */
+    * engines (long arithmetic only) and cheap enough to run at the scan.
+    * Runs as the codegen'd
+    * [[graft.functions.expressions.RollingHashExpression]]; the interpreted
+    * HOF formulation it replaced ([[fingerprintHof]]) cost 4.2 s at sf0.1. */
   val FingerprintMod = 1000000007L
   def fingerprint(text: Column): Column =
+    graft.functions.expressions.RollingHashExpression.rolling_hash(text)
+
+  /** The functions-API fold `fingerprint` is bit-equivalent to — kept as the
+    * executable spec of the fingerprint semantics (FingerprintSpec asserts
+    * equality on the real corpus). */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c)),
       lit(0L),

@@ -51,6 +51,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding near-duplicate pairs (cosine >= threshold) within blocks,
+    * with a block-size guardrail: blocks small enough for exact all-pairs
+    * comparison get it (quadratic per block, exact); blocks beyond
+    * `maxBlockSize` route through random-hyperplane LSH bucketing
+    * ([[SimilarityLSH.tableBuckets]]) so candidate pairs only materialize
+    * inside a (table, bucket) — per-block work drops from O(b²) to
+    * O(b²/2^planes) per table, the standard LSH recall-for-cost trade.
+    *
+    * At 100 TB a single hot block (one dominant label / language / source)
+    * would otherwise generate ~10^10+ comparisons on one join task; the
+    * guardrail caps exact work at maxBlockSize² per block while keeping
+    * small-block results bit-exact — which is also why the declared query's
+    * oracle stays valid on data whose blocks are all under the threshold.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        blockCol: String, threshold: Double,
+                        maxBlockSize: Long = 100000L): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
+                         col(vecCol).as("vec"))
+    // block occupancy is one tiny aggregate (#blocks rows) — broadcast it
+    val sizes = base.groupBy("block").agg(count(lit(1)).as("_bs"))
+    val sized = base.join(broadcast(sizes), "block")
+    val small = sized.filter(col("_bs") <= maxBlockSize)
+    val big = sized.filter(col("_bs") > maxBlockSize)
+
+    val smallPairs = small.as("a").join(small.as("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+              Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+
+    val bucketed = big.select(col("vec_id"), col("block"), col("vec"),
+        explode(SimilarityLSH.tableBuckets(col("vec"))).as("tb"))
+      .select(col("vec_id"), col("block"), col("vec"),
+              col("tb").getField("t").as("t"), col("tb").getField("bk").as("bk"))
+    val bigPairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+              Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      // a pair can collide in up to NumTables buckets: dedup AFTER the
+      // threshold filter so only surviving 24-byte pairs reach the exchange
+      .groupBy("id_a", "id_b").agg(first(col("cos")).as("cos"))
+      .select("id_a", "id_b", "cos")
+
+    smallPairs.unionByName(bigPairs)
+  }
+
   /** Distinct word n-gram (shingle) set from a TOKEN ARRAY column; empty for
     * documents shorter than n tokens (guard needed because Spark's
     * `sequence(1, stop)` DESCENDS when stop < 1 instead of producing an

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Event-time tumbling-window aggregation — the reference engine's core
   * operator chain (keyBy → timeWindow → incremental fold → emit-with-window-
-  * bounds; `/root/reference/src/main/scala/com/banno/flink/Main.scala:24-27`,
+  * bounds; `/root/reference/src/main/scala/Main.scala:24-27`,
   * `WindowAggregate.scala:22-37`).
   *
   * Spark-first realization: `groupBy(window(ts, width), key...)` compiles to a

@@ -55,7 +55,7 @@ object SimilarityLSH {
     }.reduce(_ + _)
 
   /** (table, bucket) pairs for a vector, one row per hash table. */
-  private def tableBuckets(vec: Column): Column =
+  def tableBuckets(vec: Column): Column =
     array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), bucket(vec, t).as("bk"))): _*)
 
@@ -82,10 +82,16 @@ object SimilarityLSH {
       .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("score")).as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      // bounded-heap per-query top-k (same TopKByScore as Similarity.topK):
+      // map-side partials keep at most k entries per query, so the rank
+      // stage shuffles #queries x k heap entries — the window row_number
+      // formulation this replaced shuffled and sorted EVERY candidate pair,
+      // which a hot LSH bucket turns into the bottleneck at scale.
+      .groupBy(col("query_id"))
+      .agg(graft.functions.expressions.TopKAggregate
+        .top_k(col("score"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("neighbor_id"),
+              (col("pos") + 1).cast("long").as("rank"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Loaders for the driver-generated parquet tables (TESTDATA.md / FIXTURES.md).
   *
   * The reference engine's only source is an in-memory parallel collection
-  * (`/root/reference/src/main/scala/com/banno/flink/Main.scala:22`,
+  * (`/root/reference/src/main/scala/Main.scala:22`,
   * `SplittableIteratorFromSeqs.scala:8-15`); our engine's primary source is
   * columnar Parquet read through Spark's vectorized reader, which at 100 TB
   * is the right substrate: predicate pushdown, column pruning and partition

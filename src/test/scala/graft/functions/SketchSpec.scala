@@ -10,6 +10,23 @@ import graft.sources.Tables
   * tolerance bound against the exact answer. */
 class SketchSpec extends SparkSpec {
 
+  test("q_approx_median_price is within the exact 45th-55th percentile band") {
+    val s = spark
+    val approx = graft.SparkEntry.queries("q_approx_median_price")(s, sfDir)
+      .select(col("o_orderstatus"), col("approx_median"))
+    val bounds = Tables.orders(s, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.45)").as("lo"),
+           expr("percentile(o_totalprice, 0.55)").as("hi"))
+    val rows = approx.join(bounds, "o_orderstatus").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(m >= lo && m <= hi,
+        s"status=${r.getString(0)} approx=$m outside exact [$lo, $hi]")
+    }
+  }
+
   test("approx_count_distinct is within its default 5% error of exact counts") {
     val s = spark
     val docs = Tables.documents(s, sfDir)

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Block-size guardrail for embedding near-dup (Dedup.embeddingNearDups):
+  * small blocks get exact all-pairs; blocks beyond maxBlockSize route
+  * through hyperplane-LSH buckets so the quadratic join never materializes
+  * for them. */
+class EmbeddingGuardSpec extends SparkSpec {
+
+  // Block of 6: two identical +1 vectors and four identical -1 vectors.
+  // v and -v land in complementary buckets in EVERY hash table (all plane
+  // dots flip sign and none is 0), so cross-sign pairs are never LSH
+  // candidates — which makes candidate pruning observable.
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    val plus = Array.fill(SimilarityLSH.Dim)(1.0f)
+    val minus = Array.fill(SimilarityLSH.Dim)(-1.0f)
+    (Seq(1L, 2L).map(i => (i, "big", plus)) ++
+     Seq(3L, 4L, 5L, 6L).map(i => (i, "big", minus)))
+      .toDF("vec_id", "label", "embedding")
+  }
+
+  test("small blocks use exact all-pairs (guardrail off below threshold)") {
+    val all = Dedup.embeddingNearDups(fixture, "vec_id", "embedding", "label",
+      threshold = -1.0, maxBlockSize = 100)
+    // all 15 pairs of the 6-vector block survive threshold -1
+    assert(all.count() == 15L)
+  }
+
+  test("oversized blocks route through LSH buckets — no all-pairs join") {
+    val guarded = Dedup.embeddingNearDups(fixture, "vec_id", "embedding", "label",
+      threshold = -1.0, maxBlockSize = 4)
+    val pairs = guarded.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-sign pairs (true near-dups, cosine 1.0) are all found:
+    // identical vectors share every bucket
+    assert(pairs.contains((1L, 2L)))
+    Seq((3L, 4L), (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .foreach(p => assert(pairs.contains(p), s"missing within-sign pair $p"))
+    // cross-sign pairs never share a bucket: candidate generation pruned
+    // them — 7 pairs, not the all-pairs 15
+    assert(pairs.size == 7, s"expected bucket-pruned candidates, got $pairs")
+    // the plan joins on bucket keys, not a per-block cross product
+    val plan = guarded.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bk"), "expected bucket column in the join plan")
+  }
+}
