@@ -71,7 +71,30 @@ object CoreQueries {
     "q_late_filter" -> ((s, dir) =>
       Tables.events(s, dir)
         .windowsFiredBy("ts", "1 hour", WatermarkCutoff)
-        .select("event_id", "ts", "event_type")))
+        .select("event_id", "ts", "event_type")),
+
+    // Point-in-time enrichment (operators.AsofJoin): each event carries the
+    // value of the same user's most recent purchase at or before it — one
+    // key shuffle + window pass, no range-join blowup.
+    "q_asof_last_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsofJoin.lastValueAsOf(
+          probe = ev.select("event_id", "ts", "user_id", "event_type"),
+          build = ev.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          keyCol = "user_id", timeCol = "ts", ordCol = "event_id",
+          valueCol = "value", outCol = "last_purchase_value")
+        .select("event_id", "ts", "user_id", "event_type", "last_purchase_value")
+    }),
+
+    // Deterministic 10% sample by portable hash — reproducible sampling is
+    // how a 100 TB pipeline debugs/evaluates on a slice; TABLESAMPLE/rand()
+    // are not stable across engines or runs, the md5-derived hash is.
+    "q_sample_hash" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(pmod(graft.functions.PortableHash.hash60(
+          col("event_id").cast("string")), lit(100L)) < 10)
+        .select("event_id", "ts", "user_id", "event_type")))
 
   def oracles: Map[String, String] = Map(
     "q_source_scan" ->
@@ -105,5 +128,31 @@ object CoreQueries {
 
     "q_late_filter" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
-        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin)
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+
+    // same union+window construction as the operator, so the tie rules
+    // (build-before-probe at equal ts, max event_id among equal-ts builds)
+    // are identical by construction
+    "q_asof_last_purchase" ->
+      """SELECT event_id, ts, user_id, event_type,
+        |       last_bval AS last_purchase_value FROM (
+        |  SELECT *, last_value(bval IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, side, bord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_bval
+        |  FROM (
+        |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |           1 AS side, CAST(NULL AS BIGINT) AS bord,
+        |           CAST(NULL AS DOUBLE) AS bval
+        |    FROM events
+        |    UNION ALL
+        |    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |           0 AS side, event_id AS bord, value AS bval
+        |    FROM events WHERE event_type = 'purchase'))
+        |WHERE side = 1""".stripMargin,
+
+    "q_sample_hash" ->
+      s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+         |FROM events
+         |WHERE ${graft.functions.PortableHash.hash60Sql("CAST(event_id AS VARCHAR)")} % 100 < 10""".stripMargin)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, MinHashLSH, SimHash, Similarity, SimilarityLSH}
+import graft.operators.{ConnectedComponents, Dedup, MinHashLSH, SimHash, Similarity, SimilarityLSH}
 import graft.functions.PortableHash
 import graft.sources.Tables
 
@@ -60,6 +60,16 @@ object DedupQueries {
     // exact Jaccard verification of candidates only.
     "q_dedup_pipeline" -> ((s, dir) =>
       Dedup.dedupPipeline(Tables.documents(s, dir), "doc_id", "text", "lang")),
+
+    // Duplicate-cluster resolution: connected components over the MinHash
+    // candidate pairs (operators.ConnectedComponents) — the step that turns
+    // near-dup PAIRS into CLUSTERS with one canonical (min) id each.
+    "q_dedup_components" -> ((s, dir) =>
+      ConnectedComponents.components(
+          MinHashLSH.candidatePairs(Tables.documents(s, dir),
+            "doc_id", "text", "lang"),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component_id"))),
 
     // SimHash near-dup pairs: chunk-collision candidates verified at
     // Hamming <= 5 (complete for <= 3 by pigeonhole over 4 chunks).
@@ -240,8 +250,24 @@ object DedupQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Transitive closure over the candidate pairs (recursive CTE) — the
+    * declarative mirror of the iterative min-label propagation. */
+  private val componentsSql: String =
+    s"""WITH RECURSIVE ${minhashCtes("documents")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |FROM reach GROUP BY src""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_components" -> componentsSql,
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,

@@ -173,6 +173,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
              Exact.sum2(col("o_totalprice")).as("sum_price"))),
 
+    // PIVOT: long-to-wide reshape with EXPLICIT pivot values — the values
+    // list keeps the output schema static (an inferred pivot would collect
+    // distinct values to the driver first: an extra job, and a schema that
+    // drifts with the data). Cells with no rows coalesce to 0.
+    "q_pivot_status" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
     // UNION ALL across differently-sourced relations.
     "q_union_roles" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -289,6 +303,13 @@ object RelationalQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_union_roles" ->
       """SELECT nationkey, role, count(*) AS n FROM (

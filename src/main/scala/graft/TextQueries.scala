@@ -52,6 +52,18 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // BPE-style pre-tokenization count: the regex token count (letter runs /
+    // digit runs / punctuation runs, optional leading space) that LLM data
+    // pipelines budget sequence lengths with — vs the whitespace count.
+    // Narrow, codegen'd, runs at the scan.
+    "q_text_tokens_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          nTokens(col("text")).cast("long").as("n_ws_tokens"))),
+
     // Corpus term frequency: explode tokens -> count per term. Map-side
     // partial agg bounds the shuffle at vocabulary size, not corpus size.
     "q_text_termfreq" -> ((s, dir) =>
@@ -135,6 +147,12 @@ object TextQueries {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens
         |FROM documents""".stripMargin,
 
     "q_text_termfreq" ->

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: attach to each probe row the payload of the
+  * build row with the greatest build time <= probe time within the same key
+  * — "the last known value as of this moment", the canonical enrichment
+  * join for event streams (Spark has no built-in as-of join; composing
+  * existing operators is preference (a) of the custom-operator ladder).
+  *
+  * Formulation: tag and union the two sides, then one window pass per key
+  * ordered by (time, side, build-order) taking the last non-null build
+  * payload up to the current row. Build rows sort BEFORE probe rows at
+  * equal time, so "at or before" is inclusive; among equal-time build rows
+  * the highest `ordCol` wins — fully deterministic, which is what makes the
+  * query oracle-checkable (a range-join formulation with an arbitrary
+  * survivor would not be).
+  *
+  * Scale: ONE hash shuffle on the key + a per-partition sort; running state
+  * is a single value per key. The naive alternative — an inequality
+  * (range) join probe.ts >= build.ts then a max-per-probe aggregation —
+  * materializes O(|probe| x avg builds per key) intermediate rows; this
+  * materializes |probe| + |build| rows, full stop. Skewed keys shard like
+  * any other window (salt or AQE); no broadcast needed on either side.
+  */
+object AsofJoin {
+
+  /** For each `probe` row: the `valueCol` of the `build` row with the
+    * greatest `timeCol` <= the probe's `timeCol` and equal `keyCol`
+    * (ties on time broken toward the greatest `ordCol`), as `outCol`;
+    * null where no build row precedes the probe. Probe columns pass
+    * through unchanged. */
+  def lastValueAsOf(probe: DataFrame, build: DataFrame,
+                    keyCol: String, timeCol: String, ordCol: String,
+                    valueCol: String, outCol: String): DataFrame = {
+    val b = build.select(
+      col(keyCol), col(timeCol),
+      col(ordCol).cast("long").as("_asof_ord"),
+      col(valueCol).as("_asof_val"),
+      lit(0).as("_asof_side"))
+    val p = probe.withColumn("_asof_side", lit(1))
+    val u = p.unionByName(b, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("_asof_side").asc, col("_asof_ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(outCol, last(col("_asof_val"), ignoreNulls = true).over(w))
+      .filter(col("_asof_side") === 1)
+      .drop("_asof_side", "_asof_ord", "_asof_val")
+  }
+}

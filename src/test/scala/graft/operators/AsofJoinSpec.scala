@@ -1,0 +1,39 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Edge semantics of the as-of join: inclusive at equal time, null before
+  * the first build row, deterministic tie-break among equal-time builds. */
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(m: Int): Timestamp = new Timestamp(m * 60000L)
+
+  test("last-value-as-of: inclusive ties, pre-history nulls, max-ord tiebreak") {
+    val s = spark
+    import s.implicits._
+    val probe = Seq(
+      (1L, ts(5), "k"),   // before any build -> null
+      (2L, ts(10), "k"),  // equal to build at 10 -> inclusive, sees it
+      (3L, ts(15), "k"),  // between builds -> build@10
+      (4L, ts(20), "k"),  // two builds at 20 -> the one with max ord wins
+      (5L, ts(10), "x"))  // other key, no builds -> null
+      .toDF("event_id", "ts", "k")
+    val build = Seq(
+      (100L, ts(10), "k", 1.0),
+      (101L, ts(20), "k", 2.0),
+      (102L, ts(20), "k", 3.0)) // same ts as 101, higher ord -> survivor
+      .toDF("bid", "ts", "k", "v")
+
+    val out = AsofJoin.lastValueAsOf(probe, build,
+        keyCol = "k", timeCol = "ts", ordCol = "bid",
+        valueCol = "v", outCol = "last_v")
+      .select("event_id", "last_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    assert(out == Map(
+      1L -> None, 2L -> Some(1.0), 3L -> Some(1.0), 4L -> Some(3.0), 5L -> None))
+  }
+}

@@ -1,0 +1,27 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Min-label propagation must find exact components on shapes that need
+  * more than one round (chains) and keep disjoint clusters apart. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("chain, triangle and isolated pair resolve to min-id components") {
+    val s = spark
+    import s.implicits._
+    // component A: chain 1-2-3-4 (diameter 3 -> multiple propagation rounds)
+    // component B: triangle 10-11-12 plus pendant 13
+    // component C: isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+      (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+}
