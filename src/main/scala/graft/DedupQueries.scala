@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Dedup, MinHashLSH, SimHash, Similarity, SimilarityLSH}
+import graft.operators.{ConnectedComponents, Dedup, MinHashLSH, SimHash, Similarity, SimilarityIVF, SimilarityLSH}
 import graft.functions.PortableHash
 import graft.sources.Tables
 
@@ -90,6 +90,14 @@ object DedupQueries {
     "q_sim_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       SimilarityLSH.annTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+    }),
+
+    // IVF ANN: same top-k shape, inverted-file coarse cells instead of
+    // LSH buckets — the second scale path (operators.SimilarityIVF).
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityIVF.ivfTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
     }),
 
@@ -265,9 +273,38 @@ object DedupQueries {
        |SELECT src AS doc_id, least(src, min(dst)) AS component_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** DuckDB replica of the IVF pipeline: centroid weights re-derived from
+    * the same md5 labels, cell argmax / probe ranking via row_number with
+    * the identical (dot DESC, cell ASC) tie-break. */
+  private val ivfSql: String = {
+    def w(cExpr: String, dExpr: String) =
+      s"((CAST(('0x'||substr(md5('ivf'||$cExpr||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
+    val dot =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${SimilarityIVF.Dim + 1}), dd ->
+         |    CAST(embedding[dd] AS DOUBLE) * ${w("c", "dd-1")})),
+         |  (a, x) -> a + x)""".stripMargin
+    s"""WITH scored AS (
+       |  SELECT vec_id, embedding, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
+       |  FROM (
+       |    SELECT vec_id, embedding, c, $dot AS dot
+       |    FROM embeddings, range(0, ${SimilarityIVF.K}) t(c))),
+       |cand AS (SELECT vec_id, embedding, c AS cell FROM scored WHERE rn = 1 AND vec_id >= 10),
+       |qry  AS (SELECT vec_id, embedding, c AS cell FROM scored WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT qry.vec_id AS query_id, cand.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY qry.vec_id
+       |      ORDER BY ${sqlCosine("qry.embedding", "cand.embedding")} DESC,
+       |               cand.vec_id ASC) AS rank
+       |  FROM qry JOIN cand USING (cell))
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_components" -> componentsSql,
+    "q_sim_ivf" -> ivfSql,
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,

@@ -209,6 +209,30 @@ object RelationalQueries {
         .select("p_partkey", "p_brand", "p_retailprice")
     }),
 
+    // Analytic offset functions (lag): per-user previous value with a
+    // deterministic (ts, event_id) order — one shuffle on the key.
+    "q_window_lag" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)))
+        .select("event_id", "user_id", "value", "prev_value")),
+
+    // Range (inequality-predicate) join: events banded by value against a
+    // tiny bounds relation. The bands side is broadcast, so the inequality
+    // join is a broadcast nested-loop over 4 rows per event — the only
+    // shape that scales (a shuffle range join would have no equi-key).
+    "q_range_join_bands" -> ((s, dir) => {
+      val bands = broadcast(s.createDataFrame(Seq(
+        ("b0_low", 0.0, 25.0), ("b1_mid", 25.0, 50.0),
+        ("b2_high", 50.0, 100.0), ("b3_tail", 100.0, 1e9)))
+        .toDF("band", "lo", "hi"))
+      Tables.events(s, dir)
+        .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"), Exact.sum2(col("value")).as("sum_value"))
+    }),
+
     // Set operation: nations that have both customers and suppliers.
     "q_intersect_nations" -> ((s, dir) =>
       Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
@@ -329,5 +353,20 @@ object RelationalQueries {
     "q_intersect_nations" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
         |INTERSECT
-        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin)
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events""".stripMargin,
+
+    "q_range_join_bands" ->
+      """SELECT band, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN (VALUES ('b0_low', 0.0, 25.0), ('b1_mid', 25.0, 50.0),
+        |             ('b2_high', 50.0, 100.0), ('b3_tail', 100.0, 1e9))
+        |  AS bands(band, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin)
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbors — the second scale
+  * path beside [[SimilarityLSH]]: partition the corpus into `K` coarse
+  * cells by nearest centroid, probe only the `NProbe` cells nearest the
+  * query, rank the probed candidates by exact cosine.
+  *
+  * Centroids here are deterministic hash-derived vectors (same md5 device
+  * as the LSH hyperplanes), so cell assignment is reproducible inside
+  * DuckDB SQL and the whole pipeline is exactly oracle-checkable. A
+  * production deployment would swap in k-means centroids — every plan
+  * shape below is centroid-agnostic; only the literals change.
+  *
+  * Scale design: cell assignment is a narrow, codegen'd scan (K dot
+  * products per row against broadcast-literal centroids — no shuffle, no
+  * training job in the query path); the probe join shuffles candidates by
+  * cell id once; per-query scoring work is NProbe/K of the corpus instead
+  * of all of it; ranking is the bounded-heap [[graft.functions.expressions.TopKByScore]]
+  * (map-side k entries per query), not a window sort.
+  */
+object SimilarityIVF {
+
+  val Dim = 64
+  val K = 16       // coarse cells
+  val NProbe = 2   // cells probed per query
+
+  /** Centroid `c`, dimension `d` weight in [-1, 1] — same portable
+    * md5-derived device as [[SimilarityLSH.planeWeight]], different label
+    * family ("ivf" prefix) so the two operators' geometries are
+    * independent. */
+  def centroidWeight(c: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ivf${c}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
+  }
+
+  private def centroidCol(c: Int): Column =
+    array((0 until Dim).map(d => lit(centroidWeight(c, d))): _*)
+
+  /** array<struct<dot,negc>> of the vector's dot with every centroid;
+    * struct max order = (dot DESC, cell ASC) since negc = -cell. */
+  private def scoredCells(vec: Column): Column =
+    array((0 until K).map { c =>
+      struct(Similarity.dot(vec, centroidCol(c)).as("dot"),
+             lit(-c).as("negc"))
+    }: _*)
+
+  /** Nearest-centroid cell id (deterministic tie-break toward the lower
+    * cell id) — the list-build + max runs inside one codegen stage. */
+  def cell(vec: Column): Column =
+    -array_max(scoredCells(vec)).getField("negc")
+
+  /** The `NProbe` nearest cell ids for a query vector. */
+  def probeCells(vec: Column): Column = {
+    val sorted = reverse(array_sort(scoredCells(vec)))
+    array((0 until NProbe).map(i =>
+      -element_at(sorted, i + 1).getField("negc")): _*)
+  }
+
+  /** IVF top-k: exact cosine rank over candidates in the query's NProbe
+    * nearest cells. Output (query_id, neighbor_id, rank). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              idColQ: String = "vec_id", idColC: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
+              explode(probeCells(col(vecCol))).as("cell")))
+    val c = candidates
+      .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"),
+              cell(col(vecCol)).as("cell"))
+    // cells are disjoint per candidate (unlike LSH's multi-table buckets),
+    // so no pair-dedup stage is needed before the bounded-heap rank
+    c.join(q, Seq("cell"))
+      .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.expressions.TopKAggregate
+        .top_k(col("score"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("neighbor_id"),
+              (col("pos") + 1).cast("long").as("rank"))
+  }
+}
