@@ -93,6 +93,13 @@ object TextQueries {
     "q_multimodal_bytes" -> ((s, dir) =>
       graft.operators.Multimodal.byteStats(s, dir)),
 
+    // Frame sampling over video-like payloads (every 4th 16-byte frame,
+    // operators.Multimodal.sampleFrames). The oracle recomputes the same
+    // stats from n_bytes arithmetic, so an off-by-one in the byte slicing
+    // fails the hash compare.
+    "q_multimodal_frames" -> ((s, dir) =>
+      graft.operators.Multimodal.frameStats(s, dir, stride = 4)),
+
     // JSON extraction from the events props column (row-level).
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -176,6 +183,23 @@ object TextQueries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT media_id,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(CASE WHEN last_idx = n_frames - 1
+        |       THEN (n_sampled - 1) * 16 + (n_bytes - (n_frames - 1) * 16)
+        |       ELSE n_sampled * 16 END AS BIGINT) AS sampled_bytes,
+        |  CAST(last_idx AS BIGINT) AS last_frame_idx
+        |FROM (
+        |  SELECT media_id, n_bytes, n_frames,
+        |    (n_frames - 1) // 4 + 1 AS n_sampled,
+        |    ((n_frames - 1) // 4) * 4 AS last_idx
+        |  FROM (
+        |    SELECT doc_id AS media_id,
+        |      octet_length(encode(text)) AS n_bytes,
+        |      (octet_length(encode(text)) + 15) // 16 AS n_frames
+        |    FROM documents))""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k

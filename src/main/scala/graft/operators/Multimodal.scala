@@ -67,6 +67,42 @@ object Multimodal {
     media.repartition(partitions).mapPartitions(decodeStub)
   }
 
+  /** A sampled "video" frame: byte slice + its position metadata. */
+  case class MediaFrame(media_id: Long, frame_idx: Long, frame_bytes: Long)
+
+  val FrameSize = 16
+
+  /** Frame sampling for video-like payloads: treat the opaque payload as a
+    * sequence of FrameSize-byte frames and keep every `stride`-th one —
+    * the deterministic stand-in for "decode container, keep 1 fps". Runs
+    * in the same batched mapPartitions shape as the decoder (a real
+    * demuxer initializes once per partition); the payload is sliced
+    * per-row, never shuffled — only the narrow (id, idx, len) rows leave
+    * the stage. */
+  def sampleFrames(media: Dataset[MediaItem], stride: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { items =>
+      // (real pipeline: val demuxer = Demuxer.init() — once per partition)
+      items.flatMap { m =>
+        val frames = m.content.grouped(FrameSize).zipWithIndex
+        frames.collect {
+          case (bytes, idx) if idx % stride == 0 =>
+            MediaFrame(m.media_id, idx.toLong, bytes.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Per-item stats of the sampled frames — the declared, oracle-checkable
+    * face of sampleFrames (the oracle recomputes the same counts from
+    * n_bytes arithmetic, so a slicing bug shows up as a value mismatch). */
+  def frameStats(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    sampleFrames(mediaFromDocuments(spark, dir), stride)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"),
+           sum(col("frame_bytes")).as("sampled_bytes"),
+           max(col("frame_idx")).as("last_frame_idx"))
+
   /** Oracle-checkable byte-level metadata over the media table. */
   def byteStats(spark: SparkSession, dir: String): DataFrame =
     mediaFromDocuments(spark, dir)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{DotProduct, TopKByScore}
+import graft.functions.expressions.{DotProduct, RollingHashExpression, TopKByScore}
 
 /** Session extension registering the engine's custom Catalyst expressions
   * as SQL functions, so the SQL surface is at parity with the Column API:
@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("dot_product(a, b)", 2, exprs)
         DotProduct(exprs(0), exprs(1))
+      }))
+
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpression].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => {
+        arity("rolling_hash(text)", 1, exprs)
+        RollingHashExpression(exprs(0))
       }))
 
     e.injectFunction((

@@ -22,6 +22,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rf == 0.5 * 2.0 + 1.5 * 4.0)
   }
 
+  test("rolling_hash is callable from SQL and matches the column function") {
+    val s = spark
+    // "ab" -> (0*31+97)*31+98 = 3105
+    assert(s.sql("SELECT rolling_hash('ab') AS h").head().getLong(0) == 3105L)
+    val diff = graft.sources.Tables.documents(s, sfDir)
+      .selectExpr("rolling_hash(text) AS a", "text").select(
+        org.apache.spark.sql.functions.col("a"),
+        TextFunctions.fingerprint(org.apache.spark.sql.functions.col("text")).as("b"))
+      .filter("a <> b").count()
+    assert(diff == 0L)
+  }
+
   test("top_k SQL aggregate returns (score desc, id asc) bounded arrays") {
     val s = spark
     s.sql(

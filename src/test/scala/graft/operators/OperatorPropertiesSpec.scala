@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** Randomized ground-truth properties for the composite operators: the
+  * distributed formulations must agree with trivially-correct driver-side
+  * reference implementations on seeded random inputs. */
+class OperatorPropertiesSpec extends SparkSpec {
+
+  test("asof join equals the per-row argmax reference on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(7)
+    // duplicate-ts collisions are likely on purpose: the tie rules are the
+    // part a naive implementation gets wrong
+    val probe = (1 to 300).map { i =>
+      (i.toLong, new Timestamp(rnd.nextInt(50) * 1000L), s"k${rnd.nextInt(5)}")
+    }
+    val build = (1 to 120).map { i =>
+      (1000L + i, new Timestamp(rnd.nextInt(50) * 1000L), s"k${rnd.nextInt(5)}",
+       rnd.nextInt(100).toDouble)
+    }
+    val got = AsofJoin.lastValueAsOf(
+        probe.toDF("event_id", "ts", "k"), build.toDF("bid", "ts", "k", "v"),
+        keyCol = "k", timeCol = "ts", ordCol = "bid",
+        valueCol = "v", outCol = "last_v")
+      .select("event_id", "last_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // reference: for each probe, the build row with max (ts, bid) among
+    // those at-or-before it on the same key
+    val expected = probe.map { case (id, ts, k) =>
+      val cands = build.filter(b => b._3 == k && !b._2.after(ts))
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(b => (b._2.getTime, b._1))._4))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("connected components equal driver-side union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(11)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val pairs = (1 to 80).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a + 1) // keep a < b, avoid self-loops
+      }.distinct
+      val got = ConnectedComponents.components(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+}
