@@ -87,6 +87,24 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
                 col("distinct_ratio"))),
 
+    // The end-to-end curation pipeline every training corpus runs: quality
+    // gate -> exact dedup (deterministic min-id survivor) -> per-language
+    // token budget. One narrow scan + two shuffles (text groupBy, lang
+    // agg); at 100 TB the quality gate runs at the scan and the text
+    // groupBy keys by content hash.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val kept = Tables.documents(s, dir)
+        .withColumn("n_tokens", nTokens(col("text")))
+        .filter(col("n_tokens").between(20, 90) &&
+                (nDistinctTokens(col("text")).cast("double") / col("n_tokens")) >= 0.2)
+      kept.groupBy("text")
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("c"))
+        .select(col("c.lang").as("lang"), col("c.n_tokens").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens").cast("long")).as("total_tokens"))
+    }),
+
     // Multimodal plumbing: byte-level stats over the opaque-binary media
     // table (full decode pipeline is exercised in MultimodalSpec — the
     // decoder itself is a stub, see operators.Multimodal).
@@ -176,6 +194,19 @@ object TextQueries {
         |  AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
         |      / len(string_split(text,' ')) >= 0.2
         |  AND CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) >= 3.0""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH kept AS (
+        |  SELECT doc_id, lang, text, len(string_split(text,' ')) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) BETWEEN 20 AND 90
+        |    AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |        / len(string_split(text,' ')) >= 0.2),
+        |canon AS (
+        |  SELECT arg_min(lang, doc_id) AS lang, arg_min(n_tokens, doc_id) AS n_tokens
+        |  FROM kept GROUP BY text)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM canon GROUP BY lang""".stripMargin,
 
     "q_multimodal_bytes" ->
       """SELECT CASE WHEN lang = 'zh' THEN 'audio' ELSE 'image' END AS kind,

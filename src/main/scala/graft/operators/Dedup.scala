@@ -166,14 +166,21 @@ object Dedup {
       .join(broadcast(freq), Seq("block", "gram"))
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("doc_id"), col("block"), xxhash64(col("gram")).as("gh"))
+      .select(col("doc_id"), col("block"), col("sz"), xxhash64(col("gram")).as("gh"))
     // NOT persisted: the self-join's two sides are identical subplans, so
     // Spark's ReusedExchange already computes the window shuffle once;
     // caching here was measured to DEFEAT that reuse (6s -> 22s at sf0.1)
+    // Length filter (lossless): J(A,B) >= t forces t*|B| <= |A| (and
+    // symmetrically), so size-mismatched collisions are dropped INSIDE the
+    // join before the expensive distinct+verify stages — the standard
+    // companion to prefix filtering, and the one that still prunes when a
+    // dense vocabulary defeats the prefix (this corpus).
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.gh") === col("b.gh") && col("a.block") === col("b.block") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= col("b.sz") * threshold &&
+          col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
