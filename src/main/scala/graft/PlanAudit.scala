@@ -11,7 +11,9 @@ object PlanAudit {
     s.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     val interesting = Seq("q_source_scan", "q_tpch_pricing", "q_join_brand_volume",
-      "q_topk_orders", "q_window_count_hourly", "q_sim_topk")
+      "q_topk_orders", "q_window_count_hourly", "q_sim_topk",
+      "q_sim_ann_lsh", "q_sim_ivf", "q_asof_last_purchase",
+      "q_keyed_count_salted", "q_range_join_bands", "q_curation_pipeline")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
