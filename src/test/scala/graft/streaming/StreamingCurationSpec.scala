@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+case class CurationDoc(doc_id: Long, text: String, lang: String, ts: Timestamp)
+
+/** The curation pipeline (q_curation_pipeline's semantics) in STREAMING
+  * form: quality gate at the scan, then watermark-bounded streaming dedup
+  * on content — the shape a continuously-ingesting corpus pipeline runs.
+  * State stays bounded by the watermark horizon (the batch pipeline's
+  * groupBy(text) has no such bound). */
+class StreamingCurationSpec extends SparkSpec {
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+  private val goodText = (1 to 25).map(i => s"w$i").mkString(" ")  // 25 distinct tokens
+  private val goodText2 = (1 to 30).map(i => s"v$i").mkString(" ")
+  private val shortText = "too short"                               // fails n_tokens >= 20
+  private val repeatText = Seq.fill(40)("x").mkString(" ")          // fails distinct ratio
+
+  test("streaming quality gate + watermark-bounded dedup keeps each text once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[CurationDoc]
+    val curated = ms.toDS().toDF()
+      .withColumn("n_tokens", nTokens(col("text")))
+      .filter(col("n_tokens").between(20, 90) &&
+              (nDistinctTokens(col("text")).cast("double") / col("n_tokens")) >= 0.2)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("text")
+      .select("doc_id", "lang")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated").start()
+    try {
+      ms.addData(
+        CurationDoc(1, goodText, "en", ts(1)),
+        CurationDoc(2, shortText, "en", ts(2)),   // quality-dropped
+        CurationDoc(3, goodText, "en", ts(3)),    // duplicate within horizon
+        CurationDoc(4, repeatText, "en", ts(4)),  // quality-dropped
+        CurationDoc(5, goodText2, "de", ts(5)))
+      q.processAllAvailable()
+      val kept = s.table("curated").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 5L),
+        s"quality failures and in-horizon duplicates must not survive: $kept")
+    } finally q.stop()
+  }
+}
