@@ -111,6 +111,19 @@ object TextQueries {
     "q_multimodal_bytes" -> ((s, dir) =>
       graft.operators.Multimodal.byteStats(s, dir)),
 
+    // Deterministic STRATIFIED sample: per-language rates via the portable
+    // hash (en 20%, de 50%, rest 10%) — the eval-slice construction for a
+    // multilingual corpus, reproducible across engines and runs.
+    "q_sample_stratified" -> ((s, dir) => {
+      val h = pmod(graft.functions.PortableHash.hash60(
+        col("doc_id").cast("string")), lit(100L))
+      Tables.documents(s, dir)
+        .filter((col("lang") === "en" && h < 20) ||
+                (col("lang") === "de" && h < 50) ||
+                (col("lang") =!= "en" && col("lang") =!= "de" && h < 10))
+        .select("doc_id", "lang")
+    }),
+
     // Frame sampling over video-like payloads (every 4th 16-byte frame,
     // operators.Multimodal.sampleFrames). The oracle recomputes the same
     // stats from n_bytes arithmetic, so an off-by-one in the byte slicing
@@ -214,6 +227,15 @@ object TextQueries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ${graft.functions.PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |  FROM documents)
+         |WHERE (lang = 'en' AND h < 20)
+         |   OR (lang = 'de' AND h < 50)
+         |   OR (lang <> 'en' AND lang <> 'de' AND h < 10)""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT media_id,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.operators.CorpusOps._
+
+/** The fluent corpus API must be sugar, not a second implementation: each
+  * chain's result equals the declared query / operator it delegates to. */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("qualityFiltered.dedupedExact.tokenBudget equals q_curation_pipeline") {
+    val s = spark
+    val viaChain = Tables.documents(s, sfDir)
+      .select("doc_id", "text", "lang")
+      .qualityFiltered()
+      .dedupedExact()
+      .tokenBudget("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaQuery = graft.SparkEntry.queries("q_curation_pipeline")(s, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaChain == viaQuery)
+  }
+
+  test("dedupClusters equals the declared components query") {
+    val s = spark
+    val viaChain = Tables.documents(s, sfDir)
+      .dedupClusters()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaQuery = graft.SparkEntry.queries("q_dedup_components")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaChain == viaQuery)
+  }
+
+  test("fingerprinted and withTextStats append the documented columns") {
+    val s = spark
+    val out = Tables.documents(s, sfDir)
+      .withTextStats().fingerprinted()
+      .select("doc_id", "n_tokens", "distinct_ratio", "fingerprint")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "distinct_ratio", "fingerprint"))
+    assert(out.filter(col("fingerprint").isNull).count() == 0)
+  }
+}
