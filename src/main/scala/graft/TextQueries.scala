@@ -124,6 +124,21 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // Bottom-k-by-hash per group: a deterministic uniform k-sample WITHOUT
+    // replacement per language (the fixed-size eval-set construction).
+    // Window-rank here is fine for k=5 per tiny group; at 100 TB the same
+    // semantics run through a bounded-heap top-k aggregate keyed by group.
+    "q_sample_bottomk" -> ((s, dir) => {
+      val h = graft.functions.PortableHash.hash60(col("doc_id").cast("string"))
+      Tables.documents(s, dir)
+        .withColumn("h", h)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "lang")
+    }),
+
     // Frame sampling over video-like payloads (every 4th 16-byte frame,
     // operators.Multimodal.sampleFrames). The oracle recomputes the same
     // stats from n_bytes arithmetic, so an off-by-one in the byte slicing
@@ -227,6 +242,14 @@ object TextQueries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_sample_bottomk" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ${graft.functions.PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5""".stripMargin,
 
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM (
