@@ -43,4 +43,20 @@ class SourceFormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || plan.contains("pushedFilters"),
       s"orc scan should push the lang filter:\n$plan")
   }
+
+  test("directory-partitioned parquet prunes partitions at the scan") {
+    val s = spark
+    val base = Files.createTempDirectory("graft-partitioned").toString
+    Tables.documents(s, sfDir).select("doc_id", "text", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(base)
+    val filtered = s.read.parquet(base).filter(col("lang") === "en")
+    val scan = filtered.queryExecution.executedPlan.toString
+    // the lang predicate must be a PARTITION filter (directory pruning —
+    // non-matching partitions are never listed, let alone read), not a
+    // data filter evaluated per row group
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected partition pruning on lang:\n$scan")
+    assert(filtered.count() ==
+      Tables.documents(s, sfDir).filter(col("lang") === "en").count())
+  }
 }
