@@ -187,6 +187,17 @@ object RelationalQueries {
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("P"), lit(0L)).as("n_p"))),
 
+    // Arbitrary GROUPING SETS (beyond rollup/cube) through the SQL API —
+    // Spark plans one Expand + single aggregate, not two scans.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    }),
+
     // UNION ALL across differently-sourced relations.
     "q_union_roles" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -334,6 +345,12 @@ object RelationalQueries {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
 
     "q_union_roles" ->
       """SELECT nationkey, role, count(*) AS n FROM (
