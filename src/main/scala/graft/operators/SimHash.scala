@@ -23,22 +23,20 @@ object SimHash {
   val ChunkBits = 15
   val NumChunks: Int = Bits / ChunkBits // 4
 
-  /** (doc_id, block, simhash) — one row per input row. */
+  /** (doc_id, block, simhash) — one row per input row. The 60 per-bit
+    * vote sums run as ONE [[graft.functions.expressions.SimHashVotes]]
+    * aggregate (single long[60] buffer, one tight update loop) instead of
+    * 60 generated sum expressions; the packing rule is identical, so the
+    * DuckDB oracle's 60-sum replica still matches bit-for-bit. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  blockCol: String): DataFrame = {
     val th = df
       .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
               explode(split(col(textCol), " ")).as("tok"))
       .select(col("doc_id"), col("block"), hash60(col("tok")).as("th"))
-    val votes = (0 until Bits).map { j =>
-      sum(shiftright(col("th"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$j")
-    }
-    val packed = (0 until Bits).map { j =>
-      when(col(s"s_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
     th.groupBy(col("doc_id"), col("block"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), col("block"), packed.as("simhash"))
+      .agg(graft.functions.expressions.SimHashAggregate
+        .simhash_votes(col("th"), Bits).as("simhash"))
   }
 
   /** Near-dup pairs: chunk-collision candidates verified at `maxHamming`.
