@@ -59,10 +59,27 @@ object ConnectedComponents {
       // driver-side re-analysis grows without bound — measured 1.2s ->
       // 5.2s per round by round 4. (On a cluster with fault-tolerance
       // requirements, substitute reliable checkpoint()s — same shape.)
-      val next = edges.join(labels, edges("src") === labels("id"))
+      // neighbor-min joined back with the own label (no union: a Union
+      // whose branches share attribute ids with the join inside one of
+      // them trips Catalyst's constraint rewrite — "key not found" — once
+      // the result is self-joined below). Checkpointed BEFORE the
+      // self-join so each round's plan stays constant-depth.
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .groupBy("id").agg(min("label").as("nl"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer jumping (path halving): follow each label to ITS label in
+      // the same round — label chains contract by half per round, so
+      // convergence is O(log diameter) instead of O(diameter). Labels are
+      // always vertex ids, monotonically non-increasing, and bounded below
+      // by the component minimum, so the fixpoint is unchanged (the
+      // union-find property test guards this).
+      val next = propagated.as("x")
+        .join(propagated.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
         .localCheckpoint(true)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
