@@ -93,10 +93,10 @@ object TextQueries {
     // agg); at 100 TB the quality gate runs at the scan and the text
     // groupBy keys by content hash.
     "q_curation_pipeline" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
       val kept = Tables.documents(s, dir)
+        .qualityFiltered()
         .withColumn("n_tokens", nTokens(col("text")))
-        .filter(col("n_tokens").between(20, 90) &&
-                (nDistinctTokens(col("text")).cast("double") / col("n_tokens")) >= 0.2)
       kept.groupBy("text")
         .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("c"))
         .select(col("c.lang").as("lang"), col("c.n_tokens").as("n_tokens"))
@@ -275,7 +275,8 @@ object TextQueries {
         |    SELECT doc_id AS media_id,
         |      octet_length(encode(text)) AS n_bytes,
         |      (octet_length(encode(text)) + 15) // 16 AS n_frames
-        |    FROM documents))""".stripMargin,
+        |    FROM documents
+        |    WHERE octet_length(encode(text)) > 0))""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k

@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Release a frame's materialized storage whether it came from persist()
+    * (CacheManager) or localCheckpoint() (storage held by the underlying
+    * RDD — Dataset.unpersist is a no-op for those, so the per-round label
+    * sets would otherwise only be freed by GC). */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** (id, component_id) for every vertex appearing in `pairs`, where
     * component_id = min vertex id of the component. Deterministic. */
   def components(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
@@ -52,7 +65,9 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
-    var converged = false
+    // no pairs -> no vertices: sum() over zero rows is null; return the
+    // empty labeling instead of entering the loop (null.compareTo NPE)
+    var converged = prevSum == null
     while (!converged) {
       // localCheckpoint (eager) truncates the logical plan each round:
       // without it the plan nests one join+union+agg deeper per round and
@@ -84,7 +99,8 @@ object ConnectedComponents {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist(blocking = false)
+      release(labels)
+      release(propagated) // next is materialized; the intermediate can go
       labels = next
     }
     edges.unpersist(blocking = false)

@@ -20,6 +20,13 @@ import graft.functions.TextFunctions
   */
 object CorpusOps {
 
+  /** The standard curation gate — single source of truth for the
+    * thresholds used by qualityFiltered, q_curation_pipeline and the
+    * streaming curation spec. */
+  val MinTokens = 20
+  val MaxTokens = 90
+  val MinDistinctRatio = 0.2
+
   implicit class DocumentCorpus(private val df: DataFrame) extends AnyVal {
 
     /** Append token-count/quality columns (narrow, codegen'd). */
@@ -30,8 +37,8 @@ object CorpusOps {
             col("n_tokens"))
 
     /** Keep documents passing the standard curation gate. */
-    def qualityFiltered(minTokens: Int = 20, maxTokens: Int = 90,
-                        minDistinctRatio: Double = 0.2,
+    def qualityFiltered(minTokens: Int = MinTokens, maxTokens: Int = MaxTokens,
+                        minDistinctRatio: Double = MinDistinctRatio,
                         textCol: String = "text"): DataFrame = {
       val t = TextFunctions.nTokens(col(textCol))
       df.filter(t.between(minTokens, maxTokens) &&

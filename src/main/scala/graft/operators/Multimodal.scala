@@ -95,7 +95,9 @@ object Multimodal {
 
   /** Per-item stats of the sampled frames — the declared, oracle-checkable
     * face of sampleFrames (the oracle recomputes the same counts from
-    * n_bytes arithmetic, so a slicing bug shows up as a value mismatch). */
+    * n_bytes arithmetic, so a slicing bug shows up as a value mismatch).
+    * Items with an EMPTY payload have no frames and therefore no row —
+    * the oracle filters `n_bytes > 0` to match. */
   def frameStats(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
     sampleFrames(mediaFromDocuments(spark, dir), stride)
       .groupBy("media_id")

@@ -6,6 +6,13 @@ import graft.SparkSpec
   * more than one round (chains) and keep disjoint clusters apart. */
 class ConnectedComponentsSpec extends SparkSpec {
 
+  test("empty pair set yields an empty labeling, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(ConnectedComponents.components(empty, "id_a", "id_b").count() == 0L)
+  }
+
   test("chain, triangle and isolated pair resolve to min-id components") {
     val s = spark
     import s.implicits._

@@ -41,6 +41,20 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sampleFrames emits no rows for empty payloads (matches the oracle's n_bytes > 0)") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      Multimodal.MediaItem(1L, "image", Array.emptyByteArray, "m", 0L),
+      Multimodal.MediaItem(2L, "image", Array.fill[Byte](33)(7), "m", 33L))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 4).collect()
+    assert(!frames.exists(_.media_id == 1L), "empty payload must yield no frames")
+    // 33 bytes -> frames 0..2 (16, 16, 1 bytes); stride 4 keeps only idx 0
+    assert(frames.filter(_.media_id == 2L).map(f => (f.frame_idx, f.frame_bytes)).toSeq
+      == Seq((0L, 16L)))
+  }
+
   test("connected components equal driver-side union-find on random graphs") {
     val s = spark
     import s.implicits._

@@ -28,10 +28,9 @@ class StreamingCurationSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ms = MemoryStream[CurationDoc]
+    import graft.operators.CorpusOps._
     val curated = ms.toDS().toDF()
-      .withColumn("n_tokens", nTokens(col("text")))
-      .filter(col("n_tokens").between(20, 90) &&
-              (nDistinctTokens(col("text")).cast("double") / col("n_tokens")) >= 0.2)
+      .qualityFiltered()
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("text")
       .select("doc_id", "lang")
