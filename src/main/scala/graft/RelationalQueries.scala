@@ -220,6 +220,26 @@ object RelationalQueries {
         .select("p_partkey", "p_brand", "p_retailprice")
     }),
 
+    // Gap-based sessionization: a new session starts when a user's
+    // inter-event gap exceeds 30 minutes; session_id = running count of
+    // session starts (lag + conditional cumulative sum — one shuffle on
+    // the user key, two window passes over the same sort order, which
+    // Spark executes as a single Sort + two Window operators).
+    "q_sessionize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+               col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "ts", "session_id")),
+
     // Analytic offset functions (lag): per-user previous value with a
     // deterministic (ts, event_id) order — one shuffle on the key.
     "q_window_lag" -> ((s, dir) =>
@@ -371,6 +391,23 @@ object RelationalQueries {
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
         |INTERSECT
         |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT event_id, user_id, ts, session_id FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(sum(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch(CAST(ts AS TIMESTAMP)) - epoch(prev_ts) > 1800
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT event_id, user_id, ts,
+        |        lag(CAST(ts AS TIMESTAMP), 1) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)))""".stripMargin,
 
     "q_window_lag" ->
       """SELECT event_id, user_id, value,

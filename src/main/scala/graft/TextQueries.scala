@@ -124,6 +124,21 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // Repetition ratio: fraction of word-3-grams that are repeats of an
+    // earlier 3-gram in the same document — the Gopher-style repetition
+    // quality signal (high = boilerplate/keyword-stuffing). Exact int/int
+    // division; narrow, runs at the scan.
+    "q_text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.shinglesFromTokens(col("toks"), 3).as("distinct_grams"),
+          (size(col("toks")) - 2).as("n_grams"))
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"),
+          (lit(1.0) - size(col("distinct_grams")).cast("double") / col("n_grams"))
+            .as("repetition_ratio"))),
+
     // Bottom-k-by-hash per group: a deterministic uniform k-sample WITHOUT
     // replacement per language (the fixed-size eval-set construction).
     // Window-rank here is fine for k=5 per tiny group; at 100 TB the same
@@ -242,6 +257,14 @@ object TextQueries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_text_repetition" ->
+      """SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(
+        |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS DOUBLE)
+        |    / (len(t) - 2) AS repetition_ratio
+        |FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        |WHERE len(t) - 2 > 0""".stripMargin,
 
     "q_sample_bottomk" ->
       s"""SELECT doc_id, lang FROM (
