@@ -39,8 +39,12 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — .count() would let
         // Catalyst prune projection-only queries down to row counting.
+        // A failed query must be LOUD: silently recording its
+        // time-to-crash would make a regression look like a speedup.
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] QUERY FAILED $name: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // Dedup/SimHash persist() intermediates with no action to hang an
         // unpersist on; drop them here so later queries aren't timed

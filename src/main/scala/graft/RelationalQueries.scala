@@ -230,9 +230,12 @@ object RelationalQueries {
         .withColumn("prev_ts", lag(col("ts"), 1).over(
           Window.partitionBy(col("user_id"))
             .orderBy(col("ts").asc, col("event_id").asc)))
+        // microsecond-exact gap: cast('long') truncates to SECONDS, and a
+        // 1800.3s gap would then read as exactly 1800 here while the
+        // oracle's fractional epoch() saw > 1800 — boundary divergence
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-               col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("session_id", sum(col("new_session")).over(
           Window.partitionBy(col("user_id"))
@@ -399,9 +402,9 @@ object RelationalQueries {
         |      PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM (
-        |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+    |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |      CASE WHEN prev_ts IS NULL
-        |             OR epoch(CAST(ts AS TIMESTAMP)) - epoch(prev_ts) > 1800
+        |             OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(prev_ts) > 1800000000
         |           THEN 1 ELSE 0 END AS new_session
         |    FROM (
         |      SELECT event_id, user_id, ts,

@@ -39,13 +39,24 @@ object TextQueries {
           (col("n_chars").cast("double") / nTokens(col("text"))).as("chars_per_token"))),
 
     // Language ID heuristic (stopword-hit argmax), compared against the
-    // labeled lang column.
-    "q_text_langid" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          col("lang"),
-          langId(col("text")).as("pred_lang"))),
+    // labeled lang column. The per-language scores are PROJECTED FIRST and
+    // the argmax computed over those attribute references: the one-shot
+    // `langId` expression re-evaluates each interpreted stopword-count HOF
+    // up to ~7x per row (once in `best`, again per CASE branch —
+    // interpreted HOFs get no subexpression elimination). CollapseProject
+    // keeps the stage split because the scores are referenced repeatedly.
+    "q_text_langid" -> ((s, dir) => {
+      val langs = graft.functions.TextFunctions.Stopwords.toSeq.sortBy(_._1)
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id") +: col("lang") +:
+          langs.map { case (l, ws) => stopwordCount(col("text"), ws).as(s"s_$l") }: _*)
+      val best = langs.map(l => col(s"s_${l._1}")).reduce(greatest(_, _))
+      val pred = when(best === 0, lit("und")).otherwise(
+        langs.foldRight(lit("und"): org.apache.spark.sql.Column) {
+          case ((l, _), acc) => when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+        })
+      scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+    }),
 
     // Rolling-hash fingerprint per doc (the dedup-ready signature).
     "q_text_fingerprint" -> ((s, dir) =>

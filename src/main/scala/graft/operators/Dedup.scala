@@ -38,9 +38,15 @@ object Dedup {
       .agg(min(struct(col(idCol), col(blockCol))).as("c"))
       .select(col("c")(idCol).as("doc_id"), col("c")(blockCol).as("lang"), col("text"))
     val cand = MinHashLSH.candidatePairs(canonical, "doc_id", "text", "lang", n)
+    // persisted: gsets joins into cand TWICE (id_a and id_b sides, different
+    // join keys → no ReusedExchange), and the interpreted-HOF shingle stage
+    // is the dominant cost — without the cache it runs twice per execution
+    // (same measured trap as ngramJaccardPairs' base / ConnectedComponents'
+    // pairs input; left to LRU / the session's clearCache like those)
     val gsets = canonical
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("gs"))
+      .persist()
     cand
       .join(gsets.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
       .join(gsets.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")

@@ -61,7 +61,11 @@ object SimHash {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
               bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
                 .cast("long").as("ham"))
-      .distinct()
+      // filter BEFORE the dedup exchange: ham is determined by the pair,
+      // so only surviving pairs need to ride the distinct shuffle (a hot
+      // chunk bucket otherwise exchanges O(bucket²) doomed candidates —
+      // same rule as Dedup.embeddingNearDups' post-threshold dedup)
       .filter(col("ham") <= maxHamming)
+      .distinct()
   }
 }

@@ -31,12 +31,8 @@ object SimilarityIVF {
     * md5-derived device as [[SimilarityLSH.planeWeight]], different label
     * family ("ivf" prefix) so the two operators' geometries are
     * independent. */
-  def centroidWeight(c: Int, d: Int): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"ivf${c}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
-  }
+  def centroidWeight(c: Int, d: Int): Double =
+    graft.functions.PortableHash.labelWeight(s"ivf${c}_$d")
 
   private def centroidCol(c: Int): Column =
     array((0 until Dim).map(d => lit(centroidWeight(c, d))): _*)

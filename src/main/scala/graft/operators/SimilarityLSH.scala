@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,17 +28,9 @@ object SimilarityLSH {
     * share sign bits with probability 1-theta/pi per plane. */
   val NumTables = 4
 
-  /** JVM replica of PortableHash.hash60 for plane generation. */
-  private def hash60(s: String): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
-  }
-
   /** Plane i, dimension d weight in [-1, 1]: (hash60("hp<i>_<d>") % 2001 - 1000)/1000. */
   def planeWeight(i: Int, d: Int): Double =
-    (hash60(s"hp${i}_$d") % 2001L - 1000L) / 1000.0
+    graft.functions.PortableHash.labelWeight(s"hp${i}_$d")
 
   private def planeCol(i: Int): Column =
     array((0 until Dim).map(d => lit(planeWeight(i, d))): _*)
