@@ -47,7 +47,13 @@ object TextFunctions {
   /** Language ID: argmax of per-language stopword hit counts with
     * deterministic lexicographic tiebreak. An n-gram-free heuristic that
     * maps to a CASE-expression in SQL; a production model would plug in at
-    * the same column signature. */
+    * the same column signature.
+    *
+    * PERF: this one-shot expression re-evaluates each interpreted
+    * stopword-count HOF up to ~7x per row (no subexpression elimination in
+    * interpreted HOFs). In a hot path, project the five `stopwordCount`
+    * scores as their own columns first and compute the argmax over those
+    * attribute references — the staged form q_text_langid uses (~2.5x). */
   def langId(text: Column): Column = {
     val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       (lang, stopwordCount(text, words))
