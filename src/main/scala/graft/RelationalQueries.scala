@@ -267,6 +267,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), Exact.sum2(col("value")).as("sum_value"))
     }),
 
+    // Interval join: equi-key + time-range predicate (each purchase joined
+    // to the same user's views in the preceding 30 minutes). The equi key
+    // carries the shuffle; the range predicate is a post-join filter inside
+    // the sort-merge join — the batch analog of the streaming interval
+    // join (StreamJoinSpec), and the scalable shape for temporal
+    // correlation (no cross product, no broadcast needed on either side).
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      purchases.join(views,
+          purchases("user_id") === views("user_id") &&
+            col("v_ts") <= col("p_ts") &&
+            unix_micros(col("p_ts")) - unix_micros(col("v_ts")) <= 1800000000L,
+          "left")
+        .groupBy("purchase_id")
+        .agg(count(col("v_ts")).as("n_views_30m"))
+    }),
+
     // Set operation: nations that have both customers and suppliers.
     "q_intersect_nations" -> ((s, dir) =>
       Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
@@ -394,6 +415,16 @@ object RelationalQueries {
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
         |INTERSECT
         |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT purchase_id, count(v_ts) AS n_views_30m FROM (
+        |  SELECT p.event_id AS purchase_id, v.ts AS v_ts
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON p.user_id = v.user_id
+        |   AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |   AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) <= 1800000000)
+        |GROUP BY purchase_id""".stripMargin,
 
     "q_sessionize" ->
       """SELECT event_id, user_id, ts, session_id FROM (
