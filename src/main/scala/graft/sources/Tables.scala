@@ -30,7 +30,14 @@ object Tables {
     * microsecond TIMESTAMP identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
+    normalizeEventTs(load(spark, dir, "events"))
+  }
+
+  /** The single definition of the ns→µs conversion (also applied by the
+    * streaming file-source path): guarded on the column type so a move of
+    * the testdata to native TIMESTAMP(MICROS) is absorbed here, not in
+    * every caller. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)

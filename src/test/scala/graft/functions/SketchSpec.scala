@@ -27,7 +27,7 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct is within its default 5% error of exact counts") {
+  test("approx_count_distinct is within 3x its default 5% rsd of exact counts") {
     val s = spark
     val docs = Tables.documents(s, sfDir)
       .select(explode(split(col("text"), " ")).as("term"), col("lang"))
@@ -39,7 +39,10 @@ class SketchSpec extends SparkSpec {
     rows.foreach { r =>
       val exact = r.getLong(1).toDouble
       val approx = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
+      // rsd=0.05 is ONE standard deviation, not a hard bound — a 1-sigma
+      // assertion would legitimately fail ~1/3 of regenerated fixtures.
+      // 3 sigma states the actual statistical contract.
+      assert(math.abs(approx - exact) / exact <= 0.15,
         s"lang=${r.getString(0)} exact=$exact approx=$approx")
     }
   }

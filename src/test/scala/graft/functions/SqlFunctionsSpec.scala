@@ -30,7 +30,8 @@ class SqlFunctionsSpec extends SparkSpec {
       .selectExpr("rolling_hash(text) AS a", "text").select(
         org.apache.spark.sql.functions.col("a"),
         TextFunctions.fingerprint(org.apache.spark.sql.functions.col("text")).as("b"))
-      .filter("a <> b").count()
+      // null-safe: a plain <> filter would silently drop null-vs-value rows
+      .filter("NOT (a <=> b)").count()
     assert(diff == 0L)
   }
 

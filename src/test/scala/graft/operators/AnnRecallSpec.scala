@@ -12,13 +12,16 @@ import graft.sources.Tables
   * conservative. */
 class AnnRecallSpec extends SparkSpec {
 
-  private def recallAt5(ann: org.apache.spark.sql.DataFrame): Double = {
-    val s = spark
-    val e = Tables.embeddings(s, sfDir)
-    val truth = Similarity.topK(
+  // brute-force ground truth computed once, shared by both recall tests
+  private lazy val truth: Set[(Long, Long)] = {
+    val e = Tables.embeddings(spark, sfDir)
+    Similarity.topK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def recallAt5(ann: org.apache.spark.sql.DataFrame): Double = {
     val got = ann.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     (got intersect truth).size.toDouble / truth.size

@@ -33,13 +33,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaChain == viaQuery)
   }
 
-  test("fingerprinted and withTextStats append the documented columns") {
+  test("fingerprinted and withTextStats append the documented columns and types") {
     val s = spark
     val out = Tables.documents(s, sfDir)
       .withTextStats().fingerprinted()
       .select("doc_id", "n_tokens", "distinct_ratio", "fingerprint")
-    assert(out.columns.toSeq ==
-      Seq("doc_id", "n_tokens", "distinct_ratio", "fingerprint"))
-    assert(out.filter(col("fingerprint").isNull).count() == 0)
+    import org.apache.spark.sql.types._
+    assert(out.schema("n_tokens").dataType == IntegerType)
+    assert(out.schema("distinct_ratio").dataType == DoubleType)
+    assert(out.schema("fingerprint").dataType == LongType)
+    assert(out.filter(col("fingerprint").isNull ||
+                      col("distinct_ratio").isNull).count() == 0)
+    // fingerprint values agree with the declared query's column function
+    val direct = Tables.documents(s, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    assert(out.select(col("doc_id"), col("fingerprint").as("fp"))
+      .exceptAll(direct).count() == 0)
   }
 }

@@ -31,7 +31,7 @@ class NumericFoldSpec extends SparkSpec {
     assert(counted == Set(
       (("a", 403968L), 2L), (("b", 403968L), 1L), (("a", 403969L), 1L)))
 
-    // generic Numeric sum over an extracted value (ts seconds-of-minute)
+    // generic Numeric sum over an extracted value (the numeric eventId)
     val summed = ds
       .groupByKey(_.url)
       .agg(NumericFold.sum[Pageview, Long](_.eventId.toLong).toColumn)

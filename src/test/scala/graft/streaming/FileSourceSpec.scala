@@ -23,7 +23,7 @@ class FileSourceSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("part-0.parquet"))
     val streamRaw = s.readStream.schema(schema).parquet(streamDir.toString)
-    val stream = streamRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.normalizeEventTs(streamRaw)
 
     val agg = stream
       .groupBy(window(col("ts"), "1 day"), col("event_type"))

@@ -85,6 +85,9 @@ class PageviewScenarioSpec extends SparkSpec {
         s"overlap-day hours must total 120 events: ${day2.filter(_._2 != 120L)}")
       val day1 = perHour.filter { case (t, _) => t.toInstant.toString < "2016-02-02T00:00:00Z" }
       assert(day1.values.forall(_ == 60L), "day-1 hours must total 60 events")
+      val day3 = perHour.filter { case (t, _) => t.toInstant.toString >= "2016-02-03T00:00:00Z" }
+      assert(day3.size == 24 && day3.values.forall(_ == 60L),
+        s"day-3 (p1-exclusive) hours must total 60 events: ${day3.filter(_._2 != 60L)}")
     } finally q.stop()
   }
 }
