@@ -433,7 +433,7 @@ object RelationalQueries {
         |      PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM (
-    |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |      CASE WHEN prev_ts IS NULL
         |             OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(prev_ts) > 1800000000
         |           THEN 1 ELSE 0 END AS new_session
