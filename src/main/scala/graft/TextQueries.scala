@@ -135,6 +135,44 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // Eval-set decontamination: drop every document sharing ANY word-3-gram
+    // with the held-out set (here: the 10 lowest doc_ids, standing in for a
+    // benchmark suite) — the n-gram-overlap contamination rule every
+    // training corpus applies before training. Shingle explode + LEFT ANTI
+    // join on the gram hash; the (tiny) eval gram set is broadcast, so at
+    // 100 TB this is a narrow scan + broadcast anti join, no shuffle of
+    // the corpus.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shinglesFromTokens(col("toks"), 3)).as("gram"))
+      val evalGrams = broadcast(
+        grams(docs.filter(col("doc_id") < 10)).select("gram").distinct())
+      docs.select("doc_id").join(
+          grams(docs.filter(col("doc_id") >= 10)).join(evalGrams, "gram")
+            .select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") >= 10)
+        .select("doc_id")
+    }),
+
+    // Unigram fluency proxy: mean CORPUS FREQUENCY of a document's tokens
+    // (the transcendental-free stand-in for mean unigram log-prob — same
+    // ordering signal: common prose scores high, rare-word soup low, and
+    // integer sums keep it bit-portable where log2/ln differ by ulps
+    // between engines). Vocabulary-sized frequency table broadcast; the
+    // per-token join runs in the scan stage.
+    "q_text_fluency" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      toks.join(broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg((sum(col("tf")).cast("double") / count(lit(1))).as("mean_token_tf"))
+    }),
+
     // Repetition ratio: fraction of word-3-grams that are repeats of an
     // earlier 3-gram in the same document — the Gopher-style repetition
     // quality signal (high = boilerplate/keyword-stuffing). Exact int/int
@@ -268,6 +306,28 @@ object TextQueries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS gram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g
+        |  JOIN eval_grams e ON g.gram = e.gram WHERE g.doc_id >= 10)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    "q_text_fluency" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY term)
+        |SELECT doc_id,
+        |  CAST(sum(tf) AS DOUBLE) / count(*) AS mean_token_tf
+        |FROM toks JOIN freq USING (term)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """SELECT doc_id,
