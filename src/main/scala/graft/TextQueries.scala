@@ -135,6 +135,39 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // Document chunking: fixed 32-token windows with stride 24 (8-token
+    // overlap) — how long documents become training sequences. One narrow
+    // pass: the chunk starts are generated per row, the token array is
+    // sliced in place, nothing shuffles.
+    "q_text_chunks" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            greatest(size(col("toks")) - 1, lit(0)), lit(24))).as("start"))
+        .filter(col("start") < size(col("toks")))
+        .select(col("doc_id"),
+          (col("start") / 24).cast("long").as("chunk_idx"),
+          size(slice(col("toks"), col("start") + 1, lit(32))).cast("long").as("n_chunk_tokens"))),
+
+    // Greedy sequence packing: per language, documents (in doc_id order)
+    // are packed into fixed 2048-token training bins by running token
+    // count — bin id = floor(tokens-before-this-doc / 2048). One window
+    // cumsum per language partition; deterministic, so downstream shards
+    // are reproducible.
+    "q_pack_bins" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), nTokens(col("text")).as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang")).orderBy(col("doc_id").asc)
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("doc_id"), col("lang"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          floor(col("cum_before") / 2048).cast("long").as("bin_id"))),
+
     // Eval-set decontamination: drop every document sharing ANY word-3-gram
     // with the held-out set (here: the 10 lowest doc_ids, standing in for a
     // benchmark suite) — the n-gram-overlap contamination rule every
@@ -306,6 +339,27 @@ object TextQueries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_text_chunks" ->
+      """SELECT doc_id,
+        |  CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(t, s + 1, s + 32)) AS BIGINT) AS n_chunk_tokens
+        |FROM (
+        |  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 24)) AS s
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
+        |WHERE s < len(t)""".stripMargin,
+
+    "q_pack_bins" ->
+      """SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM (
+        |    SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
+        |    FROM documents))""".stripMargin,
 
     "q_decontaminate" ->
       """WITH grams AS (
