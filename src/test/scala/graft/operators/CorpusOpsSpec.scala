@@ -44,10 +44,12 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.schema("fingerprint").dataType == LongType)
     assert(out.filter(col("fingerprint").isNull ||
                       col("distinct_ratio").isNull).count() == 0)
-    // fingerprint values agree with the declared query's column function
+    // fingerprint values agree with the declared query's column function —
+    // BOTH directions, so silently-dropped rows can't sneak a pass
     val direct = Tables.documents(s, sfDir)
       .select(col("doc_id"), graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
-    assert(out.select(col("doc_id"), col("fingerprint").as("fp"))
-      .exceptAll(direct).count() == 0)
+    val chained = out.select(col("doc_id"), col("fingerprint").as("fp"))
+    assert(chained.exceptAll(direct).count() == 0 &&
+           direct.exceptAll(chained).count() == 0)
   }
 }
