@@ -34,19 +34,34 @@ object AsofJoin {
     * through unchanged. */
   def lastValueAsOf(probe: DataFrame, build: DataFrame,
                     keyCol: String, timeCol: String, ordCol: String,
-                    valueCol: String, outCol: String): DataFrame = {
+                    valueCol: String, outCol: String): DataFrame =
+    lastValuesAsOf(probe, build, keyCol, timeCol, ordCol,
+      Map(valueCol -> outCol))
+
+  /** Multi-payload form: every `(buildCol -> outCol)` in `payload` is
+    * attached from the same as-of build row (one union, one sort, one
+    * Window operator evaluating all the last() columns together — the
+    * cost does not grow with the payload width beyond the bytes carried). */
+  def lastValuesAsOf(probe: DataFrame, build: DataFrame,
+                     keyCol: String, timeCol: String, ordCol: String,
+                     payload: Map[String, String]): DataFrame = {
+    val valCols = payload.keys.toSeq
     val b = build.select(
-      col(keyCol), col(timeCol),
-      col(ordCol).cast("long").as("_asof_ord"),
-      col(valueCol).as("_asof_val"),
-      lit(0).as("_asof_side"))
+      Seq(col(keyCol), col(timeCol),
+          col(ordCol).cast("long").as("_asof_ord"),
+          lit(0).as("_asof_side")) ++
+        valCols.map(c => col(c).as(s"_asof_val_$c")): _*)
     val p = probe.withColumn("_asof_side", lit(1))
     val u = p.unionByName(b, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("_asof_side").asc, col("_asof_ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(outCol, last(col("_asof_val"), ignoreNulls = true).over(w))
+    val attached = valCols.foldLeft(u) { (df, c) =>
+      df.withColumn(payload(c),
+        last(col(s"_asof_val_$c"), ignoreNulls = true).over(w))
+    }
+    attached
       .filter(col("_asof_side") === 1)
-      .drop("_asof_side", "_asof_ord", "_asof_val")
+      .drop(Seq("_asof_side", "_asof_ord") ++ valCols.map(c => s"_asof_val_$c"): _*)
   }
 }

@@ -36,4 +36,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Map(
       1L -> None, 2L -> Some(1.0), 3L -> Some(1.0), 4L -> Some(3.0), 5L -> None))
   }
+
+  test("multi-payload variant attaches every column from the same as-of row") {
+    val s = spark
+    import s.implicits._
+    val probe = Seq((1L, ts(15), "k")).toDF("event_id", "ts", "k")
+    val build = Seq(
+      (100L, ts(10), "k", 1.0, "first"),
+      (101L, ts(12), "k", 2.0, "second"))
+      .toDF("bid", "ts", "k", "v", "tag")
+    val row = AsofJoin.lastValuesAsOf(probe, build,
+        keyCol = "k", timeCol = "ts", ordCol = "bid",
+        payload = Map("v" -> "last_v", "tag" -> "last_tag"))
+      .select("event_id", "last_v", "last_tag").head()
+    // both payloads come from the SAME (latest) build row
+    assert((row.getLong(0), row.getDouble(1), row.getString(2)) == (1L, 2.0, "second"))
+  }
 }
