@@ -139,34 +139,20 @@ object TextQueries {
     // overlap) — how long documents become training sequences. One narrow
     // pass: the chunk starts are generated per row, the token array is
     // sliced in place, nothing shuffles.
-    "q_text_chunks" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0),
-            greatest(size(col("toks")) - 1, lit(0)), lit(24))).as("start"))
-        .filter(col("start") < size(col("toks")))
-        .select(col("doc_id"),
-          (col("start") / 24).cast("long").as("chunk_idx"),
-          size(slice(col("toks"), col("start") + 1, lit(32))).cast("long").as("n_chunk_tokens"))),
+    "q_text_chunks" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      Tables.documents(s, dir).chunked(chunkTokens = 32, stride = 24)
+    }),
 
     // Greedy sequence packing: per language, documents (in doc_id order)
     // are packed into fixed 2048-token training bins by running token
     // count — bin id = floor(tokens-before-this-doc / 2048). One window
     // cumsum per language partition; deterministic, so downstream shards
     // are reproducible.
-    "q_pack_bins" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), nTokens(col("text")).as("n_tokens"))
-        .withColumn("cum_before",
-          coalesce(sum(col("n_tokens")).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("lang")).orderBy(col("doc_id").asc)
-              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .select(col("doc_id"), col("lang"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          floor(col("cum_before") / 2048).cast("long").as("bin_id"))),
+    "q_pack_bins" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      Tables.documents(s, dir).packedBins("lang", binTokens = 2048)
+    }),
 
     // Eval-set decontamination: drop every document sharing ANY word-3-gram
     // with the held-out set (here: the 10 lowest doc_ids, standing in for a

@@ -66,6 +66,37 @@ object CorpusOps {
     def fingerprinted(textCol: String = "text"): DataFrame =
       df.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
 
+    /** Fixed-size training-sequence chunks with overlap: one row per
+      * (doc, chunk) carrying the chunk's token count — the declared
+      * q_text_chunks shape as a chain verb. */
+    def chunked(chunkTokens: Int = 32, stride: Int = 24,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+        .select(col(idCol), col("_toks"),
+          explode(sequence(lit(0),
+            greatest(size(col("_toks")) - 1, lit(0)), lit(stride))).as("_start"))
+        .filter(col("_start") < size(col("_toks")))
+        .select(col(idCol),
+          (col("_start") / stride).cast("long").as("chunk_idx"),
+          size(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)))
+            .cast("long").as("n_chunk_tokens"))
+
+    /** Greedy fixed-budget bin packing per group (q_pack_bins as a verb):
+      * deterministic bin ids from a per-group running token count. */
+    def packedBins(groupCol: String, binTokens: Int = 2048,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      df.select(col(idCol), col(groupCol),
+          TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+        .withColumn("_cum_before",
+          coalesce(sum(col("n_tokens")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col(idCol), col(groupCol),
+          col("n_tokens").cast("long").as("n_tokens"),
+          floor(col("_cum_before") / binTokens).cast("long").as("bin_id"))
+
     /** MinHash-LSH near-dup candidate pairs (see [[MinHashLSH]]). */
     def minhashCandidates(idCol: String = "doc_id", textCol: String = "text",
                           blockCol: String = "lang"): DataFrame =
