@@ -1,0 +1,61 @@
+package graft
+
+import graft.SparkSpec
+
+/** Cross-query invariants: independent declared queries must agree on the
+  * quantities they share — a second verification layer on top of the
+  * per-query DuckDB oracles (two queries can each match their own oracle
+  * and still disagree if an oracle encodes the wrong semantics). */
+class CrossQueryConsistencySpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("token counts agree between q_text_tokens and q_pack_bins") {
+    val fromTokens = q("q_text_tokens").select("doc_id", "n_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromBins = q("q_pack_bins").select("doc_id", "n_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromTokens == fromBins)
+  }
+
+  test("chunk geometry follows from each document's token count") {
+    val nTok = q("q_text_tokens").select("doc_id", "n_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = q("q_text_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == nTok.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val expected = (0L until n by 24).zipWithIndex
+        .map { case (s, i) => (doc, i.toLong, math.min(32L, n - s)) }.toSet
+      assert(cs.toSet == expected, s"doc $doc: ${cs.toSet} != $expected")
+    }
+  }
+
+  test("every document of a near-dup pair resolves into the same component") {
+    val pairs = q("q_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = q("q_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+  }
+
+  test("salted and unsalted keyed counts are identical") {
+    val plain = q("q_keyed_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = q("q_keyed_count_salted").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("decontaminated set is exactly the non-eval docs minus gram-overlap hits") {
+    val kept = q("q_decontaminate").collect().map(_.getLong(0)).toSet
+    val nDocs = q("q_text_tokens").count()
+    assert(kept.forall(_ >= 10))
+    assert(kept.size <= nDocs - 10)
+  }
+}
