@@ -243,6 +243,21 @@ object TextQueries {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // Typed JSON parsing: from_json with an explicit schema (vs
+    // q_json_extract's path extraction) — the schema-on-read form that
+    // fails closed: malformed documents yield null fields instead of
+    // silently wrong strings.
+    "q_json_typed" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("src",
+                org.apache.spark.sql.types.StringType)))).as("p"))
+        .select(col("event_id"), col("p.k").as("k"), col("p.src").as("src"))),
+
     // JSON-derived aggregation: bucket k, count + exact sum of value.
     "q_json_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -421,6 +436,14 @@ object TextQueries {
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    // src is absent from every document: the all-null column IS the test
+    // (typed parsing of a missing field yields null, not an error)
+    "q_json_typed" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props,'$.src') AS VARCHAR) AS src
         |FROM events""".stripMargin,
 
     "q_json_agg" ->
