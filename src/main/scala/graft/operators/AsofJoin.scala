@@ -40,28 +40,36 @@ object AsofJoin {
 
   /** Multi-payload form: every `(buildCol -> outCol)` in `payload` is
     * attached from the same as-of build row (one union, one sort, one
-    * Window operator evaluating all the last() columns together — the
-    * cost does not grow with the payload width beyond the bytes carried). */
+    * Window operator — the cost does not grow with the payload width
+    * beyond the bytes carried).
+    *
+    * The payload travels as ONE struct: `last(ignoreNulls)` must skip
+    * probe rows (null payload by construction) but must NOT skip a build
+    * row just because one of its payload FIELDS is null — per-column
+    * last() calls would tear the result across different build rows in
+    * that case. The struct is non-null for every build row regardless of
+    * its fields, so the whole payload always comes from the single
+    * correct as-of row. */
   def lastValuesAsOf(probe: DataFrame, build: DataFrame,
                      keyCol: String, timeCol: String, ordCol: String,
                      payload: Map[String, String]): DataFrame = {
     val valCols = payload.keys.toSeq
     val b = build.select(
-      Seq(col(keyCol), col(timeCol),
-          col(ordCol).cast("long").as("_asof_ord"),
-          lit(0).as("_asof_side")) ++
-        valCols.map(c => col(c).as(s"_asof_val_$c")): _*)
+      col(keyCol), col(timeCol),
+      col(ordCol).cast("long").as("_asof_ord"),
+      lit(0).as("_asof_side"),
+      struct(valCols.map(col): _*).as("_asof_val"))
     val p = probe.withColumn("_asof_side", lit(1))
     val u = p.unionByName(b, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("_asof_side").asc, col("_asof_ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valCols.foldLeft(u) { (df, c) =>
-      df.withColumn(payload(c),
-        last(col(s"_asof_val_$c"), ignoreNulls = true).over(w))
-    }
-    attached
+    val attached = u.withColumn("_asof_last",
+      last(col("_asof_val"), ignoreNulls = true).over(w))
+    valCols.foldLeft(attached) { (df, c) =>
+        df.withColumn(payload(c), col("_asof_last").getField(c))
+      }
       .filter(col("_asof_side") === 1)
-      .drop(Seq("_asof_side", "_asof_ord") ++ valCols.map(c => s"_asof_val_$c"): _*)
+      .drop("_asof_side", "_asof_ord", "_asof_val", "_asof_last")
   }
 }

@@ -52,4 +52,22 @@ class AsofJoinSpec extends SparkSpec {
     // both payloads come from the SAME (latest) build row
     assert((row.getLong(0), row.getDouble(1), row.getString(2)) == (1L, 2.0, "second"))
   }
+
+  test("a null payload FIELD in the as-of row does not tear columns across rows") {
+    val s = spark
+    import s.implicits._
+    val probe = Seq((1L, ts(15), "k")).toDF("event_id", "ts", "k")
+    // the latest build row has tag = null: last_tag must be null (from
+    // THAT row), not "first" scavenged from the older row
+    val build = Seq(
+      (100L, ts(10), "k", Some(1.0), Some("first")),
+      (101L, ts(12), "k", Some(2.0), None))
+      .toDF("bid", "ts", "k", "v", "tag")
+    val row = AsofJoin.lastValuesAsOf(probe, build,
+        keyCol = "k", timeCol = "ts", ordCol = "bid",
+        payload = Map("v" -> "last_v", "tag" -> "last_tag"))
+      .select("last_v", "last_tag").head()
+    assert(row.getDouble(0) == 2.0 && row.isNullAt(1),
+      s"payload must come intact from the single as-of row: $row")
+  }
 }

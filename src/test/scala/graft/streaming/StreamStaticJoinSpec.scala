@@ -38,5 +38,21 @@ class StreamStaticJoinSpec extends SparkSpec {
         ("u/0", Some("news")), ("u/1", Some("shop")), ("u/9", None)),
         s"left-outer enrichment must keep unmatched stream rows: $rows")
     } finally q.stop()
+
+    // inner variant: unmatched stream rows are DROPPED
+    val ms2 = MemoryStream[Pageview]
+    val inner = ms2.toDS().toDF()
+      .join(broadcast(dim), Seq("url"))
+      .select("eventId", "url", "category")
+    val q2 = inner.writeStream.outputMode("append")
+      .format("memory").queryName("enriched_inner").start()
+    try {
+      ms2.addData(pv("u/0", 4), pv("u/9", 5))
+      q2.processAllAvailable()
+      val rows = s.table("enriched_inner").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(("u/0", "news")),
+        s"inner enrichment must drop unmatched stream rows: $rows")
+    } finally q2.stop()
   }
 }
