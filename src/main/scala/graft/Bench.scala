@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // min-of-N: this host shows random multi-second CPU-steal spikes (the
+    // same query measured 0.6s and 28s back-to-back); round 2 showed
+    // min-of-2 still admits them, so default 3 (env-tunable).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -28,37 +32,52 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    graft.operators.CacheScope.releaseAll()
+    // Optional name filter (regex, dev iteration only — the driver runs
+    // the full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     // Sorted, fixed execution order: Map iteration order is arbitrary, and
-    // run-to-run order changes made round-1 timings incomparable. Each
-    // query is timed twice and the MIN reported: the host shows random
-    // multi-second CPU-steal spikes (the same query measured 0.6s and 28s
-    // in back-to-back sessions), and min-of-2 is the standard low-noise
-    // estimator of plan cost under external interference.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // run-to-run order changes made round-1 timings incomparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
+      var failed = false
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — .count() would let
         // Catalyst prune projection-only queries down to row counting.
-        // A failed query must be LOUD: silently recording its
-        // time-to-crash would make a regression look like a speedup.
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] QUERY FAILED $name: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Dedup/SimHash persist() intermediates with no action to hang an
-        // unpersist on; drop them here so later queries aren't timed
-        // against a session carrying dozens of stale cached frames
-        // (round-1 bench showed 2-6x outliers from exactly this).
+        // Operator-internal caches (persist + localCheckpoint storage) are
+        // released between runs so later queries aren't timed against a
+        // session carrying stale cached frames (round-1 bench showed 2-6x
+        // outliers from exactly this).
         spark.catalog.clearCache()
+        graft.operators.CacheScope.releaseAll()
         dt
       }
-      name -> times.min
+      (name, times, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A failed query must be LOUD and must NOT contribute a timing: its
+    // time-to-crash would read as a (often phantom-fast) measurement. It is
+    // omitted from `queries`/the total and listed in `errors` instead.
+    val ok = results.filter(!_._3)
+    val errors = results.filter(_._3).map(_._1)
+    val total = ok.map(_._2.min).sum
+    val qs = ok.map { case (k, t, _) => s"\"" + k + "\":" + t.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, t, _) =>
+      s"\"" + k + "\":" + t.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // total FIRST (and repeated LAST as total_check): round 2's artifact
+    // lost the leading total to tail truncation of the capture — with the
+    // value at both ends, either truncation direction preserves it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir","total_check":$total}""")
     spark.stop()
   }
 }

@@ -157,10 +157,11 @@ object TextQueries {
     // Eval-set decontamination: drop every document sharing ANY word-3-gram
     // with the held-out set (here: the 10 lowest doc_ids, standing in for a
     // benchmark suite) — the n-gram-overlap contamination rule every
-    // training corpus applies before training. The eval gram set is
-    // broadcast into the overlap join, and the resulting contaminated-id
-    // set (bounded by the corpus doc count, tiny in bytes) is broadcast
-    // into the anti join — so neither join shuffles the corpus.
+    // training corpus applies before training. Only the EVAL gram set is
+    // broadcast (eval suites are small by construction); the contaminated-id
+    // set is corpus-derived — a contamination pass can flag an unbounded
+    // fraction of billions of docs — so the anti join shuffles on the
+    // 8-byte doc_id instead of collecting the set to the driver.
     "q_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       def grams(df: org.apache.spark.sql.DataFrame) = df
@@ -169,9 +170,9 @@ object TextQueries {
           explode(graft.operators.Dedup.shinglesFromTokens(col("toks"), 3)).as("gram"))
       val evalGrams = broadcast(
         grams(docs.filter(col("doc_id") < 10)).select("gram").distinct())
-      val contaminated = broadcast(
+      val contaminated =
         grams(docs.filter(col("doc_id") >= 10)).join(evalGrams, "gram")
-          .select("doc_id").distinct())
+          .select("doc_id").distinct()
       docs.select("doc_id")
         .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(col("doc_id") >= 10)
@@ -182,22 +183,19 @@ object TextQueries {
     // (the transcendental-free stand-in for mean unigram log-prob — same
     // ordering signal: common prose scores high, rare-word soup low, and
     // integer sums keep it bit-portable where log2/ln differ by ulps
-    // between engines). Vocabulary-sized frequency table broadcast; the
-    // per-token join runs in the scan stage.
-    "q_text_fluency" -> ((s, dir) => {
-      // persisted: the frequency aggregate and the probe side are two
-      // different plans over the same exploded-token frame (no
-      // ReusedExchange across an aggregate boundary) — without the cache
-      // the scan+split+explode runs twice (left to LRU / the session's
-      // clearCache, same trade as the dedup operators)
-      val toks = Tables.documents(s, dir)
+    // between engines). Term frequency comes from a WINDOW count over the
+    // exploded-token frame itself — one shuffle keyed by term — instead of
+    // a separate aggregate joined back: at corpus scale the term
+    // vocabulary is itself corpus-sized, so the round-2 broadcast of the
+    // frequency table would OOM the driver (and the single-pass window
+    // also removes the persist the two-branch self-join needed).
+    "q_text_fluency" -> ((s, dir) =>
+      Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .persist()
-      val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
-      toks.join(broadcast(freq), "term")
+        .withColumn("tf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
         .groupBy("doc_id")
-        .agg((sum(col("tf")).cast("double") / count(lit(1))).as("mean_token_tf"))
-    }),
+        .agg((sum(col("tf")).cast("double") / count(lit(1))).as("mean_token_tf"))),
 
     // Repetition ratio: fraction of word-3-grams that are repeats of an
     // earlier 3-gram in the same document — the Gopher-style repetition

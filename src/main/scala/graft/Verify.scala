@@ -38,9 +38,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop operator-internal persist()s between queries (cache hygiene —
-      // same reasoning as Bench)
+      // drop operator-internal materializations between queries (cache
+      // hygiene, same reasoning as Bench): clearCache for persist()s,
+      // CacheScope for localCheckpoint storage clearCache can't see
       spark.catalog.clearCache()
+      graft.operators.CacheScope.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

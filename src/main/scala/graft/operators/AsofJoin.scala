@@ -53,6 +53,12 @@ object AsofJoin {
   def lastValuesAsOf(probe: DataFrame, build: DataFrame,
                      keyCol: String, timeCol: String, ordCol: String,
                      payload: Map[String, String]): DataFrame = {
+    // fail fast instead of corrupting: withColumn would silently OVERWRITE
+    // a same-named input column and the final drop would remove it
+    val reserved = (probe.columns ++ build.columns).filter(_.startsWith("_asof_")).distinct
+    require(reserved.isEmpty,
+      s"AsofJoin: input columns [${reserved.mkString(", ")}] collide with the " +
+        "reserved _asof_* working names; rename them before joining")
     val valCols = payload.keys.toSeq
     val b = build.select(
       col(keyCol), col(timeCol),

@@ -17,28 +17,36 @@ import org.apache.spark.sql.functions._
   * Scale: each round is one join (edges x labels, shuffled on vertex id)
   * plus one min-aggregate — all distributed; the only driver-side work is
   * the empty-diff convergence check. Labels are persisted per round and the
-  * previous round unpersisted, so lineage stays bounded. At extreme
-  * diameters the large-star/small-star variant (alternating label
-  * contraction) drops rounds to O(log n); the round body below is the same
-  * join+min shape, so it is a drop-in evolution, not a redesign.
+  * previous round unpersisted, so lineage stays bounded.
+  *
+  * Round shape (measured at sf0.1, this host, min-of-3): plain propagate
+  * rounds with ONE localCheckpoint each are the fastest of four variants —
+  * 3.6 s for the full q_dedup_components pipeline, vs 4.8 s for round 2's
+  * propagate+jump with two checkpoints, 5.8 s for jump-with-recomputed-
+  * propagate (exchange reuse does not recover the double subtree), and
+  * 6.5 s for jump-over-persist. At this scale per-round JOB COUNT
+  * dominates, so the cheapest round wins as long as the round count stays
+  * small — which it does on near-dup graphs (unions of small cliques,
+  * diameter 2-3). Pointer jumping (path halving, O(log diameter) rounds)
+  * still guards the pathological long-chain case: it switches on
+  * adaptively from round [[JumpFromRound]] when convergence evidently
+  * isn't diameter-bounded-small.
   */
 object ConnectedComponents {
 
-  /** Release a frame's materialized storage whether it came from persist()
-    * (CacheManager) or localCheckpoint() (storage held by the underlying
-    * RDD — Dataset.unpersist is a no-op for those, so the per-round label
-    * sets would otherwise only be freed by GC). */
-  private def release(df: DataFrame): Unit = {
-    df.unpersist(blocking = false)
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-  }
+  /** Propagate-only rounds before this one; pointer jumping joins in from
+    * here on. 4 = shallow graphs (the common case) never pay the jump's
+    * extra materialization, chains get O(log d) once it engages. */
+  val JumpFromRound = 4
 
   /** (id, component_id) for every vertex appearing in `pairs`, where
-    * component_id = min vertex id of the component. Deterministic. */
+    * component_id = min vertex id of the component. Deterministic.
+    *
+    * The returned frame's storage (final round's localCheckpoint, or the
+    * initial persist on empty input) is registered with [[CacheScope]]:
+    * callers release it with `CacheScope.releaseAll()` once their action
+    * completes — `catalog.clearCache()` cannot free LogicalRDD storage,
+    * which is exactly how round 2 stranded one label RDD per call. */
   def components(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // persist the input FIRST: the symmetrizing union reads the pairs
     // subtree twice with different projections, so without a cache an
@@ -68,17 +76,16 @@ object ConnectedComponents {
     // no pairs -> no vertices: sum() over zero rows is null; return the
     // empty labeling instead of entering the loop (null.compareTo NPE)
     var converged = prevSum == null
+    var round = 0
     while (!converged) {
-      // localCheckpoint (eager) truncates the logical plan each round:
-      // without it the plan nests one join+union+agg deeper per round and
-      // driver-side re-analysis grows without bound — measured 1.2s ->
-      // 5.2s per round by round 4. (On a cluster with fault-tolerance
-      // requirements, substitute reliable checkpoint()s — same shape.)
-      // neighbor-min joined back with the own label (no union: a Union
-      // whose branches share attribute ids with the join inside one of
-      // them trips Catalyst's constraint rewrite — "key not found" — once
-      // the result is self-joined below). Checkpointed BEFORE the
-      // self-join so each round's plan stays constant-depth.
+      round += 1
+      // Each propagate round: one join + min-agg, ONE eager localCheckpoint
+      // (truncating the plan so driver-side re-analysis stays bounded —
+      // without truncation it grew 1.2s -> 5.2s per round by round 4; on a
+      // fault-tolerant cluster substitute reliable checkpoint()s).
+      // (No union formulation: a Union whose branches share attribute ids
+      // with a join inside one of them trips Catalyst's constraint rewrite
+      // — "key not found" — once the result is self-joined.)
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .groupBy("id").agg(min("label").as("nl"))
@@ -86,24 +93,32 @@ object ConnectedComponents {
         .select(col("id"),
                 least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint(true)
-      // pointer jumping (path halving): follow each label to ITS label in
-      // the same round — label chains contract by half per round, so
-      // convergence is O(log diameter) instead of O(diameter). Labels are
-      // always vertex ids, monotonically non-increasing, and bounded below
-      // by the component minimum, so the fixpoint is unchanged (the
-      // union-find property test guards this).
-      val next = propagated.as("x")
-        .join(propagated.as("y"), col("x.label") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.label").as("label"))
-        .localCheckpoint(true)
+      // pointer jumping (path halving) from JumpFromRound on: follow each
+      // label to ITS label in the same round, contracting label chains by
+      // half — only worth its extra materialization when the graph is
+      // evidently not a shallow clique union. Labels stay vertex ids,
+      // monotonically non-increasing, bounded below by the component min,
+      // so the fixpoint is unchanged (union-find property spec covers a
+      // long chain that drives this path).
+      val next =
+        if (round < JumpFromRound) propagated
+        else propagated.as("x")
+          .join(propagated.as("y"), col("x.label") === col("y.id"))
+          .select(col("x.id").as("id"), col("y.label").as("label"))
+          .localCheckpoint(true)
+      // full (non-short-circuiting) aggregate: materializes EVERY partition
+      // of next's cache before the previous round is released below
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      release(labels)
-      release(propagated) // next is materialized; the intermediate can go
+      CacheScope.release(labels)
+      if (!(next eq propagated)) CacheScope.release(propagated)
       labels = next
     }
     edges.unpersist(blocking = false)
+    // the final round's storage outlives this call (the caller still has
+    // to run its action) — hand its lifecycle to CacheScope
+    CacheScope.track(labels)
     labels.select(col("id"), col("label").as("component_id"))
   }
 }

@@ -42,11 +42,12 @@ object Dedup {
     // join keys → no ReusedExchange), and the interpreted-HOF shingle stage
     // is the dominant cost — without the cache it runs twice per execution
     // (same measured trap as ngramJaccardPairs' base / ConnectedComponents'
-    // pairs input; left to LRU / the session's clearCache like those)
-    val gsets = canonical
+    // pairs input). Registered with CacheScope: the caller releases it
+    // after its action (Verify/Bench do; see CacheScope.withOperatorCaches).
+    val gsets = CacheScope.track(canonical
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("gs"))
-      .persist()
+      .persist())
     cand
       .join(gsets.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
       .join(gsets.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")
@@ -71,9 +72,15 @@ object Dedup {
     * small-block results bit-exact — which is also why the declared query's
     * oracle stays valid on data whose blocks are all under the threshold.
     */
+  /** Single source of truth for the exact-vs-LSH routing threshold — the
+    * declared query's oracle-validity guard derives from the same constant
+    * (an oracle that assumed the exact path while a block silently crossed
+    * into LSH would drift, not fail). */
+  val DefaultMaxBlockSize: Long = 100000L
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, threshold: Double,
-                        maxBlockSize: Long = 100000L): DataFrame = {
+                        maxBlockSize: Long = DefaultMaxBlockSize): DataFrame = {
     val base = df.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
                          col(vecCol).as("vec"))
     // block occupancy is one tiny aggregate (#blocks rows) — broadcast it
@@ -147,29 +154,33 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
     // tokens materialized as their own projection (see shinglesFromTokens),
-    // then the per-doc gram arrays are persisted: three downstream branches
-    // (frequency table, prefix index, pair verification) would otherwise
-    // each recompute the shingle stage from the scan. The cache is left to
-    // LRU eviction (no action runs inside this lazy builder to hang an
-    // unpersist on); callers running many queries in one session can
-    // spark.catalog.clearCache() between them.
-    val base = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-                         split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"), col("block"),
-              shinglesFromTokens(col("toks"), n).as("grams"))
-      .withColumn("sz", size(col("grams")))
-      .persist()
+    // then the per-doc gram arrays are persisted: the downstream branches
+    // (prefix index, pair verification) would otherwise each recompute the
+    // shingle stage from the scan. Registered with CacheScope so the
+    // caller releases it after its action (Verify/Bench do).
+    val base = CacheScope.track(
+      df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+                split(col(textCol), " ").as("toks"))
+        .select(col("doc_id"), col("block"),
+                shinglesFromTokens(col("toks"), n).as("grams"))
+        .withColumn("sz", size(col("grams")))
+        .persist())
     val exploded = base.select(col("doc_id"), col("block"), col("sz"),
                                explode(col("grams")).as("gram"))
-    val freq = exploded.groupBy("block", "gram").agg(count(lit(1)).as("df_"))
+    // Document frequency via a WINDOW count over the exploded frame itself
+    // — one shuffle keyed by (block, gram), no separate aggregate and no
+    // materialized df relation anywhere: the shingle vocabulary is
+    // corpus-sized (billions of distinct grams at 100 TB), so the round-2
+    // broadcast of the (block, gram, df) table was a driver OOM in the one
+    // operator whose whole point is corpus scale. Join candidates on a
+    // 64-bit gram hash — a collision can only ADD a candidate pair, which
+    // exact verification below discards, so the result is unchanged while
+    // the self-join shuffles longs, not strings.
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df_").asc, col("gram").asc)
-    // broadcast the (small, vocabulary-sized) frequency table; join
-    // candidates on a 64-bit gram hash — a collision can only ADD a
-    // candidate pair, which exact verification below discards, so the
-    // result is unchanged while the self-join shuffles longs, not strings.
     val prefixes = exploded
-      .join(broadcast(freq), Seq("block", "gram"))
+      .withColumn("df_", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("block"), col("gram"))))
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("block"), col("sz"), xxhash64(col("gram")).as("gh"))

@@ -49,11 +49,12 @@ object SimHash {
     }: _*)
     // persisted: measured 7.4s -> 2.7s at sf0.1 — unlike MinHashLSH, the
     // self-join below does NOT get ReusedExchange for the 60-sum signature
-    // pipeline, so without the cache both sides recompute it (left to LRU
-    // eviction, same trade as Dedup.ngramJaccardPairs)
-    val chunks = sigs.select(col("doc_id"), col("block"), col("simhash"),
-      posexplode(chunkArr).as(Seq("c", "ck")))
-      .persist()
+    // pipeline, so without the cache both sides recompute it. Registered
+    // with CacheScope so the caller releases it after its action.
+    val chunks = CacheScope.track(
+      sigs.select(col("doc_id"), col("block"), col("simhash"),
+        posexplode(chunkArr).as(Seq("c", "ck")))
+        .persist())
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&

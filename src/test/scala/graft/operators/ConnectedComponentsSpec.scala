@@ -31,4 +31,18 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
       20L -> 20L, 21L -> 20L))
   }
+
+  test("long chain (diameter past JumpFromRound) engages pointer jumping " +
+       "and still resolves to the min id") {
+    val s = spark
+    import s.implicits._
+    // diameter 24 >> JumpFromRound: rounds 1-3 are propagate-only, every
+    // later round includes the path-halving jump — this is the pathological
+    // shape the adaptive switch exists for, and it must stay exact
+    val n = 24L
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to n).map(_ -> 0L).toMap)
+  }
 }
