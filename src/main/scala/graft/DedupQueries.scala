@@ -65,6 +65,29 @@ object DedupQueries {
       MinHashLSH.candidatePairs(Tables.documents(s, dir),
         "doc_id", "text", "lang")),
 
+    // GLOBAL (cross-block) variant: blocking by lang is a recall TRADE,
+    // not a given — duplicates carrying different lang labels (mislabeled
+    // scrapes, translated boilerplate) can never pair under blocked LSH.
+    // block = constant lifts the silo; signature size, the one signature
+    // shuffle, and the band-bucket join are unchanged, so the scale story
+    // is identical (hot buckets get likelier without the block split —
+    // run exact dedup first, as dedupPipeline does, to collapse them).
+    "q_dedup_minhash_global" -> ((s, dir) =>
+      MinHashLSH.candidatePairs(
+        Tables.documents(s, dir).withColumn("_all", lit("")),
+        "doc_id", "text", "_all")),
+
+    // End-to-end deduped corpus — the artifact a training pipeline
+    // actually ships: candidate pairs -> duplicate clusters -> min-id
+    // canonical survivor per cluster -> per-language doc/token budget
+    // (CorpusOps.dedupedNear + tokenBudget). The dropped-id set is
+    // corpus-derived, so the anti join shuffles on the 8-byte id — never
+    // a broadcast (same rule as q_decontaminate).
+    "q_corpus_dedup_full" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      Tables.documents(s, dir).dedupedNear().tokenBudget("lang")
+    }),
+
     // The composed production pipeline: exact dedup -> LSH candidates ->
     // exact Jaccard verification of candidates only.
     "q_dedup_pipeline" -> ((s, dir) =>
@@ -147,8 +170,10 @@ object DedupQueries {
   /** CTE chain replicating the MinHash-LSH pipeline in DuckDB (same
     * permutation family, portable hash, and band packing — see
     * MinHashLSH/PortableHash) over a source relation exposing
-    * (doc_id, lang, text); ends with a `cand(id_a, id_b)` CTE. */
-  private def minhashCtes(source: String): String = {
+    * (doc_id, lang, text); ends with a `cand(id_a, id_b)` CTE.
+    * `blockExpr` is the SQL expression for the blocking key — `''` for the
+    * global (unblocked) variant. */
+  private def minhashCtes(source: String, blockExpr: String = "lang"): String = {
     val P = PortableHash.P
     val numBands = 6; val rowsPerBand = 2
     val k = numBands * rowsPerBand
@@ -160,7 +185,7 @@ object DedupQueries {
       s"SELECT doc_id, block, $j AS band, sig_${2 * j}*$P+sig_${2 * j + 1} AS key FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""toks AS (
-       |  SELECT doc_id, lang AS block, string_split(text,' ') AS t FROM $source),
+       |  SELECT doc_id, $blockExpr AS block, string_split(text,' ') AS t FROM $source),
        |grams AS (
        |  SELECT doc_id, block, unnest(list_distinct(
        |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS gram
@@ -183,6 +208,31 @@ object DedupQueries {
 
   private val minhashSql: String =
     s"WITH ${minhashCtes("documents")}\nSELECT id_a, id_b FROM cand"
+
+  private val minhashGlobalSql: String =
+    s"WITH ${minhashCtes("documents", "''")}\nSELECT id_a, id_b FROM cand"
+
+  /** Full dedup artifact: transitive closure -> drop non-canonical cluster
+    * members -> per-language budget over the survivors. */
+  private val corpusDedupFullSql: String =
+    s"""WITH RECURSIVE ${minhashCtes("documents")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |  FROM reach GROUP BY src),
+       |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |GROUP BY lang""".stripMargin
 
   /** The composed production pipeline: exact dedup -> MinHash-LSH
     * candidates -> exact Jaccard verification. */
@@ -312,6 +362,8 @@ object DedupQueries {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_minhash_global" -> minhashGlobalSql,
+    "q_corpus_dedup_full" -> corpusDedupFullSql,
     "q_dedup_components" -> componentsSql,
     "q_sim_ivf" -> ivfSql,
     "q_dedup_pipeline" -> pipelineSql,

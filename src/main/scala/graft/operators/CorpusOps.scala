@@ -108,5 +108,19 @@ object CorpusOps {
                       blockCol: String = "lang"): DataFrame =
       ConnectedComponents.components(
         minhashCandidates(idCol, textCol, blockCol), "id_a", "id_b")
+
+    /** Near-dup-REMOVED corpus — the artifact a training pipeline ships:
+      * every document outside any duplicate cluster, plus the min-id
+      * (canonical) survivor of each cluster. The dropped-id set is
+      * corpus-derived, so the anti join SHUFFLES on the id — a broadcast
+      * here would collect an unbounded fraction of the corpus to the
+      * driver (same rule as eval-set decontamination). */
+    def dedupedNear(idCol: String = "doc_id", textCol: String = "text",
+                    blockCol: String = "lang"): DataFrame = {
+      val dropped = dedupClusters(idCol, textCol, blockCol)
+        .filter(col("id") =!= col("component_id"))
+        .select(col("id").as(idCol))
+      df.join(dropped, Seq(idCol), "left_anti")
+    }
   }
 }

@@ -52,6 +52,20 @@ class CrossQueryConsistencySpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("full-dedup survivors account exactly for components and cluster count") {
+    val comp = q("q_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = comp.length.toLong
+    val clusters = comp.map(_._2).distinct.length.toLong
+    val totalDocs = q("q_text_tokens").count()
+    val survivors = q("q_corpus_dedup_full").collect()
+      .map(_.getLong(1)).sum
+    // every cluster keeps exactly one survivor: docs - members + clusters
+    assert(members > clusters, "fixture should contain at least one real cluster")
+    assert(survivors == totalDocs - members + clusters,
+      s"survivors=$survivors docs=$totalDocs members=$members clusters=$clusters")
+  }
+
   test("decontaminated set is exactly the non-eval docs minus gram-overlap hits") {
     val kept = q("q_decontaminate").collect().map(_.getLong(0)).toSet
     val nDocs = q("q_text_tokens").count()
