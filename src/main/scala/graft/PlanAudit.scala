@@ -10,10 +10,15 @@ object PlanAudit {
       .config("spark.ui.enabled","false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
+    // q_decontaminate / q_dedup_ngram_jaccard / q_text_fluency are audited
+    // for the round-3 invariant: NO broadcast of a corpus-derived relation
+    // (only the eval-gram set, small by construction, may broadcast).
     val interesting = Seq("q_source_scan", "q_tpch_pricing", "q_join_brand_volume",
       "q_topk_orders", "q_window_count_hourly", "q_sim_topk",
       "q_sim_ann_lsh", "q_sim_ivf", "q_asof_last_purchase",
-      "q_keyed_count_salted", "q_range_join_bands", "q_curation_pipeline")
+      "q_keyed_count_salted", "q_range_join_bands", "q_curation_pipeline",
+      "q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
+      "q_corpus_dedup_full")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")

@@ -46,6 +46,26 @@ object MinHashLSH {
       .agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Per-ROW MinHash signature as one array column — the narrow,
+    * shuffle-free form of [[signatures]] for STREAMING input (a streaming
+    * groupBy would be a stateful aggregate; here the minimum folds inside
+    * the row, so the expression is legal in any append-mode stream and
+    * costs zero state). Same shingle construction, portable hash, and
+    * permutation family as the batch pipeline — StreamingMinHashDedupSpec
+    * asserts bit-equality against [[signatures]].
+    * Documents with fewer than `n` tokens (no shingles) get an all-null
+    * signature (array_min of empty), mirroring their absence from the
+    * batch signature output. */
+  def rowSignature(text: Column, n: Int = 3,
+                   numBands: Int = 6, rowsPerBand: Int = 2): Column = {
+    val grams = Dedup.shinglesFromTokens(split(text, " "), n)
+    val k = numBands * rowsPerBand
+    array((0 until k).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(grams, g => (hash60(g) % P * a + b) % P))
+    }: _*)
+  }
+
   /** Candidate near-duplicate pairs: documents sharing at least one full
     * band. rowsPerBand=2 packs a band key as sig0*P + sig1 (fits int64:
     * P^2 < 2^62). */
