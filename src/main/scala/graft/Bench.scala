@@ -8,6 +8,7 @@ object Bench {
     // same query measured 0.6s and 28s back-to-back); round 2 showed
     // min-of-2 still admits them, so default 3 (env-tunable).
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")

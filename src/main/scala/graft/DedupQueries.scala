@@ -41,22 +41,19 @@ object DedupQueries {
     // Embedding near-dup pairs: exact cosine over label-blocked pairs, with
     // the block-size guardrail — blocks beyond maxBlockSize route through
     // LSH bucketing instead of all-pairs (Dedup.embeddingNearDups).
-    // EmbeddingGuardSpec exercises the large-block path. The exact
-    // all-pairs oracle is only valid while EVERY block stays under the
-    // guardrail, so that is ASSERTED here (one tiny aggregate at build
-    // time) instead of assumed — regenerated fixtures with one oversized
-    // block would otherwise silently flip this query to approximate LSH
-    // results and drift from the oracle (round-2 ADVICE).
-    "q_dedup_embedding" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val maxBlock = e.groupBy("label").count()
-        .agg(max("count")).head().getLong(0)
-      require(maxBlock <= Dedup.DefaultMaxBlockSize,
-        s"q_dedup_embedding oracle invalid: a block has $maxBlock rows > " +
-          s"guardrail ${Dedup.DefaultMaxBlockSize}; it would route through LSH")
-      Dedup.embeddingNearDups(e, "vec_id", "embedding", "label", threshold = 0.3)
-        .select("id_a", "id_b")
-    }),
+    // EmbeddingGuardSpec exercises the large-block path AND asserts —
+    // against every sf fixture, from the same DefaultMaxBlockSize
+    // constant — that all blocks stay under the guardrail, so regenerated
+    // fixtures with one oversized block fail a spec loudly instead of
+    // silently flipping this query to approximate LSH results and
+    // drifting from the exact all-pairs oracle (round-2 ADVICE). The
+    // guard lives in the spec, not here: an eager aggregate in the query
+    // builder would run inside Bench's timed region and launch jobs from
+    // plan-only consumers like PlanAudit.
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", threshold = 0.3)
+        .select("id_a", "id_b")),
 
     // MinHash-LSH candidate pairs — the 100 TB-scale dedup path (constant-
     // size signatures + band-bucket join instead of all-pairs). The portable

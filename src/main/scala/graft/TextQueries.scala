@@ -183,19 +183,24 @@ object TextQueries {
     // (the transcendental-free stand-in for mean unigram log-prob — same
     // ordering signal: common prose scores high, rare-word soup low, and
     // integer sums keep it bit-portable where log2/ln differ by ulps
-    // between engines). Term frequency comes from a WINDOW count over the
-    // exploded-token frame itself — one shuffle keyed by term — instead of
-    // a separate aggregate joined back: at corpus scale the term
-    // vocabulary is itself corpus-sized, so the round-2 broadcast of the
-    // frequency table would OOM the driver (and the single-pass window
-    // also removes the persist the two-branch self-join needed).
-    "q_text_fluency" -> ((s, dir) =>
-      Tables.documents(s, dir)
+    // between engines). Term frequency: map-side-combined aggregate +
+    // plain SHUFFLED join on term — NO broadcast (the term vocabulary is
+    // corpus-sized at 100 TB: the round-2 broadcast hint was a driver
+    // OOM) and NO window count (stop words are percent-level fractions of
+    // ALL token rows; a window partition per term puts each one on a
+    // single unsplittable task, while probe-side join skew is exactly
+    // what AQE splits — AqeSkewJoinSpec). The exploded subtree computes
+    // twice (aggregate + probe branch, no exchange reuse across the
+    // partial agg): a linear recompute, accepted — persisting a
+    // corpus-sized exploded frame is not a 100 TB option.
+    "q_text_fluency" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .withColumn("tf", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      toks.join(freq, "term")
         .groupBy("doc_id")
-        .agg((sum(col("tf")).cast("double") / count(lit(1))).as("mean_token_tf"))),
+        .agg((sum(col("tf")).cast("double") / count(lit(1))).as("mean_token_tf"))
+    }),
 
     // Repetition ratio: fraction of word-3-grams that are repeats of an
     // earlier 3-gram in the same document — the Gopher-style repetition

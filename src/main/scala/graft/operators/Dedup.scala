@@ -167,20 +167,24 @@ object Dedup {
         .persist())
     val exploded = base.select(col("doc_id"), col("block"), col("sz"),
                                explode(col("grams")).as("gram"))
-    // Document frequency via a WINDOW count over the exploded frame itself
-    // — one shuffle keyed by (block, gram), no separate aggregate and no
-    // materialized df relation anywhere: the shingle vocabulary is
+    // Document frequency: map-side-combined aggregate + plain SHUFFLED
+    // join back (NO broadcast hint). The shingle vocabulary is
     // corpus-sized (billions of distinct grams at 100 TB), so the round-2
-    // broadcast of the (block, gram, df) table was a driver OOM in the one
-    // operator whose whole point is corpus scale. Join candidates on a
-    // 64-bit gram hash — a collision can only ADD a candidate pair, which
-    // exact verification below discards, so the result is unchanged while
-    // the self-join shuffles longs, not strings.
+    // broadcast of the (block, gram, df) table was a driver OOM; and a
+    // window count over (block, gram) — the other broadcast-free form —
+    // would route every occurrence of a hot boilerplate gram to ONE
+    // unsplittable window task. The aggregate bounds the build side at
+    // vocabulary size via partial aggregation, and a hot gram on the
+    // probe side is a JOIN skew, which AQE splits at runtime
+    // (AqeSkewJoinSpec demonstrates exactly that mechanism). Candidates
+    // then join on a 64-bit gram hash — a collision can only ADD a
+    // candidate pair, which exact verification below discards, so the
+    // result is unchanged while the self-join shuffles longs, not strings.
+    val freq = exploded.groupBy("block", "gram").agg(count(lit(1)).as("df_"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df_").asc, col("gram").asc)
     val prefixes = exploded
-      .withColumn("df_", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("block"), col("gram"))))
+      .join(freq, Seq("block", "gram"))
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("block"), col("sz"), xxhash64(col("gram")).as("gh"))

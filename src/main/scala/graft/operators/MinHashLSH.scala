@@ -53,17 +53,22 @@ object MinHashLSH {
     * costs zero state). Same shingle construction, portable hash, and
     * permutation family as the batch pipeline — StreamingMinHashDedupSpec
     * asserts bit-equality against [[signatures]].
-    * Documents with fewer than `n` tokens (no shingles) get an all-null
-    * signature (array_min of empty), mirroring their absence from the
-    * batch signature output. */
+    * Documents with fewer than `n` tokens have NO shingles — every
+    * minimum would be null, and every short document would share the one
+    * all-null signature (a dedup keyed on it would collapse unrelated
+    * short texts). They fall back to the exact content hash instead:
+    * near-duplicate is undefined without shingles, so exact identity is
+    * the only sound collision criterion there. */
   def rowSignature(text: Column, n: Int = 3,
                    numBands: Int = 6, rowsPerBand: Int = 2): Column = {
     val grams = Dedup.shinglesFromTokens(split(text, " "), n)
     val k = numBands * rowsPerBand
-    array((0 until k).map { i =>
+    val sig = array((0 until k).map { i =>
       val (a, b) = perm(i)
       array_min(transform(grams, g => (hash60(g) % P * a + b) % P))
     }: _*)
+    val exact = array((0 until k).map(_ => hash60(text) % P): _*)
+    when(size(split(text, " ")) >= n, sig).otherwise(exact)
   }
 
   /** Candidate near-duplicate pairs: documents sharing at least one full

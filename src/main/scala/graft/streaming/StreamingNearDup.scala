@@ -29,11 +29,20 @@ import graft.operators.MinHashLSH
 object StreamingNearDup {
 
   /** Drop every document whose MinHash signature was already seen within
-    * the watermark horizon. Pass-through columns survive unchanged. */
+    * the watermark horizon. Pass-through columns survive unchanged.
+    * Documents too short to shingle dedup on exact content identity
+    * (see [[MinHashLSH.rowSignature]]), never against each other. */
   def dedupBySignature(df: DataFrame, textCol: String, tsCol: String,
-                       horizon: String, n: Int = 3): DataFrame =
+                       horizon: String, n: Int = 3): DataFrame = {
+    // fail fast instead of corrupting: withColumn would silently OVERWRITE
+    // a same-named input column and the final drop would remove it (same
+    // guard as AsofJoin's _asof_* names)
+    require(!df.columns.contains("_minhash_sig"),
+      "StreamingNearDup: input column _minhash_sig collides with the " +
+        "reserved working name; rename it before deduplicating")
     df.withColumn("_minhash_sig", MinHashLSH.rowSignature(col(textCol), n))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("_minhash_sig")
       .drop("_minhash_sig")
+  }
 }

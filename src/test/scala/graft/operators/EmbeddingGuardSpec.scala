@@ -47,4 +47,23 @@ class EmbeddingGuardSpec extends SparkSpec {
     // threshold -1, so only the bucket join can explain the pruning.)
     assert(pairs.size == 7, s"expected bucket-pruned candidates, got $pairs")
   }
+
+  test("every sf fixture stays under the exact-path guardrail " +
+       "(q_dedup_embedding oracle validity)") {
+    // the declared query's exact all-pairs oracle is only valid while
+    // every block takes the exact path; this assertion derives from the
+    // SAME constant the operator defaults to, so a regenerated fixture
+    // with an oversized block fails HERE instead of silently flipping the
+    // query to approximate LSH results (round-2 ADVICE). Checked against
+    // all three fixture scales; a missing fixture dir is a test error.
+    val s = spark
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val maxBlock = graft.sources.Tables.embeddings(s, s"/root/testdata/$sf")
+        .groupBy("label").count().agg(max("count")).head().getLong(0)
+      assert(maxBlock <= Dedup.DefaultMaxBlockSize,
+        s"$sf: a block has $maxBlock rows > guardrail " +
+          s"${Dedup.DefaultMaxBlockSize} — q_dedup_embedding would route " +
+          "through LSH and diverge from its exact oracle")
+    }
+  }
 }

@@ -42,6 +42,22 @@ class StreamingMinHashDedupSpec extends SparkSpec {
       "row and batch signatures diverged")
   }
 
+  test("short docs fall back to exact-content signatures — no collision") {
+    val s = spark
+    import s.implicits._
+    // docs under n tokens have no shingles: every permutation minimum
+    // would be null and ALL short docs would share one signature — the
+    // fallback keys them on exact content instead (unrelated shorts never
+    // collide, identical shorts still dedup)
+    val sigs = Seq("hello world", "totally different", "hello world")
+      .toDF("text")
+      .select(MinHashLSH.rowSignature(col("text")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) != sigs(1), "unrelated short docs must not collide")
+    assert(sigs(0) == sigs(2), "identical short docs must still collide")
+    assert(sigs.forall(sg => sg.forall(_ != null)), "no null signature parts")
+  }
+
   test("near-dup within the horizon is dropped; expired state evicts") {
     val s = spark
     import s.implicits._
