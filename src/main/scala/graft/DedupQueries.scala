@@ -130,6 +130,28 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
     }),
 
+    // Embedding quantization — the int8 compression step every embedding
+    // store ships: per-vector symmetric scale (127 / max |v|), values
+    // floor-quantized. Fully narrow (zero shuffle until the final stats);
+    // maxabs is PROJECTED FIRST so the interpreted transform lambda
+    // references an attribute, not a recomputed subtree (HOF rule).
+    // Declared output = per-vector quantized stats (sum/min/max): exact
+    // long arithmetic, engine-portable; the fixed op order
+    // (v * 127.0) / maxabs is mirrored in the oracle.
+    "q_embed_quantize" -> ((s, dir) => {
+      val maxabs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          when(maxabs === 0.0, 1.0).otherwise(maxabs).as("m"))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor((v.cast("double") * 127.0) / col("m")).cast("long")).as("q"))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+    }),
+
     // Per-class embedding centroids, dimension-wise: posexplode -> one
     // shuffle keyed by (label, dim). Exactness trick: scale each value by
     // 2^40 (power-of-two multiply is exact in FP), truncate to long, sum
@@ -366,6 +388,22 @@ object DedupQueries {
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,
+
+    "q_embed_quantize" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max
+        |FROM (
+        |  SELECT vec_id, list_transform(embedding, v ->
+        |    CAST(floor((CAST(v AS DOUBLE) * 127.0) / m) AS BIGINT)) AS q
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) = 0
+        |           THEN 1.0
+        |           ELSE list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+        |      END AS m
+        |    FROM embeddings))""".stripMargin,
 
     "q_embed_centroid" ->
       """SELECT label, CAST(dd AS BIGINT) AS dim,

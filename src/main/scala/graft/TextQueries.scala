@@ -217,10 +217,35 @@ object TextQueries {
           (lit(1.0) - size(col("distinct_grams")).cast("double") / col("n_grams"))
             .as("repetition_ratio"))),
 
+    // TF-IDF document scoring — the classic relevance/rarity weight, made
+    // engine-exact: per occurrence w = floor(N * 2^20 / df) (two IEEE ops
+    // in a fixed order, then integer truncation), summed as exact longs,
+    // scaled back once. No logarithm: ln/log2 differ by ulps across
+    // engines and would break the hash compare; N/df preserves the same
+    // ordering signal. Scale shape: occurrence-level join keyed by term
+    // (NO broadcast — the df relation is vocabulary-sized; probe-side
+    // skew on stop words is AQE-splittable), one 1-row N cross join.
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val dfq = occ.select(col("doc_id"), col("term")).distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      occ.join(dfq, "term")
+        .crossJoin(n)
+        .select(col("doc_id"),
+          floor((col("n").cast("double") * 1048576.0) / col("df"))
+            .cast("long").as("w"))
+        .groupBy("doc_id")
+        .agg((sum(col("w").cast("decimal(38,0)")).cast("double") / 1048576.0)
+               .as("tfidf_sum"),
+             count(lit(1)).as("n_terms"))
+    }),
+
     // Bottom-k-by-hash per group: a deterministic uniform k-sample WITHOUT
     // replacement per language (the fixed-size eval-set construction).
-    // Window-rank here is fine for k=5 per tiny group; at 100 TB the same
-    // semantics run through a bounded-heap top-k aggregate keyed by group.
+    // Window-rank here is fine for k=5 per tiny group; the HEAP variant
+    // below is the same semantics in the 100 TB plan shape.
     "q_sample_bottomk" -> ((s, dir) => {
       val h = graft.functions.PortableHash.hash60(col("doc_id").cast("string"))
       Tables.documents(s, dir)
@@ -230,6 +255,25 @@ object TextQueries {
             .partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)))
         .filter(col("rn") <= 5)
         .select("doc_id", "lang")
+    }),
+
+    // The SAME bottom-k sample through the bounded-heap TopKByScore
+    // aggregate — the 100 TB plan shape: map-side partial heaps mean k
+    // entries per group cross the exchange instead of every row reaching
+    // a window sort. Hash reduced mod 2^50 so its negation is EXACT in
+    // the aggregate's double score (2^60 would round past the 53-bit
+    // mantissa and tie-breaks could diverge from the oracle's integer
+    // ordering); top-k by (-h desc, id asc) == bottom-k by (h asc, id asc).
+    "q_sample_bottomk_heap" -> ((s, dir) => {
+      val h = pmod(graft.functions.PortableHash.hash60(
+        col("doc_id").cast("string")), lit(1125899906842624L)) // 2^50
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .groupBy("lang")
+        .agg(graft.functions.expressions.TopKAggregate
+          .top_k(-col("h").cast("double"), col("doc_id"), 5).as("tk"))
+        .select(col("lang"), explode(col("tk")).as("e"))
+        .select(col("e.id").as("doc_id"), col("lang"))
     }),
 
     // Frame sampling over video-like payloads (every 4th 16-byte frame,
@@ -409,6 +453,28 @@ object TextQueries {
          |    ORDER BY ${graft.functions.PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 5""".stripMargin,
+
+    "q_sample_bottomk_heap" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ${graft.functions.PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 1125899906842624, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |dfq AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM occ) GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(floor((CAST(n.n AS DOUBLE) * 1048576.0) / df) AS BIGINT)) AS DOUBLE)
+        |    / 1048576.0 AS tfidf_sum,
+        |  count(*) AS n_terms
+        |FROM occ JOIN dfq USING (term) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM (
