@@ -23,6 +23,20 @@ object PlanAudit {
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
     }
+    // Second pass with size-based auto-broadcast OFF: any BroadcastExchange
+    // still present comes from an explicit hint. The de-broadcast queries
+    // must show exactly ONE hinted broadcast (q_decontaminate's eval gram
+    // set, bounded by construction) and none elsewhere — the corpus-derived
+    // relations (contaminated ids, gram df, term tf) flow through shuffled
+    // joins. (The first pass MAY broadcast them at tiny SF: that is
+    // Catalyst's statistics-based choice, which reverts to shuffle joins
+    // at real sizes — the defect was the unconditional hint, now gone.)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Seq("q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
+        "q_corpus_dedup_full", "q_text_tfidf").foreach { name =>
+      println(s"========== $name (auto-broadcast disabled: hints only) ==========")
+      SparkEntry.queries(name)(s, dir).explain("formatted")
+    }
     s.stop()
   }
 }
