@@ -130,6 +130,25 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
     }),
 
+    // Text-metadata x vector join — the alignment step of a multimodal /
+    // embedding pipeline: BOTH sides are corpus-sized facts, so this is
+    // an id-keyed sort-merge join at scale (no broadcast hint; AQE
+    // handles runtime skew), then per-(lang, label) stats. Norm-squared
+    // comes from the codegen DotProduct (deterministic left-to-right
+    // fold) and is summed fixed-point-exact (x 2^20, truncate, long sum)
+    // so the aggregate survives the hash compare.
+    "q_doc_embedding_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label"),
+          Similarity.dot(col("embedding"), col("embedding")).as("nsq"))
+      docs.join(emb, "doc_id")
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n"),
+          (sum((col("nsq") * 1048576.0).cast("long").cast("decimal(38,0)"))
+            .cast("double") / 1048576.0).as("sum_norm_sq"))
+    }),
+
     // Embedding quantization — the int8 compression step every embedding
     // store ships: per-vector symmetric scale (127 / max |v|), values
     // floor-quantized. Fully narrow (zero shuffle until the final stats);
@@ -388,6 +407,15 @@ object DedupQueries {
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,
+
+    "q_doc_embedding_stats" ->
+      s"""WITH je AS (
+         |  SELECT d.lang, e.label, ${sqlDot("e.embedding", "e.embedding")} AS nsq
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+         |SELECT lang, label, count(*) AS n,
+         |  CAST(sum(CAST(trunc(nsq * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |    / 1048576.0 AS sum_norm_sq
+         |FROM je GROUP BY lang, label""".stripMargin,
 
     "q_embed_quantize" ->
       """SELECT vec_id,

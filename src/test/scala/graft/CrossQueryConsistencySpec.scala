@@ -44,6 +44,31 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("window-rank and bounded-heap bottom-k sample the same group sizes") {
+    // the two samplers order by different (but equally valid) hash keys, so
+    // the SETS may differ — the invariants they must share: same per-group
+    // sample size (min(5, group size)) and both subsets of the corpus
+    val docs = q("q_text_tokens").select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = q("q_sample_bottomk").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = q("q_sample_bottomk_heap").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.map(_._2).groupBy(identity).view.mapValues(_.length).toMap ==
+           b.map(_._2).groupBy(identity).view.mapValues(_.length).toMap,
+      "per-language sample sizes must agree")
+    assert(a.map(_._1).forall(docs) && b.map(_._1).forall(docs))
+  }
+
+  test("bin packing never exceeds the budget except for oversize singletons") {
+    val rows = q("q_pack_bins").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2))) // lang, bin, tokens
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((lang, bin), ds) =>
+      val total = ds.map(_._3).sum
+      // greedy running-cumsum packing: a bin may only exceed 2048 via the
+      // single document that straddles the boundary
+      assert(total - ds.map(_._3).max < 2048,
+        s"bin ($lang,$bin) over budget beyond its straddling doc: $total")
+    }
+  }
+
   test("salted and unsalted keyed counts are identical") {
     val plain = q("q_keyed_count").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

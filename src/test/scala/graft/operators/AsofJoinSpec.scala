@@ -37,6 +37,17 @@ class AsofJoinSpec extends SparkSpec {
       1L -> None, 2L -> Some(1.0), 3L -> Some(1.0), 4L -> Some(3.0), 5L -> None))
   }
 
+  test("reserved _asof_* input columns are rejected, not silently clobbered") {
+    val s = spark
+    import s.implicits._
+    val probe = Seq((1L, ts(5), "k", 9L)).toDF("event_id", "ts", "k", "_asof_ord")
+    val build = Seq((100L, ts(1), "k", 1.0)).toDF("bid", "ts", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.lastValueAsOf(probe, build, "k", "ts", "bid", "v", "last_v")
+    }
+    assert(e.getMessage.contains("_asof_ord"))
+  }
+
   test("multi-payload variant attaches every column from the same as-of row") {
     val s = spark
     import s.implicits._

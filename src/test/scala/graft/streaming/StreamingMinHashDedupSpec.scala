@@ -58,6 +58,17 @@ class StreamingMinHashDedupSpec extends SparkSpec {
     assert(sigs.forall(sg => sg.forall(_ != null)), "no null signature parts")
   }
 
+  test("reserved _minhash_sig input column is rejected, not clobbered") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c", ts(1), 7L))
+      .toDF("doc_id", "text", "ts", "_minhash_sig")
+    val e = intercept[IllegalArgumentException] {
+      StreamingNearDup.dedupBySignature(df, "text", "ts", "10 minutes")
+    }
+    assert(e.getMessage.contains("_minhash_sig"))
+  }
+
   test("near-dup within the horizon is dropped; expired state evicts") {
     val s = spark
     import s.implicits._
