@@ -49,4 +49,37 @@ class StreamingCurationSpec extends SparkSpec {
         s"quality failures and in-horizon duplicates must not survive: $kept")
     } finally q.stop()
   }
+
+  test("full streaming curation: quality gate chains into NEAR-dup dedup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[CurationDoc]
+    import graft.operators.CorpusOps._
+    // the production composition: gate -> signature-level near-dup dedup
+    // (StreamingNearDup), both watermark-bounded, one stream
+    val curated = StreamingNearDup.dedupBySignature(
+        ms.toDS().toDF().qualityFiltered(), "text", "ts", "10 minutes")
+      .select("doc_id")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated_near").start()
+    try {
+      // goodText + one appended token: passes the gate (26 tokens) and is
+      // a signature-level near-dup of goodText (the extra trailing shingle
+      // is no permutation's minimum for this fixture — asserted below)
+      val nearDup = goodText + " tail"
+      val sigOf = (t: String) => Seq(t).toDF("text")
+        .select(graft.operators.MinHashLSH.rowSignature(col("text")).as("s"))
+        .head().getSeq[Long](0)
+      assert(sigOf(goodText) == sigOf(nearDup), "fixture must collide")
+      ms.addData(
+        CurationDoc(1, goodText, "en", ts(1)),
+        CurationDoc(2, shortText, "en", ts(2)),  // gate-dropped
+        CurationDoc(3, nearDup, "en", ts(3)),    // near-dup -> dedup-dropped
+        CurationDoc(4, goodText2, "de", ts(4)))  // distinct -> kept
+      q.processAllAvailable()
+      val kept = s.table("curated_near").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 4L), s"expected gate+near-dup drops: $kept")
+    } finally q.stop()
+  }
 }
