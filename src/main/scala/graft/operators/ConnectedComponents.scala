@@ -59,9 +59,15 @@ object ConnectedComponents {
       .persist()
     edges.count() // materialize both caches, then drop the inner one
     p.unpersist(blocking = false)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist()
+    // Initial labels = round 1's propagate, fused into initialization:
+    // with identity labels the first neighbor-min round reduces to ONE
+    // aggregate over the symmetrized edges (every vertex appears as dst,
+    // so no distinct-vertices pass is needed either) — each components()
+    // call saves a full checkpoint + convergence cycle.
+    var labels = edges
+      .select(col("dst").as("id"), least(col("src"), col("dst")).as("label"))
+      .groupBy("id").agg(min("label").as("label"))
+      .localCheckpoint(true)
     // Convergence check: labels are elementwise NON-INCREASING, so the
     // label sum is strictly decreasing until the fixpoint — one tiny
     // aggregate per round instead of an old-vs-new join. The aggregate also
