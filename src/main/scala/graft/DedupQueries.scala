@@ -18,6 +18,29 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
 
+    // The 100 TB form of exact dedup, declared: group by a 64-bit CONTENT
+    // HASH instead of the full text, so shuffle rows are ~16 bytes
+    // regardless of document length (the form q_dedup_exact's docs
+    // promise at scale). Portable hash -> same oracle discipline; a hash
+    // collision would merge two distinct texts — astronomically unlikely
+    // at 60 bits for dedup purposes, and production pipelines verify
+    // survivors when it matters (the composed pipeline does).
+    "q_dedup_exact_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(graft.functions.PortableHash.hash60(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select("canonical_id", "n_copies")),
+
+    // Sequence-length histogram: fixed 16-token buckets over the corpus —
+    // the length profile every packing/truncation decision reads. One
+    // narrow projection + map-side-combined count.
+    "q_token_histogram" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select((floor(graft.functions.TextFunctions.nTokens(col("text"))
+          .cast("double") / 16.0)).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"))),
+
     // Exact dedup on the event stream by natural key (event_id is the
     // reference's `Pageview.eventId` analog, added "precisely to enable"
     // dedup — Pageview.scala:11). Survivor is the min (ts, event_type) row
@@ -160,8 +183,12 @@ object DedupQueries {
     "q_embed_quantize" -> ((s, dir) => {
       val maxabs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
       Tables.embeddings(s, dir)
+        // raw maxabs projected ALONE first: the zero-guard when() below
+        // must reference the attribute, not repeat the interpreted
+        // transform+array_max subtree in both branches (HOF rule)
+        .select(col("vec_id"), col("embedding"), maxabs.as("ma"))
         .select(col("vec_id"), col("embedding"),
-          when(maxabs === 0.0, 1.0).otherwise(maxabs).as("m"))
+          when(col("ma") === 0.0, 1.0).otherwise(col("ma")).as("m"))
         .select(col("vec_id"),
           transform(col("embedding"),
             v => floor((v.cast("double") * 127.0) / col("m")).cast("long")).as("q"))
@@ -443,6 +470,15 @@ object DedupQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "q_dedup_exact_hash" ->
+      s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM documents GROUP BY ${PortableHash.hash60Sql("text")}""".stripMargin,
+
+    "q_token_histogram" ->
+      """SELECT CAST(floor(CAST(len(string_split(text,' ')) AS DOUBLE) / 16.0) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_events" ->
       """SELECT event_type, count(*) AS cnt FROM (

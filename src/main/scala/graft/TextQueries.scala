@@ -225,6 +225,11 @@ object TextQueries {
     // ordering signal. Scale shape: occurrence-level join keyed by term
     // (NO broadcast — the df relation is vocabulary-sized; probe-side
     // skew on stop words is AQE-splittable), one 1-row N cross join.
+    // The exploded `occ` subtree computes twice (df aggregate + probe
+    // branch) DELIBERATELY, same call as q_text_fluency: split+explode is
+    // cheap codegen, and persisting a corpus-sized exploded frame is not
+    // a 100 TB option (unlike the interpreted shingle stages the dedup
+    // operators cache, which dominate their queries).
     "q_text_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * Jaccard) must be grouped into duplicate CLUSTERS so one canonical
   * document survives per cluster.
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts labeled
-  * with itself; each round every vertex takes the min of its own and its
-  * neighbors' labels; fixpoint when no label changes. Converges in
-  * O(diameter) rounds — near-dup graphs are unions of small dense cliques,
-  * so 2-3 rounds in practice.
+  * Algorithm: iterative min-label propagation. Conceptually every vertex
+  * starts labeled with itself; each round every vertex takes the min of
+  * its own and its neighbors' labels; fixpoint when no label changes.
+  * (In the code the first round is FUSED into initialization: from
+  * identity labels it reduces to one neighbor-min aggregate.) Converges
+  * in O(diameter) rounds — near-dup graphs are unions of small dense
+  * cliques, so 2-3 rounds in practice.
   *
   * Scale: each round is one join (edges x labels, shuffled on vertex id)
   * plus one min-aggregate — all distributed; the only driver-side work is
@@ -42,8 +44,9 @@ object ConnectedComponents {
   /** (id, component_id) for every vertex appearing in `pairs`, where
     * component_id = min vertex id of the component. Deterministic.
     *
-    * The returned frame's storage (final round's localCheckpoint, or the
-    * initial persist on empty input) is registered with [[CacheScope]]:
+    * The returned frame's storage (a localCheckpoint on every path,
+    * including the empty input's fused-init frame) is registered with
+    * [[CacheScope]]:
     * callers release it with `CacheScope.releaseAll()` once their action
     * completes — `catalog.clearCache()` cannot free LogicalRDD storage,
     * which is exactly how round 2 stranded one label RDD per call. */
@@ -82,7 +85,9 @@ object ConnectedComponents {
     // no pairs -> no vertices: sum() over zero rows is null; return the
     // empty labeling instead of entering the loop (null.compareTo NPE)
     var converged = prevSum == null
-    var round = 0
+    // the fused initialization above IS effective propagate round 1 —
+    // count from there so JumpFromRound keeps its pre-fusion meaning
+    var round = 1
     while (!converged) {
       round += 1
       // Each propagate round: one join + min-agg, ONE eager localCheckpoint

@@ -75,11 +75,17 @@ class StreamingCurationSpec extends SparkSpec {
       ms.addData(
         CurationDoc(1, goodText, "en", ts(1)),
         CurationDoc(2, shortText, "en", ts(2)),  // gate-dropped
-        CurationDoc(3, nearDup, "en", ts(3)),    // near-dup -> dedup-dropped
+        CurationDoc(3, nearDup, "en", ts(3)),    // near-dup of 1 -> one survives
         CurationDoc(4, goodText2, "de", ts(4)))  // distinct -> kept
       q.processAllAvailable()
       val kept = s.table("curated_near").collect().map(_.getLong(0)).toSet
-      assert(kept == Set(1L, 4L), s"expected gate+near-dup drops: $kept")
+      // docs 1 and 3 share a signature and arrive in ONE batch: the
+      // survivor among same-key rows is arbitrary (processing order), so
+      // the invariant is "exactly one of them" — not which one
+      assert(kept.contains(4L) && !kept.contains(2L),
+        s"gate must drop 2 and keep 4: $kept")
+      assert(Set(1L, 3L).intersect(kept).size == 1,
+        s"exactly one of the near-dup pair must survive: $kept")
     } finally q.stop()
   }
 }

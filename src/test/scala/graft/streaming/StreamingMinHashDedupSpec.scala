@@ -88,11 +88,16 @@ class StreamingMinHashDedupSpec extends SparkSpec {
     try {
       ms.addData(
         StreamDoc(1, base, ts(1)),
-        StreamDoc(2, nearDup, ts(2)),    // near-dup of 1 within horizon -> drop
+        StreamDoc(2, nearDup, ts(2)),    // near-dup of 1 -> one survives
         StreamDoc(3, unrelated, ts(3)))  // distinct -> keep
       q.processAllAvailable()
       val kept = s.table("neardup_stream").collect().map(_.getLong(0)).toSet
-      assert(kept == Set(1L, 3L), s"expected near-dup 2 dropped: $kept")
+      // 1 and 2 share a signature and arrive in ONE batch: the survivor
+      // among same-key rows is arbitrary (processing order), so assert
+      // "exactly one of the pair", not which one
+      assert(kept.contains(3L), s"distinct doc must survive: $kept")
+      assert(Set(1L, 2L).intersect(kept).size == 1,
+        s"exactly one of the near-dup pair must survive: $kept")
 
       // advance the watermark far past the first batch's horizon, then one
       // more batch so eviction lands in lastProgress: only the recent
