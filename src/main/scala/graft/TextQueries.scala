@@ -217,6 +217,22 @@ object TextQueries {
           (lit(1.0) - size(col("distinct_grams")).cast("double") / col("n_grams"))
             .as("repetition_ratio"))),
 
+    // PII-style scrubbing: replace digit runs with a redaction token and
+    // report per-document redaction stats — the regex-cleanup pass every
+    // training corpus runs before tokenization (emails/phones/ids; the
+    // synthetic fixture's digit-bearing tokens stand in). Narrow,
+    // codegen'd, runs at the scan; the character class keeps Java-regex
+    // and RE2 (DuckDB) semantics identical, and the oracle needs the 'g'
+    // flag (DuckDB replaces first-match-only by default, Spark replaces
+    // all).
+    "q_text_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_redactions"),
+        length(regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+          .cast("long").as("redacted_len"))),
+
     // TF-IDF document scoring — the classic relevance/rarity weight, made
     // engine-exact: per occurrence w = floor(N * 2^20 / df) (two IEEE ops
     // in a fixed order, then integer truncation), summed as exact longs,
@@ -466,6 +482,12 @@ object TextQueries {
          |    ORDER BY ${graft.functions.PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 1125899906842624, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 5""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions,
+        |  CAST(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+        |FROM documents""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH occ AS (
