@@ -66,6 +66,15 @@ object CorpusOps {
     def fingerprinted(textCol: String = "text"): DataFrame =
       df.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
 
+    /** PII-style scrub: redact every `pattern` match with `token` and
+      * count the redactions (q_text_redact's semantics as a chain verb).
+      * Narrow, codegen'd, runs at the scan. */
+    def redacted(pattern: String = "[0-9]+", token: String = "<NUM>",
+                 textCol: String = "text"): DataFrame =
+      df.withColumn("n_redactions",
+          size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long"))
+        .withColumn("redacted_text", regexp_replace(col(textCol), pattern, token))
+
     /** Fixed-size training-sequence chunks with overlap: one row per
       * (doc, chunk) carrying the chunk's token count — the declared
       * q_text_chunks shape as a chain verb. */

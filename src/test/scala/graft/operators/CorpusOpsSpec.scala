@@ -33,6 +33,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaChain == viaQuery)
   }
 
+  test("redacted verb equals the declared q_text_redact stats") {
+    val s = spark
+    import graft.operators.CorpusOps._
+    import org.apache.spark.sql.functions._
+    val viaVerb = graft.sources.Tables.documents(s, sfDir).redacted()
+      .select(col("doc_id"), col("n_redactions"),
+        length(col("redacted_text")).cast("long").as("redacted_len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val declared = graft.SparkEntry.queries("q_text_redact")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaVerb == declared && declared.nonEmpty)
+  }
+
   test("fingerprinted and withTextStats append the documented columns and types") {
     val s = spark
     val out = Tables.documents(s, sfDir)

@@ -45,5 +45,20 @@ class SkewAndSinkSpec extends SparkSpec {
       .select("event_type", "day", "cnt")
       .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(back == orig && orig.nonEmpty)
+
+    // Partition PRUNING, demonstrated rather than claimed (SCALE.md): a
+    // filter on the partition column must land in the scan's
+    // PartitionFilters and read only that key's files — at 100 TB this is
+    // the difference between touching one directory and the whole lake.
+    val pruned = s.read.parquet(out).filter(col("event_type") === "view")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScan"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"partition filter must reach the scan: ${scan.partitionFilters}")
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    assert(selected.size == 1,
+      s"exactly one partition directory must survive pruning, got ${selected.size}")
   }
 }
