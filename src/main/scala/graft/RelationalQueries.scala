@@ -165,6 +165,18 @@ object RelationalQueries {
         .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"),
              count(lit(1)).as("n"))),
 
+    // The declared 100 TB path beside q_distinct_users: HLL++ distinct
+    // counting with CONSTANT state per group (exact distinct shuffles
+    // every distinct value). Same oracle-less discipline as the sketch
+    // percentile — driver records rows-only, SketchSpec bounds the error
+    // against the exact count at 3x the configured rsd.
+    "q_approx_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.05)
+               .as("approx_users"),
+             count(lit(1)).as("n_events"))),
+
     // CUBE grouping sets (all 4 combinations of the two dimensions).
     "q_cube_order_status" -> ((s, dir) =>
       Tables.orders(s, dir)

@@ -27,6 +27,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_distinct_users is within 3x rsd of the exact distinct counts") {
+    val s = spark
+    val approx = graft.SparkEntry.queries("q_approx_distinct_users")(s, sfDir)
+      .select(col("event_type"), col("approx_users"))
+    val exact = Tables.events(s, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val rows = approx.join(exact, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.15,
+        s"event_type=${r.getString(0)} exact=$e approx=$a")
+    }
+  }
+
   test("approx_count_distinct is within 3x its default 5% rsd of exact counts") {
     val s = spark
     val docs = Tables.documents(s, sfDir)
