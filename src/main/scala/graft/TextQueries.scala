@@ -304,6 +304,12 @@ object TextQueries {
     "q_multimodal_frames" -> ((s, dir) =>
       graft.operators.Multimodal.frameStats(s, dir, stride = 4)),
 
+    // Resize stage over opaque payloads (nearest-neighbor byte downsample
+    // stub, operators.Multimodal.resizeStub): output length + exact byte
+    // checksum, so the oracle's stride replay catches any slicing bug.
+    "q_multimodal_resize" -> ((s, dir) =>
+      graft.operators.Multimodal.resizeStats(s, dir, stride = 4)),
+
     // JSON extraction from the events props column (row-level).
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -529,6 +535,15 @@ object TextQueries {
         |      (octet_length(encode(text)) + 15) // 16 AS n_frames
         |    FROM documents
         |    WHERE octet_length(encode(text)) > 0))""".stripMargin,
+
+    // ASCII fixture: char position == byte position, so character
+    // indexing replays the byte-stride exactly (see Multimodal.resizeStats)
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_bytes_out,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1, 4),
+        |    i -> ascii(text[i]))) AS BIGINT) AS checksum
+        |FROM documents WHERE length(text) > 0""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k

@@ -93,6 +93,39 @@ object Multimodal {
     }
   }
 
+  /** A "resized" payload's stats: output size + byte checksum. */
+  case class ResizedMedia(media_id: Long, n_bytes_out: Long, checksum: Long)
+
+  /** STUB resize: nearest-neighbor byte downsample — keep every
+    * `stride`-th byte of the opaque payload (a real implementation decodes
+    * and rescales pixels here; the batching, signature, and per-partition
+    * init shape are identical). Emits the downsampled length and an exact
+    * byte checksum so the slicing is oracle-checkable: an off-by-one in
+    * the stride positions changes the checksum. */
+  def resizeStub(items: Iterator[MediaItem], stride: Int): Iterator[ResizedMedia] = {
+    // (real pipeline: val scaler = Scaler.init(targetDims) — once per partition)
+    items.map { m =>
+      var i = 0; var n = 0L; var sum = 0L
+      while (i < m.content.length) {
+        n += 1; sum += (m.content(i) & 0xff).toLong; i += stride
+      }
+      ResizedMedia(m.media_id, n, sum)
+    }
+  }
+
+  /** Declared face of the resize stage. Empty payloads are excluded (no
+    * bytes to resize), matching the frames query's convention. The oracle
+    * replays the stride positions with character indexing — valid because
+    * the fixture corpus is pure ASCII (char position == byte position;
+    * asserted by the octet_length/length parity in q_multimodal_bytes). */
+  def resizeStats(spark: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(col("n_bytes") > 0)
+      .mapPartitions(items => resizeStub(items, stride))
+      .toDF()
+  }
+
   /** Per-item stats of the sampled frames — the declared, oracle-checkable
     * face of sampleFrames (the oracle recomputes the same counts from
     * n_bytes arithmetic, so a slicing bug shows up as a value mismatch).
