@@ -217,20 +217,22 @@ object TextQueries {
           (lit(1.0) - size(col("distinct_grams")).cast("double") / col("n_grams"))
             .as("repetition_ratio"))),
 
-    // PII-style scrubbing: replace digit runs with a redaction token and
-    // report per-document redaction stats — the regex-cleanup pass every
-    // training corpus runs before tokenization (emails/phones/ids; the
-    // synthetic fixture's digit-bearing tokens stand in). Narrow,
-    // codegen'd, runs at the scan; the character class keeps Java-regex
-    // and RE2 (DuckDB) semantics identical, and the oracle needs the 'g'
-    // flag (DuckDB replaces first-match-only by default, Spark replaces
-    // all).
+    // PII-style scrubbing: replace pattern matches with a redaction token
+    // and report per-document stats — the regex-cleanup pass every
+    // training corpus runs before tokenization (emails/phones/ids in
+    // production). The declared pattern is multi-vowel runs because that
+    // is what actually FIRES on the all-letter fixture (495/500 docs): a
+    // digits/email pattern would match nothing and verify nothing — the
+    // oracle must observe real replacements or the 'g'-flag divergence
+    // (DuckDB replaces first-match-only by default, Spark replaces all)
+    // is untested. Narrow, codegen'd, runs at the scan; the
+    // class+quantifier pattern is Java-regex/RE2-identical.
     "q_text_redact" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        size(regexp_extract_all(col("text"), lit("[aeiou]{2,}"), lit(0)))
           .cast("long").as("n_redactions"),
-        length(regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+        length(regexp_replace(col("text"), "[aeiou]{2,}", "<V>"))
           .cast("long").as("redacted_len"))),
 
     // TF-IDF document scoring — the classic relevance/rarity weight, made
@@ -491,8 +493,8 @@ object TextQueries {
 
     "q_text_redact" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions,
-        |  CAST(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+        |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_redactions,
+        |  CAST(length(regexp_replace(text, '[aeiou]{2,}', '<V>', 'g')) AS BIGINT) AS redacted_len
         |FROM documents""".stripMargin,
 
     "q_text_tfidf" ->

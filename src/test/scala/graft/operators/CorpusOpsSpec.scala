@@ -37,13 +37,17 @@ class CorpusOpsSpec extends SparkSpec {
     val s = spark
     import graft.operators.CorpusOps._
     import org.apache.spark.sql.functions._
-    val viaVerb = graft.sources.Tables.documents(s, sfDir).redacted()
+    // same pattern as the declared query — one that actually fires on the
+    // fixture, so the equivalence is not vacuously over zero matches
+    val viaVerb = graft.sources.Tables.documents(s, sfDir)
+      .redacted(pattern = "[aeiou]{2,}", token = "<V>")
       .select(col("doc_id"), col("n_redactions"),
         length(col("redacted_text")).cast("long").as("redacted_len"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val declared = graft.SparkEntry.queries("q_text_redact")(s, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaVerb == declared && declared.nonEmpty)
+    assert(viaVerb.exists(_._2 > 0), "fixture must produce real redactions")
   }
 
   test("fingerprinted and withTextStats append the documented columns and types") {

@@ -29,9 +29,13 @@ class NgramJaccardSpec extends SparkSpec {
       Seq((2L * i, d.mkString(" ")), (2L * i + 1, mutated.mkString(" ")))
     }
     val df = docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
-    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", n = 3,
-        threshold = 0.3)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the operator's documented cache lifecycle: the caller releases its
+    // tracked persist after the action (the session is shared across suites)
+    val got = CacheScope.withOperatorCaches {
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", n = 3,
+          threshold = 0.3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
 
     // brute-force reference: distinct word-3-gram sets, all pairs
     def grams(t: String): Set[String] =
