@@ -42,6 +42,28 @@ class StreamingMinHashDedupSpec extends SparkSpec {
       "row and batch signatures diverged")
   }
 
+  test("row and batch signatures agree on random documents (generative)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"v$i")
+    // lengths 0..11 include the no-shingle edge; shingle-bearing docs
+    // (>= 3 tokens) must agree bit-for-bit with the batch pipeline
+    val docs = (0L until 120L).map { i =>
+      val n = rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "x")
+    }.toDF("doc_id", "text", "lang")
+    val sigCols = array((0 until 12).map(i => col(s"sig_$i")): _*)
+    val batch = MinHashLSH.signatures(docs, "doc_id", "text", "lang", 3, 6, 2)
+      .select(col("doc_id"), sigCols.as("bsig"))
+    val row = docs.select(col("doc_id"),
+      MinHashLSH.rowSignature(col("text")).as("rsig"))
+    val joined = batch.join(row, "doc_id")
+    assert(joined.count() > 30, "fixture must generate enough shingled docs")
+    assert(joined.filter(col("bsig") =!= col("rsig")).count() == 0,
+      "row and batch signatures diverged on random input")
+  }
+
   test("short docs fall back to exact-content signatures — no collision") {
     val s = spark
     import s.implicits._
