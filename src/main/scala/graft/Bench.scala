@@ -44,15 +44,19 @@ object Bench {
       .map { case (name, fn) =>
       var failed = false
       val times = (1 to runs).map { _ =>
+        var runFailed = false
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — .count() would let
         // Catalyst prune projection-only queries down to row counting.
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
-          failed = true
+          failed = true; runFailed = true
           System.err.println(s"[bench] QUERY FAILED $name: ${e.getMessage}")
         }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a failed RUN's elapsed time is time-to-crash, not a measurement —
+        // record None so even the `raw` diagnostics can't be misread as a
+        // (phantom-fast) timing
+        val dt = if (runFailed) None else Some((System.nanoTime() - t0) / 1e9)
         // Operator-internal caches (persist + localCheckpoint storage) are
         // released between runs so later queries aren't timed against a
         // session carrying stale cached frames (round-1 bench showed 2-6x
@@ -68,11 +72,12 @@ object Bench {
     // omitted from `queries`/the total and listed in `errors` instead.
     val ok = results.filter(!_._3)
     val errors = results.filter(_._3).map(_._1)
-    val total = ok.map(_._2.min).sum
-    val qs = ok.map { case (k, t, _) => s"\"" + k + "\":" + t.min }
+    val total = ok.map(_._2.flatten.min).sum
+    val qs = ok.map { case (k, t, _) => s"\"" + k + "\":" + t.flatten.min }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, t, _) =>
-      s"\"" + k + "\":" + t.mkString("[", ",", "]")
+      s"\"" + k + "\":" + t.map(_.map(_.toString).getOrElse("null"))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total FIRST (and repeated LAST as total_check): round 2's artifact

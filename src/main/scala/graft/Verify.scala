@@ -16,6 +16,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Oracle-validity guard (round-3 ADVICE): q_dedup_embedding's exact
+    // all-pairs DuckDB oracle is only equivalent to the Spark query while
+    // every label block stays on the exact path of Dedup.embeddingNearDups.
+    // EmbeddingGuardSpec asserts this per sf fixture at test time; asserting
+    // it HERE too — derived from the same constant — makes the verify run
+    // itself fail fast on a regenerated oversized fixture instead of
+    // producing a silent hash mismatch (or worse, a silent drift).
+    locally {
+      val maxBlock = graft.sources.Tables.embeddings(spark, sfDir)
+        .groupBy("label").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      require(maxBlock <= graft.operators.Dedup.DefaultMaxBlockSize,
+        s"embeddings fixture at $sfDir has a label block of $maxBlock rows " +
+          s"(> ${graft.operators.Dedup.DefaultMaxBlockSize}): " +
+          "q_dedup_embedding's exact all-pairs oracle no longer matches the LSH path")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce propagates the 1-partition
       // constraint up through shuffle-free pipelines, single-threading the
