@@ -18,6 +18,17 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  /** Oracle fragment: sum over the (xN x yN) grid of one image's channel
+    * formula `(doc_id*cId + sx*cX + sy*cY) % 256`, as nested DuckDB list
+    * lambdas. `sx`/`sy` are expressions in the lambda vars (identity for
+    * decode; the integer source-index map for resize). */
+  private def pixelSumSql(sx: String, sy: String, cId: Int, cX: Int, cY: Int,
+                          xVar: String = "x", yVar: String = "y",
+                          xN: String = "w", yN: String = "h"): String =
+    s"""CAST(list_sum(list_transform(range($yN), $yVar ->
+       |    list_sum(list_transform(range($xN), $xVar ->
+       |      (doc_id*$cId + $sx*$cX + $sy*$cY) % 256)))) AS BIGINT)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting per document (narrow, zero shuffle).
@@ -306,11 +317,19 @@ object TextQueries {
     "q_multimodal_frames" -> ((s, dir) =>
       graft.operators.Multimodal.frameStats(s, dir, stride = 4)),
 
-    // Resize stage over opaque payloads (nearest-neighbor byte downsample
-    // stub, operators.Multimodal.resizeStub): output length + exact byte
-    // checksum, so the oracle's stride replay catches any slicing bug.
+    // REAL image decode: one genuine PNG per document (JDK ImageIO encode,
+    // deterministic formula pixels), decoded back through ImageIO to pixel
+    // channel sums. PNG is lossless, so the oracle's formula replay is
+    // exact — any codec/decode bug changes the sums and fails the hash.
+    "q_multimodal_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeStats(s, dir)),
+
+    // REAL image resize: nearest-neighbor 2x downsample of each decoded
+    // PNG (operators.Multimodal.resizeImages); stats over the RESAMPLED
+    // pixels. The oracle replays the integer source-index map with `//`,
+    // so an off-by-one in the resample grid fails the hash compare.
     "q_multimodal_resize" -> ((s, dir) =>
-      graft.operators.Multimodal.resizeStats(s, dir, stride = 4)),
+      graft.operators.Multimodal.resizeStats(s, dir, factor = 2)),
 
     // JSON extraction from the events props column (row-level).
     "q_json_extract" -> ((s, dir) =>
@@ -538,14 +557,34 @@ object TextQueries {
         |    FROM documents
         |    WHERE octet_length(encode(text)) > 0))""".stripMargin,
 
-    // ASCII fixture: char position == byte position, so character
-    // indexing replays the byte-stride exactly (see Multimodal.resizeStats)
+    // Formula replay of the REAL ImageIO decode (Multimodal.decodeStats):
+    // pixel (x,y) of image id is pure arithmetic in (id,x,y) and PNG is
+    // lossless, so these sums must equal what Spark reads back out of the
+    // actual codec. Channel constants match Multimodal.pixelR/G/B.
+    "q_multimodal_decode" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id*7) % 9 AS h
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  ${pixelSumSql("x", "y", 31, 7, 13)} AS sum_r,
+         |  ${pixelSumSql("x", "y", 17, 5, 11)} AS sum_g,
+         |  ${pixelSumSql("x", "y", 13, 3, 19)} AS sum_b
+         |FROM dims""".stripMargin,
+
+    // Formula replay of the REAL nearest-neighbor resample: source index
+    // sx = (ox*w)//ow replayed with DuckDB integer division.
     "q_multimodal_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_bytes_out,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1, 4),
-        |    i -> ascii(text[i]))) AS BIGINT) AS checksum
-        |FROM documents WHERE length(text) > 0""".stripMargin,
+      s"""WITH dims AS (
+         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id*7) % 9 AS h
+         |  FROM documents),
+         |rdims AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM dims)
+         |SELECT doc_id AS media_id,
+         |  CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+         |  ${pixelSumSql("((ox*w)//ow)", "((oy*h)//oh)", 31, 7, 13, "ox", "oy", "ow", "oh")} AS sum_r,
+         |  ${pixelSumSql("((ox*w)//ow)", "((oy*h)//oh)", 17, 5, 11, "ox", "oy", "ow", "oh")} AS sum_g,
+         |  ${pixelSumSql("((ox*w)//ow)", "((oy*h)//oh)", 13, 3, 19, "ox", "oy", "ow", "oh")} AS sum_b
+         |FROM rdims""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k

@@ -17,22 +17,21 @@ import org.apache.spark.sql.functions._
   *  - partitioning is controlled upstream (`repartition(n)`) so decode
   *    parallelism is independent of file layout.
   *
-  * The actual decoder is a STUB: the container has no image/audio codecs,
-  * so `decodeStub` computes a deterministic fake "feature vector" (byte
-  * histogram) with the exact shape, signature, and batching a real decoder
-  * would use. Swap `decodeStub` for a codec call; nothing else changes.
+  * The image path is REAL: payloads are genuine PNG files (encoded with
+  * the JDK's `javax.imageio` — no external dependency), decode is a real
+  * `ImageIO.read` to pixels, and resize is a real nearest-neighbor pixel
+  * resample of the decoded image. What keeps it oracle-checkable is the
+  * fixture construction: pixel (x,y) of image `id` is a pure arithmetic
+  * function of (id, x, y), and PNG is lossless, so the DuckDB oracle can
+  * replay the expected pixel statistics from the formula alone while the
+  * Spark side round-trips through the actual codec — a decode or resample
+  * bug changes the sums and fails the hash compare.
   */
 object Multimodal {
 
   /** Typed media row: opaque bytes + structured metadata. */
   case class MediaItem(media_id: Long, kind: String, content: Array[Byte],
                        mime: String, n_bytes: Long)
-
-  /** Decoded features: fixed-width vector + dimensions "parsed" from content. */
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                           features: Array[Double])
-
-  val FeatureDim = 16
 
   /** Synthesize a media table from the documents corpus: text bytes stand in
     * for an opaque payload (the plumbing neither knows nor cares). */
@@ -48,23 +47,121 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** STUB decoder: deterministic 16-bucket byte histogram, normalized.
-    * A real implementation would decode image pixels / audio frames here;
-    * per-partition init cost is amortized exactly like a codec's would be. */
-  def decodeStub(items: Iterator[MediaItem]): Iterator[MediaFeatures] = {
-    // (real pipeline: val codec = HeavyCodec.init() — once per partition)
-    items.map { m =>
-      val hist = new Array[Double](FeatureDim)
-      m.content.foreach(b => hist((b & 0xff) % FeatureDim) += 1.0)
-      val n = math.max(1.0, m.content.length.toDouble)
-      MediaFeatures(m.media_id, m.kind, m.n_bytes, hist.map(_ / n))
+  // ---------------------------------------------------------------------
+  // Real image path: PNG payloads, ImageIO decode, nearest-neighbor resize
+  // ---------------------------------------------------------------------
+
+  /** An image payload: genuine PNG bytes. Dimensions are NOT carried —
+    * decode discovers them from the file, like a real pipeline would. */
+  case class ImageItem(media_id: Long, content: Array[Byte])
+
+  /** Per-channel pixel sums of a decoded image — compact, exact
+    * (sums of 8-bit values are integers), and formula-replayable. */
+  case class ImageStats(media_id: Long, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic fixture geometry/pixels: pure arithmetic in (id, x, y)
+    * so the DuckDB oracle can replay expected statistics without a codec.
+    * Kept to +, *, % on BIGINTs — every term is SQL-expressible. */
+  def imgWidth(id: Long): Int = (8 + id % 9).toInt
+  def imgHeight(id: Long): Int = (8 + (id * 7) % 9).toInt
+  def pixelR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  def pixelG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 5 + y * 11) % 256).toInt
+  def pixelB(id: Long, x: Int, y: Int): Int = ((id * 13 + x * 3 + y * 19) % 256).toInt
+
+  /** Encode image `id` as a real PNG via the JDK's ImageIO. Lossless RGB:
+    * decoding it returns exactly the formula pixels. */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = imgWidth(id); val h = imgHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelR(id, x, y) << 16) | (pixelG(id, x, y) << 8) | pixelB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "png", out)
+    require(ok, "no PNG writer available in this JVM")
+    out.toByteArray
+  }
+
+  /** The image corpus: one PNG per document id. Encoding runs batched in
+    * mapPartitions (the writer plugin lookup and any codec state amortize
+    * per partition); only the opaque bytes travel in the frame. */
+  def imageMedia(spark: SparkSession, dir: String): Dataset[ImageItem] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // (a heavier codec would initialize HERE, once per partition)
+        ids.map(id => ImageItem(id, encodePng(id)))
+      }
+  }
+
+  /** REAL decode stage: `ImageIO.read` each PNG payload to pixels, emit
+    * per-channel sums. Batched per partition with controlled parallelism
+    * (`repartition(n)`) so decode throughput is independent of upstream
+    * file layout — the shape a 100 TB media scan needs. */
+  def decodeImages(media: Dataset[ImageItem], partitions: Int): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions).mapPartitions { items =>
+      items.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"media ${m.media_id}: not a decodable image")
+        channelSums(m.media_id, img)
+      }
     }
   }
 
-  /** The full decode stage: controlled parallelism + batched decode. */
-  def extractFeatures(media: Dataset[MediaItem], partitions: Int): Dataset[MediaFeatures] = {
+  /** REAL resize stage: decode, nearest-neighbor resample to
+    * (w/factor, h/factor), then stats over the RESAMPLED image. The
+    * source index map sx = floor(ox*w/ow) is integer arithmetic, so the
+    * oracle replays it with `//`. */
+  def resizeImages(media: Dataset[ImageItem], factor: Int): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
-    media.repartition(partitions).mapPartitions(decodeStub)
+    media.mapPartitions { items =>
+      items.map { m =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+        require(src != null, s"media ${m.media_id}: not a decodable image")
+        val ow = math.max(1, src.getWidth / factor)
+        val oh = math.max(1, src.getHeight / factor)
+        val dst = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var oy = 0
+        while (oy < oh) {
+          val sy = (oy.toLong * src.getHeight / oh).toInt
+          var ox = 0
+          while (ox < ow) {
+            val sx = (ox.toLong * src.getWidth / ow).toInt
+            dst.setRGB(ox, oy, src.getRGB(sx, sy))
+            ox += 1
+          }
+          oy += 1
+        }
+        channelSums(m.media_id, dst)
+      }
+    }
+  }
+
+  private def channelSums(id: Long, img: java.awt.image.BufferedImage): ImageStats = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(id, img.getWidth, img.getHeight, sr, sg, sb)
   }
 
   /** A sampled "video" frame: byte slice + its position metadata. */
@@ -93,38 +190,15 @@ object Multimodal {
     }
   }
 
-  /** A "resized" payload's stats: output size + byte checksum. */
-  case class ResizedMedia(media_id: Long, n_bytes_out: Long, checksum: Long)
+  /** Declared face of the decode stage: encode the PNG corpus, decode it
+    * back through ImageIO, emit per-image channel sums. */
+  def decodeStats(spark: SparkSession, dir: String): DataFrame =
+    decodeImages(imageMedia(spark, dir), partitions = 8).toDF()
 
-  /** STUB resize: nearest-neighbor byte downsample — keep every
-    * `stride`-th byte of the opaque payload (a real implementation decodes
-    * and rescales pixels here; the batching, signature, and per-partition
-    * init shape are identical). Emits the downsampled length and an exact
-    * byte checksum so the slicing is oracle-checkable: an off-by-one in
-    * the stride positions changes the checksum. */
-  def resizeStub(items: Iterator[MediaItem], stride: Int): Iterator[ResizedMedia] = {
-    // (real pipeline: val scaler = Scaler.init(targetDims) — once per partition)
-    items.map { m =>
-      var i = 0; var n = 0L; var sum = 0L
-      while (i < m.content.length) {
-        n += 1; sum += (m.content(i) & 0xff).toLong; i += stride
-      }
-      ResizedMedia(m.media_id, n, sum)
-    }
-  }
-
-  /** Declared face of the resize stage. Empty payloads are excluded (no
-    * bytes to resize), matching the frames query's convention. The oracle
-    * replays the stride positions with character indexing — valid because
-    * the fixture corpus is pure ASCII (char position == byte position;
-    * asserted by the octet_length/length parity in q_multimodal_bytes). */
-  def resizeStats(spark: SparkSession, dir: String, stride: Int = 4): DataFrame = {
-    import spark.implicits._
-    mediaFromDocuments(spark, dir)
-      .filter(col("n_bytes") > 0)
-      .mapPartitions(items => resizeStub(items, stride))
-      .toDF()
-  }
+  /** Declared face of the resize stage: real 2x nearest-neighbor
+    * downsample of each decoded PNG, stats over the resampled pixels. */
+  def resizeStats(spark: SparkSession, dir: String, factor: Int = 2): DataFrame =
+    resizeImages(imageMedia(spark, dir), factor).toDF()
 
   /** Per-item stats of the sampled frames — the declared, oracle-checkable
     * face of sampleFrames (the oracle recomputes the same counts from

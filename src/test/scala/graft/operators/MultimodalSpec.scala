@@ -2,33 +2,59 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** The multimodal plumbing must behave identically regardless of
-  * partitioning (decode is per-row pure; mapPartitions only batches it),
-  * and features must match an independent driver-side computation. */
+/** The image pipeline is REAL (PNG bytes through the JDK codec), so the
+  * spec checks three independent things: the PNG round-trip is lossless
+  * pixel-for-pixel, decode behaves identically regardless of partitioning
+  * (mapPartitions only batches a per-row pure transform), and the resample
+  * grid matches a driver-side nearest-neighbor replay. */
 class MultimodalSpec extends SparkSpec {
 
-  test("feature extraction is partitioning-invariant and matches reference computation") {
-    val s = spark
-    val media = Multimodal.mediaFromDocuments(s, sfDir)
-
-    val f2 = Multimodal.extractFeatures(media, partitions = 2)
-      .collect().map(f => f.media_id -> f).toMap
-    val f7 = Multimodal.extractFeatures(media, partitions = 7)
-      .collect().map(f => f.media_id -> f).toMap
-    assert(f2.keySet == f7.keySet && f2.keySet.nonEmpty)
-    f2.foreach { case (id, f) =>
-      assert(f.features.toSeq == f7(id).features.toSeq,
-        s"partitioning changed features for $id")
+  test("PNG round-trip is lossless: decoded pixels equal the formula") {
+    val id = 42L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(id)))
+    assert(img.getWidth == Multimodal.imgWidth(id))
+    assert(img.getHeight == Multimodal.imgHeight(id))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == Multimodal.pixelR(id, x, y))
+      assert(((rgb >> 8) & 0xff) == Multimodal.pixelG(id, x, y))
+      assert((rgb & 0xff) == Multimodal.pixelB(id, x, y))
     }
+  }
 
-    // independent reference computation on the driver
-    val raw = media.collect()
-    raw.foreach { m =>
-      val hist = new Array[Double](Multimodal.FeatureDim)
-      m.content.foreach(b => hist((b & 0xff) % Multimodal.FeatureDim) += 1.0)
-      val expected = hist.map(_ / math.max(1.0, m.content.length.toDouble)).toSeq
-      assert(f2(m.media_id).features.toSeq == expected)
-      assert(f2(m.media_id).n_bytes == m.content.length.toLong)
+  test("image decode is partitioning-invariant and matches a driver-side replay") {
+    val s = spark
+    val media = Multimodal.imageMedia(s, sfDir)
+    val f2 = Multimodal.decodeImages(media, partitions = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    val f7 = Multimodal.decodeImages(media, partitions = 7)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(f2 == f7 && f2.nonEmpty)
+
+    f2.foreach { case (id, st) =>
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      assert(st.width == w && st.height == h)
+      val grid = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      assert(st.sum_r == grid.map { case (x, y) => Multimodal.pixelR(id, x, y).toLong }.sum)
+      assert(st.sum_g == grid.map { case (x, y) => Multimodal.pixelG(id, x, y).toLong }.sum)
+      assert(st.sum_b == grid.map { case (x, y) => Multimodal.pixelB(id, x, y).toLong }.sum)
+    }
+  }
+
+  test("nearest-neighbor resize matches the integer source-index replay") {
+    val s = spark
+    val resized = Multimodal.resizeImages(Multimodal.imageMedia(s, sfDir), factor = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(resized.nonEmpty)
+    resized.foreach { case (id, st) =>
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      val ow = w / 2; val oh = h / 2
+      assert(st.width == ow && st.height == oh)
+      val grid = for (oy <- 0 until oh; ox <- 0 until ow)
+        yield (ox * w / ow, oy * h / oh)
+      assert(st.sum_r == grid.map { case (x, y) => Multimodal.pixelR(id, x, y).toLong }.sum)
+      assert(st.sum_b == grid.map { case (x, y) => Multimodal.pixelB(id, x, y).toLong }.sum)
     }
   }
 
