@@ -41,6 +41,16 @@ object DedupQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"))),
 
+    // The same length profile in the REAL token currency (bpe_count runs
+    // the full merge-table algorithm inside codegen at the scan; same
+    // narrow projection + map-side-combined count).
+    "q_token_histogram_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select((floor(graft.functions.expressions.BpeCountExpression.bpe_count(col("text"))
+          .cast("double") / 16.0)).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"))),
+
     // Exact dedup on the event stream by natural key (event_id is the
     // reference's `Pageview.eventId` analog, added "precisely to enable"
     // dedup — Pageview.scala:11). Survivor is the min (ts, event_type) row
@@ -479,6 +489,12 @@ object DedupQueries {
       """SELECT CAST(floor(CAST(len(string_split(text,' ')) AS DOUBLE) / 16.0) AS BIGINT) AS bucket,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_token_histogram_bpe" ->
+      s"""SELECT CAST(floor(CAST(${graft.functions.Bpe.countSql("text")} AS DOUBLE) / 16.0) AS BIGINT)
+         |    AS bucket,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_events" ->
       """SELECT event_type, count(*) AS cnt FROM (

@@ -86,6 +86,21 @@ object TextQueries {
             .cast("long").as("n_bpe_tokens"),
           nTokens(col("text")).cast("long").as("n_ws_tokens"))),
 
+    // REAL BPE tokenization: the full merge-table algorithm (rank-priority
+    // pair merging per pre-token, graft.functions.Bpe) as one codegen
+    // expression at the scan — the actual token-budget currency, vs the
+    // pre-tokenizer approximation above. The oracle replays the merge
+    // table as a rank-ordered replace() chain: an independent formulation
+    // with the same fixpoint (equivalence argument in Bpe.scala).
+    "q_text_tokens_bpe_real" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          graft.functions.expressions.BpeCountExpression.bpe_count(col("text"))
+            .as("n_tokens_bpe"),
+          size(regexp_extract_all(col("text"), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+            .cast("long").as("n_pretokens"))),
+
     // Corpus term frequency: explode tokens -> count per term. Map-side
     // partial agg bounds the shuffle at vocabulary size, not corpus size.
     "q_text_termfreq" -> ((s, dir) =>
@@ -163,6 +178,16 @@ object TextQueries {
     "q_pack_bins" -> ((s, dir) => {
       import graft.operators.CorpusOps._
       Tables.documents(s, dir).packedBins("lang", binTokens = 2048)
+    }),
+
+    // Packing in the REAL token currency: same one-window-cumsum plan, but
+    // the budget counts actual BPE tokens (whitespace counts misstate real
+    // sequence lengths, so "2048-token bins" built from them overflow or
+    // underfill real training sequences).
+    "q_pack_bins_bpe" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      Tables.documents(s, dir).packedBins("lang", binTokens = 2048,
+        tokenCount = graft.functions.expressions.BpeCountExpression.bpe_count)
     }),
 
     // Eval-set decontamination: drop every document sharing ANY word-3-gram
@@ -463,6 +488,25 @@ object TextQueries {
         |  FROM (
         |    SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
         |    FROM documents))""".stripMargin,
+
+    "q_text_tokens_bpe_real" ->
+      s"""SELECT doc_id,
+         |  CAST(${graft.functions.Bpe.countSql("text")} AS BIGINT) AS n_tokens_bpe,
+         |  CAST(len(regexp_extract_all(text, '${graft.functions.Bpe.PreTokenRegex}')) AS BIGINT)
+         |    AS n_pretokens
+         |FROM documents""".stripMargin,
+
+    "q_pack_bins_bpe" ->
+      s"""SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
+         |FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM (
+         |    SELECT doc_id, lang, ${graft.functions.Bpe.countSql("text")} AS n_tokens
+         |    FROM documents))""".stripMargin,
 
     "q_decontaminate" ->
       """WITH grams AS (

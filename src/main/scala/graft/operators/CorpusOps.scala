@@ -91,11 +91,16 @@ object CorpusOps {
             .cast("long").as("n_chunk_tokens"))
 
     /** Greedy fixed-budget bin packing per group (q_pack_bins as a verb):
-      * deterministic bin ids from a per-group running token count. */
+      * deterministic bin ids from a per-group running token count.
+      * `tokenCount` selects the budget currency — whitespace tokens by
+      * default, real BPE tokens via BpeCountExpression.bpe_count (what an
+      * actual 2048-token training bin means). */
     def packedBins(groupCol: String, binTokens: Int = 2048,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                   idCol: String = "doc_id", textCol: String = "text",
+                   tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                     TextFunctions.nTokens): DataFrame =
       df.select(col(idCol), col(groupCol),
-          TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+          tokenCount(col(textCol)).as("n_tokens"))
         .withColumn("_cum_before",
           coalesce(sum(col("n_tokens")).over(
             org.apache.spark.sql.expressions.Window
