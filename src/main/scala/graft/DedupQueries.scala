@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Dedup, MinHashLSH, SimHash, Similarity, SimilarityIVF, SimilarityLSH}
+import graft.operators.{ConnectedComponents, Dedup, KMeans, MinHashLSH, SimHash, Similarity, SimilarityIVF, SimilarityLSH}
 import graft.functions.PortableHash
 import graft.sources.Tables
 
@@ -161,6 +161,22 @@ object DedupQueries {
       val e = Tables.embeddings(s, dir)
       SimilarityIVF.ivfTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+    }),
+
+    // IVF with K-MEANS-TRAINED centroids: Lloyd's runs first (a real
+    // training job — deterministic seed, exact fixed-point means, fixed
+    // round budget; operators.KMeans), then the same probe/rank pipeline
+    // against the trained cells. Training is eager by nature, so this
+    // query's cost includes it — honest, since a user pays it too. The
+    // oracle UNROLLS the training rounds as CTEs: past the fixpoint a
+    // Lloyd's round is the identity, so a fixed-depth replay equals the
+    // early-stopped loop.
+    "q_sim_ivf_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = KMeans.train(e)
+      SimilarityIVF.ivfTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5,
+        cents = cents)
     }),
 
     // Text-metadata x vector join — the alignment step of a multimodal /
@@ -435,12 +451,67 @@ object DedupQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** DuckDB replay of [[KMeans.train]] + the trained-IVF query: the
+    * hash-seeded centroids as round-0 lists, then [[KMeans.MaxIters]]
+    * unrolled Lloyd's rounds (assignment by the same left-fold dot and
+    * (dot DESC, cell ASC) tie-break; update by the same fixed-point exact
+    * mean, empty cells keeping their previous centroid), then the
+    * probe/rank tail of `ivfSql` against the final centroids. */
+  private val kmeansIvfSql: String = {
+    def w(cExpr: String, dExpr: String) =
+      s"((CAST(('0x'||substr(md5('ivf'||$cExpr||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
+    val c0 =
+      s"""c0 AS (
+         |  SELECT kk.c AS cell,
+         |    list_transform(range(0, ${SimilarityIVF.Dim}), dd -> ${w("kk.c", "dd")}) AS cvec
+         |  FROM range(0, ${SimilarityIVF.K}) kk(c))""".stripMargin
+    def round(r: Int): String =
+      s"""a$r AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, cc.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "cc.cvec")} DESC, cc.cell ASC) AS rn
+         |    FROM embeddings e, c$r cc) WHERE rn = 1),
+         |m$r AS (
+         |  SELECT cell, dd,
+         |    (CAST(sum(CAST(trunc(CAST(embedding[dd] AS DOUBLE) * ${KMeans.Scale}) AS BIGINT)) AS DOUBLE)
+         |      / ${KMeans.Scale}) / count(*) AS m
+         |  FROM a$r, range(1, ${SimilarityIVF.Dim + 1}) t(dd) GROUP BY cell, dd),
+         |c${r + 1} AS (
+         |  SELECT kk.c AS cell, COALESCE(mm.cvec, prev.cvec) AS cvec
+         |  FROM range(0, ${SimilarityIVF.K}) kk(c)
+         |  LEFT JOIN (SELECT cell, list(m ORDER BY dd) AS cvec FROM m$r GROUP BY cell) mm
+         |    ON mm.cell = kk.c
+         |  JOIN c$r prev ON prev.cell = kk.c)""".stripMargin
+    val rounds = (0 until KMeans.MaxIters).map(round).mkString(",\n")
+    val cT = s"c${KMeans.MaxIters}"
+    s"""WITH $c0,
+       |$rounds,
+       |scoredf AS (
+       |  SELECT vec_id, embedding, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, cc.cell,
+       |      ${sqlDot("e.embedding", "cc.cvec")} AS dot
+       |    FROM embeddings e, $cT cc)),
+       |cand AS (SELECT vec_id, embedding, cell FROM scoredf WHERE rn = 1 AND vec_id >= 10),
+       |qry  AS (SELECT vec_id, embedding, cell FROM scoredf WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT qry.vec_id AS query_id, cand.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY qry.vec_id
+       |      ORDER BY ${sqlCosine("qry.embedding", "cand.embedding")} DESC,
+       |               cand.vec_id ASC) AS rank
+       |  FROM qry JOIN cand USING (cell))
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_global" -> minhashGlobalSql,
     "q_corpus_dedup_full" -> corpusDedupFullSql,
     "q_dedup_components" -> componentsSql,
     "q_sim_ivf" -> ivfSql,
+    "q_sim_ivf_kmeans" -> kmeansIvfSql,
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over an embedding column — the training step that turns
+  * [[SimilarityIVF]]'s hash-seeded coarse cells into data-adapted ones
+  * (the standard IVF quality upgrade: recall at fixed NProbe/K tracks how
+  * well the centroids match the data distribution).
+  *
+  * Engine-portable determinism (what makes a TRAINED index exactly
+  * oracle-checkable, which off-the-shelf k-means is not):
+  *  - seeding is the deterministic hash-centroid matrix, not a random
+  *    sample;
+  *  - the centroid update is the fixed-point exact mean (scale by 2^40 —
+  *    an exact FP multiply — truncate to long, sum longs, divide back):
+  *    the sum is ORDER-INDEPENDENT, so the result doesn't depend on
+  *    partitioning, and every step replays bit-identically in DuckDB
+  *    (the q_embed_centroid device);
+  *  - assignment uses the same left-fold dot and (dot DESC, cell ASC)
+  *    tie-break as the query path;
+  *  - the loop runs at most [[MaxIters]] rounds with an exact-fixpoint
+  *    early stop. Past the fixpoint a Lloyd's round is the identity, so
+  *    an oracle that unrolls exactly MaxIters rounds computes the same
+  *    centroids regardless of which round Spark stopped at.
+  *
+  * Scale: each round is one narrow assignment scan (K codegen dot
+  * products per row against centroid LITERALS — no join, no broadcast
+  * exchange) plus one (cell, dim)-keyed aggregation of K*Dim cells.
+  * Only the K*Dim aggregated sums (model state, ~1024 values) ever reach
+  * the driver; the per-round plan is FLAT — each round re-derives
+  * assignment from the base frame with new literals, so lineage does not
+  * grow and no per-round checkpoint is needed (unlike label propagation,
+  * where round r's frame feeds round r+1).
+  */
+object KMeans {
+
+  /** Fixed round budget. Lloyd's converges fast from any seed on coarse
+    * quantizers (K cells, not fine codebooks); 3 rounds captures most of
+    * the recall gain and bounds both the training cost and the oracle's
+    * unrolled replay. */
+  val MaxIters = 3
+
+  /** 2^40 — the fixed-point scale of the exact mean (quantization 2^-40,
+    * far below float32 input precision). */
+  val Scale = 1099511627776.0
+
+  /** Train centroids on `vectors`' `vecCol` from the hash seed; returns
+    * the trained matrix (K x Dim). Dimensions with no assigned vectors
+    * keep their previous centroid. */
+  def train(vectors: DataFrame, vecCol: String = "embedding",
+            maxIters: Int = MaxIters): Array[Array[Double]] = {
+    var cents = SimilarityIVF.hashCentroids
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val stats = vectors
+        .select(SimilarityIVF.cell(col(vecCol), cents).as("cell"),
+                posexplode(col(vecCol)).as(Seq("dd", "x")))
+        .groupBy("cell", "dd")
+        .agg(sum((col("x").cast("double") * Scale).cast("long")).as("s"),
+             count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone)
+      stats.foreach { r =>
+        val cell = r.getInt(0); val dd = r.getInt(1)
+        next(cell)(dd) = r.getLong(2).toDouble / Scale / r.getLong(3).toDouble
+      }
+      converged = next.zip(cents).forall { case (a, b) => a.sameElements(b) }
+      cents = next
+      iter += 1
+    }
+    cents
+  }
+}

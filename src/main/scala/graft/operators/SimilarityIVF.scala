@@ -34,25 +34,29 @@ object SimilarityIVF {
   def centroidWeight(c: Int, d: Int): Double =
     graft.functions.PortableHash.labelWeight(s"ivf${c}_$d")
 
-  private def centroidCol(c: Int): Column =
-    array((0 until Dim).map(d => lit(centroidWeight(c, d))): _*)
+  /** The untrained (hash-derived) centroid matrix — the deterministic
+    * default, and the seed [[KMeans.train]] starts Lloyd's from. */
+  def hashCentroids: Array[Array[Double]] =
+    Array.tabulate(K, Dim)(centroidWeight)
 
   /** array<struct<dot,negc>> of the vector's dot with every centroid;
-    * struct max order = (dot DESC, cell ASC) since negc = -cell. */
-  private def scoredCells(vec: Column): Column =
-    array((0 until K).map { c =>
-      struct(Similarity.dot(vec, centroidCol(c)).as("dot"),
+    * struct max order = (dot DESC, cell ASC) since negc = -cell.
+    * `cents` enters as literals: cell assignment stays a narrow codegen
+    * scan whether the centroids are hash-seeded or k-means-trained. */
+  private def scoredCells(vec: Column, cents: Array[Array[Double]]): Column =
+    array(cents.indices.map { c =>
+      struct(Similarity.dot(vec, array(cents(c).map(lit(_)): _*)).as("dot"),
              lit(-c).as("negc"))
     }: _*)
 
   /** Nearest-centroid cell id (deterministic tie-break toward the lower
     * cell id) — the list-build + max runs inside one codegen stage. */
-  def cell(vec: Column): Column =
-    -array_max(scoredCells(vec)).getField("negc")
+  def cell(vec: Column, cents: Array[Array[Double]] = hashCentroids): Column =
+    -array_max(scoredCells(vec, cents)).getField("negc")
 
   /** The `NProbe` nearest cell ids for a query vector. */
-  def probeCells(vec: Column): Column = {
-    val sorted = reverse(array_sort(scoredCells(vec)))
+  def probeCells(vec: Column, cents: Array[Array[Double]] = hashCentroids): Column = {
+    val sorted = reverse(array_sort(scoredCells(vec, cents)))
     array((0 until NProbe).map(i =>
       -element_at(sorted, i + 1).getField("negc")): _*)
   }
@@ -61,13 +65,14 @@ object SimilarityIVF {
     * nearest cells. Output (query_id, neighbor_id, rank). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               idColQ: String = "vec_id", idColC: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              cents: Array[Array[Double]] = hashCentroids): DataFrame = {
     val q = broadcast(queries
       .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
-              explode(probeCells(col(vecCol))).as("cell")))
+              explode(probeCells(col(vecCol), cents)).as("cell")))
     val c = candidates
       .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"),
-              cell(col(vecCol)).as("cell"))
+              cell(col(vecCol), cents).as("cell"))
     // cells are disjoint per candidate (unlike LSH's multi-table buckets),
     // so no pair-dedup stage is needed before the bounded-heap rank
     c.join(q, Seq("cell"))
