@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Dedup, KMeans, MinHashLSH, SimHash, Similarity, SimilarityIVF, SimilarityLSH}
+import graft.operators.{CacheScope, ConnectedComponents, Dedup, KMeans, MinHashLSH, SimHash, Similarity, SimilarityIVF, SimilarityLSH}
 import graft.functions.PortableHash
 import graft.sources.Tables
 
@@ -116,6 +116,33 @@ object DedupQueries {
     "q_corpus_dedup_full" -> ((s, dir) => {
       import graft.operators.CorpusOps._
       Tables.documents(s, dir).dedupedNear().tokenBudget("lang")
+    }),
+
+    // The materialize-once production shape: the MinHash signature store
+    // is computed ONCE (eager localCheckpoint, CacheScope lifecycle — the
+    // in-session stand-in for the bucketed signatures table a pipeline
+    // would keep, see SignatureStoreSpec for the bucketed-table form) and
+    // BOTH downstream artifacts read it: the duplicate-cluster map and
+    // the survivor budget. q_dedup_components + q_corpus_dedup_full pay
+    // candidate generation once EACH (honest per-query isolation); this
+    // query demonstrates that a pipeline computing both pays it once
+    // total — compare their bench times.
+    "q_corpus_dedup_incremental" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      val docs = Tables.documents(s, dir)
+      val sigs = CacheScope.track(
+        MinHashLSH.signatures(docs, "doc_id", "text", "lang",
+          n = 3, numBands = 6, rowsPerBand = 2).localCheckpoint(true))
+      val comp = ConnectedComponents.components(
+        MinHashLSH.candidatesFromBanded(MinHashLSH.banded(sigs)), "id_a", "id_b")
+      val dropped = comp.filter(col("id") =!= col("component_id"))
+        .select(col("id").as("doc_id"))
+      // corpus-derived drop set: anti join SHUFFLES on the id (never a
+      // broadcast), same rule as dedupedNear
+      val budget = docs.join(dropped, Seq("doc_id"), "left_anti")
+        .tokenBudget("lang")
+      budget.crossJoin(
+        comp.agg(count_distinct(col("component_id")).as("n_dup_clusters")))
     }),
 
     // The composed production pipeline: exact dedup -> LSH candidates ->
@@ -325,6 +352,30 @@ object DedupQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |GROUP BY lang""".stripMargin
 
+  /** Same closure + survivor budget as [[corpusDedupFullSql]], plus the
+    * duplicate-cluster count — the combined artifact of the
+    * materialize-signatures-once pipeline. */
+  private val corpusDedupIncrementalSql: String =
+    s"""WITH RECURSIVE ${minhashCtes("documents")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |  FROM reach GROUP BY src),
+       |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+       |  (SELECT count(DISTINCT component_id) FROM comp) AS n_dup_clusters
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |GROUP BY lang""".stripMargin
+
   /** The composed production pipeline: exact dedup -> MinHash-LSH
     * candidates -> exact Jaccard verification. */
   private val pipelineSql: String = {
@@ -509,6 +560,7 @@ object DedupQueries {
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_global" -> minhashGlobalSql,
     "q_corpus_dedup_full" -> corpusDedupFullSql,
+    "q_corpus_dedup_incremental" -> corpusDedupIncrementalSql,
     "q_dedup_components" -> componentsSql,
     "q_sim_ivf" -> ivfSql,
     "q_sim_ivf_kmeans" -> kmeansIvfSql,

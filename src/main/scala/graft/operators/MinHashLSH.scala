@@ -71,27 +71,40 @@ object MinHashLSH {
     when(size(split(text, " ")) >= n, sig).otherwise(exact)
   }
 
+  /** A signatures frame (doc_id, block, sig_0..sig_{k-1}) exploded to its
+    * banded form (doc_id, block, band, key) — the join-ready shape a
+    * production pipeline MATERIALIZES (e.g. as a table bucketed by `key`):
+    * pay shingle+signature once, run every downstream candidate join from
+    * the store. rowsPerBand=2 packs a band key as sig0*P + sig1 (fits
+    * int64: P^2 < 2^62). */
+  def banded(sigs: DataFrame, numBands: Int = 6): DataFrame = {
+    val bandKeys: Column = array((0 until numBands).map { j =>
+      col(s"sig_${2 * j}") * P + col(s"sig_${2 * j + 1}")
+    }: _*)
+    sigs.select(col("doc_id"), col("block"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+  }
+
+  /** Candidate pairs from an already-banded frame (see [[banded]]):
+    * the band-bucket self-join alone, no signature recompute. */
+  def candidatesFromBanded(bandedSigs: DataFrame): DataFrame =
+    bandedSigs.as("a")
+      .join(bandedSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
   /** Candidate near-duplicate pairs: documents sharing at least one full
-    * band. rowsPerBand=2 packs a band key as sig0*P + sig1 (fits int64:
-    * P^2 < 2^62). */
+    * band. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      blockCol: String, n: Int = 3,
                      numBands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     require(rowsPerBand == 2, "band key packing implemented for rowsPerBand=2")
     val sigs = signatures(df, idCol, textCol, blockCol, n, numBands, rowsPerBand)
-    val bandKeys: Column = array((0 until numBands).map { j =>
-      col(s"sig_${2 * j}") * P + col(s"sig_${2 * j + 1}")
-    }: _*)
     // NOT persisted: the self-join's sides are identical subplans and
     // Spark's ReusedExchange computes the signature shuffle once — caching
     // here was measured to defeat that reuse (1.4s -> 2.6s at sf0.1)
-    val banded = sigs.select(col("doc_id"), col("block"),
-        posexplode(bandKeys).as(Seq("band", "key")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    candidatesFromBanded(banded(sigs, numBands))
   }
 }
