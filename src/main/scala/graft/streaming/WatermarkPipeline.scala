@@ -60,4 +60,35 @@ object WatermarkPipeline {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("url"), col("cnt"))
+
+  /** The reference's O3b semantics on a NON-tumbling window: N
+    * independently-watermarked streams, min-of-inputs gating, session
+    * windows per url. A session fires (append mode) only once the MIN
+    * watermark passes its end — a lagging input holds every key's
+    * sessions back exactly as it holds tumbling windows back. State per
+    * open session is one count; merges happen in the state store. */
+  def sessionCounts(streams: Seq[Dataset[Pageview]],
+                    gap: String = "10 minutes",
+                    delay: String = "0 seconds"): DataFrame = {
+    val watermarked = streams.map(_.withWatermark("ts", delay))
+    watermarked.reduce(_ unionByName _)
+      .groupBy(session_window(col("ts"), gap), col("url"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("url"), col("cnt"))
+  }
+
+  /** Batch replay of [[sessionCounts]] — the same `session_window`
+    * aggregate without watermarks; the streaming run's complete output
+    * must equal these rows (SessionWindowStreamingSpec). */
+  def sessionCountsBatch(all: DataFrame, gap: String = "10 minutes"): DataFrame =
+    all
+      .groupBy(session_window(col("ts"), gap), col("url"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("url"), col("cnt"))
 }

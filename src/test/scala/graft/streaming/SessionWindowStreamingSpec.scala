@@ -49,4 +49,51 @@ class SessionWindowStreamingSpec extends SparkSpec {
         s"one merged session [first, last+gap): ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("min-of-inputs watermark gates session emission; final output equals batch replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (part0, part1) = graft.model.PageviewGen.skewedPartitions(step = 60000L)
+    val m0 = MemoryStream[Pageview]
+    val m1 = MemoryStream[Pageview]
+    val q = WatermarkPipeline.sessionCounts(Seq(m0.toDS(), m1.toDS()))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_union_out").start()
+    try {
+      // phase 1 — O3b gating: stream 0 delivers its whole range
+      // [day1, day3); stream 1 only [day2, day2T06). The union's
+      // watermark is the MIN of the per-input maxima, so no session past
+      // stream 1's horizon may emit even though stream 0 is a day ahead.
+      val horizon = ts("2016-02-02T06:00:00Z")
+      m0.addData(part0: _*)
+      m1.addData(part1.filter(_.ts.before(horizon)): _*)
+      q.processAllAvailable()
+      val early = s.table("sess_union_out").collect()
+      assert(early.nonEmpty, "sessions below the min watermark must have fired")
+      val maxEnd = early.map(_.getTimestamp(1).getTime).max
+      assert(maxEnd <= horizon.getTime,
+        s"session ending ${new Timestamp(maxEnd).toInstant} emitted past the " +
+          s"lagging stream's watermark — min-of-inputs gating is broken")
+
+      // phase 2 — deliver the rest plus a far-future flush event per
+      // stream: the min watermark passes every real session's end. The
+      // flush events' own sessions stay open (the watermark never passes
+      // them), so the sink holds exactly the real sessions.
+      val flush0 = Pageview("http://site.com/0", ts("2016-02-05T00:00:00Z"), "f0")
+      val flush1 = Pageview("http://site.com/0", ts("2016-02-05T00:00:00Z"), "f1")
+      m1.addData(part1.filterNot(_.ts.before(horizon)): _*)
+      m0.addData(flush0); m1.addData(flush1)
+      q.processAllAvailable()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getString(2), r.getLong(3))
+      val streamed = s.table("sess_union_out").collect().map(key).toSet
+      val batch = WatermarkPipeline
+        .sessionCountsBatch((part0 ++ part1).toDF()).collect().map(key).toSet
+      assert(streamed == batch,
+        s"streaming sessions diverge from batch replay: " +
+          s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
 }
