@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Dedup, MinHashLSH}
+
+/** Self-serve scaling probe: generate corpus tables at a MULTIPLE of the
+  * sf0.1 size (into /tmp — never touching the driver's testdata), run the
+  * data-dependent dedup/similarity/clustering family, and report wall
+  * times plus the GROWTH DIAGNOSTICS the 100 TB story actually rests on:
+  * candidate-pair counts (the quadratic risk of every LSH/join family)
+  * and connected-components round depth (the iterative risk).
+  *
+  * The sf0.1 suite is overhead-dominated (100x data = 1.7x time), so
+  * exponents extrapolated from it are untrustworthy — this probe exists
+  * to MEASURE them at 10x/100x instead (round-3 verdict, top item).
+  *
+  * Generator realism: mirrors the testdata distributions that drive the
+  * measured operators — 31-word vocabulary (dense-vocab worst case for
+  * n-gram methods), uniform 10-100-word documents, en-skewed language mix,
+  * ~1% near-duplicates (one word mutated) + rarer exact duplicates, and
+  * isotropic 64-dim embeddings with 10 labels. All hash-derived from ids:
+  * deterministic, seedless, and embarrassingly parallel to generate.
+  *
+  * Usage: `runMain graft.ScaleProbe 1 10 100` (multipliers of sf0.1;
+  * SPARK_GRAFT_PROBE_RUNS per-query runs, default 2;
+  * SPARK_GRAFT_PROBE_ONLY regex filters the query list).
+  */
+object ScaleProbe {
+
+  case class Doc(doc_id: Long, text: String, lang: String, src: String, n_chars: Int)
+  case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
+  val BaseDocs = 5000L   // sf0.1 documents rows
+  val BaseVecs = 2000L   // sf0.1 embeddings rows
+
+  val Vocab: Array[String] = ("key agg row scan slow fast table value part hash " +
+    "merge batch spark line sort window order data column join " +
+    "small customer query big stream group filter the a sql plan").split(" ")
+
+  /** splitmix64-style mix, masked non-negative. */
+  def mix(a: Long, b: Long): Long = {
+    var z = a * 0x9E3779B97F4A7C15L + b
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) & Long.MaxValue
+  }
+
+  private def freshWords(id: Long): Array[String] = {
+    val len = 10 + (mix(id, 0) % 91).toInt
+    Array.tabulate(len)(i => Vocab((mix(id, i + 1) % Vocab.length).toInt))
+  }
+
+  /** ~1% near-duplicates (previous doc, one word substituted), ~0.2%
+    * exact duplicates, rest fresh. */
+  def textFor(id: Long): String =
+    if (id % 100 == 99) {
+      val w = freshWords(id - 1)
+      w((mix(id, 7777) % w.length).toInt) = Vocab((mix(id, 8888) % Vocab.length).toInt)
+      w.mkString(" ")
+    } else if (id % 499 == 3 && id >= 499) freshWords(id - 2).mkString(" ")
+    else freshWords(id).mkString(" ")
+
+  def langFor(id: Long): String = {
+    val r = mix(id, 31) % 100
+    if (r < 41) "en" else if (r < 56) "zh" else if (r < 71) "fr"
+    else if (r < 86) "es" else "de"
+  }
+
+  private def ensureData(spark: SparkSession, mult: Int): String = {
+    val dir = s"/tmp/graft_scale/x$mult"
+    import spark.implicits._
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      spark.range(BaseDocs * mult).map { id =>
+        val t = textFor(id)
+        Doc(id, t, langFor(id), s"src${id % 5}", t.length)
+      }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      spark.range(BaseVecs * mult).map { id =>
+        Emb(id,
+          Array.tabulate(64)(d => ((mix(id, 100 + d) % 2001) - 1000) / 1000.0f),
+          (mix(id, 999) % 10).toInt)
+      }.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    dir
+  }
+
+  /** The data-dependent family (names resolve via SparkEntry.queries so
+    * the probe measures EXACTLY the declared plans). n-gram Jaccard is
+    * dense-vocab quadratic by construction — keep it in the default list
+    * and let the exponent speak. */
+  val Family: Seq[String] = Seq(
+    "q_dedup_minhash", "q_dedup_minhash_global", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash", "q_dedup_components", "q_corpus_dedup_full",
+    "q_corpus_dedup_incremental", "q_dedup_embedding",
+    "q_sim_ann_lsh", "q_sim_ivf_kmeans")
+
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.isEmpty) Seq(1, 10) else args.map(_.toInt).toSeq
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.r)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same JIT/codegen warmup as Bench: the first HOF-touching query
+    // otherwise absorbs ~7 s of lazy compilation
+    try MinHashLSH.candidatePairs(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+        "doc_id", "text", "lang")
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+    spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+
+    mults.foreach { mult =>
+      val dir = ensureData(spark, mult)
+      val names = Family.filter(n => only.forall(_.findFirstIn(n).isDefined))
+      val timed = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        var rounds = -1
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (name.contains("components") || name.contains("corpus"))
+            rounds = ConnectedComponents.lastRounds
+          spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+          dt
+        }
+        (name, times.min, rounds)
+      }
+      // growth diagnostics: candidate-pair counts per family
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val pairsMinhash = MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang").count()
+      val pairsGlobal = MinHashLSH.candidatePairs(
+        docs.withColumn("_all", lit("")), "doc_id", "text", "_all").count()
+      // the dense-corpus banding knob: same 12 signatures split (3 bands x
+      // 4 rows) instead of (6 x 2) — steeper S-curve, background-J pairs
+      // stop colliding
+      val pairsR4 = MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
+        numBands = 3, rowsPerBand = 4).count()
+      val pairsNgram = if (names.contains("q_dedup_ngram_jaccard"))
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.3).count() else -1L
+      spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+      val qjson = timed.map { case (n, t, _) => s""""$n":$t""" }.mkString("{", ",", "}")
+      val rjson = timed.collect { case (n, _, r) if r >= 0 => s""""$n":$r""" }
+        .mkString("{", ",", "}")
+      println(s"""{"probe":"scale","mult":$mult,"n_docs":${BaseDocs * mult},"n_vecs":${BaseVecs * mult},"queries":$qjson,"cc_rounds":$rjson,"pairs_minhash":$pairsMinhash,"pairs_minhash_global":$pairsGlobal,"pairs_minhash_r4":$pairsR4,"pairs_ngram":$pairsNgram}""")
+    }
+    spark.stop()
+  }
+}

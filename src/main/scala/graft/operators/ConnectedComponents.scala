@@ -41,6 +41,11 @@ object ConnectedComponents {
     * extra materialization, chains get O(log d) once it engages. */
   val JumpFromRound = 4
 
+  /** Diagnostic only: round count of the most recent [[components]] call
+    * on this driver (read by the scale probe to report how convergence
+    * depth grows with data size). Not part of any query's semantics. */
+  @volatile var lastRounds: Int = 0
+
   /** (id, component_id) for every vertex appearing in `pairs`, where
     * component_id = min vertex id of the component. Deterministic.
     *
@@ -127,6 +132,7 @@ object ConnectedComponents {
       labels = next
     }
     edges.unpersist(blocking = false)
+    lastRounds = round
     // the final round's storage outlives this call (the caller still has
     // to run its action) — hand its lifecycle to CacheScope
     CacheScope.track(labels)

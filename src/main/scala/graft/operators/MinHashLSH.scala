@@ -75,11 +75,23 @@ object MinHashLSH {
     * banded form (doc_id, block, band, key) — the join-ready shape a
     * production pipeline MATERIALIZES (e.g. as a table bucketed by `key`):
     * pay shingle+signature once, run every downstream candidate join from
-    * the store. rowsPerBand=2 packs a band key as sig0*P + sig1 (fits
-    * int64: P^2 < 2^62). */
-  def banded(sigs: DataFrame, numBands: Int = 6): DataFrame = {
+    * the store.
+    *
+    * Band keys: rowsPerBand=2 packs arithmetically as sig0*P + sig1 (fits
+    * int64: P^2 < 2^62 — and replays exactly in the DuckDB oracle); wider
+    * bands hash the row values together (hash60 of the joined string) —
+    * an equi-join key needs uniqueness, not reversibility. Wider bands
+    * are the dense-corpus knob: the candidate S-curve P(pair) =
+    * 1-(1-J^r)^b steepens with r, so background-similarity pairs (J~0.05
+    * on a dense-vocabulary corpus) stop colliding — the scale probe
+    * measures the (b=6,r=2) -> (b=3,r=4) false-positive collapse. */
+  def banded(sigs: DataFrame, numBands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     val bandKeys: Column = array((0 until numBands).map { j =>
-      col(s"sig_${2 * j}") * P + col(s"sig_${2 * j + 1}")
+      if (rowsPerBand == 2)
+        col(s"sig_${2 * j}") * P + col(s"sig_${2 * j + 1}")
+      else
+        hash60(concat_ws("_",
+          (0 until rowsPerBand).map(i => col(s"sig_${rowsPerBand * j + i}")): _*))
     }: _*)
     sigs.select(col("doc_id"), col("block"),
       posexplode(bandKeys).as(Seq("band", "key")))
@@ -100,11 +112,10 @@ object MinHashLSH {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      blockCol: String, n: Int = 3,
                      numBands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
-    require(rowsPerBand == 2, "band key packing implemented for rowsPerBand=2")
     val sigs = signatures(df, idCol, textCol, blockCol, n, numBands, rowsPerBand)
     // NOT persisted: the self-join's sides are identical subplans and
     // Spark's ReusedExchange computes the signature shuffle once — caching
     // here was measured to defeat that reuse (1.4s -> 2.6s at sf0.1)
-    candidatesFromBanded(banded(sigs, numBands))
+    candidatesFromBanded(banded(sigs, numBands, rowsPerBand))
   }
 }
