@@ -107,6 +107,19 @@ object DedupQueries {
         Tables.documents(s, dir).withColumn("_all", lit("")),
         "doc_id", "text", "_all")),
 
+    // The dense-corpus banding knob as a first-class query: the SAME 12
+    // signature minima split 3 bands x 4 rows instead of 6 x 2. Band
+    // collision probability drops from J^2 to J^4 per band, which is the
+    // knob that holds the candidate count down when background similarity
+    // is high (ScaleProbe measured ~4x fewer candidate pairs on the
+    // dense-vocab generator at identical signature cost; see SCALE.md
+    // round-4 exponents). Recall trades down with it — near-dups must now
+    // agree on 4 consecutive minima — which is why it's a declared
+    // VARIANT, not a new default.
+    "q_dedup_minhash_banded" -> ((s, dir) =>
+      MinHashLSH.candidatePairs(Tables.documents(s, dir),
+        "doc_id", "text", "lang", numBands = 3, rowsPerBand = 4)),
+
     // End-to-end deduped corpus — the artifact a training pipeline
     // actually ships: candidate pairs -> duplicate clusters -> min-id
     // canonical survivor per cluster -> per-language doc/token budget
@@ -149,6 +162,20 @@ object DedupQueries {
     // exact Jaccard verification of candidates only.
     "q_dedup_pipeline" -> ((s, dir) =>
       Dedup.dedupPipeline(Tables.documents(s, dir), "doc_id", "text", "lang")),
+
+    // Verified-edge corpus artifact: clusters are built from candidates
+    // that PASSED exact n-gram-Jaccard verification, so an LSH false
+    // positive costs one array_intersect but can never merge unrelated
+    // documents into a cluster. This is the production shape on dense
+    // corpora: ScaleProbe measured raw candidate pairs growing ~n^2 on
+    // the dense-vocab generator (SCALE.md round-4 exponents) — unverified
+    // clustering would chain those false positives into giant components
+    // (CC round depth grew 4 -> 9 at 10x for exactly that reason), while
+    // verified edges keep clusters at true near-dup cliques.
+    "q_corpus_dedup_verified" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      Tables.documents(s, dir).dedupedVerified().tokenBudget("lang")
+    }),
 
     // Duplicate-cluster resolution: connected components over the MinHash
     // candidate pairs (operators.ConnectedComponents) — the step that turns
@@ -291,16 +318,23 @@ object DedupQueries {
     * (doc_id, lang, text); ends with a `cand(id_a, id_b)` CTE.
     * `blockExpr` is the SQL expression for the blocking key — `''` for the
     * global (unblocked) variant. */
-  private def minhashCtes(source: String, blockExpr: String = "lang"): String = {
+  private def minhashCtes(source: String, blockExpr: String = "lang",
+                          numBands: Int = 6, rowsPerBand: Int = 2): String = {
     val P = PortableHash.P
-    val numBands = 6; val rowsPerBand = 2
     val k = numBands * rowsPerBand
     val sigExprs = (0 until k).map { i =>
       val (a, b) = PortableHash.perm(i)
       s"min((gh*$a+$b)%$P) AS sig_$i"
     }.mkString(",\n  ")
     val bands = (0 until numBands).map { j =>
-      s"SELECT doc_id, block, $j AS band, sig_${2 * j}*$P+sig_${2 * j + 1} AS key FROM sigs"
+      // same key packing as MinHashLSH.banded: sig pair product for r=2,
+      // the portable hash of the '_'-joined row values otherwise
+      val key =
+        if (rowsPerBand == 2) s"sig_${2 * j}*$P+sig_${2 * j + 1}"
+        else PortableHash.hash60Sql(
+          (0 until rowsPerBand).map(i => s"CAST(sig_${rowsPerBand * j + i} AS VARCHAR)")
+            .mkString("||'_'||"))
+      s"SELECT doc_id, block, $j AS band, $key AS key FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""toks AS (
        |  SELECT doc_id, $blockExpr AS block, string_split(text,' ') AS t FROM $source),
@@ -329,6 +363,47 @@ object DedupQueries {
 
   private val minhashGlobalSql: String =
     s"WITH ${minhashCtes("documents", "''")}\nSELECT id_a, id_b FROM cand"
+
+  private val minhashBandedSql: String =
+    s"WITH ${minhashCtes("documents", "lang", numBands = 3, rowsPerBand = 4)}\n" +
+      "SELECT id_a, id_b FROM cand"
+
+  /** Verified-edge corpus artifact: exact dedup -> LSH candidates ->
+    * exact-Jaccard verification -> transitive closure over VERIFIED pairs
+    * only -> survivor budget. */
+  private val corpusDedupVerifiedSql: String =
+    s"""WITH RECURSIVE canonical AS (
+       |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, text
+       |  FROM documents GROUP BY text),
+       |${minhashCtes("canonical")},
+       |gsets AS (
+       |  SELECT doc_id, list_distinct(
+       |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS gs
+       |  FROM toks WHERE len(t) >= 3),
+       |ver AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN gsets ga ON id_a = ga.doc_id
+       |  JOIN gsets gb ON id_b = gb.doc_id
+       |  WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+       |    (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))) >= 0.4),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM ver
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM ver),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |  FROM reach GROUP BY src),
+       |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+       |FROM documents
+       |WHERE doc_id IN (SELECT doc_id FROM canonical)
+       |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       |GROUP BY lang""".stripMargin
 
   /** Full dedup artifact: transitive closure -> drop non-canonical cluster
     * members -> per-language budget over the survivors. */
@@ -559,6 +634,8 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_global" -> minhashGlobalSql,
+    "q_dedup_minhash_banded" -> minhashBandedSql,
+    "q_corpus_dedup_verified" -> corpusDedupVerifiedSql,
     "q_corpus_dedup_full" -> corpusDedupFullSql,
     "q_corpus_dedup_incremental" -> corpusDedupIncrementalSql,
     "q_dedup_components" -> componentsSql,

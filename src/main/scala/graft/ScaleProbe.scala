@@ -92,9 +92,10 @@ object ScaleProbe {
     * dense-vocab quadratic by construction — keep it in the default list
     * and let the exponent speak. */
   val Family: Seq[String] = Seq(
-    "q_dedup_minhash", "q_dedup_minhash_global", "q_dedup_ngram_jaccard",
-    "q_dedup_simhash", "q_dedup_components", "q_corpus_dedup_full",
-    "q_corpus_dedup_incremental", "q_dedup_embedding",
+    "q_dedup_minhash", "q_dedup_minhash_global", "q_dedup_minhash_banded",
+    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_dedup_components",
+    "q_corpus_dedup_full", "q_corpus_dedup_incremental",
+    "q_corpus_dedup_verified", "q_dedup_embedding",
     "q_sim_ann_lsh", "q_sim_ivf_kmeans")
 
   def main(args: Array[String]): Unit = {

@@ -136,5 +136,32 @@ object CorpusOps {
         .select(col("id").as(idCol))
       df.join(dropped, Seq(idCol), "left_anti")
     }
+
+    /** Near-dup-removed corpus over VERIFIED edges: exact dedup first,
+      * then LSH candidates verified with exact n-gram Jaccard BEFORE
+      * clustering (Dedup.dedupPipeline). An LSH false positive costs one
+      * array_intersect but can never merge unrelated documents — the
+      * production shape on dense corpora, where banding alone leaves a
+      * superlinear raw-candidate count and unverified clustering would
+      * chain those false positives into giant components (measured:
+      * SCALE.md round-4 exponents). Exact-duplicate non-canonicals are
+      * dropped too (the pipeline clusters the canonical set), so the
+      * output is the full shippable corpus. Both drop sets are
+      * corpus-derived: semi/anti joins shuffle on the 8-byte id. */
+    def dedupedVerified(idCol: String = "doc_id", textCol: String = "text",
+                        blockCol: String = "lang",
+                        threshold: Double = 0.4): DataFrame = {
+      val verified = Dedup.dedupPipeline(df, idCol, textCol, blockCol,
+        threshold = threshold)
+      val droppedNear = ConnectedComponents
+        .components(verified.select("id_a", "id_b"), "id_a", "id_b")
+        .filter(col("id") =!= col("component_id"))
+        .select(col("id").as(idCol))
+      // each text's min-id row — the same canonical rule dedupPipeline uses
+      val canonicalIds = df.groupBy(col(textCol))
+        .agg(min(col(idCol)).as(idCol)).select(idCol)
+      df.join(canonicalIds, Seq(idCol), "left_semi")
+        .join(droppedNear, Seq(idCol), "left_anti")
+    }
   }
 }

@@ -61,10 +61,15 @@ object Dedup {
   /** Embedding near-duplicate pairs (cosine >= threshold) within blocks,
     * with a block-size guardrail: blocks small enough for exact all-pairs
     * comparison get it (quadratic per block, exact); blocks beyond
-    * `maxBlockSize` route through random-hyperplane LSH bucketing
-    * ([[SimilarityLSH.tableBuckets]]) so candidate pairs only materialize
-    * inside a (table, bucket) — per-block work drops from O(b²) to
-    * O(b²/2^planes) per table, the standard LSH recall-for-cost trade.
+    * `maxBlockSize` route through random-hyperplane LSH bucketing at a
+    * block-size-ADAPTIVE depth ([[SimilarityLSH.tableBucketsAdaptive]]):
+    * p = ceil(log2(b / maxBlockSize)) planes keep bucket occupancy at
+    * ~maxBlockSize however hot the block, so per-block work is
+    * O(b * maxBlockSize) per table — LINEAR in block size, where a fixed
+    * depth merely divides the quadratic by a constant (measured on the
+    * 100x probe corpus: fixed p=4 still left 1e8 comparisons per 20k-row
+    * block). Recall per table decays as (1-theta/pi)^p — the standard LSH
+    * trade; NumTables buys it back at known cost.
     *
     * At 100 TB a single hot block (one dominant label / language / source)
     * would otherwise generate ~10^10+ comparisons on one join task; the
@@ -75,8 +80,15 @@ object Dedup {
   /** Single source of truth for the exact-vs-LSH routing threshold — the
     * declared query's oracle-validity guard derives from the same constant
     * (an oracle that assumed the exact path while a block silently crossed
-    * into LSH would drift, not fail). */
-  val DefaultMaxBlockSize: Long = 100000L
+    * into LSH would drift, not fail).
+    *
+    * 4096 caps exact work at ~8.4M comparisons (~0.5 GFLOP at Dim=64) per
+    * block. The original 100000 was MEASURED to be a scale bug, not a
+    * safety margin: ScaleProbe's 100x corpus (200k vectors, 10 labels)
+    * put every 20k-row block under the old threshold, and the "guarded"
+    * exact path ran 10 x 20k^2 = 4e9 comparisons — 128 s, the slowest
+    * query in the probe by 4x (SCALE.md round-4 exponents). */
+  val DefaultMaxBlockSize: Long = 4096L
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, threshold: Double,
@@ -95,8 +107,21 @@ object Dedup {
               Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
       .filter(col("cos") >= threshold)
 
+    // Adaptive depth: p = ceil(log2(blockSize / maxBlockSize)) extra bits
+    // beyond nothing, clamped [NumPlanes, MaxAdaptivePlanes] — bucket
+    // occupancy stays ~<= 2*maxBlockSize no matter how hot the block, so
+    // per-table join work is O(blockSize * maxBlockSize): LINEAR in block
+    // size where a fixed depth stays quadratic (measured: the 100x probe's
+    // 20k-row blocks at fixed p=4 cost b^2/16 per table — still 1e8 per
+    // block). Depth is a per-block constant (derived from _bs), so every
+    // row in a block agrees on the key layout; recall per table decays as
+    // (1-theta/pi)^p — raise NumTables to buy it back at known cost.
+    val planes = least(
+      greatest(lit(SimilarityLSH.NumPlanes),
+        ceil(log(2.0, col("_bs").cast("double") / maxBlockSize)).cast("int")),
+      lit(SimilarityLSH.MaxAdaptivePlanes))
     val bucketed = big.select(col("vec_id"), col("block"), col("vec"),
-        explode(SimilarityLSH.tableBuckets(col("vec"))).as("tb"))
+        explode(SimilarityLSH.tableBucketsAdaptive(col("vec"), planes)).as("tb"))
       .select(col("vec_id"), col("block"), col("vec"),
               col("tb").getField("t").as("t"), col("tb").getField("bk").as("bk"))
     val bigPairs = bucketed.as("a").join(bucketed.as("b"),

@@ -48,6 +48,37 @@ object SimilarityLSH {
     array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), bucket(vec, t).as("bk"))): _*)
 
+  /** Deepest supported adaptive bucket depth (2^20 buckets per table). */
+  val MaxAdaptivePlanes = 20
+
+  /** Plane weights beyond the fixed NumPlanes family: table t's first
+    * NumPlanes planes are EXACTLY [[planeWeight]]'s (an adaptive depth of
+    * NumPlanes reproduces [[bucket]] bit-for-bit, and the annTopK oracle's
+    * labels stay valid); deeper bits draw from a fresh label family. */
+  private def deepPlaneCol(t: Int, i: Int): Column =
+    if (i < NumPlanes) planeCol(t * NumPlanes + i)
+    else array((0 until Dim).map(d =>
+      lit(graft.functions.PortableHash.labelWeight(s"hpx${t}_${i}_$d"))): _*)
+
+  /** All MaxAdaptivePlanes sign bits for table `t` packed into one long;
+    * an adaptive depth of p planes is the low-p-bit mask (`x mod 2^p`),
+    * so rows of the SAME block (same p) always agree on key layout. */
+  def deepBucketBits(vec: Column, t: Int): Column =
+    (0 until MaxAdaptivePlanes).map { i =>
+      val dot = Similarity.dot(vec, deepPlaneCol(t, i))
+      when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (table, masked bucket) pairs at a PER-ROW depth `planes` (a column,
+    * clamped [NumPlanes, MaxAdaptivePlanes] by the caller): the adaptive
+    * form of [[tableBuckets]] for size-dependent bucketing. */
+  def tableBucketsAdaptive(vec: Column, planes: Column): Column =
+    array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"),
+        // 2^planes via pow: exact in double up to MaxAdaptivePlanes, and
+        // the builtin shiftleft only takes a literal shift
+        pmod(deepBucketBits(vec, t), pow(lit(2.0), planes).cast("long")).as("bk"))): _*)
+
   /** ANN top-k: queries meet candidates that share a bucket in ANY of the
     * hash tables (distinct union of per-table collisions), then exact
     * cosine ranks the candidate set. */

@@ -50,6 +50,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaVerb.exists(_._2 > 0), "fixture must produce real redactions")
   }
 
+  test("dedupedVerified survivors: no duplicate texts, one survivor per verified pair") {
+    val s = spark
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text", "lang")
+    val survivors = docs.dedupedVerified()
+    try {
+      val surv = survivors.persist()
+      assert(surv.count() > 0)
+      // exact dedup held: survivors carry pairwise-distinct texts
+      assert(surv.groupBy("text").count().filter(col("count") > 1).count() == 0)
+      // every verified near-dup pair lost at least one endpoint: a pair is
+      // an edge, so both ids share a component and only the min survives
+      val verified = Dedup.dedupPipeline(docs, "doc_id", "text", "lang")
+        .select("id_a", "id_b")
+      val ids = surv.select(col("doc_id"))
+      val bothSurvived = verified
+        .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+        .count()
+      assert(bothSurvived == 0,
+        s"$bothSurvived verified near-dup pairs kept both endpoints")
+    } finally {
+      survivors.unpersist()
+      CacheScope.releaseAll() // dedupPipeline's tracked gsets persist
+    }
+  }
+
   test("fingerprinted and withTextStats append the documented columns and types") {
     val s = spark
     val out = Tables.documents(s, sfDir)
