@@ -722,11 +722,16 @@ object DedupQueries {
         |JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(n AS DOUBLE)/(sa.sz + sb.sz - n) >= 0.3""".stripMargin,
 
+    // cosine as dot/(sqrt(aa)*sqrt(bb)) — the PRENORMED operation order the
+    // operator uses (norms computed once per vector); NOT sqrt(aa*bb),
+    // which differs in the last ulp and could flip a boundary pair
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.3""".stripMargin,
+         |WHERE (${sqlDot("a.embedding", "b.embedding")}) /
+         |  (sqrt(${sqlDot("a.embedding", "a.embedding")}) *
+         |   sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.3""".stripMargin,
 
     "q_sim_topk" ->
       s"""SELECT query_id, neighbor_id, rank FROM (

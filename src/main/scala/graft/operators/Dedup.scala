@@ -93,18 +93,27 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, threshold: Double,
                         maxBlockSize: Long = DefaultMaxBlockSize): DataFrame = {
+    // norm precomputed ONCE per vector: a per-pair cosine recomputes both
+    // norms (3 dot products per comparison — measured 3x the pair-scoring
+    // cost on the 100x probe); dividing by the prenormed product instead
+    // is dot/(sqrt(aa)*sqrt(bb)), which the oracle replays EXACTLY (same
+    // IEEE operation order — NOT the same last-ulp value as
+    // sqrt(aa*bb), so Spark and SQL must use the same form)
     val base = df.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
                          col(vecCol).as("vec"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
     // block occupancy is one tiny aggregate (#blocks rows) — broadcast it
     val sizes = base.groupBy("block").agg(count(lit(1)).as("_bs"))
     val sized = base.join(broadcast(sizes), "block")
     val small = sized.filter(col("_bs") <= maxBlockSize)
     val big = sized.filter(col("_bs") > maxBlockSize)
 
+    val pairCos =
+      Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-              Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+              pairCos.as("cos"))
       .filter(col("cos") >= threshold)
 
     // Adaptive depth: p = ceil(log2(blockSize / maxBlockSize)) extra bits
@@ -120,15 +129,15 @@ object Dedup {
       greatest(lit(SimilarityLSH.NumPlanes),
         ceil(log(2.0, col("_bs").cast("double") / maxBlockSize)).cast("int")),
       lit(SimilarityLSH.MaxAdaptivePlanes))
-    val bucketed = big.select(col("vec_id"), col("block"), col("vec"),
+    val bucketed = big.select(col("vec_id"), col("block"), col("vec"), col("nrm"),
         explode(SimilarityLSH.tableBucketsAdaptive(col("vec"), planes)).as("tb"))
-      .select(col("vec_id"), col("block"), col("vec"),
+      .select(col("vec_id"), col("block"), col("vec"), col("nrm"),
               col("tb").getField("t").as("t"), col("tb").getField("bk").as("bk"))
     val bigPairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-              Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+              pairCos.as("cos"))
       .filter(col("cos") >= threshold)
       // a pair can collide in up to NumTables buckets: dedup AFTER the
       // threshold filter so only surviving 24-byte pairs reach the exchange
