@@ -53,13 +53,18 @@ object ScaleProbe {
   }
 
   /** ~1% near-duplicates (previous doc, one word substituted), ~0.2%
-    * exact duplicates, rest fresh. */
+    * exact duplicates, rest fresh. Duplicate branches recurse into
+    * textFor, NOT freshWords: doc id-1/id-2 may itself be a mutated or
+    * copied doc, and referencing its fresh form instead of its ACTUAL
+    * text silently under-delivers the documented dup rates (review
+    * finding). Recursion is bounded (a mutated doc's base is never
+    * itself on the mutation residue, so depth <= 3). */
   def textFor(id: Long): String =
     if (id % 100 == 99) {
-      val w = freshWords(id - 1)
+      val w = textFor(id - 1).split(" ")
       w((mix(id, 7777) % w.length).toInt) = Vocab((mix(id, 8888) % Vocab.length).toInt)
       w.mkString(" ")
-    } else if (id % 499 == 3 && id >= 499) freshWords(id - 2).mkString(" ")
+    } else if (id % 499 == 3 && id >= 499) textFor(id - 2)
     else freshWords(id).mkString(" ")
 
   def langFor(id: Long): String = {
@@ -71,13 +76,16 @@ object ScaleProbe {
   private def ensureData(spark: SparkSession, mult: Int): String = {
     val dir = s"/tmp/graft_scale/x$mult"
     import spark.implicits._
-    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+    // _SUCCESS, not the directory: a run killed mid-write leaves a partial
+    // directory, and timing against a fraction of the intended rows would
+    // silently corrupt the measured exponents (review finding)
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
       spark.range(BaseDocs * mult).map { id =>
         val t = textFor(id)
         Doc(id, t, langFor(id), s"src${id % 5}", t.length)
       }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
-    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
       spark.range(BaseVecs * mult).map { id =>
         Emb(id,
           Array.tabulate(64)(d => ((mix(id, 100 + d) % 2001) - 1000) / 1000.0f),
@@ -138,16 +146,23 @@ object ScaleProbe {
         }
         (name, times.min, rounds)
       }
-      // growth diagnostics: candidate-pair counts per family
+      // growth diagnostics: candidate-pair counts per family — gated on
+      // the SAME filter as the timed queries (a single-query probe must
+      // not pay minutes of unrequested candidate counting; review finding)
       val docs = graft.sources.Tables.documents(spark, dir)
-      val pairsMinhash = MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang").count()
-      val pairsGlobal = MinHashLSH.candidatePairs(
-        docs.withColumn("_all", lit("")), "doc_id", "text", "_all").count()
+      val wantsMinhash = names.exists(q =>
+        q.contains("minhash") || q.contains("components") || q.contains("corpus"))
+      val pairsMinhash = if (wantsMinhash)
+        MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang").count() else -1L
+      val pairsGlobal = if (wantsMinhash)
+        MinHashLSH.candidatePairs(
+          docs.withColumn("_all", lit("")), "doc_id", "text", "_all").count() else -1L
       // the dense-corpus banding knob: same 12 signatures split (3 bands x
       // 4 rows) instead of (6 x 2) — steeper S-curve, background-J pairs
       // stop colliding
-      val pairsR4 = MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
-        numBands = 3, rowsPerBand = 4).count()
+      val pairsR4 = if (wantsMinhash)
+        MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
+          numBands = 3, rowsPerBand = 4).count() else -1L
       val pairsNgram = if (names.contains("q_dedup_ngram_jaccard"))
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.3).count() else -1L
       spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()

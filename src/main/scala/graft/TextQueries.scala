@@ -98,7 +98,8 @@ object TextQueries {
           col("doc_id"),
           graft.functions.expressions.BpeCountExpression.bpe_count(col("text"))
             .as("n_tokens_bpe"),
-          size(regexp_extract_all(col("text"), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+          size(regexp_extract_all(col("text"),
+              lit(graft.functions.Bpe.PreTokenRegex), lit(0)))
             .cast("long").as("n_pretokens"))),
 
     // Corpus term frequency: explode tokens -> count per term. Map-side

@@ -151,16 +151,17 @@ object CorpusOps {
     def dedupedVerified(idCol: String = "doc_id", textCol: String = "text",
                         blockCol: String = "lang",
                         threshold: Double = 0.4): DataFrame = {
-      val verified = Dedup.dedupPipeline(df, idCol, textCol, blockCol,
-        threshold = threshold)
+      // computed ONCE and shared by the pipeline (signatures + gram sets)
+      // and the survivor semi-join — the text-keyed canonical shuffle is
+      // the expensive aggregate here, so it must not run twice
+      val canonical = CacheScope.track(
+        Dedup.canonicalByText(df, idCol, textCol, blockCol).persist())
+      val verified = Dedup.dedupPipelineFrom(canonical, threshold = threshold)
       val droppedNear = ConnectedComponents
         .components(verified.select("id_a", "id_b"), "id_a", "id_b")
         .filter(col("id") =!= col("component_id"))
         .select(col("id").as(idCol))
-      // each text's min-id row — the same canonical rule dedupPipeline uses
-      val canonicalIds = df.groupBy(col(textCol))
-        .agg(min(col(idCol)).as(idCol)).select(idCol)
-      df.join(canonicalIds, Seq(idCol), "left_semi")
+      df.join(canonical.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
         .join(droppedNear, Seq(idCol), "left_anti")
     }
   }

@@ -29,14 +29,28 @@ object Dedup {
     * LSH would otherwise hit), MinHash-LSH candidate generation on the
     * canonical set, then exact n-gram-Jaccard verification of candidates
     * only. Output: verified near-dup pairs (id_a, id_b, jaccard >= t). */
-  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
-                    blockCol: String, n: Int = 3, threshold: Double = 0.4): DataFrame = {
-    // canonical row per distinct text: min id + that row's block
-    // (struct min = lexicographic = arg-min by id)
-    val canonical = df
-      .groupBy(col(textCol).as("text"))
+  /** Canonical row per distinct text — min-id survivor plus that row's
+    * block (struct min = lexicographic = arg-min by id) — as a
+    * (doc_id, lang, text) frame. ONE definition of the canonical rule:
+    * [[dedupPipeline]] and CorpusOps.dedupedVerified both derive from it,
+    * so the survivor a pipeline keeps and the node set it clusters can
+    * never drift apart. */
+  def canonicalByText(df: DataFrame, idCol: String, textCol: String,
+                      blockCol: String): DataFrame =
+    df.groupBy(col(textCol).as("text"))
       .agg(min(struct(col(idCol), col(blockCol))).as("c"))
       .select(col("c")(idCol).as("doc_id"), col("c")(blockCol).as("lang"), col("text"))
+
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
+                    blockCol: String, n: Int = 3, threshold: Double = 0.4): DataFrame =
+    dedupPipelineFrom(canonicalByText(df, idCol, textCol, blockCol), n, threshold)
+
+  /** [[dedupPipeline]] from an already-canonical (doc_id, lang, text)
+    * frame — callers that also need the canonical set for survivor
+    * filtering (CorpusOps.dedupedVerified) pass it in instead of paying
+    * the text-keyed canonical shuffle twice. */
+  def dedupPipelineFrom(canonical: DataFrame, n: Int = 3,
+                        threshold: Double = 0.4): DataFrame = {
     val cand = MinHashLSH.candidatePairs(canonical, "doc_id", "text", "lang", n)
     // persisted: gsets joins into cand TWICE (id_a and id_b sides, different
     // join keys → no ReusedExchange), and the interpreted-HOF shingle stage

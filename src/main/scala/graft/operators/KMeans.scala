@@ -58,13 +58,21 @@ object KMeans {
         .select(SimilarityIVF.cell(col(vecCol), cents).as("cell"),
                 posexplode(col(vecCol)).as(Seq("dd", "x")))
         .groupBy("cell", "dd")
-        .agg(sum((col("x").cast("double") * Scale).cast("long")).as("s"),
+        // per-element longs summed through decimal(38,0) — the same
+        // q_embed_centroid idiom: matches DuckDB's HUGEINT widening
+        // exactly and cannot wrap even at 1e10 vectors per cell (a raw
+        // long sum overflows at ~8e6 rows of |x|~1, i.e. one hot cell
+        // of a billion-vector corpus)
+        .agg(sum((col("x").cast("double") * Scale).cast("long")
+               .cast("decimal(38,0)")).as("s"),
              count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone)
       stats.foreach { r =>
         val cell = r.getInt(0); val dd = r.getInt(1)
-        next(cell)(dd) = r.getLong(2).toDouble / Scale / r.getLong(3).toDouble
+        // decimal -> double rounds to nearest, identical to DuckDB's
+        // CAST(sum AS DOUBLE)
+        next(cell)(dd) = r.getDecimal(2).doubleValue() / Scale / r.getLong(3).toDouble
       }
       converged = next.zip(cents).forall { case (a, b) => a.sameElements(b) }
       cents = next

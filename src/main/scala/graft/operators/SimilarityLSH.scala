@@ -60,24 +60,25 @@ object SimilarityLSH {
     else array((0 until Dim).map(d =>
       lit(graft.functions.PortableHash.labelWeight(s"hpx${t}_${i}_$d"))): _*)
 
-  /** All MaxAdaptivePlanes sign bits for table `t` packed into one long;
-    * an adaptive depth of p planes is the low-p-bit mask (`x mod 2^p`),
-    * so rows of the SAME block (same p) always agree on key layout. */
-  def deepBucketBits(vec: Column, t: Int): Column =
-    (0 until MaxAdaptivePlanes).map { i =>
-      val dot = Similarity.dot(vec, deepPlaneCol(t, i))
-      when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (table, masked bucket) pairs at a PER-ROW depth `planes` (a column,
-    * clamped [NumPlanes, MaxAdaptivePlanes] by the caller): the adaptive
-    * form of [[tableBuckets]] for size-dependent bucketing. */
+  /** (table, bucket) pairs at a PER-ROW depth `planes` (a column, clamped
+    * [NumPlanes, MaxAdaptivePlanes] by the caller): the adaptive form of
+    * [[tableBuckets]] for size-dependent bucketing. Bucket = the first
+    * `planes` sign bits packed into a long; rows of the SAME block (same
+    * depth) always agree on key layout. Bits at or beyond the depth are
+    * gated off BEFORE their dot product runs — `If` branches evaluate
+    * lazily in codegen, so a row pays only for the depth its block uses
+    * (evaluating all MaxAdaptivePlanes dots and masking afterwards was
+    * ~5x the needed bucketing work at the minimum depth). */
   def tableBucketsAdaptive(vec: Column, planes: Column): Column =
-    array((0 until NumTables).map(t =>
-      struct(lit(t).as("t"),
-        // 2^planes via pow: exact in double up to MaxAdaptivePlanes, and
-        // the builtin shiftleft only takes a literal shift
-        pmod(deepBucketBits(vec, t), pow(lit(2.0), planes).cast("long")).as("bk"))): _*)
+    array((0 until NumTables).map { t =>
+      val bk = (0 until MaxAdaptivePlanes).map { i =>
+        when(lit(i) < planes,
+          when(Similarity.dot(vec, deepPlaneCol(t, i)) > 0, shiftleft(lit(1L), i))
+            .otherwise(lit(0L)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bk.as("bk"))
+    }: _*)
 
   /** ANN top-k: queries meet candidates that share a bucket in ANY of the
     * hash tables (distinct union of per-table collisions), then exact

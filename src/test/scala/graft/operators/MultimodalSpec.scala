@@ -54,6 +54,7 @@ class MultimodalSpec extends SparkSpec {
       val grid = for (oy <- 0 until oh; ox <- 0 until ow)
         yield (ox * w / ow, oy * h / oh)
       assert(st.sum_r == grid.map { case (x, y) => Multimodal.pixelR(id, x, y).toLong }.sum)
+      assert(st.sum_g == grid.map { case (x, y) => Multimodal.pixelG(id, x, y).toLong }.sum)
       assert(st.sum_b == grid.map { case (x, y) => Multimodal.pixelB(id, x, y).toLong }.sum)
     }
   }
