@@ -24,16 +24,21 @@ object PlanAudit {
       SparkEntry.queries(name)(s, dir).explain("formatted")
     }
     // Second pass with size-based auto-broadcast OFF: any BroadcastExchange
-    // still present comes from an explicit hint. The de-broadcast queries
-    // must show exactly ONE hinted broadcast (q_decontaminate's eval gram
-    // set, bounded by construction) and none elsewhere — the corpus-derived
-    // relations (contaminated ids, gram df, term tf) flow through shuffled
-    // joins. (The first pass MAY broadcast them at tiny SF: that is
-    // Catalyst's statistics-based choice, which reverts to shuffle joins
-    // at real sizes — the defect was the unconditional hint, now gone.)
+    // still present comes from an explicit hint. The rule: a hint is legal
+    // ONLY on a relation bounded by construction or contract — the eval
+    // gram set (q_decontaminate), ANN query sets (user's query batch),
+    // TPC-H dimension tables, and the per-block count aggregate
+    // (q_dedup_embedding: #blocks rows, low-cardinality blockCol by
+    // contract). CORPUS-sized relations (contaminated ids, gram df, term
+    // tf, dropped-id sets) must flow through shuffled joins and show NO
+    // BroadcastExchange here. (The first pass MAY broadcast them at tiny
+    // SF: that is Catalyst's statistics-based choice, which reverts to
+    // shuffle joins at real sizes — the defect was the unconditional
+    // hint, now gone.)
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     Seq("q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
-        "q_corpus_dedup_full", "q_text_tfidf").foreach { name =>
+        "q_corpus_dedup_full", "q_text_tfidf", "q_dedup_embedding",
+        "q_corpus_dedup_verified").foreach { name =>
       println(s"========== $name (auto-broadcast disabled: hints only) ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
     }

@@ -116,7 +116,12 @@ object Dedup {
     val base = df.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
                          col(vecCol).as("vec"))
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
-    // block occupancy is one tiny aggregate (#blocks rows) — broadcast it
+    // Block occupancy is one aggregate of #blocks rows. The broadcast hint
+    // carries a CONTRACT: blockCol must be low-cardinality (a label /
+    // language / source bucket — the only keys blocking makes sense for);
+    // #blocks ~ #docs would make this an unbounded broadcast AND make
+    // every block size 1 (nothing to dedup). Audited in PlanAudit's
+    // hint-isolation pass alongside the eval-gram set.
     val sizes = base.groupBy("block").agg(count(lit(1)).as("_bs"))
     val sized = base.join(broadcast(sizes), "block")
     val small = sized.filter(col("_bs") <= maxBlockSize)
