@@ -357,6 +357,13 @@ object TextQueries {
     "q_multimodal_resize" -> ((s, dir) =>
       graft.operators.Multimodal.resizeStats(s, dir, factor = 2)),
 
+    // REAL audio decode: one genuine WAV per document (javax.sound.sampled
+    // encode, deterministic formula PCM), parsed back through AudioSystem
+    // — format discovered from the RIFF header — to integer sample stats.
+    // PCM is lossless, so the oracle's formula replay is exact.
+    "q_multimodal_audio" -> ((s, dir) =>
+      graft.operators.Multimodal.audioStats(s, dir)),
+
     // JSON extraction from the events props column (row-level).
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -630,6 +637,22 @@ object TextQueries {
          |  ${pixelSumSql("((ox*w)//ow)", "((oy*h)//oh)", 17, 5, 11, "ox", "oy", "ow", "oh")} AS sum_g,
          |  ${pixelSumSql("((ox*w)//ow)", "((oy*h)//oh)", 13, 3, 19, "ox", "oy", "ow", "oh")} AS sum_b
          |FROM rdims""".stripMargin,
+
+    // Formula replay of the REAL javax.sound.sampled decode: sample i of
+    // clip id is ((id*31 + i*7) % 65536) - 32768 (signed 16-bit), WAV PCM
+    // is lossless, so these integer stats must equal what Spark parses
+    // back out of the actual RIFF container.
+    "q_multimodal_audio" ->
+      """WITH samp AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range(0, 400 + doc_id % 201)) AS i
+        |  FROM documents)
+        |SELECT media_id,
+        |  count(*) AS n_samples,
+        |  CAST(sum((media_id*31 + i*7) % 65536 - 32768) AS BIGINT) AS sum_pcm,
+        |  CAST(sum(abs((media_id*31 + i*7) % 65536 - 32768)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs((media_id*31 + i*7) % 65536 - 32768)) AS BIGINT) AS peak
+        |FROM samp GROUP BY media_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k

@@ -219,4 +219,88 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"),
            sum(col("n_bytes")).as("total_bytes"),
            max(col("n_bytes")).as("max_bytes"))
+
+  // ---------------------------------------------------------------------
+  // Real audio path: WAV payloads, javax.sound.sampled decode
+  // ---------------------------------------------------------------------
+
+  /** An audio payload: genuine WAV bytes (RIFF container, 16-bit PCM). */
+  case class AudioItem(media_id: Long, content: Array[Byte])
+
+  /** Integer-exact per-clip sample statistics — formula-replayable, like
+    * [[ImageStats]] for the image path. */
+  case class AudioStats(media_id: Long, n_samples: Long, sum_pcm: Long,
+                        sum_abs: Long, peak: Long)
+
+  /** Deterministic fixture audio: sample i of clip `id` is pure BIGINT
+    * arithmetic, signed 16-bit range, so the DuckDB oracle replays every
+    * statistic without a decoder. */
+  def audioSamples(id: Long): Int = (400 + id % 201).toInt
+  def pcmSample(id: Long, i: Int): Int = ((id * 31 + i * 7) % 65536L - 32768L).toInt
+
+  /** Encode clip `id` as a real WAV via the JDK's javax.sound.sampled
+    * (headless-safe: container I/O only, no audio device). PCM is
+    * lossless: decoding returns exactly the formula samples. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = audioSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = pcmSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte // little-endian per the declared format
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The audio corpus: one WAV per document id, encoded batched in
+    * mapPartitions like [[imageMedia]]. */
+  def audioMedia(spark: SparkSession, dir: String): Dataset[AudioItem] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => AudioItem(id, encodeWav(id))))
+  }
+
+  /** REAL decode stage: parse each WAV through AudioSystem (format —
+    * width, channels, endianness — is DISCOVERED from the container, not
+    * assumed), then integer sample stats. Batched per partition with
+    * controlled parallelism, same shape as [[decodeImages]]. */
+  def decodeAudio(media: Dataset[AudioItem], partitions: Int): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions).mapPartitions { items =>
+      items.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"media ${m.media_id}: unsupported audio format $fmt")
+        val bytes = ais.readAllBytes()
+        val be = fmt.isBigEndian
+        var i = 0; var n = 0L; var sum = 0L; var sabs = 0L; var peak = 0L
+        while (i + 1 < bytes.length) {
+          val v =
+            if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toInt
+            else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+          n += 1; sum += v
+          val a = math.abs(v.toLong); sabs += a; if (a > peak) peak = a
+          i += 2
+        }
+        AudioStats(m.media_id, n, sum, sabs, peak)
+      }
+    }
+  }
+
+  /** Declared face of the audio stage: encode the WAV corpus, decode it
+    * back through javax.sound.sampled, emit integer sample stats. */
+  def audioStats(spark: SparkSession, dir: String): DataFrame =
+    decodeAudio(audioMedia(spark, dir), partitions = 8).toDF()
 }

@@ -59,6 +59,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV round-trip is lossless: decoded samples equal the formula") {
+    val id = 42L
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeWav(id)))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+    val bytes = ais.readAllBytes()
+    assert(bytes.length == Multimodal.audioSamples(id) * 2)
+    for (i <- 0 until Multimodal.audioSamples(id)) {
+      val v =
+        if (fmt.isBigEndian) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt
+        else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      assert(v == Multimodal.pcmSample(id, i), s"sample $i")
+    }
+  }
+
+  test("audio decode is partitioning-invariant and matches a driver-side replay") {
+    val s = spark
+    val media = Multimodal.audioMedia(s, sfDir)
+    val f2 = Multimodal.decodeAudio(media, partitions = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    val f7 = Multimodal.decodeAudio(media, partitions = 7)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(f2 == f7 && f2.nonEmpty)
+
+    f2.foreach { case (id, st) =>
+      val samples = (0 until Multimodal.audioSamples(id))
+        .map(i => Multimodal.pcmSample(id, i).toLong)
+      assert(st.n_samples == samples.length.toLong)
+      assert(st.sum_pcm == samples.sum)
+      assert(st.sum_abs == samples.map(math.abs).sum)
+      assert(st.peak == samples.map(math.abs).max)
+    }
+  }
+
   test("media schema: binary content with typed metadata columns") {
     val s = spark
     val schema = Multimodal.mediaFromDocuments(s, sfDir).schema
