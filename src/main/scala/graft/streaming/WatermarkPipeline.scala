@@ -91,4 +91,47 @@ object WatermarkPipeline {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("url"), col("cnt"))
+
+  /** Watermark-bounded stream-stream INTERVAL join — the two-input
+    * stateful operator class the single-pipeline reference never needed:
+    * pair each event of `probes` with the same-url `views` events in the
+    * preceding `lookbackSec` seconds (q_interval_join's batch shape, made
+    * streaming). Both sides carry their own watermark and the join
+    * predicate bounds v_ts to a CLOSED interval around p_ts — exactly
+    * what lets Spark evict buffered rows from the state store once the
+    * other side's watermark passes their joinable range; an unbounded
+    * predicate would accumulate state forever and is rejected by the
+    * engine in append mode. Inner join: a pair is emitted only when both
+    * sides have arrived, so a lagging input gates emission the same way
+    * it gates window firing (min-of-inputs over the two join inputs). */
+  def intervalJoined(probes: Dataset[Pageview], views: Dataset[Pageview],
+                     lookbackSec: Long = 1800,
+                     delay: String = "0 seconds"): DataFrame = {
+    val p = probes.withWatermark("ts", delay)
+      .select(col("url").as("url"), col("ts").as("p_ts"),
+              col("eventId").as("probe_id"))
+    val v = views.withWatermark("ts", delay)
+      .select(col("url").as("v_url"), col("ts").as("v_ts"),
+              col("eventId").as("view_id"))
+    p.join(v,
+      col("url") === col("v_url") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackSec seconds"))
+      .select(col("probe_id"), col("view_id"), col("url"),
+              col("p_ts"), col("v_ts"))
+  }
+
+  /** Batch replay of [[intervalJoined]] — same predicate, no watermarks;
+    * the streaming run's complete output must equal these rows
+    * (IntervalJoinStreamingSpec). */
+  def intervalJoinedBatch(probes: DataFrame, views: DataFrame,
+                          lookbackSec: Long = 1800): DataFrame =
+    probes.select(col("url"), col("ts").as("p_ts"), col("eventId").as("probe_id"))
+      .join(views.select(col("url").as("v_url"), col("ts").as("v_ts"),
+                         col("eventId").as("view_id")),
+        col("url") === col("v_url") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackSec seconds"))
+      .select(col("probe_id"), col("view_id"), col("url"),
+              col("p_ts"), col("v_ts"))
 }
