@@ -88,6 +88,34 @@ object DedupQueries {
           "vec_id", "embedding", "label", threshold = 0.3)
         .select("id_a", "id_b")),
 
+    // Exact substring-level duplication profile (the ExactSubstr signal,
+    // Lee et al. 2022): rolling 8-token spans hashed to 60 bits, span
+    // frequency = distinct docs per hash, per-doc duplicated-span coverage.
+    // Catches partial copying document-level Jaccard/MinHash cannot see.
+    // Same df-relation discipline as q_text_tfidf: the span-frequency
+    // aggregate joins back SHUFFLED on the 8-byte hash, never broadcast.
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
+    // embedding space with k-means, then find near-dup pairs WITHIN each
+    // cluster — the blocking key is learned from the data instead of read
+    // from metadata (q_dedup_embedding's label). Composition of two
+    // operators this engine already trains/ships: KMeans.train (exact
+    // fixed-point Lloyd's, oracle-replayable) assigns cells, and
+    // Dedup.embeddingNearDups runs blocked near-dup with its block-size
+    // guardrail on the cell column. Cells are K=16 coarse partitions, so
+    // block sizes are ~n/K and the broadcast-sizes contract (bounded
+    // #blocks) holds by construction.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = KMeans.train(e)
+      Dedup.embeddingNearDups(
+          e.withColumn("cell", SimilarityIVF.cell(col("embedding"), cents)),
+          "vec_id", "embedding", "cell", threshold = 0.3)
+        .select("id_a", "id_b")
+    }),
+
     // MinHash-LSH candidate pairs — the 100 TB-scale dedup path (constant-
     // size signatures + band-bucket join instead of all-pairs). The portable
     // hash makes even this pipeline exactly oracle-checkable.
@@ -583,7 +611,11 @@ object DedupQueries {
     * (dot DESC, cell ASC) tie-break; update by the same fixed-point exact
     * mean, empty cells keeping their previous centroid), then the
     * probe/rank tail of `ivfSql` against the final centroids. */
-  private val kmeansIvfSql: String = {
+  /** The unrolled [[KMeans.train]] replay on its own: hash-seeded c0, then
+    * MaxIters Lloyd's rounds — ends defining `c{MaxIters}` (the trained
+    * centroids). Shared by [[kmeansIvfSql]] and the semantic-dedup oracle:
+    * ONE replica of the training loop, so the two oracles cannot drift. */
+  private val kmeansCtes: String = {
     def w(cExpr: String, dExpr: String) =
       s"((CAST(('0x'||substr(md5('ivf'||$cExpr||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
     val c0 =
@@ -609,10 +641,12 @@ object DedupQueries {
          |  LEFT JOIN (SELECT cell, list(m ORDER BY dd) AS cvec FROM m$r GROUP BY cell) mm
          |    ON mm.cell = kk.c
          |  JOIN c$r prev ON prev.cell = kk.c)""".stripMargin
-    val rounds = (0 until KMeans.MaxIters).map(round).mkString(",\n")
+    s"$c0,\n${(0 until KMeans.MaxIters).map(round).mkString(",\n")}"
+  }
+
+  private val kmeansIvfSql: String = {
     val cT = s"c${KMeans.MaxIters}"
-    s"""WITH $c0,
-       |$rounds,
+    s"""WITH $kmeansCtes,
        |scoredf AS (
        |  SELECT vec_id, embedding, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
@@ -631,7 +665,51 @@ object DedupQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Semantic dedup: trained-centroid assignment (the kmeansCtes replay)
+    * as the blocking key, then exact within-cell pairs at the PRENORMED
+    * cosine operation order (dot / (sqrt(aa)*sqrt(bb)) — what
+    * embeddingNearDups computes from its per-vector norms). */
+  private val semanticSql: String = {
+    val cT = s"c${KMeans.MaxIters}"
+    s"""WITH $kmeansCtes,
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, cc.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlDot("e.embedding", "cc.cvec")} DESC, cc.cell ASC) AS rn
+       |    FROM embeddings e, $cT cc) WHERE rn = 1)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE (${sqlDot("a.embedding", "b.embedding")}) /
+       |  (sqrt(${sqlDot("a.embedding", "a.embedding")}) *
+       |   sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.3""".stripMargin
+  }
+
+  /** Rolling-span duplication replay: same span construction as
+    * shinglesFromTokens at w=8, same portable 60-bit hash, distinct-doc
+    * frequency, per-doc coverage. */
+  private val substringSql: String = {
+    val w = graft.operators.Dedup.DefaultSpanWidth
+    val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t)-${w - 2}), i -> $span))) AS span
+       |  FROM toks WHERE len(t) >= $w),
+       |h AS (SELECT doc_id, ${PortableHash.hash60Sql("span")} AS h FROM g),
+       |freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+       |FROM h JOIN freq USING (h)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_semantic" -> semanticSql,
+    "q_dedup_substring" -> substringSql,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_global" -> minhashGlobalSql,
     "q_dedup_minhash_banded" -> minhashBandedSql,

@@ -27,6 +27,21 @@ object RelationalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Z-order (Morton) layout key over two range-bucketed dimensions —
+    // the multi-dimensional clustering device (Delta/Iceberg OPTIMIZE
+    // ZORDER): write sorted by this key and parquet min/max stats prune
+    // row groups for predicates on EITHER dimension (measured in
+    // ZOrderSpec; one-column sorts only serve their leading column).
+    // Declared as the key computation itself — narrow, codegen'd
+    // (functions.expressions.ZOrderExpression), zero shuffle. Inputs are
+    // bucketed mod 1024: a layout key wants coarse locality, and 10-bit
+    // inputs keep every bit position engine-portable.
+    "q_zorder_key" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        graft.functions.expressions.ZOrderExpression
+          .z_order(col("o_custkey") % 1024, col("o_orderkey") % 1024)
+          .as("zkey"))),
+
     // TPC-H Q1 shape: wide aggregate over the biggest fact table with a
     // pushed-down date filter. Exact decimal sums (see Exact) keep the
     // result bit-stable under any partitioning.
@@ -306,6 +321,10 @@ object RelationalQueries {
         .intersect(Tables.supplier(s, dir).select(col("s_nationkey").cast("long").as("nationkey")))))
 
   def oracles: Map[String, String] = Map(
+    "q_zorder_key" ->
+      s"""SELECT o_orderkey, ${graft.functions.expressions.ZOrderExpression
+             .zOrderSql("(o_custkey % 1024)", "(o_orderkey % 1024)")} AS zkey
+         |FROM orders""".stripMargin,
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -32,7 +32,13 @@ object Verify {
           s"(> ${graft.operators.Dedup.DefaultMaxBlockSize}): " +
           "q_dedup_embedding's exact all-pairs oracle no longer matches the LSH path")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-time iteration filter (the driver never sets it): run only the
+    // named queries. oracle_sql.json still carries every oracle, and
+    // tools/check.py only compares dumps that exist.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce propagates the 1-partition
       // constraint up through shuffle-free pipelines, single-threading the
       // whole scan+compute; repartition keeps upstream parallelism and only

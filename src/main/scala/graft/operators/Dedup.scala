@@ -189,6 +189,60 @@ object Dedup {
     * projects the split once (see shinglesFromTokens). */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(split(text, " "), n)
 
+  /** Default span width for [[duplicatedSpanStats]]: long enough that a
+    * shared span means real copied text (8 consecutive tokens is far past
+    * coincidence on natural language), short enough that partial overlaps
+    * between near-dups still register. Production substring dedup uses
+    * ~50-token windows (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" — the suffix-array ExactSubstr dedup);
+    * the fixture corpus' documents are 10-100 tokens, so 8 keeps the
+    * operator observable at test scale while the shape is width-agnostic. */
+  val DefaultSpanWidth = 8
+
+  /** Exact substring-level duplication profile — the span-granular dedup
+    * signal document-level methods (MinHash, SimHash) cannot see: a page
+    * that quotes 40 copied tokens inside 400 original ones is a 10% dup
+    * by span coverage but far below any document-Jaccard threshold.
+    * Production pipelines compute this with suffix arrays over the corpus
+    * (ExactSubstr, Lee et al. 2022); the distributed re-expression is
+    * rolling w-token windows hashed to 64 bits — every span occurrence
+    * becomes one ~16-byte (doc_id, hash) row, duplication is a count of
+    * DISTINCT docs per hash, and the verdict joins back to the doc.
+    *
+    * Output: per document, its distinct span count, how many of those
+    * spans also occur in ANOTHER document, and the duplicated fraction —
+    * the score a span-level curation filter thresholds on. Documents
+    * shorter than `w` tokens have no spans and are absent (nothing to
+    * judge — a filter passes them through).
+    *
+    * Scale: tokens never leave the scan — spans are hashed in-place
+    * (portable 60-bit hash, so the whole pipeline replays in DuckDB);
+    * the span-frequency relation is a map-side-combined aggregate joined
+    * back SHUFFLED on the 8-byte hash (vocabulary-sized build side, the
+    * q_text_tfidf / ngramJaccardPairs df rule: never broadcast, hot
+    * boilerplate spans are AQE-splittable join skew). A hash collision
+    * can only mark a span duplicated, never unmark one, and the same
+    * hash is replayed by the oracle, so results are still exact-compare.
+    */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          w: Int = DefaultSpanWidth): DataFrame = {
+    // distinct spans per doc (array_distinct inside shinglesFromTokens):
+    // self-repetition within one doc is q_text_repetition's signal, not
+    // cross-doc duplication — count each doc once per span
+    val spans = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), w)).as("span"))
+      .select(col("doc_id"), graft.functions.PortableHash.hash60(col("span")).as("h"))
+    val freq = spans.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    spans.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard, with PPJoin-style prefix
     * filtering for candidate generation (exact — no false negatives):
     *

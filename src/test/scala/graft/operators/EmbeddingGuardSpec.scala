@@ -66,4 +66,25 @@ class EmbeddingGuardSpec extends SparkSpec {
           "through LSH and diverge from its exact oracle")
     }
   }
+
+  test("trained k-means cells stay under the guardrail on every sf fixture " +
+       "(q_dedup_semantic oracle validity)") {
+    // q_dedup_semantic blocks by TRAINED cell id instead of the label
+    // column; its exact within-cell oracle carries the same validity
+    // condition — the hottest cell must stay on the exact path. Trained
+    // centroids adapt to the data, so cell occupancy is data-dependent:
+    // assert it from the same constant, per fixture.
+    val s = spark
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val e = graft.sources.Tables.embeddings(s, s"/root/testdata/$sf")
+      val cents = KMeans.train(e)
+      val maxCell = e
+        .select(SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+      assert(maxCell <= Dedup.DefaultMaxBlockSize,
+        s"$sf: hottest trained cell has $maxCell rows > guardrail " +
+          s"${Dedup.DefaultMaxBlockSize} — q_dedup_semantic would route " +
+          "through LSH and diverge from its exact oracle")
+    }
+  }
 }
