@@ -102,6 +102,17 @@ object TextQueries {
               lit(graft.functions.Bpe.PreTokenRegex), lit(0)))
             .cast("long").as("n_pretokens"))),
 
+    // BPE merge-table TRAINING on the corpus itself (Sennrich et al.
+    // 2016) — the other half of the tokenization story beside applying a
+    // table (operators.BpeTrain): one corpus-sized pre-token frequency
+    // aggregate, then 24 rounds over the vocabulary-sized dictionary,
+    // each one pair-count aggregate + a one-row argmax to the driver.
+    // Training is eager by nature, so this query's cost includes it
+    // (the q_sim_ivf_kmeans rule); the oracle unrolls the rounds as CTEs
+    // over the identical wrapped-string merge state.
+    "q_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrain.train(Tables.documents(s, dir), "text")),
+
     // Corpus term frequency: explode tokens -> count per term. Map-side
     // partial agg bounds the shuffle at vocabulary size, not corpus size.
     "q_text_termfreq" -> ((s, dir) =>
@@ -408,7 +419,47 @@ object TextQueries {
        |      FROM (SELECT doc_id, lang, $scores FROM documents))""".stripMargin
   }
 
+  /** Unrolled replay of [[graft.operators.BpeTrain.train]]: the same
+    * pre-token dictionary, wrapped-string state, pair counting, argmax
+    * tie-break, and leftmost non-overlapping replace, one CTE trio per
+    * round. */
+  private val bpeTrainSql: String = {
+    val n = graft.operators.BpeTrain.NumMerges
+    val rounds = (0 until n).map { r =>
+      s"""p$r AS (
+         |  SELECT p.l AS l, p.r AS r, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)), i ->
+         |      {'l': syms[i], 'r': syms[i+1]})) AS p
+         |    FROM (SELECT freq,
+         |            string_split(substr(st, 2, length(st)-2), '||') AS syms
+         |          FROM s$r)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |s${r + 1} AS MATERIALIZED (
+         |  SELECT freq,
+         |    COALESCE(replace(st, '|'||b.l||'||'||b.r||'|', '|'||b.l||b.r||'|'), st) AS st
+         |  FROM s$r LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until n).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pt AS (
+       |  SELECT pt, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(text,
+       |      '${graft.functions.Bpe.PreTokenRegex}')) AS pt FROM documents)
+       |  WHERE pt NOT LIKE '%|%'
+       |  GROUP BY pt),
+       |s0 AS MATERIALIZED (
+       |  SELECT freq,
+       |    '|' || array_to_string(string_split(pt, ''), '||') || '|' AS st
+       |  FROM pt),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainSql,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

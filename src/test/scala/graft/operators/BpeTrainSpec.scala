@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[BpeTrain]] against an independent in-memory reference: the same
+  * algorithm (pair counts over a pre-token frequency dict, argmax with
+  * the (cnt DESC, lhs, rhs) tie-break, merge-all leftmost) implemented
+  * directly over Scala collections — no wrapped strings, no DataFrames.
+  * Two formulations, one answer; the DuckDB oracle is the third. */
+class BpeTrainSpec extends SparkSpec {
+
+  /** Reference trainer over symbol VECTORS (not the operator's wrapped
+    * strings — a different state representation on purpose). */
+  private def reference(corpus: Seq[String], numMerges: Int): Seq[(Long, String, String, Long)] = {
+    val pat = java.util.regex.Pattern.compile(graft.functions.Bpe.PreTokenRegex)
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    corpus.foreach { doc =>
+      val m = pat.matcher(doc)
+      while (m.find()) {
+        val t = m.group()
+        if (!t.contains("|")) freq(t) = freq.getOrElse(t, 0L) + 1L
+      }
+    }
+    var dict: Map[Vector[String], Long] =
+      freq.toMap.map { case (t, f) => t.map(_.toString).toVector -> f }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax: max count, then lexicographically smallest (lhs, rhs)
+        val ((l, rt), c) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r.toLong, l, rt, c))
+        dict = dict.groupMapReduce {
+          case (syms, _) =>
+            // merge all occurrences, leftmost first
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rt) {
+                b += (l + rt); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result()
+        }(_._2)(_ + _)
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  private def trained(corpus: Seq[String], numMerges: Int): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    BpeTrain.train(corpus.toDF("text"), "text", numMerges)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("learned merges match the reference on a hand-readable corpus") {
+    val corpus = Seq(
+      "the cat and the hat and the bat",
+      "then the cats sat, and that was that",
+      "thin things think 100 and 1000")
+    assert(trained(corpus, 12) == reference(corpus, 12))
+  }
+
+  test("generative parity: random corpora over a tiny alphabet") {
+    val rnd = new scala.util.Random(11)
+    (0 until 5).foreach { trial =>
+      val corpus = Seq.fill(8)(
+        Seq.fill(3 + rnd.nextInt(10))(
+          Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(3)).toChar).mkString)
+          .mkString(" "))
+      val got = trained(corpus, 10)
+      val exp = reference(corpus, 10)
+      assert(got == exp, s"trial $trial diverged on corpus $corpus:\n$got\nvs\n$exp")
+    }
+  }
+
+  test("learned table is hierarchical: every side is a base char or an earlier output") {
+    val corpus = Seq("aaa bbb aaab", "aab aab aab bba")
+    val merges = trained(corpus, 8)
+    val outputs = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (_, l, r, _) =>
+      assert(l.length == 1 || outputs.contains(l), s"lhs '$l' not derivable")
+      assert(r.length == 1 || outputs.contains(r), s"rhs '$r' not derivable")
+      outputs += (l + r)
+    }
+    // counts are positive and ranks are consecutive from 0
+    assert(merges.map(_._1) == merges.indices.map(_.toLong))
+    assert(merges.forall(_._4 >= 1L))
+  }
+
+  test("training leaves no cached state behind") {
+    import spark.implicits._
+    BpeTrain.train(Seq("some text here", "some text there").toDF("text"), "text", 4)
+      .collect()
+    val persistent = spark.sparkContext.getPersistentRDDs
+    assert(persistent.isEmpty,
+      s"BpeTrain stranded ${persistent.size} materialized RDDs: ${persistent.values.map(_.name)}")
+  }
+}
