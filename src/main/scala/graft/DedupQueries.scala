@@ -97,6 +97,21 @@ object DedupQueries {
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Boilerplate extraction — the per-SPAN transpose of
+    // q_dedup_substring: which exact 8-token spans recur across >= 3
+    // distinct documents (navigation chrome, license headers, templated
+    // intros — the text a curation pipeline strips before training).
+    // Grouped by the 60-bit span hash (map-side-combined distinct-doc
+    // count); min(span) carries a deterministic representative surface
+    // back out of the aggregate.
+    "q_boilerplate_spans" -> ((s, dir) =>
+      Dedup.spanRows(Tables.documents(s, dir), "doc_id", "text")
+        .groupBy(graft.functions.PortableHash.hash60(col("span")).as("h"))
+        .agg(min(col("span")).as("span"),
+             count_distinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .select("span", "n_docs")),
+
     // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
     // embedding space with k-means, then find near-dup pairs WITHIN each
     // cluster — the blocking key is learned from the data instead of read
@@ -707,9 +722,28 @@ object DedupQueries {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Per-span transpose of [[substringSql]]: same span construction and
+    * hash, distinct-doc count per hash, deterministic min-surface
+    * representative. */
+  private val boilerplateSql: String = {
+    val w = graft.operators.Dedup.DefaultSpanWidth
+    val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t)-${w - 2}), i -> $span))) AS span
+       |  FROM toks WHERE len(t) >= $w)
+       |SELECT min(span) AS span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM (SELECT doc_id, span, ${PortableHash.hash60Sql("span")} AS h FROM g)
+       |GROUP BY h
+       |HAVING count(DISTINCT doc_id) >= 3""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_dedup_semantic" -> semanticSql,
     "q_dedup_substring" -> substringSql,
+    "q_boilerplate_spans" -> boilerplateSql,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_global" -> minhashGlobalSql,
     "q_dedup_minhash_banded" -> minhashBandedSql,

@@ -18,7 +18,7 @@ object PlanAudit {
       "q_sim_ann_lsh", "q_sim_ivf", "q_asof_last_purchase",
       "q_keyed_count_salted", "q_range_join_bands", "q_curation_pipeline",
       "q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
-      "q_corpus_dedup_full")
+      "q_corpus_dedup_full", "q_dedup_substring", "q_zorder_key")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
@@ -38,7 +38,8 @@ object PlanAudit {
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     Seq("q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
         "q_corpus_dedup_full", "q_text_tfidf", "q_dedup_embedding",
-        "q_corpus_dedup_verified").foreach { name =>
+        "q_corpus_dedup_verified", "q_mix_sources",
+        "q_dedup_substring", "q_boilerplate_spans").foreach { name =>
       println(s"========== $name (auto-broadcast disabled: hints only) ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
     }

@@ -173,6 +173,33 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // Data MIXING toward a target distribution — the source-rebalancing
+    // step of corpus assembly (every multi-source training set downsamples
+    // its dominant crawls): per-source keep rate = min(1, uniform share /
+    // actual share), applied as a deterministic portable-hash sample so
+    // the mixture is reproducible across engines and runs. Two passes:
+    // one #sources-row aggregate (broadcast by CONTRACT — source is a
+    // bounded metadata column, the embeddingNearDups block rule), then
+    // one scan with the rate join. Output: per-source totals, kept
+    // counts, and the rate applied.
+    "q_mix_sources" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val scalars = counts.agg(sum(col("n_total")).as("grand"),
+                               count(lit(1)).as("n_sources"))
+      val rates = counts.crossJoin(broadcast(scalars))
+        .withColumn("rate", least(lit(1.0),
+          (col("grand").cast("double") / col("n_sources")) / col("n_total")))
+      val h = pmod(graft.functions.PortableHash.hash60(
+        col("doc_id").cast("string")), lit(1000000L))
+      docs.join(broadcast(rates), "source")
+        .groupBy("source")
+        .agg(max(col("n_total")).as("n_total"),
+             sum(when(h < floor(col("rate") * 1000000.0).cast("long"), 1L)
+               .otherwise(0L)).as("n_kept"),
+             max(col("rate")).as("rate"))
+    }),
+
     // Document chunking: fixed 32-token windows with stride 24 (8-token
     // overlap) — how long documents become training sequences. One narrow
     // pass: the chunk starts are generated per row, the token array is
@@ -460,6 +487,25 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
+
+    "q_mix_sources" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+         |sc AS (
+         |  SELECT CAST(sum(n_total) AS DOUBLE) AS grand, count(*) AS n_sources
+         |  FROM counts),
+         |rates AS (
+         |  SELECT source, n_total,
+         |    least(1.0, (grand / n_sources) / n_total) AS rate
+         |  FROM counts, sc)
+         |SELECT d.source, max(r.n_total) AS n_total,
+         |  CAST(sum(CASE WHEN
+         |    ${graft.functions.PortableHash.hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000
+         |      < CAST(floor(r.rate * 1000000.0) AS BIGINT)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  max(r.rate) AS rate
+         |FROM documents d JOIN rates r USING (source)
+         |GROUP BY d.source""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
