@@ -321,6 +321,33 @@ object DedupQueries {
           array_max(col("q")).as("q_max"))
     }),
 
+    // Embedding-space outlier signal — the contamination/corruption check
+    // an embedding store runs before indexing: each vector's squared
+    // distance to its LABEL centroid (mislabeled or corrupt vectors sit
+    // far out). Centroids are the fixed-point-exact dim-wise means
+    // (q_embed_centroid's device) re-assembled into vectors
+    // (collect_list sorted by dim — deterministic), then one broadcast
+    // join (#labels rows, bounded by contract) and three codegen dot
+    // products per row: ||v||^2 - 2<v,c> + ||c||^2, operation order
+    // mirrored in the oracle so distances are bit-equal.
+    "q_embed_outlier_dist" -> ((s, dir) => {
+      val scale = 1099511627776.0 // 2^40
+      val cents = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum((col("v").cast("double") * scale).cast("long").cast("decimal(38,0)"))
+                .cast("double") / scale / count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+      Tables.embeddings(s, dir)
+        .join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          (Similarity.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * Similarity.dot(col("embedding"), col("cvec"))
+            + Similarity.dot(col("cvec"), col("cvec"))).as("dist_sq"))
+    }),
+
     // Per-class embedding centroids, dimension-wise: posexplode -> one
     // shuffle keyed by (label, dim). Exactness trick: scale each value by
     // 2^40 (power-of-two multiply is exact in FP), truncate to long, sum
@@ -781,6 +808,23 @@ object DedupQueries {
         |           ELSE list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
         |      END AS m
         |    FROM embeddings))""".stripMargin,
+
+    // same fixed-point centroid as q_embed_centroid, re-assembled into a
+    // vector (list ORDER BY dim), then ||v||^2 - 2<v,c> + ||c||^2 with the
+    // identical operation order as the Spark expression
+    "q_embed_outlier_dist" ->
+      s"""WITH m AS (
+         |  SELECT label, dd,
+         |    (CAST(sum(CAST(trunc(CAST(embedding[dd] AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+         |      / 1099511627776.0) / count(*) AS m
+         |  FROM embeddings, range(1, 65) AS t(dd)
+         |  GROUP BY label, dd),
+         |c AS (SELECT label, list(m ORDER BY dd) AS cvec FROM m GROUP BY label)
+         |SELECT e.vec_id, e.label,
+         |  (${sqlDot("e.embedding", "e.embedding")})
+         |    - 2.0 * (${sqlDot("e.embedding", "c.cvec")})
+         |    + (${sqlDot("c.cvec", "c.cvec")}) AS dist_sq
+         |FROM embeddings e JOIN c USING (label)""".stripMargin,
 
     "q_embed_centroid" ->
       """SELECT label, CAST(dd AS BIGINT) AS dim,

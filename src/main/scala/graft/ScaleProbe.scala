@@ -104,7 +104,12 @@ object ScaleProbe {
     "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_dedup_components",
     "q_corpus_dedup_full", "q_corpus_dedup_incremental",
     "q_corpus_dedup_verified", "q_dedup_embedding",
-    "q_sim_ann_lsh", "q_sim_ivf_kmeans")
+    "q_sim_ann_lsh", "q_sim_ivf_kmeans",
+    // round-4 additions: span profile (expected ~linear — span rows grow
+    // with tokens, df join on the 8-byte hash), learned-cell semantic
+    // dedup (expected n²/K exact pairs until cells cross the guardrail,
+    // then the adaptive-LSH linear path — the probe observes the handoff)
+    "q_dedup_substring", "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val mults = if (args.isEmpty) Seq(1, 10) else args.map(_.toInt).toSeq

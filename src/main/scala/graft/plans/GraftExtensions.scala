@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{DotProduct, RollingHashExpression, TopKByScore}
+import graft.functions.expressions.{BpeCountExpression, DotProduct, RollingHashExpression, TopKByScore, ZOrderExpression}
 
 /** Session extension registering the engine's custom Catalyst expressions
   * as SQL functions, so the SQL surface is at parity with the Column API:
@@ -38,6 +38,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("rolling_hash(text)", 1, exprs)
         RollingHashExpression(exprs(0))
+      }))
+
+    e.injectFunction((
+      new FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[ZOrderExpression].getName, "z_order"),
+      (exprs: Seq[Expression]) => {
+        arity("z_order(x, y)", 2, exprs)
+        ZOrderExpression(exprs(0), exprs(1))
+      }))
+
+    e.injectFunction((
+      new FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCountExpression].getName, "bpe_count"),
+      (exprs: Seq[Expression]) => {
+        arity("bpe_count(text)", 1, exprs)
+        BpeCountExpression(exprs(0))
       }))
 
     e.injectFunction((

@@ -35,6 +35,33 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("z_order is callable from SQL and matches the kernel") {
+    val s = spark
+    // interleave(5, 3) = interleave(0b101, 0b011) = 0b011011 +
+    //   shifted: even bits from x=101 -> 010001? compute via the kernel
+    assert(s.sql("SELECT z_order(5L, 3L) AS z").head().getLong(0) ==
+      graft.functions.expressions.ZOrder.zkey(5L, 3L))
+    // matches the Column API over a table
+    val diff = s.range(1000).selectExpr("z_order(id, id * 7) AS a", "id")
+      .select(org.apache.spark.sql.functions.col("a"),
+        graft.functions.expressions.ZOrderExpression.z_order(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("id") * 7).as("b"))
+      .filter("NOT (a <=> b)").count()
+    assert(diff == 0L)
+  }
+
+  test("bpe_count is callable from SQL and matches the column function") {
+    val s = spark
+    val diff = graft.sources.Tables.documents(s, sfDir)
+      .selectExpr("bpe_count(text) AS a", "text")
+      .select(org.apache.spark.sql.functions.col("a"),
+        graft.functions.expressions.BpeCountExpression.bpe_count(
+          org.apache.spark.sql.functions.col("text")).as("b"))
+      .filter("NOT (a <=> b)").count()
+    assert(diff == 0L)
+  }
+
   test("top_k SQL aggregate returns (score desc, id asc) bounded arrays") {
     val s = spark
     s.sql(
