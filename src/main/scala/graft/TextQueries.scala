@@ -402,6 +402,15 @@ object TextQueries {
     "q_multimodal_audio" -> ((s, dir) =>
       graft.operators.Multimodal.audioStats(s, dir)),
 
+    // REAL video path: one GVID container (length-prefixed genuine PNG
+    // frames) per document, demuxed from the stream — magic + counts READ,
+    // not assumed — with every 2nd frame ImageIO-decoded and the rest
+    // skipped at length-prefix cost (the 1-fps-of-30-fps economics);
+    // channel sums over the sampled frames. Lossless frames, so the
+    // oracle's formula replay is exact.
+    "q_multimodal_video" -> ((s, dir) =>
+      graft.operators.Multimodal.videoStats(s, dir, stride = 2)),
+
     // JSON extraction from the events props column (row-level).
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -750,6 +759,27 @@ object TextQueries {
         |  CAST(sum(abs((media_id*31 + i*7) % 65536 - 32768)) AS BIGINT) AS sum_abs,
         |  CAST(max(abs((media_id*31 + i*7) % 65536 - 32768)) AS BIGINT) AS peak
         |FROM samp GROUP BY media_id""".stripMargin,
+
+    // Formula replay of the GVID demux + per-frame decode: sampled frame
+    // indices are f = 2*s for s in [0, (n+1)//2); each sampled frame's
+    // channel sum nests the (y, x) grid inside the frame loop.
+    "q_multimodal_video" -> {
+      def videoSum(cId: Int, cF: Int, cX: Int, cY: Int): String =
+        s"""CAST(list_sum(list_transform(range((4 + doc_id % 5 + 1) // 2), s ->
+           |    list_sum(list_transform(range(h), y ->
+           |      list_sum(list_transform(range(w), x ->
+           |        (doc_id*$cId + (2*s)*$cF + x*$cX + y*$cY) % 256)))))) AS BIGINT)""".stripMargin
+      s"""WITH dims AS (
+         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id*7) % 9 AS h
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
+         |  CAST((4 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_sampled,
+         |  ${videoSum(31, 23, 7, 13)} AS sum_r,
+         |  ${videoSum(17, 29, 5, 11)} AS sum_g,
+         |  ${videoSum(13, 37, 3, 19)} AS sum_b
+         |FROM dims""".stripMargin
+    },
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k

@@ -94,6 +94,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GVID video round-trip: demuxed + decoded sampled frames equal the formula") {
+    val s = spark
+    val media = Multimodal.videoMedia(s, sfDir)
+    val f3 = Multimodal.decodeVideos(media, stride = 2, partitions = 3)
+      .collect().map(v => v.media_id -> v).toMap
+    val f8 = Multimodal.decodeVideos(media, stride = 2, partitions = 8)
+      .collect().map(v => v.media_id -> v).toMap
+    assert(f3 == f8 && f3.nonEmpty)
+
+    f3.foreach { case (id, st) =>
+      val n = Multimodal.videoFrames(id)
+      val sampledIdx = (0 until n).filter(_ % 2 == 0)
+      assert(st.n_frames == n.toLong)
+      assert(st.n_sampled == sampledIdx.length.toLong)
+      val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+      def sum(px: (Long, Int, Int, Int) => Int): Long =
+        sampledIdx.map { f =>
+          (0 until h).map { y =>
+            (0 until w).map(x => px(id, f, x, y).toLong).sum
+          }.sum
+        }.sum
+      assert(st.sum_r == sum(Multimodal.framePixelR))
+      assert(st.sum_g == sum(Multimodal.framePixelG))
+      assert(st.sum_b == sum(Multimodal.framePixelB))
+    }
+  }
+
+  test("GVID demux rejects a corrupt container") {
+    val bad = "NOPE".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 1)
+    val ex = intercept[Exception] {
+      Multimodal.decodeVideos(
+        {
+          val s = spark; import s.implicits._
+          Seq(Multimodal.VideoItem(1L, bad)).toDS()
+        }, stride = 2, partitions = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("media schema: binary content with typed metadata columns") {
     val s = spark
     val schema = Multimodal.mediaFromDocuments(s, sfDir).schema
