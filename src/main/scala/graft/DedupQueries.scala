@@ -107,8 +107,10 @@ object DedupQueries {
     "q_boilerplate_spans" -> ((s, dir) =>
       Dedup.spanRows(Tables.documents(s, dir), "doc_id", "text")
         .groupBy(graft.functions.PortableHash.hash60(col("span")).as("h"))
+        // per-doc-distinct spans: row count == distinct-doc count (see
+        // duplicatedSpanStats), one exchange instead of two
         .agg(min(col("span")).as("span"),
-             count_distinct(col("doc_id")).as("n_docs"))
+             count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 3)
         .select("span", "n_docs")),
 
@@ -741,7 +743,7 @@ object DedupQueries {
        |    list_transform(range(1, len(t)-${w - 2}), i -> $span))) AS span
        |  FROM toks WHERE len(t) >= $w),
        |h AS (SELECT doc_id, ${PortableHash.hash60Sql("span")} AS h FROM g),
-       |freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h)
+       |freq AS (SELECT h, count(*) AS nd FROM h GROUP BY h)
        |SELECT doc_id, count(*) AS n_spans,
        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
@@ -761,10 +763,10 @@ object DedupQueries {
        |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(1, len(t)-${w - 2}), i -> $span))) AS span
        |  FROM toks WHERE len(t) >= $w)
-       |SELECT min(span) AS span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |SELECT min(span) AS span, CAST(count(*) AS BIGINT) AS n_docs
        |FROM (SELECT doc_id, span, ${PortableHash.hash60Sql("span")} AS h FROM g)
        |GROUP BY h
-       |HAVING count(DISTINCT doc_id) >= 3""".stripMargin
+       |HAVING count(*) >= 3""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(

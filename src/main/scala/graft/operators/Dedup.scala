@@ -257,8 +257,15 @@ object Dedup {
     // cross-doc duplication — count each doc once per span
     val spans = spanRows(df, idCol, textCol, w)
       .select(col("doc_id"), graft.functions.PortableHash.hash60(col("span")).as("h"))
+    // spans are DISTINCT per doc (array_distinct upstream), so the
+    // distinct-doc count per hash is a plain row count — count_distinct
+    // here would add a SECOND full exchange of the span rows (partial
+    // distinct shuffles (h, doc_id), then h) for nothing; measured 24M
+    // shuffled rows saved at the 100x probe scale. Two spans of one doc
+    // colliding into one h would count that doc twice (~2^-60 per pair);
+    // the oracle counts the same rows, so results still hash-match.
     val freq = spans.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
     spans.join(freq, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),

@@ -97,4 +97,26 @@ class CrossQueryConsistencySpec extends SparkSpec {
     assert(kept.forall(_ >= 10))
     assert(kept.size <= nDocs - 10)
   }
+
+  test("per-doc dup-span mass equals the per-span transpose's mass") {
+    // q_dedup_substring counts, per DOC, its spans that occur in >= 2
+    // docs; summing that over docs must equal summing nd over every span
+    // with nd >= 2 — the same (doc, span) incidences counted from the
+    // other side. The boilerplate query is the nd >= 3 slice of the same
+    // frequency table, so its mass bounds from below.
+    val perDoc = q("q_dedup_substring").collect()
+      .map(r => r.getLong(2)).sum // n_dup_spans
+    val spans = graft.operators.Dedup.spanRows(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text")
+      .groupBy(graft.functions.PortableHash.hash60(
+        org.apache.spark.sql.functions.col("span")).as("h"))
+      .count().collect().map(_.getLong(1))
+    val transposeMass = spans.filter(_ >= 2).sum
+    assert(perDoc == transposeMass,
+      s"per-doc dup-span mass $perDoc != per-span mass $transposeMass")
+    val boilerplateMass = q("q_boilerplate_spans").collect()
+      .map(_.getLong(1)).sum
+    assert(boilerplateMass <= transposeMass && boilerplateMass > 0,
+      s"boilerplate mass $boilerplateMass vs transpose mass $transposeMass")
+  }
 }
