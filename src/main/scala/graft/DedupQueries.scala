@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CacheScope, ConnectedComponents, Dedup, KMeans, MinHashLSH, SimHash, Similarity, SimilarityIVF, SimilarityLSH}
+import graft.operators.{CacheScope, ConnectedComponents, Dedup, KMeans, MinHashLSH, SimHash, Similarity, SimilarityIVF, SimilarityLSH, TimeSeries}
 import graft.functions.PortableHash
 import graft.sources.Tables
 
@@ -237,6 +237,22 @@ object DedupQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       SimHash.nearDupPairs(Tables.documents(s, dir),
         "doc_id", "text", "lang", maxHamming = 5)),
+
+    // Time-series similarity search (the EDBT/ICDE streaming-similarity
+    // family): PAA-featurize each user's event (ts, value) series into a
+    // 16-bucket exact-mean vector (operators.TimeSeries), then rank the
+    // top-5 most-similar candidate series per query series through the
+    // SAME similarity stack as the embedding queries (broadcast query
+    // set, codegen cosine, bounded-heap rank). Buckets are integer
+    // epoch-microsecond arithmetic and fixed-point means, so the whole
+    // pipeline replays bit-identically in SQL.
+    "q_ts_similarity" -> ((s, dir) => {
+      val vecs = TimeSeries.paaVectors(Tables.events(s, dir), "user_id", "ts", "value")
+      Similarity.topK(
+          vecs.filter(col("series_id") < 5), vecs.filter(col("series_id") >= 5),
+          k = 5, idColQ = "series_id", idColC = "series_id", vecCol = "paa")
+        .select("query_id", "neighbor_id", "rank")
+    }),
 
     // Brute-force cosine top-k: 10 query vectors against the rest.
     "q_sim_topk" -> ((s, dir) => {
@@ -769,7 +785,44 @@ object DedupQueries {
        |HAVING count(*) >= 3""".stripMargin
   }
 
+  /** PAA + cosine top-k replay: integer epoch-us bucketing (`//`, the
+    * exact mirror of Spark's `div`), fixed-point bucket means, dense
+    * vector assembly over a (series x bucket) grid, window-rank with the
+    * (cos DESC, id ASC) tie-break. */
+  private val tsSimilaritySql: String = {
+    val b = TimeSeries.Buckets
+    s"""WITH rng AS (
+       |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
+       |         max(epoch_us(CAST(ts AS TIMESTAMP))) + 1 AS tend
+       |  FROM events),
+       |bk AS (
+       |  SELECT user_id AS series_id,
+       |    CAST(((epoch_us(CAST(ts AS TIMESTAMP)) - tmin) * $b) // (tend - tmin) AS INT) AS b,
+       |    value AS v
+       |  FROM events, rng),
+       |m AS (
+       |  SELECT series_id, b,
+       |    (CAST(sum(CAST(trunc(v * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0)
+       |      / count(*) AS m
+       |  FROM bk GROUP BY series_id, b),
+       |users AS (SELECT DISTINCT user_id AS series_id FROM events),
+       |vecs AS (
+       |  SELECT u.series_id, list(COALESCE(m.m, 0.0) ORDER BY g.i) AS paa
+       |  FROM users u CROSS JOIN range(0, $b) g(i)
+       |  LEFT JOIN m ON m.series_id = u.series_id AND m.b = g.i
+       |  GROUP BY u.series_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.series_id AS query_id, c.series_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.series_id
+       |      ORDER BY ${sqlCosine("q.paa", "c.paa")} DESC,
+       |               c.series_id ASC) AS rank
+       |  FROM vecs q CROSS JOIN vecs c
+       |  WHERE q.series_id < 5 AND c.series_id >= 5)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_ts_similarity" -> tsSimilaritySql,
     "q_dedup_semantic" -> semanticSql,
     "q_dedup_substring" -> substringSql,
     "q_boilerplate_spans" -> boilerplateSql,
