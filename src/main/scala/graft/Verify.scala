@@ -31,6 +31,21 @@ object Verify {
         s"embeddings fixture at $sfDir has a label block of $maxBlock rows " +
           s"(> ${graft.operators.Dedup.DefaultMaxBlockSize}): " +
           "q_dedup_embedding's exact all-pairs oracle no longer matches the LSH path")
+      // q_dedup_semantic carries the IDENTICAL validity condition on its
+      // TRAINED-cell blocks — balanced labels do not imply balanced cells,
+      // so the guard must check the cells of THIS fixture, not rely on
+      // EmbeddingGuardSpec's hard-coded fixture list
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+      val cents = graft.operators.KMeans.train(e)
+      val maxCell = e
+        .select(graft.operators.SimilarityIVF
+          .cell(org.apache.spark.sql.functions.col("embedding"), cents).as("cell"))
+        .groupBy("cell").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      require(maxCell <= graft.operators.Dedup.DefaultMaxBlockSize,
+        s"embeddings fixture at $sfDir trains a k-means cell of $maxCell rows " +
+          s"(> ${graft.operators.Dedup.DefaultMaxBlockSize}): " +
+          "q_dedup_semantic's exact within-cell oracle no longer matches the LSH path")
     }
     // Dev-time iteration filter (the driver never sets it): run only the
     // named queries. oracle_sql.json still carries every oracle, and

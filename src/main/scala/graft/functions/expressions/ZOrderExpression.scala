@@ -76,8 +76,18 @@ object ZOrderExpression {
       Bridge.expression(x.cast("long")), Bridge.expression(y.cast("long"))))
 
   /** The same key in DuckDB SQL (bit-by-bit interleave over the low 32
-    * bits — the oracle replay of [[ZOrder.zkey]]). */
-  def zOrderSql(x: String, y: String): String =
-    s"""CAST(list_sum(list_transform(range(0, 32), i ->
-       |  ((($x >> i) & 1) << (2*i)) + ((($y >> i) & 1) << (2*i + 1)))) AS BIGINT)""".stripMargin
+    * bits — the oracle replay of [[ZOrder.zkey]]). Computed in HUGEINT
+    * with an explicit two's-complement wrap: the kernel's bit 63 (y's
+    * bit 31) makes the long NEGATIVE in Scala, while a BIGINT `1 << 63`
+    * overflows in DuckDB — so the shifts accumulate in 128-bit and the
+    * wrap reproduces the signed-64 value exactly over the full 32-bit
+    * input domain (ZOrderSpec checks the kernel on full-range longs). */
+  def zOrderSql(x: String, y: String): String = {
+    val s =
+      s"""list_sum(list_transform(range(0, 32), i ->
+         |    (CAST(($x >> i) & 1 AS HUGEINT) << (2*i)) +
+         |    (CAST(($y >> i) & 1 AS HUGEINT) << (2*i + 1))))""".stripMargin
+    s"""CAST(CASE WHEN $s >= 9223372036854775808::HUGEINT
+       |  THEN $s - 18446744073709551616::HUGEINT ELSE $s END AS BIGINT)""".stripMargin
+  }
 }

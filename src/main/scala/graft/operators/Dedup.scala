@@ -210,15 +210,9 @@ object Dedup {
     * per-doc profile) and the boilerplate extraction query (the per-span
     * transpose). */
   def spanRows(df: DataFrame, idCol: String, textCol: String,
-               w: Int = DefaultSpanWidth): DataFrame = {
-    val spanArr = when(size(col("toks")) >= w,
-      array_distinct(transform(
-        sequence(lit(1), size(col("toks")) - (w - 1)),
-        i => array_join(slice(col("toks"), i, lit(w)), " "))))
-      .otherwise(array().cast("array<string>"))
+               w: Int = DefaultSpanWidth): DataFrame =
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"), explode(spanArr).as("span"))
-  }
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), w)).as("span"))
 
   /** Exact substring-level duplication profile — the span-granular dedup
     * signal document-level methods (MinHash, SimHash) cannot see: a page

@@ -405,8 +405,15 @@ object Multimodal {
             sr += st.sum_r; sg += st.sum_g; sb += st.sum_b
             sampled += 1
           } else {
+            // skip() returns 0 (not -1) once a ByteArrayInputStream is
+            // exhausted — a truncated container must FAIL, not spin
             var toSkip = len.toLong
-            while (toSkip > 0) toSkip -= in.skip(toSkip)
+            while (toSkip > 0) {
+              val skipped = in.skip(toSkip)
+              require(skipped > 0,
+                s"media ${m.media_id}: truncated container at frame $f")
+              toSkip -= skipped
+            }
           }
           f += 1
         }
