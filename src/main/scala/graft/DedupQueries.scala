@@ -254,6 +254,30 @@ object DedupQueries {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // Time-series ANOMALY scoring — the event-stream twin of
+    // q_embed_outlier_dist: each series' squared distance from the global
+    // mean PAA vector (users whose activity shape deviates from the
+    // corpus norm — bots, outages, instrumentation bugs). Same composed
+    // pieces: PAA featurization, fixed-point-exact global centroid
+    // (1-row, broadcast by construction), three codegen dot products per
+    // series.
+    "q_ts_anomaly" -> ((s, dir) => {
+      val scale = 1048576.0 // 2^20
+      val vecs = TimeSeries.paaVectors(Tables.events(s, dir), "user_id", "ts", "value")
+      val cent = vecs
+        .select(posexplode(col("paa")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg((sum((col("v") * scale).cast("long").cast("decimal(38,0)"))
+          .cast("double") / scale / count(lit(1))).as("m"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+      vecs.crossJoin(broadcast(cent))
+        .select(col("series_id"),
+          (Similarity.dot(col("paa"), col("paa"))
+            - lit(2.0) * Similarity.dot(col("paa"), col("cvec"))
+            + Similarity.dot(col("cvec"), col("cvec"))).as("dist_sq"))
+    }),
+
     // Brute-force cosine top-k: 10 query vectors against the rest.
     "q_sim_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -789,9 +813,12 @@ object DedupQueries {
     * exact mirror of Spark's `div`), fixed-point bucket means, dense
     * vector assembly over a (series x bucket) grid, window-rank with the
     * (cos DESC, id ASC) tie-break. */
-  private val tsSimilaritySql: String = {
+  /** The PAA replay on its own (rng → bucketing → fixed-point means →
+    * dense vector assembly), ending with a `vecs(series_id, paa)` CTE —
+    * shared by the similarity and anomaly oracles. */
+  private val tsPaaCtes: String = {
     val b = TimeSeries.Buckets
-    s"""WITH rng AS (
+    s"""rng AS (
        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
        |         max(epoch_us(CAST(ts AS TIMESTAMP))) + 1 AS tend
        |  FROM events),
@@ -810,7 +837,11 @@ object DedupQueries {
        |  SELECT u.series_id, list(COALESCE(m.m, 0.0) ORDER BY g.i) AS paa
        |  FROM users u CROSS JOIN range(0, $b) g(i)
        |  LEFT JOIN m ON m.series_id = u.series_id AND m.b = g.i
-       |  GROUP BY u.series_id)
+       |  GROUP BY u.series_id)""".stripMargin
+  }
+
+  private val tsSimilaritySql: String = {
+    s"""WITH $tsPaaCtes
        |SELECT query_id, neighbor_id, rank FROM (
        |  SELECT q.series_id AS query_id, c.series_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.series_id
@@ -821,8 +852,28 @@ object DedupQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** PAA + global-centroid distance replay: same PAA CTEs, fixed-point
+    * dimension means over every vector, ||v||² - 2<v,c> + ||c||² in the
+    * Spark expression's operation order. */
+  private val tsAnomalySql: String = {
+    val b = TimeSeries.Buckets
+    s"""WITH $tsPaaCtes,
+       |cent AS (
+       |  SELECT dd,
+       |    (CAST(sum(CAST(trunc(paa[dd] * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / 1048576.0) / count(*) AS m
+       |  FROM vecs, range(1, ${b + 1}) t(dd) GROUP BY dd),
+       |cv AS (SELECT list(m ORDER BY dd) AS cvec FROM cent)
+       |SELECT series_id,
+       |  (${sqlDot("vecs.paa", "vecs.paa")})
+       |    - 2.0 * (${sqlDot("vecs.paa", "cv.cvec")})
+       |    + (${sqlDot("cv.cvec", "cv.cvec")}) AS dist_sq
+       |FROM vecs, cv""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_ts_similarity" -> tsSimilaritySql,
+    "q_ts_anomaly" -> tsAnomalySql,
     "q_dedup_semantic" -> semanticSql,
     "q_dedup_substring" -> substringSql,
     "q_boilerplate_spans" -> boilerplateSql,
