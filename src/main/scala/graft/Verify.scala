@@ -49,8 +49,26 @@ object Verify {
     }
     // Dev-time iteration filter (the driver never sets it): run only the
     // named queries. oracle_sql.json still carries every oracle, and
-    // tools/check.py only compares dumps that exist.
+    // tools/check.py only compares dumps that exist — so stale dumps from a
+    // PRIOR unfiltered run would read as freshly verified. A filtered run
+    // therefore deletes every dump it is NOT regenerating (and says so
+    // loudly): the checker then sees exactly the filtered set, never a mix
+    // of fresh and stale results.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_QUERIES filter active (${names.size} " +
+          "queries); deleting dumps of unlisted queries so stale results " +
+          "cannot pass as verified")
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete()
+      }
+      SparkEntry.queries.keys.filterNot(names.contains).foreach { name =>
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.exists()) { System.err.println(s"[verify]   removed stale $name"); rmTree(d) }
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

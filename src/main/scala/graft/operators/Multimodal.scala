@@ -395,6 +395,12 @@ object Multimodal {
         var f = 0; var sampled = 0L; var sr = 0L; var sg = 0L; var sb = 0L
         while (f < n) {
           val len = in.readInt()
+          // validate BEFORE allocating: a corrupt length prefix must fail
+          // with the same clear diagnostic as the skip path, not a
+          // NegativeArraySizeException or an OOM-sized allocation
+          require(len >= 0 && len <= in.available(),
+            s"media ${m.media_id}: bad frame length $len at frame $f " +
+              s"(${in.available()} bytes remain)")
           if (f % stride == 0) {
             val buf = new Array[Byte](len)
             in.readFully(buf)

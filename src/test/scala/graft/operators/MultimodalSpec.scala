@@ -130,7 +130,33 @@ class MultimodalSpec extends SparkSpec {
           Seq(Multimodal.VideoItem(1L, bad)).toDS()
         }, stride = 2, partitions = 1).collect()
     }
-    assert(ex.getMessage != null)
+    // pin that the GVID magic check specifically fired (Spark wraps the
+    // task failure, so walk the cause chain for the operator's message)
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("not a GVID container")),
+      s"expected the GVID magic-check failure, got: $msgs")
+  }
+
+  test("GVID demux rejects a corrupt frame length before allocating") {
+    // valid magic + frame count, then a length prefix far beyond the
+    // remaining bytes: must fail with the bad-frame-length diagnostic,
+    // not NegativeArraySizeException / readFully EOF
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes("GVID"); dos.writeInt(1); dos.writeInt(Int.MaxValue)
+    dos.flush()
+    val ex = intercept[Exception] {
+      Multimodal.decodeVideos(
+        {
+          val s = spark; import s.implicits._
+          Seq(Multimodal.VideoItem(2L, bos.toByteArray)).toDS()
+        }, stride = 2, partitions = 1).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("bad frame length")),
+      s"expected the frame-length guard failure, got: $msgs")
   }
 
   test("media schema: binary content with typed metadata columns") {
