@@ -35,8 +35,10 @@ object Verify {
       // TRAINED-cell blocks — balanced labels do not imply balanced cells,
       // so the guard must check the cells of THIS fixture, not rely on
       // EmbeddingGuardSpec's hard-coded fixture list
+      // memoized per fixture: q_dedup_semantic / q_sim_ivf_kmeans below
+      // reuse this same Lloyd's run instead of retraining (round-4 ADVICE)
       val e = graft.sources.Tables.embeddings(spark, sfDir)
-      val cents = graft.operators.KMeans.train(e)
+      val cents = graft.operators.KMeans.trainForFixture(e, sfDir)
       val maxCell = e
         .select(graft.operators.SimilarityIVF
           .cell(org.apache.spark.sql.functions.col("embedding"), cents).as("cell"))
