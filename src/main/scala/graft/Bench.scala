@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Cumulative host CPU-steal jiffies from /proc/stat (field 8 of the
+    * aggregate "cpu" line), or -1 where unreadable. Round 3/4 artifacts
+    * showed multi-second contention spikes on the driver host (one query:
+    * 0.6 s and 28 s back-to-back; r4: 95/131/7.9 s raws) that needed
+    * after-the-fact forensics — sampling steal around every run lets the
+    * artifact SELF-document contamination (round-4 verdict item 5). */
+  private def stealJiffies(): Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = cpu.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +58,7 @@ object Bench {
       var failed = false
       val times = (1 to runs).map { _ =>
         var runFailed = false
+        val st0 = stealJiffies()
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — .count() would let
         // Catalyst prune projection-only queries down to row counting.
@@ -53,16 +67,26 @@ object Bench {
           failed = true; runFailed = true
           System.err.println(s"[bench] QUERY FAILED $name: ${e.getMessage}")
         }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // steal jiffies are USER_HZ (=100) ticks summed over all CPUs —
+        // whole stolen cores * seconds, the right units to compare against
+        // wall time of a saturating local[32] run
+        val st1 = stealJiffies()
+        val stealSec =
+          if (st0 < 0 || st1 < 0) -1.0 else (st1 - st0) / 100.0
         // a failed RUN's elapsed time is time-to-crash, not a measurement —
         // record None so even the `raw` diagnostics can't be misread as a
         // (phantom-fast) timing
-        val dt = if (runFailed) None else Some((System.nanoTime() - t0) / 1e9)
+        val dt = if (runFailed) None else Some((elapsed, stealSec))
         // Operator-internal caches (persist + localCheckpoint storage) are
         // released between runs so later queries aren't timed against a
         // session carrying stale cached frames (round-1 bench showed 2-6x
-        // outliers from exactly this).
+        // outliers from exactly this). The k-means model memo is cleared
+        // for the same reason: queries declared to include training
+        // (q_sim_ivf_kmeans, q_dedup_semantic) must pay it every run.
         spark.catalog.clearCache()
         graft.operators.CacheScope.releaseAll()
+        graft.operators.KMeans.clearModels()
         dt
       }
       (name, times, failed)
@@ -72,18 +96,31 @@ object Bench {
     // omitted from `queries`/the total and listed in `errors` instead.
     val ok = results.filter(!_._3)
     val errors = results.filter(_._3).map(_._1)
-    val total = ok.map(_._2.flatten.min).sum
-    val qs = ok.map { case (k, t, _) => s"\"" + k + "\":" + t.flatten.min }
+    val total = ok.map(_._2.flatten.map(_._1).min).sum
+    val qs = ok.map { case (k, t, _) => s"\"" + k + "\":" + t.flatten.map(_._1).min }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, t, _) =>
-      s"\"" + k + "\":" + t.map(_.map(_.toString).getOrElse("null"))
+      s"\"" + k + "\":" + t.map(_.map(_._1.toString).getOrElse("null"))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-run steal seconds aligned with `raw`, and the queries whose
+    // timings a contended host plausibly inflated: any run stealing more
+    // than max(0.25 s, 5% of its wall time) — the artifact then carries
+    // its own contamination evidence instead of needing forensics
+    val steal = results.map { case (k, t, _) =>
+      s"\"" + k + "\":" + t.map(_.map(_._2.toString).getOrElse("null"))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val suspects = results.collect {
+      case (k, t, _) if t.flatten.exists { case (el, ss) =>
+        ss > math.max(0.25, 0.05 * el) } => k
+    }
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total FIRST (and repeated LAST as total_check): round 2's artifact
     // lost the leading total to tail truncation of the capture — with the
     // value at both ends, either truncation direction preserves it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir","total_check":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","total_check":$total}""")
     spark.stop()
   }
 }

@@ -92,8 +92,120 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot products of a vector column against a CONSTANT centroid matrix
+  * (K x Dim), returned as array<double> of K dots in centroid order.
+  *
+  * Why not K [[DotProduct]]s against `array(lit...)` literals: that form
+  * embeds K x Dim literal nodes in the expression tree, and the generated
+  * source CHANGES whenever the matrix values change — each Lloyd's
+  * training round then pays a fresh Janino compilation of a very large
+  * method (measured as the dominant fixed cost of KMeans.train; see
+  * SCALE.md). Here the matrix enters through `ctx.addReferenceObj`, so the
+  * generated source is matrix-value-INVARIANT: every training round (and
+  * every retrain) reuses one compiled unit from the codegen cache.
+  *
+  * Accumulation per centroid is the same left-to-right double fold as
+  * [[DotProduct]], so scores are bit-identical to the literal form and to
+  * the oracles' `list_reduce` replay. A vector whose length differs from
+  * the matrix's Dim yields NULL (the literal form nulled per-dot; one
+  * malformed vector should surface, not score a truncated prefix).
+  */
+case class CentroidDots(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_dots expects array<float|double> input, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    if (x.numElements() != dim) return null
+    val isF = elemIsFloat
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val row = cents(c)
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val xd: Double = if (isF) x.getFloat(d).toDouble else x.getDouble(d)
+        acc += xd * row(d)
+        d += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    // constant OBJECT reference: the generated source below never mentions
+    // a matrix value, so retraining produces byte-identical source and the
+    // codegen cache serves it compiled
+    val matRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val mat = ctx.freshName("mat")
+      val dim = ctx.freshName("dim")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double[][] $mat = $matRef;
+         |int $dim = $mat.length == 0 ? 0 : $mat[0].length;
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$mat.length];
+         |  for (int $c = 0; $c < $mat.length; $c++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $acc += ((double) $v.$get($d)) * $mat[$c][$d];
+         |    }
+         |    $out[$c] = $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  // Array fields compare by reference under case-class equality; compare
+  // matrix CONTENTS so two plans over equal matrices canonicalize alike
+  // (semanticEquals / subexpression elimination)
+  override def equals(other: Any): Boolean = other match {
+    case CentroidDots(c2, m2) =>
+      child == c2 && cents.length == m2.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), m2(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + cents.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDots =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product. */
   def dot_native(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for the constant-matrix centroid dots. */
+  def centroid_dots(vec: Column, cents: Array[Array[Double]]): Column =
+    Bridge.column(CentroidDots(Bridge.expression(vec), cents))
 }

@@ -45,6 +45,27 @@ object KMeans {
     * far below float32 input precision). */
   val Scale = 1099511627776.0
 
+  /** Model memo keyed by the FIXTURE (sfDir, vecCol, maxIters): the
+    * training data is an immutable parquet fixture, so one Lloyd's run per
+    * fixture serves every consumer — Verify's oracle-validity guard,
+    * q_dedup_semantic, q_sim_ivf_kmeans, and the persisted-index build all
+    * train on the same frame, and without the memo a verify run paid the
+    * identical training three times (round-4 ADVICE). Bench calls
+    * [[clearModels]] in its per-run hygiene instead: a benchmark run of a
+    * query DECLARED to include training must keep paying it. */
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Array[Array[Double]]]()
+
+  def clearModels(): Unit = models.clear()
+
+  /** [[train]] memoized by fixture directory — callers whose vectors come
+    * straight from `Tables.embeddings(s, sfDir)` use this. */
+  def trainForFixture(vectors: DataFrame, sfDir: String,
+                      vecCol: String = "embedding",
+                      maxIters: Int = MaxIters): Array[Array[Double]] =
+    models.computeIfAbsent((sfDir, vecCol, maxIters),
+      _ => train(vectors, vecCol, maxIters))
+
   /** Train centroids on `vectors`' `vecCol` from the hash seed; returns
     * the trained matrix (K x Dim). Dimensions with no assigned vectors
     * keep their previous centroid. */

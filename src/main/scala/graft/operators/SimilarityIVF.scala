@@ -41,13 +41,22 @@ object SimilarityIVF {
 
   /** array<struct<dot,negc>> of the vector's dot with every centroid;
     * struct max order = (dot DESC, cell ASC) since negc = -cell.
-    * `cents` enters as literals: cell assignment stays a narrow codegen
-    * scan whether the centroids are hash-seeded or k-means-trained. */
+    * `cents` enters as a CONSTANT OBJECT through
+    * [[graft.functions.expressions.CentroidDots]] (ctx.addReferenceObj),
+    * NOT as K x Dim literals: the literal form regenerated different
+    * Janino source per centroid update, so every Lloyd's round (and every
+    * retrain) paid a fresh compilation of a 1,024-literal method — the
+    * round-4 bench's dominant q_sim_ivf_kmeans fixed cost. With the
+    * matrix as a reference object the generated source is round-invariant
+    * and compiles once. The K dot products still run as one tight codegen
+    * loop in the scan; only the 16-element struct/argmax tail is
+    * interpreted HOF work. */
   private def scoredCells(vec: Column, cents: Array[Array[Double]]): Column =
-    array(cents.indices.map { c =>
-      struct(Similarity.dot(vec, array(cents(c).map(lit(_)): _*)).as("dot"),
-             lit(-c).as("negc"))
-    }: _*)
+    transform(
+      graft.functions.expressions.VectorExpressions.centroid_dots(vec, cents),
+      // aliases inside a lambda don't survive resolution — the cast names
+      // the fields (value no-op: dot is already double, -i already int)
+      (dot, i) => struct(dot, -i).cast("struct<dot:double,negc:int>"))
 
   /** Nearest-centroid cell id (deterministic tie-break toward the lower
     * cell id) — the list-build + max runs inside one codegen stage. */
@@ -73,8 +82,16 @@ object SimilarityIVF {
     val c = candidates
       .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"),
               cell(col(vecCol), cents).as("cell"))
-    // cells are disjoint per candidate (unlike LSH's multi-table buckets),
-    // so no pair-dedup stage is needed before the bounded-heap rank
+    rankProbed(q, c, k)
+  }
+
+  /** The probe/rank tail shared with the persisted-index path
+    * ([[IvfIndex.probe]]): join exploded query probes
+    * (query_id, q_vec, cell) against assigned candidates
+    * (neighbor_id, c_vec, cell), exact-cosine rank per query. Cells are
+    * disjoint per candidate (unlike LSH's multi-table buckets), so no
+    * pair-dedup stage is needed before the bounded-heap rank. */
+  def rankProbed(q: DataFrame, c: DataFrame, k: Int): DataFrame =
     c.join(q, Seq("cell"))
       .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
       .groupBy(col("query_id"))
@@ -83,5 +100,4 @@ object SimilarityIVF {
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
       .select(col("query_id"), col("entry.id").as("neighbor_id"),
               (col("pos") + 1).cast("long").as("rank"))
-  }
 }
