@@ -97,6 +97,15 @@ object DedupQueries {
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id", "text")),
 
+    // The REMOVAL artifact (Lee et al.'s actual deliverable):
+    // q_dedup_substring scores the duplication; this EMITS the cleaned
+    // corpus — every token covered by any cross-doc duplicated span cut
+    // out, pure-union boundary semantics so both engines resolve overlaps
+    // identically (Dedup.removeDuplicatedSpans).
+    // CrossQueryConsistencySpec ties the removed mass to the score query.
+    "q_dedup_substring_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")),
+
     // Boilerplate extraction — the per-SPAN transpose of
     // q_dedup_substring: which exact 8-token spans recur across >= 3
     // distinct documents (navigation chrome, license headers, templated
@@ -126,7 +135,7 @@ object DedupQueries {
     // #blocks) holds by construction.
     "q_dedup_semantic" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cents = KMeans.train(e)
+      val cents = KMeans.trainForFixture(e, dir)
       Dedup.embeddingNearDups(
           e.withColumn("cell", SimilarityIVF.cell(col("embedding"), cents)),
           "vec_id", "embedding", "cell", threshold = 0.3)
@@ -294,6 +303,20 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
     }),
 
+    // The multiprobe recall knob as a declared query: each query probes
+    // its base bucket AND every Hamming-1 neighbor per table (query-side
+    // explode only — the candidate table keeps its single bucket per
+    // table, so the join stays equi on (t, bk) and the corpus is never
+    // re-bucketed). Oracle expresses the same neighborhood declaratively:
+    // collide iff bit_count(xor(bk_q, bk_c)) <= 1. Recall/cost curve on
+    // clustered embeddings is measured in AnnRecallSpec.
+    "q_sim_ann_lsh_multiprobe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityLSH.annTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5,
+        multiprobe = true)
+    }),
+
     // IVF ANN: same top-k shape, inverted-file coarse cells instead of
     // LSH buckets — the second scale path (operators.SimilarityIVF).
     "q_sim_ivf" -> ((s, dir) => {
@@ -312,10 +335,28 @@ object DedupQueries {
     // early-stopped loop.
     "q_sim_ivf_kmeans" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cents = KMeans.train(e)
+      val cents = KMeans.trainForFixture(e, dir)
       SimilarityIVF.ivfTopK(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5,
         cents = cents)
+    }),
+
+    // The PERSISTED-index serving shape (operators.IvfIndex): train once,
+    // materialize centroids + cell assignments as tables (assignments
+    // BUCKETED by cell), serve every probe from the stored index — no
+    // training and no corpus re-assignment in the query path, which is
+    // how a 100 TB deployment actually runs trained IVF
+    // (q_sim_ivf_kmeans's per-invocation training is the honest
+    // per-query cost; this is the honest per-PIPELINE cost). First
+    // invocation in a session builds the index; later ones — including
+    // later Bench runs in the same JVM — are probe-only. Same result set
+    // as q_sim_ivf_kmeans (same trained centroids), so the same unrolled
+    // Lloyd's oracle checks it; IvfIndexSpec additionally pins the
+    // no-shuffle-on-index-side plan for a non-broadcast probe batch.
+    "q_sim_ivf_indexed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.IvfIndex.probe(s, dir, e.filter(col("vec_id") < 10),
+        k = 5, candidatePred = col("vec_id") >= 10)
     }),
 
     // Text-metadata x vector join — the alignment step of a multimodal /
@@ -617,8 +658,12 @@ object DedupQueries {
   }
 
   /** DuckDB replica of the hyperplane-LSH ANN pipeline: plane weights are
-    * re-derived in SQL from the same md5 labels (see SimilarityLSH). */
-  private val annLshSql: String = {
+    * re-derived in SQL from the same md5 labels (see SimilarityLSH).
+    * `perTableCollide` renders the per-table collision predicate — exact
+    * bucket equality for the single-probe query, Hamming <= 1 on the
+    * bucket bits for the multiprobe variant (the declarative equivalent
+    * of probing every one-bit-flipped bucket). */
+  private def annLshSqlWith(perTableCollide: Int => String): String = {
     def planeDot(vec: String, i: Int): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, ${SimilarityLSH.Dim + 1}), dd ->
@@ -631,7 +676,7 @@ object DedupQueries {
     val bkCols = (0 until SimilarityLSH.NumTables)
       .map(t => s"(${bucket(t)}) AS bk_$t").mkString(",\n  ")
     val collide = (0 until SimilarityLSH.NumTables)
-      .map(t => s"q.bk_$t = c.bk_$t").mkString(" OR ")
+      .map(perTableCollide).mkString(" OR ")
     s"""WITH bucketed AS (
        |  SELECT vec_id, embedding,
        |  $bkCols
@@ -645,6 +690,12 @@ object DedupQueries {
        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
        |WHERE rank <= 5""".stripMargin
   }
+
+  private val annLshSql: String =
+    annLshSqlWith(t => s"q.bk_$t = c.bk_$t")
+
+  private val annLshMultiprobeSql: String =
+    annLshSqlWith(t => s"bit_count(xor(q.bk_$t, c.bk_$t)) <= 1")
 
   /** Transitive closure over the candidate pairs (recursive CTE) — the
     * declarative mirror of the iterative min-label propagation. */
@@ -791,6 +842,37 @@ object DedupQueries {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Removal replay: same span construction/hash as [[substringSql]] but
+    * POSITIONAL (all occurrences, 1-based starts), cross-doc frequency by
+    * distinct docs, covered positions = union of [i, i+w-1] over
+    * duplicated spans, cleaned text = kept tokens rejoined in order. */
+  private val substringRemovalSql: String = {
+    val w = graft.operators.Dedup.DefaultSpanWidth
+    val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |starts AS (
+       |  SELECT doc_id, t, unnest(range(1, len(t)-${w - 2})) AS i FROM toks),
+       |occ AS (
+       |  SELECT doc_id, i, ${PortableHash.hash60Sql(s"($span)")} AS h FROM starts),
+       |freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM occ GROUP BY h),
+       |dup AS (SELECT occ.doc_id, occ.i FROM occ JOIN freq USING (h) WHERE nd >= 2),
+       |cov AS (SELECT DISTINCT doc_id, i + j AS p FROM dup, range(0, $w) r2(j)),
+       |covagg AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+       |te AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS p FROM toks),
+       |kept AS (
+       |  SELECT te.doc_id, te.p, te.t[te.p] AS tok
+       |  FROM te LEFT JOIN cov ON te.doc_id = cov.doc_id AND te.p = cov.p
+       |  WHERE cov.p IS NULL),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+       |        FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(agg.text_clean, '') AS text_clean,
+       |  CAST(COALESCE(covagg.n_removed, 0) AS BIGINT) AS n_removed
+       |FROM documents d
+       |LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |LEFT JOIN covagg ON d.doc_id = covagg.doc_id""".stripMargin
+  }
+
   /** Per-span transpose of [[substringSql]]: same span construction and
     * hash, distinct-doc count per hash, deterministic min-surface
     * representative. */
@@ -876,6 +958,7 @@ object DedupQueries {
     "q_ts_anomaly" -> tsAnomalySql,
     "q_dedup_semantic" -> semanticSql,
     "q_dedup_substring" -> substringSql,
+    "q_dedup_substring_removal" -> substringRemovalSql,
     "q_boilerplate_spans" -> boilerplateSql,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_global" -> minhashGlobalSql,
@@ -886,9 +969,13 @@ object DedupQueries {
     "q_dedup_components" -> componentsSql,
     "q_sim_ivf" -> ivfSql,
     "q_sim_ivf_kmeans" -> kmeansIvfSql,
+    // the persisted index serves the SAME trained-centroid result, so the
+    // same unrolled-training replay is its oracle
+    "q_sim_ivf_indexed" -> kmeansIvfSql,
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,
+    "q_sim_ann_lsh_multiprobe" -> annLshMultiprobeSql,
 
     "q_doc_embedding_stats" ->
       s"""WITH je AS (

@@ -268,6 +268,70 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
+  /** The REMOVAL artifact of substring dedup — the corpus with cross-doc
+    * duplicated spans excised, which is the Lee et al. 2022 pipeline's
+    * actual deliverable ([[duplicatedSpanStats]] is its scoring half).
+    *
+    * Deterministic boundary rule (what makes the output oracle-replayable):
+    * a token is removed iff ANY w-token span covering it occurs in >= 2
+    * distinct documents; the cleaned text is the remaining tokens joined
+    * in order. No greedy/leftmost tie-breaks — coverage is a pure union,
+    * so engines can't disagree on overlap resolution.
+    *
+    * Scale: span hashing is the same in-scan pipeline as
+    * duplicatedSpanStats (positions carried along); the span-frequency
+    * relation joins back SHUFFLED on the 8-byte hash (df rule — never
+    * broadcast, hot spans are AQE join skew). Reconstruction is narrow:
+    * the doc's token array never explodes — only the (doc_id, position)
+    * rows of DUPLICATED spans shuffle into a per-doc covered-set, and one
+    * id-keyed join hands each doc its covered positions for an in-place
+    * HOF filter. The corpus text crosses exactly one exchange (the
+    * id-keyed join every enrichment pays); dup-span positions are the
+    * only extra shuffled mass, proportional to the duplication actually
+    * found, not to corpus size.
+    *
+    * Output: (doc_id, text_clean, n_removed) for EVERY input document —
+    * docs shorter than w tokens (no spans) pass through unchanged,
+    * fully-duplicated docs come out empty with n_removed = their length.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            w: Int = DefaultSpanWidth): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    // ALL span occurrences with start positions (0-based) — NOT distinct:
+    // a span recurring inside one doc must cover both its sites once the
+    // span is known-duplicated across docs
+    val occ = toks
+      .select(col("doc_id"),
+        when(size(col("toks")) >= w,
+          transform(sequence(lit(0), size(col("toks")) - w),
+            i => graft.functions.PortableHash.hash60(
+              array_join(slice(col("toks"), i + 1, lit(w)), " "))))
+          .otherwise(array().cast("array<long>")).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("i", "h")))
+    // cross-doc frequency needs DISTINCT docs per hash (occurrences are
+    // positional here, unlike duplicatedSpanStats' per-doc-distinct rows)
+    val freq = occ.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    val covered = occ.join(freq.filter(col("nd") >= 2), "h")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    // corpus-derived covered-set: id-keyed SHUFFLED join (never broadcast)
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+        array_join(
+          transform(
+            filter(
+              transform(col("toks"),
+                (t, i) => struct(t, i).cast("struct<tok:string,pos:int>")),
+              s => !array_contains(col("cov"), s.getField("pos"))),
+            s => s.getField("tok")),
+          " ").as("text_clean"),
+        size(col("cov")).cast("long").as("n_removed"))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard, with PPJoin-style prefix
     * filtering for candidate generation (exact — no false negatives):
     *

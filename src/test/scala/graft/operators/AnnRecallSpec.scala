@@ -36,16 +36,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.2, f"LSH recall collapsed: $r%.2f")
   }
 
-  test("k-means-trained IVF materially beats hash centroids on clustered data") {
+  // 8 deterministic clusters (portable-hash pseudo-randoms): 320
+  // candidates + 10 queries, each a center plus noise. The noise scale
+  // matters: tight clusters sit entirely inside ANY cell partition (even
+  // hash centroids score perfect recall), so the clusters are made
+  // diffuse enough to straddle arbitrary cell/bucket boundaries while
+  // cluster mates remain each point's true nearest neighbors — the regime
+  // where centroid placement (IVF) / probe width (LSH) is what recall
+  // depends on. Shared by the trained-IVF and multiprobe-LSH tests.
+  private lazy val clustered: org.apache.spark.sql.DataFrame = {
     val s = spark
     import s.implicits._
-    // 8 deterministic clusters (portable-hash pseudo-randoms): 320
-    // candidates + 10 queries, each a center plus noise. The noise scale
-    // matters: tight clusters sit entirely inside ANY cell partition (even
-    // hash centroids score perfect recall), so the clusters are made
-    // diffuse enough to straddle arbitrary cell boundaries while cluster
-    // mates remain each point's true nearest neighbors — the regime where
-    // centroid PLACEMENT is what recall depends on.
     def prand(seed: String): Double = graft.functions.PortableHash.labelWeight(seed)
     val dim = SimilarityIVF.Dim
     val centers = Array.tabulate(8, dim)((c, d) => prand(s"kmc${c}_$d"))
@@ -55,24 +56,61 @@ class AnnRecallSpec extends SparkSpec {
     }
     val rows = (0 until 10).map(i => (i.toLong, point("kmq", i))) ++
       (0 until 320).map(i => (i + 100L, point("kmn", i)))
-    val df = rows.toDF("vec_id", "embedding")
-    val queries = df.filter(col("vec_id") < 10)
-    val cands = df.filter(col("vec_id") >= 10)
-    val truth = Similarity.topK(queries, cands, k = 5)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private lazy val clusteredTruth: Set[(Long, Long)] =
+    Similarity.topK(clustered.filter(col("vec_id") < 10),
+        clustered.filter(col("vec_id") >= 10), k = 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
-      val got = ann.select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      (got intersect truth).size.toDouble / truth.size
-    }
-    val rHash = recall(SimilarityIVF.ivfTopK(queries, cands, k = 5))
-    val trained = KMeans.train(df)
-    val rTrained = recall(SimilarityIVF.ivfTopK(queries, cands, k = 5, cents = trained))
+
+  private def clusteredRecall(ann: org.apache.spark.sql.DataFrame): Double = {
+    val got = ann.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (got intersect clusteredTruth).size.toDouble / clusteredTruth.size
+  }
+
+  test("k-means-trained IVF materially beats hash centroids on clustered data") {
+    val queries = clustered.filter(col("vec_id") < 10)
+    val cands = clustered.filter(col("vec_id") >= 10)
+    val rHash = clusteredRecall(SimilarityIVF.ivfTopK(queries, cands, k = 5))
+    val trained = KMeans.train(clustered)
+    val rTrained = clusteredRecall(
+      SimilarityIVF.ivfTopK(queries, cands, k = 5, cents = trained))
     info(f"IVF recall@5: hash centroids $rHash%.2f -> k-means $rTrained%.2f")
     assert(rTrained >= rHash + 0.15,
       f"training did not materially improve recall: $rHash%.2f -> $rTrained%.2f")
     assert(rTrained >= 0.5, f"trained recall too low: $rTrained%.2f")
+  }
+
+  test("multiprobe lifts LSH recall on clustered data at a measured cost multiple") {
+    val queries = clustered.filter(col("vec_id") < 10)
+    val cands = clustered.filter(col("vec_id") >= 10)
+    val rSingle = clusteredRecall(SimilarityLSH.annTopK(queries, cands, k = 5))
+    val rMulti = clusteredRecall(
+      SimilarityLSH.annTopK(queries, cands, k = 5, multiprobe = true))
+    // the cost that grows with multiprobe: distinct (query, candidate)
+    // pairs scored before ranking — measure both probe widths
+    def pairs(qB: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long = {
+      val q = queries.select(col("vec_id").as("qid"),
+        explode(qB(col("embedding"))).as("tb"))
+        .select(col("qid"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+      val c = cands.select(col("vec_id").as("cid"),
+        explode(SimilarityLSH.tableBuckets(col("embedding"))).as("tb"))
+        .select(col("cid"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+      c.join(q, Seq("t", "bk")).select("qid", "cid").distinct().count()
+    }
+    val pSingle = pairs(SimilarityLSH.tableBuckets)
+    val pMulti = pairs(SimilarityLSH.tableBucketsMultiprobe)
+    info(f"LSH clustered recall@5: single-probe $rSingle%.2f ($pSingle pairs) " +
+      f"-> multiprobe $rMulti%.2f ($pMulti pairs, ${pMulti.toDouble / pSingle}%.1fx)")
+    assert(rMulti >= 0.8, f"multiprobe clustered recall too low: $rMulti%.2f")
+    assert(rMulti >= rSingle, "multiprobe may only widen the candidate set")
+    // probing all Hamming-1 buckets costs at most (1 + NumPlanes)x the
+    // single-probe candidate work — the knob's documented price
+    assert(pMulti <= pSingle * (1 + SimilarityLSH.NumPlanes),
+      s"multiprobe pair growth beyond its bound: $pSingle -> $pMulti")
   }
 
   test("IVF ANN recall@5 stays above the NProbe/K floor") {

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The persisted IVF index (train once, serve probes from stored tables) —
+  * the signature-store discipline applied to ANN serving. */
+class IvfIndexSpec extends SparkSpec {
+
+  test("probe against the persisted index equals the retrained query") {
+    val s = spark
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      val cents = KMeans.trainForFixture(e, sfDir)
+      val retrained = SimilarityIVF.ivfTopK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5,
+          cents = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val indexed = IvfIndex.probe(s, sfDir, e.filter(col("vec_id") < 10),
+          k = 5, candidatePred = col("vec_id") >= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(retrained.nonEmpty && indexed == retrained)
+
+      // second ensureIndex reuses the tables: the persisted centroids must
+      // round-trip EXACTLY (bit-equal doubles), or a later session's probe
+      // cells would drift from the training-session assignment
+      val (_, reloaded) = IvfIndex.ensureIndex(s, sfDir)
+      assert(reloaded.length == cents.length &&
+        reloaded.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    } finally {
+      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_cells")
+      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_centroids")
+    }
+  }
+
+  test("a non-broadcast probe batch joins the index with no shuffle on the index side") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      val (cellsT, cents) = IvfIndex.ensureIndex(s, sfDir)
+      // a corpus-sized probe batch (every vector probes its own cells) —
+      // the case where the index's bucketing earns its keep: the store
+      // side reads its buckets in place, only the batch shuffles
+      val batch = e.select(col("vec_id").as("query_id"),
+        explode(SimilarityIVF.probeCells(col("embedding"), cents)).as("cell"))
+      val joined = s.table(cellsT).as("ix")
+        .join(batch.as("b"), col("ix.cell") === col("b.cell"))
+        .select(col("b.query_id"), col("ix.vec_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      val cellExchanges = "Exchange hashpartitioning\\(cell#".r.findAllIn(plan).size
+      assert(cellExchanges == 1,
+        s"expected exactly one join-key shuffle (batch side only), got $cellExchanges:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"index scan is not bucket-aware:\n$plan")
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_cells")
+      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_centroids")
+    }
+  }
+}
