@@ -31,9 +31,28 @@ object ScaleProbe {
 
   case class Doc(doc_id: Long, text: String, lang: String, src: String, n_chars: Int)
   case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+  // relational family (columns the probed declared queries touch; same
+  // names/types as the sf* fixtures so Tables loaders serve them as-is)
+  case class Cust(c_custkey: Long, c_nationkey: Int)
+  case class Supp(s_suppkey: Long, s_nationkey: Int)
+  case class Ord(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                 o_totalprice: Double, o_orderdate: java.sql.Timestamp)
+  case class Line(l_orderkey: Long, l_suppkey: Long,
+                  l_extendedprice: Double, l_discount: Double)
+  case class Nat(n_nationkey: Int, n_name: String, n_regionkey: Int)
+  case class Reg(r_regionkey: Int, r_name: String)
+  case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                event_type: String, value: Double)
 
   val BaseDocs = 5000L   // sf0.1 documents rows
   val BaseVecs = 2000L   // sf0.1 embeddings rows
+  // sf0.1 relational row counts (nation/region stay fixed like TPC-H)
+  val BaseCust = 15000L
+  val BaseSupp = 1000L
+  val BaseOrders = 150000L
+  val BaseLines = 600000L
+  val BaseEvents = 100000L
+  val BaseUsers = 1500L
 
   val Vocab: Array[String] = ("key agg row scan slow fast table value part hash " +
     "merge batch spark line sort window order data column join " +
@@ -95,6 +114,73 @@ object ScaleProbe {
     dir
   }
 
+  /** Relational tables at `mult` x the sf0.1 row counts. Distribution
+    * choices mirror how real data scales: per-key group sizes stay
+    * CONSTANT (orders/customer ~10, lines/order ~4, events/user ~67 —
+    * more customers and users, not longer histories), so the probe
+    * measures how the plans absorb more groups, which is the 100 TB
+    * question; date/time ranges stay fixed (the sf* fixtures' 1995-2001
+    * orders, 30-day events). */
+  private def ensureRelData(spark: SparkSession, dir: String, mult: Int): Unit = {
+    import spark.implicits._
+    val nCust = BaseCust * mult
+    val nSupp = BaseSupp * mult
+    val nUsers = BaseUsers * mult
+    def ts(micros: Long) = new java.sql.Timestamp(micros / 1000) // input: micros→ms
+    if (!new java.io.File(s"$dir/customer.parquet/_SUCCESS").exists())
+      spark.range(nCust).map(id => Cust(id, (mix(id, 11) % 25).toInt))
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    if (!new java.io.File(s"$dir/supplier.parquet/_SUCCESS").exists())
+      spark.range(nSupp).map(id => Supp(id, (mix(id, 13) % 25).toInt))
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    if (!new java.io.File(s"$dir/orders.parquet/_SUCCESS").exists())
+      spark.range(BaseOrders * mult).map { id =>
+        // 1995-01-01 + [0, ~6.57y) — matches the fixture's date span, so
+        // q_tpch_local_supplier's 1996-1998 filter keeps ~30% as it does there
+        val date = 788918400000000L + mix(id, 17) % 207360000000000L
+        Ord(id, mix(id, 19) % nCust, if (mix(id, 23) % 2 == 0) "F" else "O",
+            (mix(id, 29) % 10000000L) / 100.0, ts(date))
+      }.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists())
+      spark.range(BaseLines * mult).map { id =>
+        Line(mix(id, 31) % (BaseOrders * mult), mix(id, 37) % nSupp,
+             (mix(id, 41) % 1000000L) / 100.0, (mix(id, 43) % 11) / 100.0)
+      }.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    if (!new java.io.File(s"$dir/nation.parquet/_SUCCESS").exists())
+      (0 until 25).map(n => Nat(n, s"NATION_$n", n % 5)).toDS()
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    if (!new java.io.File(s"$dir/region.parquet/_SUCCESS").exists())
+      Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST").zipWithIndex
+        .map { case (r, i) => Reg(i, r) }.toDS()
+        .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists())
+      spark.range(BaseEvents * mult).map { id =>
+        // 30-day window, ~67 events/user; value in [0, 100)
+        val t = 1704067200000000L + mix(id, 47) % 2592000000000L
+        Ev(id, mix(id, 53) % nUsers, ts(t),
+           if (mix(id, 59) % 3 == 0) "view" else "click",
+           (mix(id, 61) % 10000L) / 100.0)
+      }.write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** Ten fixed tokens prepended to ~30% of documents — every such doc
+    * shares 3 identical 8-token spans, the span-hash join's hot-key case
+    * SCALE.md predicted but had not measured. */
+  val Boiler = "terms of service apply all rights reserved contact site admin"
+
+  private def ensureBoilerplateData(spark: SparkSession, mult: Int): String = {
+    val dir = s"/tmp/graft_scale/bp_x$mult"
+    import spark.implicits._
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+      spark.range(BaseDocs * mult).map { id =>
+        val base = textFor(id)
+        val t = if (mix(id, 4242) % 10 < 3) s"$Boiler $base" else base
+        Doc(id, t, langFor(id), s"src${id % 5}", t.length)
+      }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    dir
+  }
+
   /** The data-dependent family (names resolve via SparkEntry.queries so
     * the probe measures EXACTLY the declared plans). n-gram Jaccard is
     * dense-vocab quadratic by construction — keep it in the default list
@@ -109,7 +195,18 @@ object ScaleProbe {
     // with tokens, df join on the 8-byte hash), learned-cell semantic
     // dedup (expected n²/K exact pairs until cells cross the guardrail,
     // then the adaptive-LSH linear path — the probe observes the handoff)
-    "q_dedup_substring", "q_dedup_semantic")
+    "q_dedup_substring", "q_dedup_semantic",
+    // round-5 additions (verdict item 6): the relational family — 6-table
+    // join tree, per-customer window rank, per-user sessionize — probed
+    // on generated relational tables whose GROUP sizes stay constant as
+    // keys scale (the realistic 100 TB shape). Their plan shapes were
+    // argued in SCALE.md; the probe measures them.
+    "q_tpch_local_supplier", "q_window_rank_orders", "q_sessionize",
+    "q_dedup_substring_removal", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_indexed")
+
+  /** Names that read the relational/event tables (trigger their generation). */
+  private val RelNames = Set(
+    "q_tpch_local_supplier", "q_window_rank_orders", "q_sessionize")
 
   def main(args: Array[String]): Unit = {
     val mults = if (args.isEmpty) Seq(1, 10) else args.map(_.toInt).toSeq
@@ -134,9 +231,15 @@ object ScaleProbe {
     catch { case _: Throwable => () }
     spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
 
+    if (sys.env.get("SPARK_GRAFT_PROBE_BP").exists(_ == "1")) {
+      boilerplateProbe(spark, mults, runs)
+      spark.stop()
+      return
+    }
     mults.foreach { mult =>
       val dir = ensureData(spark, mult)
       val names = Family.filter(n => only.forall(_.findFirstIn(n).isDefined))
+      if (names.exists(RelNames)) ensureRelData(spark, dir, mult)
       val timed = names.map { name =>
         val fn = SparkEntry.queries(name)
         var rounds = -1
@@ -147,6 +250,7 @@ object ScaleProbe {
           if (name.contains("components") || name.contains("corpus"))
             rounds = ConnectedComponents.lastRounds
           spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+          graft.operators.KMeans.clearModels()
           dt
         }
         (name, times.min, rounds)
@@ -177,5 +281,53 @@ object ScaleProbe {
       println(s"""{"probe":"scale","mult":$mult,"n_docs":${BaseDocs * mult},"n_vecs":${BaseVecs * mult},"queries":$qjson,"cc_rounds":$rjson,"pairs_minhash":$pairsMinhash,"pairs_minhash_global":$pairsGlobal,"pairs_minhash_r4":$pairsR4,"pairs_ngram":$pairsNgram}""")
     }
     spark.stop()
+  }
+
+  /** The boilerplate-skew probe (round-4 verdict item 7): a corpus where
+    * ~30% of documents share one 10-token boilerplate prefix makes the
+    * span-frequency join's probe side massively hot on 3 span hashes —
+    * the AQE-skew case SCALE.md predicted for q_dedup_substring. The skew
+    * thresholds are scaled down to the probe's data size (the
+    * AqeSkewJoinSpec discipline: at 100 TB the 256 MB defaults play the
+    * identical role untouched) and the probe asserts from the FINAL
+    * adaptive plan whether the skew split actually fired. */
+  private def boilerplateProbe(spark: SparkSession, mults: Seq[Int], runs: Int): Unit = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      mults.foreach { mult =>
+        val dir = ensureBoilerplateData(spark, mult)
+        Seq("q_dedup_substring", "q_dedup_substring_removal").foreach { name =>
+          val fn = SparkEntry.queries(name)
+          var skew = false
+          val times = (1 to runs).map { _ =>
+            val df = fn(spark, dir)
+            val qe = df.queryExecution
+            val t0 = System.nanoTime()
+            // execute the plan without materializing corpus-sized output
+            // on the driver (noop write would re-plan and hide the QE)
+            qe.toRdd.foreach(_ => ())
+            val dt = (System.nanoTime() - t0) / 1e9
+            val rendered = qe.executedPlan.collect {
+              case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+            }.mkString("\n")
+            skew ||= rendered.contains("skew=true")
+            spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+            dt
+          }
+          println(s"""{"probe":"boilerplate","mult":$mult,"query":"$name","n_docs":${BaseDocs * mult},"t_min":${times.min},"skew_join_fired":$skew}""")
+        }
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
