@@ -145,6 +145,15 @@ object RelationalQueries {
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
         .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
                 col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        // SHUFFLE_HASH on the customer-x-filtered-orders side: the
+        // lineitem probe side is ~13x its rows (4x fact ratio x the ~30%
+        // date filter), and sort-merge would SORT those lineitem
+        // partitions — measured at the x100 probe: 1.9 GB of sort spill,
+        // the whole 1.5 -> 37 s superlinearity (SCALE.md round 5). A
+        // per-partition hash map of the small side streams lineitem
+        // unsorted; build size stays ~7% of the probe partition at every
+        // scale because both sides split on the same key space.
+        .hint("SHUFFLE_HASH")
         .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(Tables.supplier(s, dir)),
               col("l_suppkey") === col("s_suppkey") &&

@@ -168,13 +168,31 @@ object ScaleProbe {
     * SCALE.md predicted but had not measured. */
   val Boiler = "terms of service apply all rights reserved contact site admin"
 
-  private def ensureBoilerplateData(spark: SparkSession, mult: Int): String = {
-    val dir = s"/tmp/graft_scale/bp_x$mult"
+  /** Mode 1 ("moderate"): the 10-token boiler prefixed to ~30% of
+    * normal-length docs — measured NOT to reach the AQE skew threshold
+    * (the hot span is ~0.6% of span rows; every doc contributes ~48
+    * spans, so no single key can dominate a partition). Mode 2
+    * ("hot-span"): SHORT docs (9-20 tokens, ~5 spans each) with an
+    * exactly-8-token boiler opening 50% of them — ONE span hash carries
+    * ~10% of all span rows, the single-dominant-key shape where the
+    * skew split has something to split. */
+  private def ensureBoilerplateData(spark: SparkSession, mult: Int,
+                                    mode: Int): String = {
+    val dir = s"/tmp/graft_scale/bp${mode}_x$mult"
     import spark.implicits._
+    val boiler8 = Boiler.split(" ").take(8).mkString(" ")
     if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
       spark.range(BaseDocs * mult).map { id =>
-        val base = textFor(id)
-        val t = if (mix(id, 4242) % 10 < 3) s"$Boiler $base" else base
+        val t =
+          if (mode == 2) {
+            val len = 1 + (mix(id, 0) % 12).toInt // 1-12 fresh tokens
+            val fresh = Array.tabulate(len)(i =>
+              Vocab((mix(id, i + 1) % Vocab.length).toInt)).mkString(" ")
+            if (mix(id, 4242) % 10 < 5) s"$boiler8 $fresh" else fresh
+          } else {
+            val base = textFor(id)
+            if (mix(id, 4242) % 10 < 3) s"$Boiler $base" else base
+          }
         Doc(id, t, langFor(id), s"src${id % 5}", t.length)
       }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
@@ -231,8 +249,9 @@ object ScaleProbe {
     catch { case _: Throwable => () }
     spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
 
-    if (sys.env.get("SPARK_GRAFT_PROBE_BP").exists(_ == "1")) {
-      boilerplateProbe(spark, mults, runs)
+    val bpMode = sys.env.get("SPARK_GRAFT_PROBE_BP").map(_.toInt).getOrElse(0)
+    if (bpMode > 0) {
+      boilerplateProbe(spark, mults, runs, bpMode)
       spark.stop()
       return
     }
@@ -243,12 +262,41 @@ object ScaleProbe {
       val timed = names.map { name =>
         val fn = SparkEntry.queries(name)
         var rounds = -1
+        val wantMetrics = sys.env.contains("SPARK_GRAFT_PROBE_METRICS")
         val times = (1 to runs).map { _ =>
+          val df = fn(spark, dir)
           val t0 = System.nanoTime()
-          fn(spark, dir).write.mode("overwrite").format("noop").save()
+          // metrics mode executes THIS df's QueryExecution (toRdd): a
+          // noop write plans its own QueryExecution, leaving
+          // df.queryExecution unexecuted with all-zero metrics
+          if (wantMetrics) df.queryExecution.toRdd.foreach(_ => ())
+          else df.write.mode("overwrite").format("noop").save()
           val dt = (System.nanoTime() - t0) / 1e9
           if (name.contains("components") || name.contains("corpus"))
             rounds = ConnectedComponents.lastRounds
+          // superlinearity forensics: executed-plan metrics whose name
+          // says spill (memory/disk), summed per operator class — the
+          // measured answer to "did x100 cross the memory cliff"
+          if (wantMetrics) {
+            import org.apache.spark.sql.execution.SparkPlan
+            import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+            // plan walk must RECURSE through stage boundaries: a
+            // materialized QueryStageExec is a leaf to foreach, its
+            // actual operators (where the spill metrics live) hang off
+            // q.plan; same for nested AdaptiveSparkPlanExec
+            def walk(p: SparkPlan): Unit = p.foreach {
+              case q: QueryStageExec => walk(q.plan)
+              case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+              case node =>
+                node.metrics.foreach { case (key, m) =>
+                  val k = key.toLowerCase
+                  if ((k.contains("spill") || k.contains("peak")) && m.value > 0)
+                    System.err.println(
+                      s"[metrics] $name ${node.nodeName} $key=${m.value}")
+                }
+            }
+            walk(df.queryExecution.executedPlan)
+          }
           spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
           graft.operators.KMeans.clearModels()
           dt
@@ -291,22 +339,82 @@ object ScaleProbe {
     * AqeSkewJoinSpec discipline: at 100 TB the 256 MB defaults play the
     * identical role untouched) and the probe asserts from the FINAL
     * adaptive plan whether the skew split actually fired. */
-  private def boilerplateProbe(spark: SparkSession, mults: Seq[Int], runs: Int): Unit = {
+  private def boilerplateProbe(spark: SparkSession, mults: Seq[Int], runs: Int,
+                               mode: Int): Unit = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // thresholds scaled to COMPRESSED shuffle sizes: AQE's skew decision
+    // reads MapOutputStatistics, and the hot partition's near-identical
+    // rows (one repeated hash) compress far better than the high-entropy
+    // median — measured: a partition carrying 7% of all span rows stayed
+    // under the 256 KB threshold at x30
+    // a skewed reduce partition can only be split at MAP-OUTPUT
+    // granularity: the probe's whole corpus is one small parquet file
+    // (1-2 mappers), which leaves AQE nothing to split however hot the
+    // key — shrink maxPartitionBytes so the scan fans out to dozens of
+    // mappers, the role thousands of input splits play at 100 TB
     val confs = Map(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.files.maxPartitionBytes" -> "131072",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       mults.foreach { mult =>
-        val dir = ensureBoilerplateData(spark, mult)
-        Seq("q_dedup_substring", "q_dedup_substring_removal").foreach { name =>
-          val fn = SparkEntry.queries(name)
+        val dir = ensureBoilerplateData(spark, mult, mode)
+        // "wide" is the naive-plan twin the declared operators refuse to
+        // be: the full document text carried THROUGH the span-frequency
+        // join, so each hot-span row is doc-length wide and the hot
+        // reduce partition dominates at the BYTE level AQE's skew
+        // detector reads. The declared plans ship only (doc_id, i, h)
+        // rows through that join — the design choice this contrast
+        // measures.
+        val w = graft.operators.Dedup.DefaultSpanWidth
+        def wideOcc(s: SparkSession, d: String) =
+          graft.sources.Tables.documents(s, d)
+            .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+            .select(col("doc_id"), col("text"),
+              explode(when(size(col("toks")) >= w,
+                transform(sequence(lit(0), size(col("toks")) - w),
+                  i => graft.functions.PortableHash.hash60(
+                    array_join(slice(col("toks"), i + 1, lit(w)), " "))))
+                .otherwise(array().cast("array<long>"))).as("h"))
+        def spanFreq(s: SparkSession, d: String) =
+          graft.operators.Dedup.spanRows(
+              graft.sources.Tables.documents(s, d), "doc_id", "text", w)
+            .select(graft.functions.PortableHash.hash60(col("span")).as("h"))
+            .groupBy("h").agg(count(lit(1)).as("nd"))
+        val wide: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+          (s, d) =>
+            wideOcc(s, d).join(spanFreq(s, d).filter(col("nd") >= 2), "h")
+              .groupBy("doc_id")
+              .agg(count(lit(1)).as("n_dup_occ"), max(length(col("text"))).as("len"))
+        // the A/B control: the SAME wide join but with the frequency
+        // relation MATERIALIZED first, so both join children are bare
+        // shuffle reads — the only shape OptimizeSkewedJoin's pattern
+        // (Sort + optional AQEShuffleRead over ShuffleQueryStage, both
+        // sides) accepts. The inline-aggregate form above is structurally
+        // ineligible however skewed the bytes get.
+        val wideMat: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+          (s, d) => {
+            val fp = s"$d/span_freq.parquet"
+            if (!new java.io.File(s"$fp/_SUCCESS").exists())
+              spanFreq(s, d).write.mode("overwrite").parquet(fp)
+            wideOcc(s, d)
+              .join(s.read.parquet(fp).filter(col("nd") >= 2), "h")
+              .groupBy("doc_id")
+              .agg(count(lit(1)).as("n_dup_occ"), max(length(col("text"))).as("len"))
+          }
+        val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+          Seq("q_dedup_substring" -> SparkEntry.queries("q_dedup_substring"),
+              "q_dedup_substring_removal" -> SparkEntry.queries("q_dedup_substring_removal"),
+              "wide_span_join" -> wide,
+              "wide_span_join_mat" -> wideMat)
+        probes.foreach { case (name, fn) =>
           var skew = false
+          var sawAqe = false
           val times = (1 to runs).map { _ =>
             val df = fn(spark, dir)
             val qe = df.queryExecution
@@ -319,10 +427,13 @@ object ScaleProbe {
               case a: AdaptiveSparkPlanExec => a.executedPlan.toString
             }.mkString("\n")
             skew ||= rendered.contains("skew=true")
+            sawAqe ||= rendered.contains("AQEShuffleRead")
+            if (sys.env.contains("SPARK_GRAFT_PROBE_BP_DEBUG"))
+              System.err.println(s"[bp-debug] $name final plan:\n$rendered")
             spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
             dt
           }
-          println(s"""{"probe":"boilerplate","mult":$mult,"query":"$name","n_docs":${BaseDocs * mult},"t_min":${times.min},"skew_join_fired":$skew}""")
+          println(s"""{"probe":"boilerplate","mode":$mode,"mult":$mult,"query":"$name","n_docs":${BaseDocs * mult},"t_min":${times.min},"skew_join_fired":$skew,"saw_aqe_read":$sawAqe}""")
         }
       }
     } finally saved.foreach {

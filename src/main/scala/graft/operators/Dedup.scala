@@ -234,8 +234,14 @@ object Dedup {
     * (portable 60-bit hash, so the whole pipeline replays in DuckDB);
     * the span-frequency relation is a map-side-combined aggregate joined
     * back SHUFFLED on the 8-byte hash (vocabulary-sized build side, the
-    * q_text_tfidf / ngramJaccardPairs df rule: never broadcast, hot
-    * boilerplate spans are AQE-splittable join skew). A hash collision
+    * q_text_tfidf / ngramJaccardPairs df rule: never broadcast). Hot
+    * boilerplate spans are NOT an AQE-skew concern here — measured, not
+    * assumed (SCALE.md round-5 boilerplate probe): sharing the h-exchange
+    * between the frequency aggregate and the join makes the plan
+    * one-exchange-cheap and structurally outside OptimizeSkewedJoin's
+    * bare-shuffle-children pattern, and a hot probe partition joins its
+    * rows against ONE build row — linear work, measured flat at a key
+    * carrying 11% of all span rows. A hash collision
     * can only mark a span duplicated, never unmark one, and the same
     * hash is replayed by the oracle, so results are still exact-compare.
     */
@@ -281,7 +287,9 @@ object Dedup {
     * Scale: span hashing is the same in-scan pipeline as
     * duplicatedSpanStats (positions carried along); the span-frequency
     * relation joins back SHUFFLED on the 8-byte hash (df rule — never
-    * broadcast, hot spans are AQE join skew). Reconstruction is narrow:
+    * broadcast; hot spans are measured NOT to need skew handling — see
+    * [[duplicatedSpanStats]] and the SCALE.md round-5 boilerplate
+    * probe). Reconstruction is narrow:
     * the doc's token array never explodes — only the (doc_id, position)
     * rows of DUPLICATED spans shuffle into a per-doc covered-set, and one
     * id-keyed join hands each doc its covered positions for an in-place
@@ -299,18 +307,27 @@ object Dedup {
     val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     // ALL span occurrences with start positions (0-based) — NOT distinct:
     // a span recurring inside one doc must cover both its sites once the
-    // span is known-duplicated across docs
+    // span is known-duplicated across docs. Spans are built by the HOF
+    // (slice+join, one dispatch per span) but HASHED after the explode,
+    // where md5 runs codegen'd per row — hashing inside the interpreted
+    // lambda was measured 4x slower on the whole query (ScaleProbe x1:
+    // 10.9 s -> 2.7 s)
     val occ = toks
       .select(col("doc_id"),
         when(size(col("toks")) >= w,
           transform(sequence(lit(0), size(col("toks")) - w),
-            i => graft.functions.PortableHash.hash60(
-              array_join(slice(col("toks"), i + 1, lit(w)), " "))))
-          .otherwise(array().cast("array<long>")).as("hs"))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("i", "h")))
-    // cross-doc frequency needs DISTINCT docs per hash (occurrences are
-    // positional here, unlike duplicatedSpanStats' per-doc-distinct rows)
-    val freq = occ.select("doc_id", "h").distinct()
+            i => array_join(slice(col("toks"), i + 1, lit(w)), " ")))
+          .otherwise(array().cast("array<string>")).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("i", "span")))
+      .select(col("doc_id"), col("i"),
+              graft.functions.PortableHash.hash60(col("span")).as("h"))
+    // cross-doc frequency over PER-DOC-DISTINCT spans — the spanRows
+    // shape duplicatedSpanStats proved: its row count per hash IS the
+    // distinct-doc count, one exchange; deriving the same relation from
+    // the positional rows above would need a distinct aggregate first
+    // (a second full exchange of every span row for nothing)
+    val freq = spanRows(df, idCol, textCol, w)
+      .select(graft.functions.PortableHash.hash60(col("span")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("nd"))
     val covered = occ.join(freq.filter(col("nd") >= 2), "h")
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
