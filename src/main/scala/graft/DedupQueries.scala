@@ -359,6 +359,31 @@ object DedupQueries {
         k = 5, candidatePred = col("vec_id") >= 10)
     }),
 
+    // IVFADC — IVF coarse cells + product-quantization scoring
+    // (operators.Pq): candidates cross the probe join as (id, cell,
+    // 8 codes) — the 512-byte vector payload never shuffles, the 100 TB
+    // memory story of ANN serving. ADC score = sum of per-subspace
+    // lookup-table entries; codebooks are hash-derived constants, so the
+    // oracle replays encode + ADC value-exactly.
+    "q_sim_ivf_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.ivfAdcTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+    }),
+
+    // The full IVFADC serving funnel: ADC shortlist of 20, exact-cosine
+    // re-rank to top-5. True vectors are fetched for only
+    // #queries x 20 shortlisted ids (the shortlist broadcasts, never the
+    // corpus) — approximate scoring does the mass pruning, exact
+    // arithmetic runs on a constant-bounded set. Recall vs the exact
+    // oracle is measured in AnnRecallSpec.
+    "q_sim_ivf_pq_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Pq.ivfAdcRerank(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        k = 5, r = 20)
+    }),
+
     // Text-metadata x vector join — the alignment step of a multimodal /
     // embedding pipeline: BOTH sides are corpus-sized facts, so this is
     // an id-keyed sort-merge join at scale (no broadcast hint; AQE
@@ -740,6 +765,84 @@ object DedupQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** DuckDB replica of the IVFADC (IVF + product quantization) pipeline
+    * (operators.Pq): coarse cells from the "ivf" label family as in
+    * [[ivfSql]]; per-subspace candidate codes by argmin of the same
+    * left-fold squared-L2 the PqEncode expression computes (first
+    * occurrence of the min = the lower-code tie-break); ADC score as the
+    * same two-level left fold as PqLut+PqAdc. Ends defining `adc`
+    * (query_id, neighbor_id, score). */
+  private val pqIvfCtes: String = {
+    def ivfw(cExpr: String, dExpr: String) =
+      s"((CAST(('0x'||substr(md5('ivf'||$cExpr||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
+    def pqw(mExpr: String, cExpr: String, dExpr: String) =
+      s"((CAST(('0x'||substr(md5('pq'||$mExpr||'_'||($cExpr)||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
+    val ivfDot =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${SimilarityIVF.Dim + 1}), dd ->
+         |    CAST(embedding[dd] AS DOUBLE) * ${ivfw("c", "dd-1")})),
+         |  (a, x) -> a + x)""".stripMargin
+    val subDist =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(0, ${graft.operators.Pq.SubDim}), d ->
+         |    (CAST(embedding[m*${graft.operators.Pq.SubDim}+d+1] AS DOUBLE) - ${pqw("m", "cc", "d")}) *
+         |    (CAST(embedding[m*${graft.operators.Pq.SubDim}+d+1] AS DOUBLE) - ${pqw("m", "cc", "d")}))),
+         |  (a, x) -> a + x)""".stripMargin
+    val dists =
+      s"list_transform(range(0, ${graft.operators.Pq.C}), cc -> $subDist)"
+    val adcScore =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(0, ${graft.operators.Pq.M}), m ->
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, ${graft.operators.Pq.SubDim}), d ->
+         |        CAST(q.embedding[m*${graft.operators.Pq.SubDim}+d+1] AS DOUBLE) *
+         |          ${pqw("m", "c.codes[m+1]", "d")})),
+         |      (a, x) -> a + x))),
+         |  (a, x) -> a + x)""".stripMargin
+    s"""scored AS (
+       |  SELECT vec_id, embedding, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
+       |  FROM (
+       |    SELECT vec_id, embedding, c, $ivfDot AS dot
+       |    FROM embeddings, range(0, ${SimilarityIVF.K}) t(c))),
+       |qry AS (SELECT vec_id, embedding, c AS cell FROM scored WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10),
+       |cand AS (
+       |  SELECT vec_id, c AS cell,
+       |    list_transform(range(0, ${graft.operators.Pq.M}), m ->
+       |      list_position($dists, list_min($dists)) - 1) AS codes
+       |  FROM scored WHERE rn = 1 AND vec_id >= 10),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $adcScore AS score
+       |  FROM qry q JOIN cand c USING (cell))""".stripMargin
+  }
+
+  private val pqIvfSql: String =
+    s"""WITH $pqIvfCtes
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= 5""".stripMargin
+
+  private val pqRerankSql: String =
+    s"""WITH $pqIvfCtes,
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS arank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC,
+       |               s.neighbor_id ASC) AS rank
+       |  FROM shortlist s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.neighbor_id
+       |  WHERE s.arank <= 20)
+       |WHERE rank <= 5""".stripMargin
+
   /** DuckDB replay of [[KMeans.train]] + the trained-IVF query: the
     * hash-seeded centroids as round-0 lists, then [[KMeans.MaxIters]]
     * unrolled Lloyd's rounds (assignment by the same left-fold dot and
@@ -972,6 +1075,8 @@ object DedupQueries {
     // the persisted index serves the SAME trained-centroid result, so the
     // same unrolled-training replay is its oracle
     "q_sim_ivf_indexed" -> kmeansIvfSql,
+    "q_sim_ivf_pq" -> pqIvfSql,
+    "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,

@@ -18,7 +18,9 @@ object PlanAudit {
       "q_sim_ann_lsh", "q_sim_ivf", "q_asof_last_purchase",
       "q_keyed_count_salted", "q_range_join_bands", "q_curation_pipeline",
       "q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
-      "q_corpus_dedup_full", "q_dedup_substring", "q_zorder_key")
+      "q_corpus_dedup_full", "q_dedup_substring", "q_zorder_key",
+      "q_sim_ivf_indexed", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_pq",
+      "q_sim_ivf_pq_rerank")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
@@ -36,10 +38,14 @@ object PlanAudit {
     // shuffle joins at real sizes — the defect was the unconditional
     // hint, now gone.)
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // q_dedup_substring_removal joins its corpus-derived covered-set back
+    // by doc_id — that join must show NO BroadcastExchange here; the ANN
+    // serving/multiprobe queries may broadcast ONLY their query sets
     Seq("q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
         "q_corpus_dedup_full", "q_text_tfidf", "q_dedup_embedding",
         "q_corpus_dedup_verified", "q_mix_sources",
-        "q_dedup_substring", "q_boilerplate_spans").foreach { name =>
+        "q_dedup_substring", "q_boilerplate_spans",
+        "q_dedup_substring_removal").foreach { name =>
       println(s"========== $name (auto-broadcast disabled: hints only) ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
     }

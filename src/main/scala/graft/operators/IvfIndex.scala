@@ -73,6 +73,32 @@ object IvfIndex {
     (cellsT, loadCentroids(spark, centsT))
   }
 
+  /** Incremental index maintenance — the reason the index is a TABLE and
+    * not a per-query artifact: a new embedding batch is assigned to the
+    * EXISTING centroids (one narrow scan, K codegen dot products per row)
+    * and appended to the bucketed cells table. No retraining, no
+    * re-assignment of the resident corpus, no index rebuild — the same
+    * economics [[graft.DedupQueries]]'s incremental signature store
+    * proves for dedup. At 100 TB this is the only affordable write path:
+    * ingest cost is proportional to the BATCH, never to the index.
+    *
+    * The trade this buys into (the IVF literature's standard one): as
+    * batches drift from the training distribution, cells unbalance and
+    * recall decays — the signal to retrain is cell-occupancy skew, which
+    * is one `groupBy(cell).count()` over the index away. Centroids stay
+    * fixed until a rebuild, so append order never changes any probe's
+    * result (IvfIndexSpec pins append == rebuild-with-same-centroids). */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (cellsT, cents) = ensureIndex(spark, dir)
+    batch
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        SimilarityIVF.cell(col(vecCol), cents).as("cell"))
+      .write.mode("append")
+      .bucketBy(8, "cell").sortBy("cell")
+      .saveAsTable(cellsT)
+  }
+
   /** K x Dim model state from the centroid table — the only thing probe
     * planning needs from training. */
   private def loadCentroids(spark: SparkSession, centsT: String): Array[Array[Double]] =

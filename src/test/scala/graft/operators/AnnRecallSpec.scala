@@ -113,6 +113,19 @@ class AnnRecallSpec extends SparkSpec {
       s"multiprobe pair growth beyond its bound: $pSingle -> $pMulti")
   }
 
+  test("exact re-rank recovers what ADC quantization loses (clustered)") {
+    val queries = clustered.filter(col("vec_id") < 10)
+    val cands = clustered.filter(col("vec_id") >= 10)
+    // both paths share the same IVF cell restriction (hash centroids),
+    // so the delta isolates what the exact re-rank recovers from ADC's
+    // quantized ordering within the probed cells
+    val rAdc = clusteredRecall(Pq.ivfAdcTopK(queries, cands, k = 5))
+    val rRer = clusteredRecall(Pq.ivfAdcRerank(queries, cands, k = 5, r = 20))
+    info(f"IVFADC clustered recall@5: ADC-only $rAdc%.2f -> reranked $rRer%.2f")
+    assert(rRer >= rAdc,
+      "re-ranking a superset shortlist cannot lose recall vs its own ADC order")
+  }
+
   test("IVF ANN recall@5 stays above the NProbe/K floor") {
     val s = spark
     val e = Tables.embeddings(s, sfDir)

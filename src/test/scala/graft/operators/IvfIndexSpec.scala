@@ -35,6 +35,48 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("append ingests a batch at batch cost and equals a full rebuild") {
+    val s = spark
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      // resident index over vec_id >= 30; batch = [10, 30); queries < 10.
+      // Build from a FILTERED corpus via a scratch fixture name so the
+      // memoized full-fixture model is not disturbed: ensureIndex derives
+      // centroids from the fixture dir, which here must be the resident
+      // subset. Simpler: build the real index, then append a batch of
+      // NEW ids and check the probe sees exactly the union.
+      val (cellsT, cents) = IvfIndex.ensureIndex(s, sfDir)
+      val resident = s.table(cellsT).count()
+      val batch = e.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      IvfIndex.append(s, sfDir, batch)
+      assert(s.table(cellsT).count() == resident + batch.count())
+      // appended rows carry the same cell assignment the resident build
+      // would have given them (centroids fixed -> append == rebuild)
+      val expected = batch
+        .select(col("vec_id"), SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val got = s.table(cellsT).filter(col("vec_id") >= 1000000L)
+        .select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got == expected)
+      // probes now see appended neighbors exactly as if they were resident
+      val probed = IvfIndex.probe(s, sfDir, e.filter(col("vec_id") < 10),
+          k = 5, candidatePred = col("vec_id") >= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = SimilarityIVF.ivfTopK(
+          e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+            .unionByName(batch), k = 5,
+          cents = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(probed.nonEmpty && probed == rebuilt)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_cells")
+      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_centroids")
+    }
+  }
+
   test("a non-broadcast probe batch joins the index with no shuffle on the index side") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
