@@ -220,7 +220,8 @@ object ScaleProbe {
     // keys scale (the realistic 100 TB shape). Their plan shapes were
     // argued in SCALE.md; the probe measures them.
     "q_tpch_local_supplier", "q_window_rank_orders", "q_sessionize",
-    "q_dedup_substring_removal", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_indexed")
+    "q_dedup_substring_removal", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_indexed",
+    "q_sim_ivf_pq", "q_sim_ivf_pq_rerank")
 
   /** Names that read the relational/event tables (trigger their generation). */
   private val RelNames = Set(
