@@ -87,6 +87,7 @@ object Bench {
         spark.catalog.clearCache()
         graft.operators.CacheScope.releaseAll()
         graft.operators.KMeans.clearModels()
+        graft.operators.Pq.clearModels()
         dt
       }
       (name, times, failed)

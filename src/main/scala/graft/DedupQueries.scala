@@ -384,6 +384,28 @@ object DedupQueries {
         k = 5, r = 20)
     }),
 
+    // RESIDUAL IVFADC with TRAINED sub-quantizers — the full Jegou et al.
+    // construction: codes quantize the coarse residual v - cents[cell]
+    // (whose small magnitudes make 4-bit codes fine-grained; flat PQ on
+    // raw vectors measured ~zero trained gain, AnnRecallSpec has both
+    // numbers), the codebook is per-subspace k-means over those residuals
+    // (Pq.trainResidualCodebook — assignment is the serving PqEncode
+    // kernel itself, update the fixed-point exact mean), and ADC adds the
+    // coarse dot back from the probe side. Training cost is per fixture
+    // (memoized like KMeans); the serving payload is still (id, cell,
+    // 8 codes) and the codebook is a constant reference, so nothing
+    // recompiles. The oracle unrolls all TrainIters rounds as CTEs over
+    // the same residuals and replays encode/LUT/ADC against the final
+    // codebook.
+    "q_sim_ivf_pq_trained" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = KMeans.trainForFixture(e, dir)
+      val cb = graft.operators.Pq.trainResidualForFixture(e, dir)
+      graft.operators.Pq.ivfAdcResidualTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        k = 5, cb = cb, cents = cents)
+    }),
+
     // Text-metadata x vector join — the alignment step of a multimodal /
     // embedding pipeline: BOTH sides are corpus-sized facts, so this is
     // an id-keyed sort-merge join at scale (no broadcast hint; AQE
@@ -765,6 +787,31 @@ object DedupQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  private def pqw(mExpr: String, cExpr: String, dExpr: String) =
+    s"((CAST(('0x'||substr(md5('pq'||$mExpr||'_'||($cExpr)||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
+
+  private def ivfwSql(cExpr: String, dExpr: String) =
+    s"((CAST(('0x'||substr(md5('ivf'||$cExpr||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
+
+  /** The hash-IVF coarse stage shared by every PQ oracle: `scored` (every
+    * vector's dot against every coarse centroid, ranked — the dot kept for
+    * residual ADC's coarse term) and `qry` (each query's NProbe probe
+    * cells). */
+  private val pqCoarseCtes: String = {
+    val ivfDot =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${SimilarityIVF.Dim + 1}), dd ->
+         |    CAST(embedding[dd] AS DOUBLE) * ${ivfwSql("c", "dd-1")})),
+         |  (a, x) -> a + x)""".stripMargin
+    s"""scored AS (
+       |  SELECT vec_id, embedding, c, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
+       |  FROM (
+       |    SELECT vec_id, embedding, c, $ivfDot AS dot
+       |    FROM embeddings, range(0, ${SimilarityIVF.K}) t(c))),
+       |qry AS (SELECT vec_id, embedding, c AS cell, dot AS cdot FROM scored WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10)""".stripMargin
+  }
+
   /** DuckDB replica of the IVFADC (IVF + product quantization) pipeline
     * (operators.Pq): coarse cells from the "ivf" label family as in
     * [[ivfSql]]; per-subspace candidate codes by argmin of the same
@@ -773,15 +820,6 @@ object DedupQueries {
     * same two-level left fold as PqLut+PqAdc. Ends defining `adc`
     * (query_id, neighbor_id, score). */
   private val pqIvfCtes: String = {
-    def ivfw(cExpr: String, dExpr: String) =
-      s"((CAST(('0x'||substr(md5('ivf'||$cExpr||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
-    def pqw(mExpr: String, cExpr: String, dExpr: String) =
-      s"((CAST(('0x'||substr(md5('pq'||$mExpr||'_'||($cExpr)||'_'||($dExpr)),1,15)) AS BIGINT) % 2001 - 1000)/1000.0)"
-    val ivfDot =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |  list_transform(range(1, ${SimilarityIVF.Dim + 1}), dd ->
-         |    CAST(embedding[dd] AS DOUBLE) * ${ivfw("c", "dd-1")})),
-         |  (a, x) -> a + x)""".stripMargin
     val subDist =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(0, ${graft.operators.Pq.SubDim}), d ->
@@ -799,13 +837,7 @@ object DedupQueries {
          |          ${pqw("m", "c.codes[m+1]", "d")})),
          |      (a, x) -> a + x))),
          |  (a, x) -> a + x)""".stripMargin
-    s"""scored AS (
-       |  SELECT vec_id, embedding, c,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
-       |  FROM (
-       |    SELECT vec_id, embedding, c, $ivfDot AS dot
-       |    FROM embeddings, range(0, ${SimilarityIVF.K}) t(c))),
-       |qry AS (SELECT vec_id, embedding, c AS cell FROM scored WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10),
+    s"""$pqCoarseCtes,
        |cand AS (
        |  SELECT vec_id, c AS cell,
        |    list_transform(range(0, ${graft.operators.Pq.M}), m ->
@@ -824,6 +856,102 @@ object DedupQueries {
        |      ORDER BY score DESC, neighbor_id ASC) AS rank
        |  FROM adc)
        |WHERE rank <= 5""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Pq.trainResidualCodebook]] + the
+    * residual-IVFADC query: every vector's coarse residual
+    * v - cents[cell(v)] as `resid`, the hash-seeded codebook as `cb0`,
+    * then [[graft.operators.Pq.TrainIters]] unrolled per-subspace Lloyd's
+    * rounds OVER THE RESIDUALS (assignment by the PqEncode argmin /
+    * lower-code tie-break as a (vec_id, m)-partitioned row_number; update
+    * by the same fixed-point exact mean as kmeansCtes, empty codes keeping
+    * their codeword), then candidate residual-encode + per-query LUT + ADC
+    * against the FINAL codebook with the coarse dot added back
+    * (score = cdot + sum_m lut terms). The ADC sum is replayed in PqAdc's
+    * exact order: the per-subspace LUT terms are list'd ORDER BY m and
+    * left-folded from 0.0, then added to cdot in one final add. */
+  // lazy: composes kmeansCtes/sqlDot declared later in this object
+  private lazy val pqTrainedSql: String = {
+    import graft.operators.Pq.{M, C, SubDim, TrainIters}
+    val scale = graft.operators.KMeans.Scale
+    def subDistVs(cbRel: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(0, $SubDim), d ->
+         |    (CAST(r.rvec[$cbRel.m*$SubDim+d+1] AS DOUBLE) - $cbRel.cvec[d+1]) *
+         |    (CAST(r.rvec[$cbRel.m*$SubDim+d+1] AS DOUBLE) - $cbRel.cvec[d+1]))),
+         |  (a, x) -> a + x)""".stripMargin
+    val cb0 =
+      s"""cb0 AS (
+         |  SELECT mm.m AS m, kk.c AS c,
+         |    list_transform(range(0, $SubDim), dd -> ${pqw("mm.m", "kk.c", "dd")}) AS cvec
+         |  FROM range(0, $M) mm(m), range(0, $C) kk(c))""".stripMargin
+    def round(r: Int): String =
+      s"""pa$r AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT r.vec_id, cb.m, cb.c AS code,
+         |      row_number() OVER (PARTITION BY r.vec_id, cb.m
+         |        ORDER BY ${subDistVs("cb")} ASC, cb.c ASC) AS rn
+         |    FROM resid r, cb$r cb) WHERE rn = 1),
+         |pm$r AS (
+         |  SELECT a.m, a.code, t.dd,
+         |    (CAST(sum(CAST(trunc(CAST(r.rvec[a.m*$SubDim+t.dd] AS DOUBLE) * $scale) AS BIGINT)) AS DOUBLE)
+         |      / $scale) / count(*) AS v
+         |  FROM pa$r a JOIN resid r USING (vec_id), range(1, ${SubDim + 1}) t(dd)
+         |  GROUP BY a.m, a.code, t.dd),
+         |cb${r + 1} AS (
+         |  SELECT prev.m, prev.c, COALESCE(mm.cvec, prev.cvec) AS cvec
+         |  FROM cb$r prev
+         |  LEFT JOIN (SELECT m, code, list(v ORDER BY dd) AS cvec FROM pm$r GROUP BY m, code) mm
+         |    ON mm.m = prev.m AND mm.code = prev.c)""".stripMargin
+    val cbT = s"cb$TrainIters"
+    val cT = s"c${KMeans.MaxIters}"
+    s"""WITH $kmeansCtes,
+       |scoredt AS (
+       |  SELECT vec_id, embedding, cell, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, cc.cell,
+       |      ${sqlDot("e.embedding", "cc.cvec")} AS dot
+       |    FROM embeddings e, $cT cc)),
+       |qry AS (SELECT vec_id, cell, dot AS cdot FROM scoredt WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10),
+       |resid AS (
+       |  SELECT s.vec_id, s.cell,
+       |    list_transform(range(1, ${SimilarityIVF.Dim + 1}), i ->
+       |      CAST(s.embedding[i] AS DOUBLE) - cc.cvec[i]) AS rvec
+       |  FROM (SELECT vec_id, embedding, cell FROM scoredt WHERE rn = 1) s
+       |  JOIN $cT cc ON cc.cell = s.cell),
+       |$cb0,
+       |${(0 until TrainIters).map(round).mkString(",\n")},
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT r.vec_id, cb.m, cb.c AS code,
+       |      row_number() OVER (PARTITION BY r.vec_id, cb.m
+       |        ORDER BY ${subDistVs("cb")} ASC, cb.c ASC) AS rn
+       |    FROM resid r, $cbT cb WHERE r.vec_id >= 10) WHERE rn = 1),
+       |lut AS (
+       |  SELECT e.vec_id, cb.m, cb.c,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, $SubDim), d ->
+       |        CAST(e.embedding[cb.m*$SubDim+d+1] AS DOUBLE) * cb.cvec[d+1])),
+       |      (a, x) -> a + x) AS l
+       |  FROM embeddings e, $cbT cb WHERE e.vec_id < 10),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    max(cdot) + list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l ORDER BY m)),
+       |      (a, x) -> a + x) AS score
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id, q.cdot AS cdot, en.m, lu.l
+       |    FROM qry q
+       |    JOIN (SELECT vec_id, cell FROM resid WHERE vec_id >= 10) cc USING (cell)
+       |    JOIN enc en ON en.vec_id = cc.vec_id
+       |    JOIN lut lu ON lu.vec_id = q.vec_id AND lu.m = en.m AND lu.c = en.code)
+       |  GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= 5""".stripMargin
+  }
 
   private val pqRerankSql: String =
     s"""WITH $pqIvfCtes,
@@ -1077,6 +1205,7 @@ object DedupQueries {
     "q_sim_ivf_indexed" -> kmeansIvfSql,
     "q_sim_ivf_pq" -> pqIvfSql,
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
+    "q_sim_ivf_pq_trained" -> pqTrainedSql,
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,

@@ -200,6 +200,94 @@ case class CentroidDots(child: Expression, cents: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Residual of a vector against its coarse cell's centroid:
+  * res[d] = (double)v[d] - cents[cell][d], as array<double> — the input to
+  * residual product quantization (IVFADC proper, Jegou et al. 2011 §IV:
+  * sub-quantizers encode the coarse-quantization RESIDUAL, whose much
+  * smaller magnitudes make C codes per subspace go far further than on raw
+  * vectors). The centroid matrix is a constant reference (the
+  * [[CentroidDots]] discipline), the cell id is a per-row column. NULL on
+  * a dim mismatch or an out-of-range cell — a corrupted assignment
+  * surfaces instead of subtracting garbage. */
+case class CentroidResidual(left: Expression, right: Expression,
+                            cents: Array[Array[Double]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (vecOk && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"centroid_residual expects (array<float|double>, int), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, cl: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val cell = cl.asInstanceOf[Int]
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    if (x.numElements() != dim || cell < 0 || cell >= cents.length) return null
+    val isF = elemIsFloat
+    val row = cents(cell)
+    val out = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      val xd: Double = if (isF) x.getFloat(d).toDouble else x.getDouble(d)
+      out(d) = xd - row(d)
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val matRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, cl) => {
+      val mat = ctx.freshName("mat")
+      val dim = ctx.freshName("dim")
+      val out = ctx.freshName("out")
+      val d = ctx.freshName("d")
+      s"""
+         |double[][] $mat = $matRef;
+         |int $dim = $mat.length == 0 ? 0 : $mat[0].length;
+         |if ($v.numElements() != $dim || $cl < 0 || $cl >= $mat.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$dim];
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    $out[$d] = ((double) $v.$get($d)) - $mat[$cl][$d];
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case CentroidResidual(l2, r2, m2) =>
+      left == l2 && right == r2 && cents.length == m2.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), m2(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      cents.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidResidual =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product. */
   def dot_native(a: Column, b: Column): Column =
@@ -208,4 +296,10 @@ object VectorExpressions {
   /** Column API for the constant-matrix centroid dots. */
   def centroid_dots(vec: Column, cents: Array[Array[Double]]): Column =
     Bridge.column(CentroidDots(Bridge.expression(vec), cents))
+
+  /** Column API for the per-cell centroid residual. */
+  def centroid_residual(vec: Column, cell: Column,
+                        cents: Array[Array[Double]]): Column =
+    Bridge.column(CentroidResidual(
+      Bridge.expression(vec), Bridge.expression(cell), cents))
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.{PqExpressions, TopKAggregate}
+import graft.operators.{KMeans => KM}
 
 /** Product quantization over the embedding column — the COMPRESSION layer
   * of the ANN stack (Jegou et al. 2011), composed with the IVF coarse
@@ -35,12 +36,108 @@ object Pq {
   def codeWeight(m: Int, c: Int, d: Int): Double =
     graft.functions.PortableHash.labelWeight(s"pq${m}_${c}_$d")
 
-  /** The M x C x SubDim codebook — deterministic, so encode/ADC replay in
-    * SQL. A production deployment would train per-subspace k-means (the
-    * [[KMeans]] machinery applies per subspace unchanged); every plan
-    * shape below is codebook-agnostic. */
+  /** The M x C x SubDim hash-seeded codebook — deterministic, so
+    * encode/ADC replay in SQL. [[trainCodebook]] refines it with
+    * per-subspace k-means; every plan shape below is codebook-agnostic. */
   def codebook: Array[Array[Array[Double]]] =
     Array.tabulate(M, C, SubDim)(codeWeight)
+
+  /** Round budget of [[trainCodebook]] — same discipline as
+    * [[KMeans.MaxIters]]: past the fixpoint a round is the identity, so an
+    * oracle that unrolls exactly TrainIters rounds computes the same
+    * codebook regardless of which round Spark stopped at. */
+  val TrainIters = 3
+
+  /** Per-subspace Lloyd's k-means over the M subvector slices — the
+    * training step that turns the hash-seeded codebook into a data-adapted
+    * one (Jegou et al. 2011 train sub-quantizers exactly this way; on the
+    * clustered recall fixture ADC-only recall@5 rises 0.20 -> see
+    * AnnRecallSpec). All M subspaces train TOGETHER in one job per round:
+    * assignment is the [[graft.functions.expressions.PqEncode]] kernel
+    * itself (argmin squared-L2, lower-code tie-break — training and
+    * serving cannot drift), exploded to (m, code, d, x) rows, then one
+    * (m, code, d)-keyed fixed-point-exact mean (the [[KMeans]] device:
+    * scale 2^40, truncate to long, sum through decimal — order-independent
+    * and bit-replayable in DuckDB). Only M*C*SubDim = 1024 aggregated
+    * values reach the driver per round; empty codes keep their previous
+    * codeword. */
+  def trainCodebook(vectors: DataFrame, vecCol: String = "embedding",
+                    maxIters: Int = TrainIters): Array[Array[Array[Double]]] = {
+    var cb = codebook
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val stats = vectors
+        .select(posexplode(PqExpressions.pq_encode(col(vecCol), cb)).as(Seq("m", "code")),
+                col(vecCol).as("v"))
+        .select(col("m"), col("code"),
+                posexplode(slice(col("v"), col("m") * SubDim + lit(1), lit(SubDim))).as(Seq("d", "x")))
+        .groupBy("m", "code", "d")
+        .agg(sum((col("x").cast("double") * KM.Scale).cast("long")
+               .cast("decimal(38,0)")).as("s"),
+             count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone))
+      stats.foreach { r =>
+        val m = r.getInt(0); val c = r.getInt(1); val d = r.getInt(2)
+        next(m)(c)(d) = r.getDecimal(3).doubleValue() / KM.Scale / r.getLong(4).toDouble
+      }
+      converged = cb.indices.forall(m => cb(m).indices.forall(c =>
+        next(m)(c).sameElements(cb(m)(c))))
+      cb = next
+      iter += 1
+    }
+    cb
+  }
+
+  /** Coarse-cell residual of every vector — the frame residual PQ trains
+    * on and encodes: (id, cell, res) where res = v - cents[cell] through
+    * the codegen [[graft.functions.expressions.CentroidResidual]]. */
+  private def residualFrame(vectors: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[Array[Double]]): DataFrame =
+    vectors
+      .select(col(idCol), col(vecCol).as("v"),
+              SimilarityIVF.cell(col(vecCol), cents).as("cell"))
+      .select(col(idCol), col("cell"),
+              graft.functions.expressions.VectorExpressions
+                .centroid_residual(col("v"), col("cell"), cents).as("res"))
+
+  /** Residual-PQ training (IVFADC proper): per-subspace k-means over the
+    * coarse-quantization residuals v - cents[cell(v)] instead of the raw
+    * vectors. Residual magnitudes are a fraction of the originals', so C
+    * codes per subspace quantize far more finely — this is where the ADC
+    * recall gain comes from (flat training on raw vectors measured ~zero
+    * gain at 4-bit codes; AnnRecallSpec has both numbers). */
+  def trainResidualCodebook(vectors: DataFrame, vecCol: String = "embedding",
+                            maxIters: Int = TrainIters,
+                            cents: Array[Array[Double]] = SimilarityIVF.hashCentroids)
+      : Array[Array[Array[Double]]] = {
+    val res = vectors
+      .select(col(vecCol).as("v"),
+              SimilarityIVF.cell(col(vecCol), cents).as("cell"))
+      .select(graft.functions.expressions.VectorExpressions
+        .centroid_residual(col("v"), col("cell"), cents).as("res"))
+    trainCodebook(res, "res", maxIters)
+  }
+
+  /** [[trainResidualCodebook]] memoized by fixture — same lifecycle as
+    * [[KMeans.trainForFixture]]: one training run per immutable parquet
+    * fixture serves Verify and every query; Bench clears between runs so a
+    * query declared to include training keeps paying it. The coarse
+    * centroids are the fixture's k-means model (itself memoized), so the
+    * two stages of the trained index always agree — a caller cannot pair
+    * this codebook with mismatched cells. */
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Array[Array[Array[Double]]]]()
+
+  def clearModels(): Unit = models.clear()
+
+  def trainResidualForFixture(vectors: DataFrame, sfDir: String,
+                              vecCol: String = "embedding",
+                              maxIters: Int = TrainIters): Array[Array[Array[Double]]] =
+    models.computeIfAbsent((sfDir, vecCol, maxIters),
+      _ => trainResidualCodebook(vectors, vecCol, maxIters,
+        KMeans.trainForFixture(vectors, sfDir, vecCol)))
 
   /** IVFADC top-k: candidates in the query's NProbe coarse cells, ranked
     * by ADC score computed from codes alone. Query side carries its
@@ -48,8 +145,8 @@ object Pq {
     * codes, never vectors. Output (query_id, neighbor_id, rank). */
   def ivfAdcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                  idColQ: String = "vec_id", idColC: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    val cb = codebook
+                 vecCol: String = "embedding",
+                 cb: Array[Array[Array[Double]]] = codebook): DataFrame = {
     val q = broadcast(queries
       .select(col(idColQ).as("query_id"),
               PqExpressions.pq_lut(col(vecCol), cb).as("lut"),
@@ -58,13 +155,45 @@ object Pq {
       .select(col(idColC).as("neighbor_id"),
               SimilarityIVF.cell(col(vecCol)).as("cell"),
               PqExpressions.pq_encode(col(vecCol), cb).as("codes"))
-    c.join(q, Seq("cell"))
-      .withColumn("score", PqExpressions.pq_adc(col("lut"), col("codes")))
+    topKTail(c.join(q, Seq("cell"))
+      .withColumn("score", PqExpressions.pq_adc(col("lut"), col("codes"))), k)
+  }
+
+  /** Shared rank tail: bounded-heap top-k of `score` per query, exploded
+    * to (query_id, neighbor_id, rank). */
+  private def topKTail(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy(col("query_id"))
       .agg(TopKAggregate.top_k(col("score"), col("neighbor_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
       .select(col("query_id"), col("entry.id").as("neighbor_id"),
               (col("pos") + 1).cast("long").as("rank"))
+
+  /** Residual IVFADC top-k (the full Jegou et al. construction):
+    * candidates carry codes of their RESIDUAL v - cents[cell]; the ADC
+    * score adds the coarse term back from the probe side —
+    * score = dot(q, cents[cell]) + sum_m lut(m)(codes(m)) — so the
+    * approximation error is only the residual's quantization error, not
+    * the whole vector's. Same join/payload shape as [[ivfAdcTopK]]: the
+    * per-candidate payload is still (id, cell, M codes). */
+  def ivfAdcResidualTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                         cb: Array[Array[Array[Double]]],
+                         idColQ: String = "vec_id", idColC: String = "vec_id",
+                         vecCol: String = "embedding",
+                         cents: Array[Array[Double]] = SimilarityIVF.hashCentroids)
+      : DataFrame = {
+    val q = broadcast(queries
+      .select(col(idColQ).as("query_id"),
+              PqExpressions.pq_lut(col(vecCol), cb).as("lut"),
+              explode(SimilarityIVF.probeCellsWithDot(col(vecCol), cents)).as("pc"))
+      .select(col("query_id"), col("lut"),
+              col("pc.cell").as("cell"), col("pc.cdot").as("cdot")))
+    val c = residualFrame(candidates, idColC, vecCol, cents)
+      .select(col(idColC).as("neighbor_id"), col("cell"),
+              PqExpressions.pq_encode(col("res"), cb).as("codes"))
+    topKTail(c.join(q, Seq("cell"))
+      .withColumn("score",
+        col("cdot") + PqExpressions.pq_adc(col("lut"), col("codes"))), k)
   }
 
   /** The full IVFADC serving funnel: ADC shortlist of R per query, then
@@ -76,20 +205,41 @@ object Pq {
   def ivfAdcRerank(queries: DataFrame, candidates: DataFrame,
                    k: Int, r: Int,
                    idColQ: String = "vec_id", idColC: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val shortlist = ivfAdcTopK(queries, candidates, r, idColQ, idColC, vecCol)
-      .select(col("query_id"), col("neighbor_id"))
+                   vecCol: String = "embedding",
+                   cb: Array[Array[Array[Double]]] = codebook): DataFrame =
+    exactRerank(queries, candidates,
+      ivfAdcTopK(queries, candidates, r, idColQ, idColC, vecCol, cb),
+      k, idColQ, idColC, vecCol)
+
+  /** [[ivfAdcRerank]] with the residual-ADC shortlist — the serving
+    * funnel a trained deployment runs. */
+  def ivfAdcResidualRerank(queries: DataFrame, candidates: DataFrame,
+                           k: Int, r: Int, cb: Array[Array[Array[Double]]],
+                           idColQ: String = "vec_id", idColC: String = "vec_id",
+                           vecCol: String = "embedding",
+                           cents: Array[Array[Double]] = SimilarityIVF.hashCentroids)
+      : DataFrame =
+    exactRerank(queries, candidates,
+      ivfAdcResidualTopK(queries, candidates, r, cb, idColQ, idColC, vecCol, cents),
+      k, idColQ, idColC, vecCol)
+
+  /** Exact-cosine re-rank of a shortlist to top-k. The re-rank join
+    * fetches true vectors for only #queries x R shortlisted ids — the
+    * shortlist (not the corpus) is the broadcast side — so the exact
+    * arithmetic runs on a constant-bounded row set however large the
+    * candidate corpus is. */
+  private def exactRerank(queries: DataFrame, candidates: DataFrame,
+                          shortlist: DataFrame, k: Int,
+                          idColQ: String, idColC: String,
+                          vecCol: String): DataFrame = {
     val cand = candidates
       .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"))
     val qv = broadcast(queries
       .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec")))
-    cand.join(broadcast(shortlist), Seq("neighbor_id"))
-      .join(qv, Seq("query_id"))
-      .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
-      .groupBy(col("query_id"))
-      .agg(TopKAggregate.top_k(col("score"), col("neighbor_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
-      .select(col("query_id"), col("entry.id").as("neighbor_id"),
-              (col("pos") + 1).cast("long").as("rank"))
+    topKTail(
+      cand.join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
+          Seq("neighbor_id"))
+        .join(qv, Seq("query_id"))
+        .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec"))), k)
   }
 }

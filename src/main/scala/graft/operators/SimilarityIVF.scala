@@ -70,6 +70,18 @@ object SimilarityIVF {
       -element_at(sorted, i + 1).getField("negc")): _*)
   }
 
+  /** The `NProbe` nearest cells WITH the query-centroid dot —
+    * array<struct<cell:int, cdot:double>>. Residual-PQ ADC needs the dot:
+    * dot(q, v) ~ dot(q, centroid[cell]) + dot(q, quantized residual), and
+    * the first term falls out of the probe ranking already computed here. */
+  def probeCellsWithDot(vec: Column, cents: Array[Array[Double]] = hashCentroids): Column = {
+    val sorted = reverse(array_sort(scoredCells(vec, cents)))
+    array((0 until NProbe).map { i =>
+      val e = element_at(sorted, i + 1)
+      struct((-e.getField("negc")).as("cell"), e.getField("dot").as("cdot"))
+    }: _*)
+  }
+
   /** IVF top-k: exact cosine rank over candidates in the query's NProbe
     * nearest cells. Output (query_id, neighbor_id, rank). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,

@@ -62,6 +62,45 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  private def cbEq(a: Array[Array[Array[Double]]], b: Array[Array[Array[Double]]]): Boolean =
+    a.length == b.length && a.indices.forall(m =>
+      a(m).length == b(m).length &&
+        a(m).indices.forall(c => java.util.Arrays.equals(a(m)(c), b(m)(c))))
+
+  test("codebook training: 0 rounds is the hash seed; rounds are an independent-replay Lloyd's step") {
+    val s = spark
+    import s.implicits._
+    val vecs = Tables.embeddings(s, sfDir).limit(64)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val e = vecs.toSeq.map(Tuple1(_)).toDF("embedding")
+    assert(cbEq(Pq.trainCodebook(e, maxIters = 0), Pq.codebook),
+      "maxIters = 0 must return the hash-seeded codebook unchanged")
+    // one round, replayed independently: assign every vector's subvectors
+    // with PqEncode semantics against the SEED, then the fixed-point exact
+    // mean per (m, code, d); empty codes keep their seed codeword
+    val expect = Pq.codebook.map(_.map(_.clone))
+    val sums = Array.fill(Pq.M, Pq.C, Pq.SubDim)(BigInt(0))
+    val counts = Array.fill(Pq.M, Pq.C)(0L)
+    vecs.foreach { v =>
+      val codes = independentCodes(v)
+      (0 until Pq.M).foreach { m =>
+        counts(m)(codes(m)) += 1
+        (0 until Pq.SubDim).foreach { d =>
+          sums(m)(codes(m))(d) +=
+            BigInt((v(m * Pq.SubDim + d).toDouble * KMeans.Scale).toLong)
+        }
+      }
+    }
+    (0 until Pq.M).foreach(m => (0 until Pq.C).foreach { c =>
+      if (counts(m)(c) > 0) (0 until Pq.SubDim).foreach { d =>
+        expect(m)(c)(d) =
+          sums(m)(c)(d).toDouble / KMeans.Scale / counts(m)(c).toDouble
+      }
+    })
+    assert(cbEq(Pq.trainCodebook(e, maxIters = 1), expect),
+      "one training round diverges from the independent Lloyd's replay")
+  }
+
   test("codes are M small ints — 64 bits of payload per vector") {
     val s = spark
     val e = Tables.embeddings(s, sfDir)
@@ -85,20 +124,16 @@ class PqSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
-  test("the candidate side of the IVFADC join carries codes, never vectors") {
-    val s = spark
-    val e = Tables.embeddings(s, sfDir)
-    val df = Pq.ivfAdcTopK(
-      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5)
+  // every exchange (shuffle OR broadcast) downstream of the scans: the
+  // query side moves (query_id, lut, cell[, cdot]), the candidate side
+  // moves (neighbor_id, cell, codes) or aggregate heap entries — the
+  // 512-byte vector payload (and the residual derived from it) must be
+  // consumed by the scan-stage projections and never cross an exchange
+  private def assertNoVectorOnExchanges(df: org.apache.spark.sql.DataFrame): Unit = {
     df.collect()
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.Exchange
-    // every exchange (shuffle OR broadcast) downstream of the scans: the
-    // query side moves (query_id, lut, cell), the candidate side moves
-    // (neighbor_id, cell, codes) or aggregate heap entries — the 512-byte
-    // vector payload must be consumed by the scan-stage projections and
-    // never cross an exchange
     var exchangeOuts = Seq.empty[Seq[String]]
     def walk(p: SparkPlan): Unit = p.foreach {
       case q: QueryStageExec => walk(q.plan)
@@ -111,9 +146,26 @@ class PqSpec extends SparkSpec {
     assert(exchangeOuts.nonEmpty, "expected at least one exchange in the plan")
     exchangeOuts.foreach { out =>
       assert(!out.exists(n => n.startsWith("embedding") ||
-          n.startsWith("c_vec") || n.startsWith("q_vec")),
+          n.startsWith("c_vec") || n.startsWith("q_vec") || n.startsWith("res")),
         s"vector payload crossed an exchange: $out")
     }
+  }
+
+  test("the candidate side of the IVFADC join carries codes, never vectors") {
+    val s = spark
+    val e = Tables.embeddings(s, sfDir)
+    assertNoVectorOnExchanges(Pq.ivfAdcTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5))
+  }
+
+  test("the residual-trained candidate side also carries codes, never vectors or residuals") {
+    val s = spark
+    val e = Tables.embeddings(s, sfDir)
+    val cents = KMeans.trainForFixture(e, sfDir)
+    val cb = Pq.trainResidualForFixture(e, sfDir)
+    assertNoVectorOnExchanges(Pq.ivfAdcResidualTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      k = 5, cb = cb, cents = cents))
   }
 
   test("rerank neighbors come from the ADC shortlist and carry exact ranks") {
