@@ -20,7 +20,7 @@ object PlanAudit {
       "q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
       "q_corpus_dedup_full", "q_dedup_substring", "q_zorder_key",
       "q_sim_ivf_indexed", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_pq",
-      "q_sim_ivf_pq_rerank")
+      "q_sim_ivf_pq_rerank", "q_sim_ivf_pq_trained", "q_text_lm_bigram")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
@@ -41,11 +41,14 @@ object PlanAudit {
     // q_dedup_substring_removal joins its corpus-derived covered-set back
     // by doc_id — that join must show NO BroadcastExchange here; the ANN
     // serving/multiprobe queries may broadcast ONLY their query sets
+    // q_text_lm_bigram's bigram/unigram count relations are
+    // corpus-vocabulary-sized: both joins must show NO BroadcastExchange
+    // here (only the 1-row V aggregate may)
     Seq("q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
         "q_corpus_dedup_full", "q_text_tfidf", "q_dedup_embedding",
         "q_corpus_dedup_verified", "q_mix_sources",
         "q_dedup_substring", "q_boilerplate_spans",
-        "q_dedup_substring_removal").foreach { name =>
+        "q_dedup_substring_removal", "q_text_lm_bigram").foreach { name =>
       println(s"========== $name (auto-broadcast disabled: hints only) ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
     }

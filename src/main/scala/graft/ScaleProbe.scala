@@ -221,7 +221,11 @@ object ScaleProbe {
     // argued in SCALE.md; the probe measures them.
     "q_tpch_local_supplier", "q_window_rank_orders", "q_sessionize",
     "q_dedup_substring_removal", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_indexed",
-    "q_sim_ivf_pq", "q_sim_ivf_pq_rerank", "q_sim_ivf_pq_trained")
+    "q_sim_ivf_pq", "q_sim_ivf_pq_rerank", "q_sim_ivf_pq_trained",
+    // bigram LM: two vocabulary-keyed shuffled joins over exploded
+    // bigrams — expected ~linear in token mass (the vocabulary grows
+    // sublinearly; stop-bigram probe skew is AQE's case)
+    "q_text_lm_bigram")
 
   /** Names that read the relational/event tables (trigger their generation). */
   private val RelNames = Set(

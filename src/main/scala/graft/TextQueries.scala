@@ -340,6 +340,47 @@ object TextQueries {
              count(lit(1)).as("n_terms"))
     }),
 
+    // Bigram language-model fluency — the CCNet-style LM quality filter
+    // in count form: score each document by the mean Laplace-smoothed
+    // conditional probability of its bigrams under the corpus's own
+    // bigram LM, P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Fixed-point
+    // (2^20) floor keeps it engine-exact — no logarithm (ln differs by
+    // ulps across engines; the mean smoothed probability carries the
+    // same ordering signal: common-prose bigrams high, rare-word soup
+    // low). Scale shape: bigram rows are built NARROWLY at the scan
+    // (sequence + element_at — codegen, no interpreted HOF and no
+    // per-doc window sort); the bigram/unigram count relations are
+    // corpus-vocabulary-sized so they join SHUFFLED on their keys (never
+    // broadcast — same rule as q_text_fluency/q_text_tfidf); V is a
+    // 1-row cross join; stop-bigram probe skew is AQE-splittable.
+    "q_text_lm_bigram" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bg = toks
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("doc_id"),
+          element_at(col("t"), col("i")).as("w1"),
+          concat_ws(" ", element_at(col("t"), col("i")),
+            element_at(col("t"), col("i") + 1)).as("b"))
+      val occ = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val cbg = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      val cug = occ.groupBy("w").agg(count(lit(1)).as("cw"))
+      val vv = occ.agg(count_distinct(col("w")).as("v"))
+      bg.join(cbg, "b")
+        .join(cug, col("w1") === col("w"))
+        .crossJoin(vv)
+        .select(col("doc_id"),
+          floor((col("cb") + 1).cast("double") * 1048576.0 /
+            (col("cw") + col("v")).cast("double")).cast("long").as("p"))
+        .groupBy("doc_id")
+        .agg((sum(col("p").cast("decimal(38,0)")).cast("double") / 1048576.0)
+               .as("lm_sum"),
+             count(lit(1)).as("n_bigrams"))
+    }),
+
     // Bottom-k-by-hash per group: a deterministic uniform k-sample WITHOUT
     // replacement per language (the fixed-size eval-set construction).
     // Window-rank here is fine for k=5 per tiny group; the HEAP variant
@@ -686,6 +727,24 @@ object TextQueries {
         |    / 1048576.0 AS tfidf_sum,
         |  count(*) AS n_terms
         |FROM occ JOIN dfq USING (term) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_text_lm_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i]||' '||t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |occ AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |cbg AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+        |cug AS (SELECT w, count(*) AS cw FROM occ GROUP BY w),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM occ)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(floor(CAST(cb + 1 AS DOUBLE) * 1048576.0
+        |    / CAST(cw + v AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1048576.0 AS lm_sum,
+        |  count(*) AS n_bigrams
+        |FROM bg JOIN cbg USING (b) JOIN cug ON cug.w = bg.w1 CROSS JOIN vv
         |GROUP BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->

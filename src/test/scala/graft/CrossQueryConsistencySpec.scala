@@ -128,6 +128,36 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("bigram LM scores equal an independent driver-side replay") {
+    // full independent recount: corpus bigram/unigram tables and V built
+    // with plain Scala maps, per-doc smoothed-probability sums replayed
+    // with the same fixed op order as the query and its oracle
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[String, Long]
+    docs.values.foreach { t =>
+      t.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      t.sliding(2).filter(_.size == 2)
+        .foreach(p => { val b = p.mkString(" "); big(b) = big.getOrElse(b, 0L) + 1 })
+    }
+    val v = uni.size.toLong
+    val expect = docs.collect { case (id, t) if t.size >= 2 =>
+      val s = t.sliding(2).map { p =>
+        math.floor((big(p.mkString(" ")) + 1).toDouble * 1048576.0 /
+          (uni(p.head) + v).toDouble).toLong
+      }.sum
+      id -> (BigDecimal(s).toDouble / 1048576.0, (t.size - 1).toLong)
+    }
+    val got = q("q_text_lm_bigram").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"lm score diverges for doc $id: got ${got(id)}, expect $e")
+    }
+  }
+
   test("persisted-index IVF serves the same neighbors as per-query retraining") {
     val retrained = q("q_sim_ivf_kmeans").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
