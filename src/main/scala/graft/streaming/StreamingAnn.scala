@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{IvfIndex, Similarity, SimilarityIVF}
+
+/** Online ANN serving: a stream of query vectors answered against the
+  * PERSISTED IVF index ([[IvfIndex]]) — the online half of the
+  * train-once / serve-forever story. Two shapes, matching how streaming
+  * Spark actually wants this done:
+  *
+  *  - [[scoredCandidates]]: a fully STATELESS stream-static join — each
+  *    query row fans out to its NProbe cells (centroids are plan-time
+  *    constants read from the index's centroid table) and joins the
+  *    bucketed cells table; output is append-mode scored candidates with
+  *    no watermark and no state store (spec-pinned). Downstream ranking
+  *    is the consumer's choice.
+  *  - [[serveTopK]]: per-query TOP-K via foreachBatch. Bounded top-k is a
+  *    per-batch aggregate, not an evolving streaming state — running it
+  *    as the EXACT batch probe per micro-batch keeps streaming results
+  *    identical to batch by construction (spec-checked), which is the
+  *    semantics an ANN endpoint wants (answers don't change as later
+  *    queries arrive).
+  *
+  * Scale: the stream side of each micro-batch is a query batch (small by
+  * nature of serving); the index side is the bucketed cells table — the
+  * same no-shuffle-on-index-side economics IvfIndexSpec pins for batch
+  * probes. At 100 TB the cells table is the corpus, and neither shape
+  * ever re-scores or re-shuffles it outside the probed cells.
+  */
+object StreamingAnn {
+
+  /** Stateless scored-candidate stream: (query_id, neighbor_id, score)
+    * for every candidate in each streamed query's NProbe nearest cells.
+    * Append-mode safe with NO watermark: the plan is projection + explode
+    * + stream-static equi-join, so nothing is stateful. */
+  def scoredCandidates(spark: SparkSession, dir: String, queryStream: DataFrame,
+                       idColQ: String = "vec_id", vecCol: String = "embedding",
+                       candidatePred: Column = lit(true)): DataFrame = {
+    val (cellsT, cents) = IvfIndex.ensureIndex(spark, dir)
+    val q = queryStream
+      .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
+              explode(SimilarityIVF.probeCells(col(vecCol), cents)).as("cell"))
+    val c = spark.table(cellsT).filter(candidatePred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+              col("cell"))
+    q.join(c, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+              Similarity.cosine(col("q_vec"), col("c_vec")).as("score"))
+  }
+
+  /** Top-k ANN serving over a query stream: each micro-batch's query set
+    * runs the exact batch probe ([[IvfIndex.probe]]) against the persisted
+    * index and the ranked result is handed to `sink` with its batch id.
+    * foreachBatch is the right tool (not a streaming aggregate): top-k per
+    * query is complete within the batch that carried the query, so there
+    * is no state to keep and no watermark to wait for — and the answer for
+    * a query is bit-identical to the batch probe's. */
+  def serveTopK(spark: SparkSession, dir: String, queryStream: DataFrame, k: Int,
+                sink: (DataFrame, Long) => Unit,
+                idColQ: String = "vec_id", vecCol: String = "embedding",
+                candidatePred: Column = lit(true)): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(IvfIndex.probe(spark, dir, batch, k, idColQ, vecCol, candidatePred),
+             batchId)
+      }
+      .start()
+}
