@@ -406,6 +406,20 @@ object DedupQueries {
         k = 5, cb = cb, cents = cents)
     }),
 
+    // The PERSISTED-codes serving shape (operators.PqIndex): the resident
+    // corpus is encoded ONCE into a bucketed (vec_id, cell, codes) table
+    // — 8 bytes per vector, the table that fits in cluster memory at
+    // 100 TB — and every probe is a scan of stored codes (no residual, no
+    // encode, no vector on the candidate path). Same trained model as
+    // q_sim_ivf_pq_trained (shared per-fixture memo), so the same
+    // unrolled-training oracle checks it; PqIndexSpec pins the
+    // stored == recomputed equality and the no-encode probe plan.
+    "q_sim_ivf_pq_indexed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.PqIndex.probe(s, dir, e.filter(col("vec_id") < 10),
+        k = 5, candidatePred = col("vec_id") >= 10)
+    }),
+
     // Text-metadata x vector join — the alignment step of a multimodal /
     // embedding pipeline: BOTH sides are corpus-sized facts, so this is
     // an id-keyed sort-merge join at scale (no broadcast hint; AQE
@@ -1206,6 +1220,7 @@ object DedupQueries {
     "q_sim_ivf_pq" -> pqIvfSql,
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_sim_ivf_pq_trained" -> pqTrainedSql,
+    "q_sim_ivf_pq_indexed" -> pqTrainedSql,
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,

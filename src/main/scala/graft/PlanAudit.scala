@@ -20,7 +20,8 @@ object PlanAudit {
       "q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
       "q_corpus_dedup_full", "q_dedup_substring", "q_zorder_key",
       "q_sim_ivf_indexed", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_pq",
-      "q_sim_ivf_pq_rerank", "q_sim_ivf_pq_trained", "q_text_lm_bigram")
+      "q_sim_ivf_pq_rerank", "q_sim_ivf_pq_trained", "q_sim_ivf_pq_indexed",
+      "q_text_lm_bigram")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")

@@ -222,6 +222,7 @@ object ScaleProbe {
     "q_tpch_local_supplier", "q_window_rank_orders", "q_sessionize",
     "q_dedup_substring_removal", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_indexed",
     "q_sim_ivf_pq", "q_sim_ivf_pq_rerank", "q_sim_ivf_pq_trained",
+    "q_sim_ivf_pq_indexed",
     // bigram LM: two vocabulary-keyed shuffled joins over exploded
     // bigrams — expected ~linear in token mass (the vocabulary grows
     // sublinearly; stop-bigram probe skew is AQE's case)

@@ -161,7 +161,7 @@ object Pq {
 
   /** Shared rank tail: bounded-heap top-k of `score` per query, exploded
     * to (query_id, neighbor_id, rank). */
-  private def topKTail(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKTail(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
       .agg(TopKAggregate.top_k(col("score"), col("neighbor_id"), k).as("topk"))
@@ -228,10 +228,10 @@ object Pq {
     * shortlist (not the corpus) is the broadcast side — so the exact
     * arithmetic runs on a constant-bounded row set however large the
     * candidate corpus is. */
-  private def exactRerank(queries: DataFrame, candidates: DataFrame,
-                          shortlist: DataFrame, k: Int,
-                          idColQ: String, idColC: String,
-                          vecCol: String): DataFrame = {
+  private[operators] def exactRerank(queries: DataFrame, candidates: DataFrame,
+                                     shortlist: DataFrame, k: Int,
+                                     idColQ: String, idColC: String,
+                                     vecCol: String): DataFrame = {
     val cand = candidates
       .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"))
     val qv = broadcast(queries

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The persisted IVFADC codes index: stored-code probes equal the
+  * per-invocation trained pipeline, the probe plan never re-encodes the
+  * corpus, and the codebook round-trips bit-exactly through its table. */
+class PqIndexSpec extends SparkSpec {
+
+  private def dropAll(): Unit = Seq("cells", "centroids", "pq_codes", "pq_codebook")
+    .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_$sfx"))
+
+  test("stored-code ADC probe and rerank equal the per-invocation trained pipeline") {
+    val s = spark
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      val cents = KMeans.trainForFixture(e, sfDir)
+      val cb = Pq.trainResidualForFixture(e, sfDir)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val direct = rows(Pq.ivfAdcResidualTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        k = 5, cb = cb, cents = cents))
+      val indexed = rows(PqIndex.probe(s, sfDir, e.filter(col("vec_id") < 10),
+        k = 5, candidatePred = col("vec_id") >= 10))
+      assert(direct.nonEmpty && indexed == direct)
+      val directRer = rows(Pq.ivfAdcResidualRerank(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        k = 5, r = 20, cb = cb, cents = cents))
+      val indexedRer = rows(PqIndex.probeRerank(s, sfDir, e.filter(col("vec_id") < 10),
+        k = 5, r = 20, candidatePred = col("vec_id") >= 10))
+      assert(directRer.nonEmpty && indexedRer == directRer)
+
+      // the codebook must round-trip bit-exactly through its table, or a
+      // later session's LUTs would drift from the stored codes
+      val (_, _, _, reloaded) = PqIndex.ensure(s, sfDir)
+      assert(reloaded.length == cb.length && reloaded.indices.forall(m =>
+        reloaded(m).indices.forall(c => reloaded(m)(c).sameElements(cb(m)(c)))))
+    } finally dropAll()
+  }
+
+  test("the stored-code probe never re-encodes: no encode/residual in its plan") {
+    val s = spark
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      val df = PqIndex.probe(s, sfDir, e.filter(col("vec_id") < 10),
+        k = 5, candidatePred = col("vec_id") >= 10)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("pqencode"),
+        s"probe plan re-encodes candidates:\n$plan")
+      assert(!plan.toLowerCase.contains("centroidresidual"),
+        s"probe plan recomputes residuals:\n$plan")
+      // the query side still builds its LUTs — that is the per-query work
+      assert(plan.toLowerCase.contains("pqlut"),
+        s"probe plan lost the query-side LUT:\n$plan")
+    } finally dropAll()
+  }
+}
