@@ -86,6 +86,30 @@ object PqIndex {
     cb
   }
 
+  /** Incremental ingest, paired with [[IvfIndex.append]]: the batch is
+    * assigned to the existing centroids, appended to the cells table, and
+    * its codes (encoded against the existing codebook) appended to the
+    * codes table — both tables stay in sync at batch cost, model state
+    * stays fixed, so append order never changes any probe's answer
+    * (spec-pinned: append == rebuild-with-same-model). The retrain signal
+    * is the same cell-occupancy skew check as the coarse index's. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (codesT, _, cents, cb) = ensure(spark, dir)
+    IvfIndex.append(spark, dir, batch, idCol, vecCol)
+    batch
+      .select(col(idCol).as("vec_id"),
+        SimilarityIVF.cell(col(vecCol), cents).as("cell"), col(vecCol).as("v"))
+      .select(col("vec_id"), col("cell"),
+        PqExpressions.pq_encode(
+          graft.functions.expressions.VectorExpressions
+            .centroid_residual(col("v"), col("cell"), cents),
+          cb).as("codes"))
+      .write.mode("append")
+      .bucketBy(8, "cell").sortBy("cell")
+      .saveAsTable(codesT)
+  }
+
   /** ADC top-k from the STORED codes: the candidate side is a scan of the
     * bucketed codes table — no residual, no encode, no vector anywhere on
     * the candidate path. Same result as

@@ -42,6 +42,31 @@ class PqIndexSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("append keeps cells and codes in sync and equals serving a rebuilt corpus") {
+    val s = spark
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      val (codesT, cellsT, cents, cb) = PqIndex.ensure(s, sfDir)
+      val residentCodes = s.table(codesT).count()
+      val batch = e.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      PqIndex.append(s, sfDir, batch)
+      assert(s.table(codesT).count() == residentCodes + batch.count())
+      assert(s.table(cellsT).count() == s.table(codesT).count(),
+        "cells and codes tables drifted after append")
+      // probes see appended neighbors exactly as a rebuilt corpus would
+      val probed = PqIndex.probe(s, sfDir, e.filter(col("vec_id") < 10),
+          k = 5, candidatePred = col("vec_id") >= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = Pq.ivfAdcResidualTopK(
+          e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+            .unionByName(batch), k = 5, cb = cb, cents = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(probed.nonEmpty && probed == rebuilt)
+    } finally dropAll()
+  }
+
   test("the stored-code probe never re-encodes: no encode/residual in its plan") {
     val s = spark
     try {
