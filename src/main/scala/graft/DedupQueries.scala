@@ -106,6 +106,17 @@ object DedupQueries {
     "q_dedup_substring_removal" -> ((s, dir) =>
       Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Boilerplate REMOVAL — the same span-excision machinery at the
+    // boilerplate threshold (>= 3 docs, q_boilerplate_spans' cutoff):
+    // emits the corpus with navigation chrome / license headers /
+    // templated intros cut out while one-off cross-doc quotations (the
+    // nd = 2 mass dedup removal targets) stay. The strip-before-training
+    // pass every curation pipeline runs, as an artifact rather than a
+    // score.
+    "q_boilerplate_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        minDocs = 3)),
+
     // Boilerplate extraction — the per-SPAN transpose of
     // q_dedup_substring: which exact 8-token spans recur across >= 3
     // distinct documents (navigation chrome, license headers, templated
@@ -1091,7 +1102,7 @@ object DedupQueries {
     * POSITIONAL (all occurrences, 1-based starts), cross-doc frequency by
     * distinct docs, covered positions = union of [i, i+w-1] over
     * duplicated spans, cleaned text = kept tokens rejoined in order. */
-  private val substringRemovalSql: String = {
+  private def substringRemovalSql(minDocs: Int): String = {
     val w = graft.operators.Dedup.DefaultSpanWidth
     val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
     s"""WITH toks AS (
@@ -1101,7 +1112,7 @@ object DedupQueries {
        |occ AS (
        |  SELECT doc_id, i, ${PortableHash.hash60Sql(s"($span)")} AS h FROM starts),
        |freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM occ GROUP BY h),
-       |dup AS (SELECT occ.doc_id, occ.i FROM occ JOIN freq USING (h) WHERE nd >= 2),
+       |dup AS (SELECT occ.doc_id, occ.i FROM occ JOIN freq USING (h) WHERE nd >= $minDocs),
        |cov AS (SELECT DISTINCT doc_id, i + j AS p FROM dup, range(0, $w) r2(j)),
        |covagg AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
        |te AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS p FROM toks),
@@ -1203,7 +1214,8 @@ object DedupQueries {
     "q_ts_anomaly" -> tsAnomalySql,
     "q_dedup_semantic" -> semanticSql,
     "q_dedup_substring" -> substringSql,
-    "q_dedup_substring_removal" -> substringRemovalSql,
+    "q_dedup_substring_removal" -> substringRemovalSql(2),
+    "q_boilerplate_removal" -> substringRemovalSql(3),
     "q_boilerplate_spans" -> boilerplateSql,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_minhash_global" -> minhashGlobalSql,

@@ -301,9 +301,15 @@ object Dedup {
     * Output: (doc_id, text_clean, n_removed) for EVERY input document —
     * docs shorter than w tokens (no spans) pass through unchanged,
     * fully-duplicated docs come out empty with n_removed = their length.
+    *
+    * `minDocs` selects which spans count as removable: 2 = any cross-doc
+    * duplication (the Lee et al. dedup artifact); 3 = the boilerplate
+    * threshold (q_boilerplate_spans' cutoff — strips navigation chrome /
+    * license headers while leaving one-off quotations alone).
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                            w: Int = DefaultSpanWidth): DataFrame = {
+                            w: Int = DefaultSpanWidth,
+                            minDocs: Int = 2): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     // ALL span occurrences with start positions (0-based) — NOT distinct:
     // a span recurring inside one doc must cover both its sites once the
@@ -329,7 +335,7 @@ object Dedup {
     val freq = spanRows(df, idCol, textCol, w)
       .select(graft.functions.PortableHash.hash60(col("span")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("nd"))
-    val covered = occ.join(freq.filter(col("nd") >= 2), "h")
+    val covered = occ.join(freq.filter(col("nd") >= minDocs), "h")
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
       .groupBy("doc_id")
       .agg(collect_set(col("p")).as("cov"))

@@ -128,6 +128,21 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("boilerplate removal strips a subset of dedup removal's mass") {
+    // minDocs = 3 spans are a subset of minDocs = 2 spans, so per doc the
+    // boilerplate pass can never remove more than the dedup pass
+    val dd = q("q_dedup_substring_removal").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bp = q("q_boilerplate_removal").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dd.keySet == bp.keySet, "both passes must emit every document")
+    bp.foreach { case (id, n) =>
+      assert(n <= dd(id), s"doc $id: boilerplate removed $n > dedup ${dd(id)}")
+    }
+    assert(bp.values.sum < dd.values.sum,
+      "fixture has nd=2 spans, so the thresholds must separate")
+  }
+
   test("bigram LM scores equal an independent driver-side replay") {
     // full independent recount: corpus bigram/unigram tables and V built
     // with plain Scala maps, per-doc smoothed-probability sums replayed
