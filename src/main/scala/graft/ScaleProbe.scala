@@ -304,7 +304,12 @@ object ScaleProbe {
             walk(df.queryExecution.executedPlan)
           }
           spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
-          graft.operators.KMeans.clearModels()
+          // NOTE: model memos (KMeans/Pq) are deliberately NOT cleared
+          // here, unlike Bench. The probe constructs `df` BEFORE t0, so
+          // eager training always runs OUTSIDE the timed region — probe
+          // timings are serving-only either way, and clearing would just
+          // burn untimed wall clock retraining per run. Bench's timed
+          // region includes plan construction, so Bench clears both.
           dt
         }
         (name, times.min, rounds)

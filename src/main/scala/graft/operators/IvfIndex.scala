@@ -30,8 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private def tableStem(dir: String): String =
+  /** Shared with [[PqIndex]]: the PQ code tables live in the same
+    * per-fixture family, so the stems must stay bit-identical. */
+  private[operators] def tableStem(dir: String): String =
     "ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The in-memory catalog forgets tables across JVMs but their warehouse
+    * directories remain — saveAsTable then fails with
+    * LOCATION_ALREADY_EXISTS. An orphaned location (no catalog entry) is
+    * stale by definition: remove it so the build can proceed. Shared by
+    * every persisted-index builder in this family. */
+  private[operators] def dropOrphanLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists()) rm(loc)
+    }
 
   /** Build the index tables for the fixture unless already present;
     * returns the trained centroid matrix (from the persisted centroid
@@ -42,22 +60,7 @@ object IvfIndex {
     val cellsT = s"${stem}_cells"
     val centsT = s"${stem}_centroids"
     if (!spark.catalog.tableExists(cellsT) || !spark.catalog.tableExists(centsT)) {
-      // the in-memory catalog forgets tables across JVMs but their
-      // warehouse directories remain — saveAsTable then fails with
-      // LOCATION_ALREADY_EXISTS. An orphaned location (no catalog entry)
-      // is stale by definition here: remove it and rebuild.
-      Seq(cellsT, centsT).foreach { t =>
-        if (!spark.catalog.tableExists(t)) {
-          val wh = spark.conf.get("spark.sql.warehouse.dir")
-            .stripPrefix("file:")
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          val loc = new java.io.File(wh, t.toLowerCase)
-          if (loc.exists()) rm(loc)
-        }
-      }
+      Seq(cellsT, centsT).foreach(dropOrphanLocation(spark, _))
       val e = graft.sources.Tables.embeddings(spark, dir)
       val cents = KMeans.trainForFixture(e, dir)
       e.select(col("vec_id"), col("embedding"),

@@ -90,17 +90,17 @@ object Pq {
     cb
   }
 
-  /** Coarse-cell residual of every vector — the frame residual PQ trains
-    * on and encodes: (id, cell, res) where res = v - cents[cell] through
-    * the codegen [[graft.functions.expressions.CentroidResidual]]. */
-  private def residualFrame(vectors: DataFrame, idCol: String, vecCol: String,
+  /** Coarse-cell residual of every vector — the SINGLE projection both
+    * training and serving encode from (so the two cannot drift): the input
+    * columns minus `vecCol`, plus (cell, res) where res = v - cents[cell]
+    * through the codegen [[graft.functions.expressions.CentroidResidual]]. */
+  private def residualFrame(vectors: DataFrame, vecCol: String,
                             cents: Array[Array[Double]]): DataFrame =
     vectors
-      .select(col(idCol), col(vecCol).as("v"),
-              SimilarityIVF.cell(col(vecCol), cents).as("cell"))
-      .select(col(idCol), col("cell"),
-              graft.functions.expressions.VectorExpressions
-                .centroid_residual(col("v"), col("cell"), cents).as("res"))
+      .withColumn("cell", SimilarityIVF.cell(col(vecCol), cents))
+      .withColumn("res", graft.functions.expressions.VectorExpressions
+        .centroid_residual(col(vecCol), col("cell"), cents))
+      .drop(vecCol)
 
   /** Residual-PQ training (IVFADC proper): per-subspace k-means over the
     * coarse-quantization residuals v - cents[cell(v)] instead of the raw
@@ -111,14 +111,9 @@ object Pq {
   def trainResidualCodebook(vectors: DataFrame, vecCol: String = "embedding",
                             maxIters: Int = TrainIters,
                             cents: Array[Array[Double]] = SimilarityIVF.hashCentroids)
-      : Array[Array[Array[Double]]] = {
-    val res = vectors
-      .select(col(vecCol).as("v"),
-              SimilarityIVF.cell(col(vecCol), cents).as("cell"))
-      .select(graft.functions.expressions.VectorExpressions
-        .centroid_residual(col("v"), col("cell"), cents).as("res"))
-    trainCodebook(res, "res", maxIters)
-  }
+      : Array[Array[Array[Double]]] =
+    trainCodebook(
+      residualFrame(vectors.select(col(vecCol)), vecCol, cents), "res", maxIters)
 
   /** [[trainResidualCodebook]] memoized by fixture — same lifecycle as
     * [[KMeans.trainForFixture]]: one training run per immutable parquet
@@ -188,7 +183,7 @@ object Pq {
               explode(SimilarityIVF.probeCellsWithDot(col(vecCol), cents)).as("pc"))
       .select(col("query_id"), col("lut"),
               col("pc.cell").as("cell"), col("pc.cdot").as("cdot")))
-    val c = residualFrame(candidates, idColC, vecCol, cents)
+    val c = residualFrame(candidates.select(col(idColC), col(vecCol)), vecCol, cents)
       .select(col(idColC).as("neighbor_id"), col("cell"),
               PqExpressions.pq_encode(col("res"), cb).as("codes"))
     topKTail(c.join(q, Seq("cell"))
@@ -209,7 +204,7 @@ object Pq {
                    cb: Array[Array[Array[Double]]] = codebook): DataFrame =
     exactRerank(queries, candidates,
       ivfAdcTopK(queries, candidates, r, idColQ, idColC, vecCol, cb),
-      k, idColQ, idColC, vecCol)
+      k, idColQ, idColC, vecCol, vecCol)
 
   /** [[ivfAdcRerank]] with the residual-ADC shortlist — the serving
     * funnel a trained deployment runs. */
@@ -221,7 +216,7 @@ object Pq {
       : DataFrame =
     exactRerank(queries, candidates,
       ivfAdcResidualTopK(queries, candidates, r, cb, idColQ, idColC, vecCol, cents),
-      k, idColQ, idColC, vecCol)
+      k, idColQ, idColC, vecCol, vecCol)
 
   /** Exact-cosine re-rank of a shortlist to top-k. The re-rank join
     * fetches true vectors for only #queries x R shortlisted ids — the
@@ -231,11 +226,11 @@ object Pq {
   private[operators] def exactRerank(queries: DataFrame, candidates: DataFrame,
                                      shortlist: DataFrame, k: Int,
                                      idColQ: String, idColC: String,
-                                     vecCol: String): DataFrame = {
+                                     vecColQ: String, vecColC: String): DataFrame = {
     val cand = candidates
-      .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .select(col(idColC).as("neighbor_id"), col(vecColC).as("c_vec"))
     val qv = broadcast(queries
-      .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec")))
+      .select(col(idColQ).as("query_id"), col(vecColQ).as("q_vec")))
     topKTail(
       cand.join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
           Seq("neighbor_id"))

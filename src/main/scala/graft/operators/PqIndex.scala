@@ -30,51 +30,68 @@ import graft.functions.expressions.PqExpressions
   */
 object PqIndex {
 
-  private def stem(dir: String): String =
-    "ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Everything a probe needs from the store, resolved once per call
+    * chain: (codes table, cells table, coarse centroids, codebook). */
+  private type Ensured = (String, String, Array[Array[Double]], Array[Array[Array[Double]]])
+
+  /** Fixture dirs whose cells/codes row parity has been checked this
+    * session — [[IvfIndex.append]] is a legal ingest path that does not
+    * know about the codes table, so an existing codes table may lag the
+    * cells table; the check (and self-heal) runs once per session, not
+    * per probe. */
+  private val synced = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Spec hook: force the next [[ensure]] to re-run the parity check. */
+  private[operators] def resetSyncCheck(): Unit = synced.clear()
 
   /** Build (or load) the code + codebook tables for the fixture; returns
-    * (codesTable, cellsTable, coarse centroids, codebook). */
-  def ensure(spark: SparkSession, dir: String)
-      : (String, String, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    * (codesTable, cellsTable, coarse centroids, codebook). If the tables
+    * exist but the codes table's row count has drifted from the cells
+    * table's (a batch ingested via [[IvfIndex.append]] directly, or a
+    * partial rebuild), the codes are RE-ENCODED from the cells table with
+    * the stored model — stale serving data self-heals instead of silently
+    * dropping the missing vectors from every probe. */
+  def ensure(spark: SparkSession, dir: String): Ensured = {
     val (cellsT, cents) = IvfIndex.ensureIndex(spark, dir)
-    val codesT = s"${stem(dir)}_pq_codes"
-    val cbT = s"${stem(dir)}_pq_codebook"
+    val stem = IvfIndex.tableStem(dir)
+    val codesT = s"${stem}_pq_codes"
+    val cbT = s"${stem}_pq_codebook"
     if (!spark.catalog.tableExists(codesT) || !spark.catalog.tableExists(cbT)) {
-      // same orphaned-warehouse-location hygiene as IvfIndex.ensureIndex
-      Seq(codesT, cbT).foreach { t =>
-        if (!spark.catalog.tableExists(t)) {
-          val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          val loc = new java.io.File(wh, t.toLowerCase)
-          if (loc.exists()) rm(loc)
-        }
-      }
+      Seq(codesT, cbT).foreach(IvfIndex.dropOrphanLocation(spark, _))
       val e = graft.sources.Tables.embeddings(spark, dir)
       val cb = Pq.trainResidualForFixture(e, dir)
-      // encode every resident vector's coarse residual once; the cells
-      // table already carries the assignment, so reuse it rather than
-      // recomputing the K dot products per row
-      spark.table(cellsT)
-        .select(col("vec_id"), col("cell"),
-          PqExpressions.pq_encode(
-            graft.functions.expressions.VectorExpressions
-              .centroid_residual(col("embedding"), col("cell"), cents),
-            cb).as("codes"))
-        .write.mode("overwrite")
-        .bucketBy(8, "cell").sortBy("cell")
-        .saveAsTable(codesT)
+      writeCodes(spark, cellsT, codesT, cents, cb)
       import spark.implicits._
       cb.zipWithIndex.flatMap { case (codes, m) =>
         codes.zipWithIndex.map { case (v, c) => (m, c, v) }
       }.toSeq.toDF("m", "c", "cvec")
         .write.mode("overwrite").saveAsTable(cbT)
+      synced.add(dir)
+      (codesT, cellsT, cents, cb)
+    } else {
+      val cb = loadCodebook(spark, cbT)
+      if (synced.add(dir) &&
+          spark.table(codesT).count() != spark.table(cellsT).count())
+        writeCodes(spark, cellsT, codesT, cents, cb)
+      (codesT, cellsT, cents, cb)
     }
-    (codesT, cellsT, cents, loadCodebook(spark, cbT))
   }
+
+  /** Encode every cells-table vector's coarse residual and (over)write the
+    * codes table. The cells table already carries the assignment, so this
+    * never re-runs the K dot products per row. */
+  private def writeCodes(spark: SparkSession, cellsT: String, codesT: String,
+                         cents: Array[Array[Double]],
+                         cb: Array[Array[Array[Double]]]): Unit =
+    spark.table(cellsT)
+      .select(col("vec_id"), col("cell"),
+        PqExpressions.pq_encode(
+          graft.functions.expressions.VectorExpressions
+            .centroid_residual(col("embedding"), col("cell"), cents),
+          cb).as("codes"))
+      .write.mode("overwrite")
+      .bucketBy(8, "cell").sortBy("cell")
+      .saveAsTable(codesT)
 
   private def loadCodebook(spark: SparkSession, cbT: String): Array[Array[Array[Double]]] = {
     val rows = spark.table(cbT).collect()
@@ -117,8 +134,13 @@ object PqIndex {
     * (spec-pinned), at index-read cost. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
             idColQ: String = "vec_id", vecCol: String = "embedding",
-            candidatePred: Column = lit(true)): DataFrame = {
-    val (codesT, _, cents, cb) = ensure(spark, dir)
+            candidatePred: Column = lit(true)): DataFrame =
+    probeFrom(ensure(spark, dir), spark, queries, k, idColQ, vecCol, candidatePred)
+
+  private def probeFrom(ix: Ensured, spark: SparkSession, queries: DataFrame,
+                        k: Int, idColQ: String, vecCol: String,
+                        candidatePred: Column): DataFrame = {
+    val (codesT, _, cents, cb) = ix
     val q = broadcast(queries
       .select(col(idColQ).as("query_id"),
               PqExpressions.pq_lut(col(vecCol), cb).as("lut"),
@@ -134,15 +156,16 @@ object PqIndex {
 
   /** The full persisted serving funnel: stored-code ADC shortlist of R,
     * exact-cosine re-rank to top-k with true vectors id-fetched from the
-    * cells table. */
+    * cells table (whose vector column is always `embedding`, whatever the
+    * query frame calls its own). */
   def probeRerank(spark: SparkSession, dir: String, queries: DataFrame,
                   k: Int, r: Int,
                   idColQ: String = "vec_id", vecCol: String = "embedding",
                   candidatePred: Column = lit(true)): DataFrame = {
-    val (_, cellsT, _, _) = ensure(spark, dir)
-    val shortlist = probe(spark, dir, queries, r, idColQ, vecCol, candidatePred)
+    val ix = ensure(spark, dir)
+    val shortlist = probeFrom(ix, spark, queries, r, idColQ, vecCol, candidatePred)
     Pq.exactRerank(queries,
-      spark.table(cellsT).filter(candidatePred), shortlist, k,
-      idColQ, "vec_id", vecCol)
+      spark.table(ix._2).filter(candidatePred), shortlist, k,
+      idColQ, "vec_id", vecCol, "embedding")
   }
 }

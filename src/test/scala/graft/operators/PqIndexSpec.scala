@@ -67,6 +67,35 @@ class PqIndexSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("codes table self-heals after a cells-only ingest via IvfIndex.append") {
+    val s = spark
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      val (codesT, cellsT, cents, cb) = PqIndex.ensure(s, sfDir)
+      // the documented coarse-index ingest path, which knows nothing about
+      // the codes table — codes now lag cells
+      val batch = e.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      IvfIndex.append(s, sfDir, batch)
+      assert(s.table(codesT).count() < s.table(cellsT).count())
+      // next ensure in a fresh session would catch it; simulate with the
+      // spec hook, then the probe must see the appended vectors exactly
+      // as a rebuilt corpus would
+      PqIndex.resetSyncCheck()
+      val probed = PqIndex.probe(s, sfDir, e.filter(col("vec_id") < 10),
+          k = 5, candidatePred = col("vec_id") >= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(s.table(codesT).count() == s.table(cellsT).count(),
+        "parity check did not re-encode the lagging codes table")
+      val rebuilt = Pq.ivfAdcResidualTopK(
+          e.filter(col("vec_id") < 10),
+          e.filter(col("vec_id") >= 10).select("vec_id", "embedding")
+            .unionByName(batch), k = 5, cb = cb, cents = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(probed.nonEmpty && probed == rebuilt)
+    } finally { PqIndex.resetSyncCheck(); dropAll() }
+  }
+
   test("the stored-code probe never re-encodes: no encode/residual in its plan") {
     val s = spark
     try {
