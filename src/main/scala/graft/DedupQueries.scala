@@ -117,6 +117,27 @@ object DedupQueries {
       Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
         minDocs = 3)),
 
+    // SEMANTIC decontamination — the embedding-space sibling of
+    // q_decontaminate's n-gram rule (the modern eval-leakage check:
+    // paraphrased or translated benchmark items share no 3-gram but sit
+    // close in embedding space): drop every training vector within cosine
+    // 0.3 of ANY held-out vector (vec_id < 10 stands in for the eval
+    // suite). Scale shape: the eval set is bounded by contract (eval
+    // suites are small by construction) so it broadcasts; the check is a
+    // broadcast nested-loop ANTI join — per training row, #eval codegen
+    // cosines at the scan, no shuffle anywhere. The threshold matches
+    // q_dedup_embedding's near-dup cutoff, where it is known to fire on
+    // the fixture (the redact lesson: an oracle must observe real drops).
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val evalSet = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("e_vec")))
+      e.filter(col("vec_id") >= 10)
+        .join(evalSet,
+          Similarity.cosine(col("embedding"), col("e_vec")) >= 0.3, "left_anti")
+        .select("vec_id")
+    }),
+
     // Boilerplate extraction — the per-SPAN transpose of
     // q_dedup_substring: which exact 8-token spans recur across >= 3
     // distinct documents (navigation chrome, license headers, templated
@@ -1342,6 +1363,12 @@ object DedupQueries {
          |WHERE (${sqlDot("a.embedding", "b.embedding")}) /
          |  (sqrt(${sqlDot("a.embedding", "a.embedding")}) *
          |   sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.3""".stripMargin,
+
+    "q_decontaminate_semantic" ->
+      s"""SELECT t.vec_id FROM embeddings t
+         |WHERE t.vec_id >= 10 AND NOT EXISTS (
+         |  SELECT 1 FROM embeddings e WHERE e.vec_id < 10
+         |    AND ${sqlCosine("t.embedding", "e.embedding")} >= 0.3)""".stripMargin,
 
     "q_sim_topk" ->
       s"""SELECT query_id, neighbor_id, rank FROM (

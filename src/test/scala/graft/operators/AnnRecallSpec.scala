@@ -162,6 +162,23 @@ class AnnRecallSpec extends SparkSpec {
       f"trained shortlist must not trail the hash shortlist: $rHashRer%.2f -> $rResRer%.2f")
   }
 
+  test("trained persisted funnel holds its recall on the real embeddings fixture") {
+    val s = spark
+    val e = Tables.embeddings(s, sfDir)
+    val cents = KMeans.trainForFixture(e, sfDir)
+    val cb = Pq.trainResidualForFixture(e, sfDir)
+    val r = recallAt5(Pq.ivfAdcResidualRerank(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      k = 5, r = 20, cb = cb, cents = cents))
+    info(f"fixture trained-funnel recall@5 = $r%.2f")
+    // the fixture's embeddings are only weakly clustered, so recall here
+    // is capped by the NProbe/K coarse restriction (same regime as the
+    // 0.46 LSH / 0.32 IVF isotropic floors above — measured 0.30); the
+    // clustered fixture shows what the same funnel does when structure
+    // exists (0.90). This pins the floor against regression, not quality.
+    assert(r >= 0.2, f"fixture funnel recall collapsed: $r%.2f")
+  }
+
   test("IVF ANN recall@5 stays above the NProbe/K floor") {
     val s = spark
     val e = Tables.embeddings(s, sfDir)
