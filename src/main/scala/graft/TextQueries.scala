@@ -200,6 +200,37 @@ object TextQueries {
              max(col("rate")).as("rate"))
     }),
 
+    // TEMPERATURE mixing (alpha = 0.5) — the other standard mixing knob
+    // (multilingual training sets sample language l with probability
+    // proportional to n_l^alpha, softening the head instead of
+    // flattening to uniform — the reason low-resource languages survive
+    // corpus assembly at all): per-doc keep rate
+    // r_l = sqrt(n_min)/sqrt(n_l), normalized so the SMALLEST language
+    // keeps everything and one 100x larger keeps 10% — between
+    // q_mix_sources' full rebalance (alpha=0) and no mixing (alpha=1).
+    // Keyed by lang, not source, because the fixture's languages are
+    // skewed (en ~3.4x fr) while its sources are uniform — the oracle
+    // must observe real downsampling (the redact lesson). Engine-exact:
+    // two IEEE sqrts in a fixed order, rate applied through the same
+    // portable-hash sampler; same broadcast-by-contract rate relation
+    // and plan shape as q_mix_sources.
+    "q_mix_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      val minN = counts.agg(min(col("n_total")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(minN))
+        .withColumn("rate",
+          sqrt(col("n_min").cast("double")) / sqrt(col("n_total").cast("double")))
+      val h = pmod(graft.functions.PortableHash.hash60(
+        col("doc_id").cast("string")), lit(1000000L))
+      docs.join(broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(max(col("n_total")).as("n_total"),
+             sum(when(h < floor(col("rate") * 1000000.0).cast("long"), 1L)
+               .otherwise(0L)).as("n_kept"),
+             max(col("rate")).as("rate"))
+    }),
+
     // Document chunking: fixed 32-token windows with stride 24 (8-token
     // overlap) — how long documents become training sequences. One narrow
     // pass: the chunk starts are generated per row, the token array is
@@ -556,6 +587,23 @@ object TextQueries {
          |  max(r.rate) AS rate
          |FROM documents d JOIN rates r USING (source)
          |GROUP BY d.source""".stripMargin,
+
+    "q_mix_temperature" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n_total) AS n_min FROM counts),
+         |rates AS (
+         |  SELECT lang, n_total,
+         |    sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_total AS DOUBLE)) AS rate
+         |  FROM counts, mn)
+         |SELECT d.lang, max(r.n_total) AS n_total,
+         |  CAST(sum(CASE WHEN
+         |    ${graft.functions.PortableHash.hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000
+         |      < CAST(floor(r.rate * 1000000.0) AS BIGINT)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  max(r.rate) AS rate
+         |FROM documents d JOIN rates r USING (lang)
+         |GROUP BY d.lang""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
