@@ -226,7 +226,11 @@ object ScaleProbe {
     // bigram LM: two vocabulary-keyed shuffled joins over exploded
     // bigrams — expected ~linear in token mass (the vocabulary grows
     // sublinearly; stop-bigram probe skew is AQE's case)
-    "q_text_lm_bigram")
+    "q_text_lm_bigram",
+    // boilerplate removal shares the span-excision machinery with
+    // substring removal (probed ~n^1.1); semantic decon is a broadcast
+    // nested-loop anti scan — expected ~linear with a tiny constant
+    "q_boilerplate_removal", "q_decontaminate_semantic")
 
   /** Names that read the relational/event tables (trigger their generation). */
   private val RelNames = Set(
