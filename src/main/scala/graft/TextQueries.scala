@@ -121,6 +121,27 @@ object TextQueries {
         .groupBy("term")
         .agg(count(lit(1)).as("cnt"))),
 
+    // The declared 100 TB path beside q_text_termfreq: SpaceSaving top-k
+    // heavy hitters with CONSTANT state (64 counters) per group, where
+    // the exact formulation shuffles the whole vocabulary. Third member
+    // of the bounded-state sketch trio (approx_percentile, HLL++
+    // distinct, and this — the one Spark has no built-in for, so it is a
+    // custom TypedImperativeAggregate with map-side partial sketches and
+    // mergeable-summaries combine). No DuckDB oracle — the counter state
+    // is arrival-order-dependent — so the driver records a rows-only
+    // check and SketchSpec asserts the sketch's order-independent
+    // guarantees (overestimate + error bounds vs exact counts, heavy-
+    // hitter coverage) instead.
+    "q_approx_top_terms" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .agg(graft.functions.expressions.SpaceSavingAggregate
+          .space_saving_topk(col("term"), capacity = 64, k = 20).as("tops"))
+        .select(posexplode(col("tops")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+                col("e.term").as("term"), col("e.cnt").as("cnt"),
+                col("e.err").as("err"))),
+
     // Training-data curation filter: the keep/drop decision every corpus
     // pipeline ends with, composed from the quality metrics (narrow,
     // codegen'd, runs at the scan at any scale).

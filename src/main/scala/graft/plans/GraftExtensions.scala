@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BpeCountExpression, DotProduct, RollingHashExpression, TopKByScore, ZOrderExpression}
+import graft.functions.expressions.{BpeCountExpression, DotProduct, RollingHashExpression, SpaceSavingTopK, TopKByScore, ZOrderExpression}
 
 /** Session extension registering the engine's custom Catalyst expressions
   * as SQL functions, so the SQL surface is at parity with the Column API:
@@ -66,6 +66,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => other.eval().asInstanceOf[Number].intValue()
         }
         TopKByScore(exprs(0), exprs(1), k)
+      }))
+
+    e.injectFunction((
+      new FunctionIdentifier("space_saving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "space_saving_topk"),
+      (exprs: Seq[Expression]) => {
+        arity("space_saving_topk(term, capacity, k)", 3, exprs)
+        def intArg(e: Expression): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Number].intValue()
+        }
+        SpaceSavingTopK(exprs(0), intArg(exprs(1)), intArg(exprs(2)))
       }))
   }
 }

@@ -27,6 +27,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_top_terms obeys the SpaceSaving bounds against exact counts") {
+    val s = spark
+    val exact = graft.SparkEntry.queries("q_text_termfreq")(s, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val got = graft.SparkEntry.queries("q_approx_top_terms")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20, s"expected 20 heavy hitters, got ${got.length}")
+    // order-independent sketch invariants: every reported count
+    // OVERestimates the true count, and cnt - err underestimates it
+    got.foreach { case (rank, term, cnt, err) =>
+      val t = exact(term)
+      assert(cnt >= t, s"#$rank $term: reported $cnt < exact $t")
+      assert(cnt - err <= t, s"#$rank $term: lower bound ${cnt - err} > exact $t")
+    }
+    // heavy-hitter coverage: with 64 counters the sketch cannot miss a
+    // term whose true frequency clears the n/capacity noise floor by a
+    // wide margin — the exact top 10 all do on this fixture
+    val top10 = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    val reported = got.map(_._2).toSet
+    assert(top10.subsetOf(reported),
+      s"missed exact-top-10 heavy hitters: ${top10 -- reported}")
+    info(s"n=$n tokens, noise floor n/64=${n / 64}, " +
+      s"top reported: ${got.take(3).map(g => s"${g._2}=${g._3}(+-${g._4})").mkString(", ")}")
+  }
+
   test("q_approx_distinct_users is within 3x rsd of the exact distinct counts") {
     val s = spark
     val approx = graft.SparkEntry.queries("q_approx_distinct_users")(s, sfDir)

@@ -80,6 +80,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(g2 == Seq((0.1, 5L)))
   }
 
+  test("space_saving_topk SQL aggregate counts exactly under capacity") {
+    val s = spark
+    s.sql(
+      """SELECT * FROM VALUES
+        |  ('a'), ('a'), ('a'), ('b'), ('b'), ('c')
+        |AS t(term)""".stripMargin).createOrReplaceTempView("terms")
+    // capacity 8 > 3 distinct terms: the sketch degenerates to exact
+    // counting with zero error, whatever the arrival order
+    val rows = s.sql(
+      "SELECT space_saving_topk(term, 8, 2) AS hh FROM terms")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows == Seq(("a", 3L, 0L), ("b", 2L, 0L)),
+      s"under-capacity sketch must be exact: $rows")
+  }
+
   test("heap-aggregate topK equals the window-rank formulation") {
     val s = spark
     import org.apache.spark.sql.expressions.Window
