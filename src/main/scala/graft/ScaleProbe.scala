@@ -230,7 +230,10 @@ object ScaleProbe {
     // boilerplate removal shares the span-excision machinery with
     // substring removal (probed ~n^1.1); semantic decon is a broadcast
     // nested-loop anti scan — expected ~linear with a tiny constant
-    "q_boilerplate_removal", "q_decontaminate_semantic")
+    "q_boilerplate_removal", "q_decontaminate_semantic",
+    // constant-state sketch: explode + 64-counter partial aggregates —
+    // expected linear scan cost, shuffle bounded at capacity x #tasks
+    "q_approx_top_terms")
 
   /** Names that read the relational/event tables (trigger their generation). */
   private val RelNames = Set(
