@@ -131,7 +131,7 @@ object DedupQueries {
     "q_decontaminate_semantic" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val evalSet = broadcast(e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("eval_id"), col("embedding").as("e_vec")))
+        .select(col("embedding").as("e_vec")))
       e.filter(col("vec_id") >= 10)
         .join(evalSet,
           Similarity.cosine(col("embedding"), col("e_vec")) >= 0.3, "left_anti")

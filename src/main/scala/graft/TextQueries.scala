@@ -29,6 +29,22 @@ object TextQueries {
        |    list_sum(list_transform(range($xN), $xVar ->
        |      (doc_id*$cId + $sx*$cX + $sy*$cY) % 256)))) AS BIGINT)""".stripMargin
 
+  /** Shared tail of the data-mixing queries: apply a per-key rate
+    * relation through the deterministic portable-hash sampler and report
+    * (key, n_total, n_kept, rate). Both mixing strategies and both
+    * DuckDB oracles mirror this one sampler — the 1e6 fixed-point rate
+    * resolution and the floor/cast live here exactly once. */
+  private def hashMixKept(docs: DataFrame, key: String, rates: DataFrame): DataFrame = {
+    val h = pmod(graft.functions.PortableHash.hash60(
+      col("doc_id").cast("string")), lit(1000000L))
+    docs.join(broadcast(rates), key)
+      .groupBy(key)
+      .agg(max(col("n_total")).as("n_total"),
+           sum(when(h < floor(col("rate") * 1000000.0).cast("long"), 1L)
+             .otherwise(0L)).as("n_kept"),
+           max(col("rate")).as("rate"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting per document (narrow, zero shuffle).
@@ -211,14 +227,7 @@ object TextQueries {
       val rates = counts.crossJoin(broadcast(scalars))
         .withColumn("rate", least(lit(1.0),
           (col("grand").cast("double") / col("n_sources")) / col("n_total")))
-      val h = pmod(graft.functions.PortableHash.hash60(
-        col("doc_id").cast("string")), lit(1000000L))
-      docs.join(broadcast(rates), "source")
-        .groupBy("source")
-        .agg(max(col("n_total")).as("n_total"),
-             sum(when(h < floor(col("rate") * 1000000.0).cast("long"), 1L)
-               .otherwise(0L)).as("n_kept"),
-             max(col("rate")).as("rate"))
+      hashMixKept(docs, "source", rates)
     }),
 
     // TEMPERATURE mixing (alpha = 0.5) — the other standard mixing knob
@@ -242,14 +251,7 @@ object TextQueries {
       val rates = counts.crossJoin(broadcast(minN))
         .withColumn("rate",
           sqrt(col("n_min").cast("double")) / sqrt(col("n_total").cast("double")))
-      val h = pmod(graft.functions.PortableHash.hash60(
-        col("doc_id").cast("string")), lit(1000000L))
-      docs.join(broadcast(rates), "lang")
-        .groupBy("lang")
-        .agg(max(col("n_total")).as("n_total"),
-             sum(when(h < floor(col("rate") * 1000000.0).cast("long"), 1L)
-               .otherwise(0L)).as("n_kept"),
-             max(col("rate")).as("rate"))
+      hashMixKept(docs, "lang", rates)
     }),
 
     // Document chunking: fixed 32-token windows with stride 24 (8-token

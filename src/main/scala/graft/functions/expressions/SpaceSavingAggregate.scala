@@ -50,7 +50,10 @@ case class SpaceSavingTopK(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
 
-  require(capacity >= k, s"capacity $capacity must be >= k $k")
+  // k > 0 also guards the eviction branch: with capacity 0 the update
+  // path would minBy an empty counter map deep in an executor task
+  require(k > 0 && capacity >= k,
+    s"need 0 < k <= capacity, got k=$k capacity=$capacity")
 
   override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long)] =
     mutable.HashMap.empty

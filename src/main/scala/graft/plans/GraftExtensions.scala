@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(exprs.size == n,
       s"$name expects $n arguments, got ${exprs.size}")
 
+  /** Foldable int argument of an aggregate's shape parameter (k, capacity). */
+  private def intArg(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => other.eval().asInstanceOf[Number].intValue()
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
@@ -61,11 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k"),
       (exprs: Seq[Expression]) => {
         arity("top_k(score, id, k)", 3, exprs)
-        val k = exprs(2) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Number].intValue()
-        }
-        TopKByScore(exprs(0), exprs(1), k)
+        TopKByScore(exprs(0), exprs(1), intArg(exprs(2)))
       }))
 
     e.injectFunction((
@@ -73,10 +75,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "space_saving_topk"),
       (exprs: Seq[Expression]) => {
         arity("space_saving_topk(term, capacity, k)", 3, exprs)
-        def intArg(e: Expression): Int = e match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Number].intValue()
-        }
         SpaceSavingTopK(exprs(0), intArg(exprs(1)), intArg(exprs(2)))
       }))
   }

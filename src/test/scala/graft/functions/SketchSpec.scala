@@ -27,6 +27,43 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("SpaceSaving invariants survive eviction and merge (vocabulary far over capacity)") {
+    // the fixture's 31-term vocabulary never fills a 64-counter sketch, so
+    // q_approx_top_terms alone leaves the eviction / merge-inflation /
+    // truncation paths unexercised (review finding). This stream forces
+    // all three: 203 distinct terms against capacity 16, spread over 8
+    // partitions so every partial sketch evicts and the final merge
+    // truncates. Deterministic construction; the asserted bounds are the
+    // order-independent guarantees, valid under ANY partitioning.
+    val s = spark
+    import s.implicits._
+    val stream: Seq[String] =
+      Seq.fill(1200)("hot0") ++ Seq.fill(900)("hot1") ++ Seq.fill(700)("hot2") ++
+        (0 until 2200).map(i => s"tail${i % 200}")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    val got = stream.toDF("term").repartition(8)
+      .agg(graft.functions.expressions.SpaceSavingAggregate
+        .space_saving_topk(col("term"), capacity = 16, k = 10).as("tops"))
+      .select(explode(col("tops")).as("e"))
+      .select(col("e.term"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 10)
+    var sawInflation = false
+    got.foreach { case (term, cnt, err) =>
+      val t = exact(term)
+      assert(cnt >= t, s"$term: reported $cnt < exact $t")
+      assert(cnt - err <= t, s"$term: lower bound ${cnt - err} > exact $t")
+      if (err > 0) sawInflation = true
+    }
+    assert(sawInflation,
+      "no reported term carries error — the eviction/merge paths did not run")
+    // unambiguous heavy hitters (far above the n/capacity = 312 noise
+    // floor even after merge inflation) must surface
+    Seq("hot0", "hot1", "hot2").foreach(h =>
+      assert(got.exists(_._1 == h), s"missed heavy hitter $h in $got"))
+  }
+
   test("q_approx_top_terms obeys the SpaceSaving bounds against exact counts") {
     val s = spark
     val exact = graft.SparkEntry.queries("q_text_termfreq")(s, sfDir)
