@@ -9,9 +9,11 @@ object Bench {
     * artifact SELF-document contamination (round-4 verdict item 5). */
   private def stealJiffies(): Long =
     try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      val f = cpu.trim.split("\\s+")
-      if (f.length > 8) f(8).toLong else -1L
+      scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { src =>
+        val cpu = src.getLines().next()
+        val f = cpu.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      }
     } catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {
@@ -121,7 +123,36 @@ object Bench {
     // total FIRST (and repeated LAST as total_check): round 2's artifact
     // lost the leading total to tail truncation of the capture — with the
     // value at both ends, either truncation direction preserves it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","total_check":$total}""")
+    //
+    // Stdout carries TWO self-contained JSON lines (rounds 1-5 all ended
+    // parsed:null — the sbt "[info] " prefix, now removed via
+    // outputStrategy, plus a 16 KB line that outgrew the capture's
+    // 2000-char tail):
+    //  1. the per-query MIN map at ms precision (~3 KB) — the primary
+    //     artifact if the driver parses whole-output lines;
+    //  2. a <1.6 KB summary (total, slowest-12 mins, suspects, errors)
+    //     that fits entirely inside the 2000-char tail, so even a
+    //     tail-only parser recovers a non-null artifact.
+    // The full 3-runs-per-query raw/steal arrays move to
+    // BENCH_DETAIL.json in-repo — forensic detail no longer rides the
+    // pipe at all.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
+    }
+    def ms3(d: Double): String = f"$d%.3f"
+    val mins = ok.map { case (k, t, _) => (k, t.flatten.map(_._1).min) }
+    val qsMs = mins.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    val slowest = mins.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    val totalS = ms3(total)
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"queries":$qsMs,"steal_suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"n_queries":${mins.size},"slowest":$slowest,"detail":"BENCH_DETAIL.json","steal_suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
     spark.stop()
   }
 }

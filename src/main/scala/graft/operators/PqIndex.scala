@@ -70,8 +70,17 @@ object PqIndex {
       (codesT, cellsT, cents, cb)
     } else {
       val cb = loadCodebook(spark, cbT)
-      if (synced.add(dir) &&
-          spark.table(codesT).count() != spark.table(cellsT).count())
+      // Parity signature = (row count, sum of hash(vec_id)): the count
+      // catches a lagging codes table, the id-hash sum catches content
+      // drift at coincidentally equal counts (a partial rebuild that
+      // REPLACED rows — round-5 advice). One scan per table, no joins.
+      def idSig(t: String): (Long, Long) = {
+        val r = spark.table(t)
+          .agg(count(lit(1)), coalesce(sum(hash(col("vec_id")).cast("long")), lit(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      if (synced.add(dir) && idSig(codesT) != idSig(cellsT))
         writeCodes(spark, cellsT, codesT, cents, cb)
       (codesT, cellsT, cents, cb)
     }

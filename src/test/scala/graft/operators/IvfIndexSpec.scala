@@ -9,6 +9,15 @@ import graft.sources.Tables
   * the signature-store discipline applied to ANN serving. */
 class IvfIndexSpec extends SparkSpec {
 
+  /** Names derived from the ACTIVE fixture dir (round-5 advice: hardcoded
+    * sf0.001 names silently no-op when SPARK_GRAFT_SF_DIR points
+    * elsewhere, leaking appended index rows into later tests). */
+  private def dropIndexTables(): Unit = {
+    val stem = IvfIndex.tableStem(sfDir)
+    Seq("cells", "centroids").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS ${stem}_$sfx"))
+  }
+
   test("probe against the persisted index equals the retrained query") {
     val s = spark
     try {
@@ -29,10 +38,7 @@ class IvfIndexSpec extends SparkSpec {
       val (_, reloaded) = IvfIndex.ensureIndex(s, sfDir)
       assert(reloaded.length == cents.length &&
         reloaded.zip(cents).forall { case (a, b) => a.sameElements(b) })
-    } finally {
-      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_cells")
-      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_centroids")
-    }
+    } finally dropIndexTables()
   }
 
   test("append ingests a batch at batch cost and equals a full rebuild") {
@@ -71,10 +77,7 @@ class IvfIndexSpec extends SparkSpec {
           cents = cents)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(probed.nonEmpty && probed == rebuilt)
-    } finally {
-      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_cells")
-      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_centroids")
-    }
+    } finally dropIndexTables()
   }
 
   test("a non-broadcast probe batch joins the index with no shuffle on the index side") {
@@ -100,8 +103,7 @@ class IvfIndexSpec extends SparkSpec {
         s"index scan is not bucket-aware:\n$plan")
     } finally {
       s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_cells")
-      s.sql("DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_centroids")
+      dropIndexTables()
     }
   }
 }

@@ -10,8 +10,10 @@ import graft.sources.Tables
   * corpus, and the codebook round-trips bit-exactly through its table. */
 class PqIndexSpec extends SparkSpec {
 
+  /** Names derived from the ACTIVE fixture dir (round-5 advice: hardcoded
+    * sf0.001 names silently no-op under a different SPARK_GRAFT_SF_DIR). */
   private def dropAll(): Unit = Seq("cells", "centroids", "pq_codes", "pq_codebook")
-    .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS ivf_index__root_testdata_sf0_001_$sfx"))
+    .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.tableStem(sfDir)}_$sfx"))
 
   test("stored-code ADC probe and rerank equal the per-invocation trained pipeline") {
     val s = spark
