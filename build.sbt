@@ -17,9 +17,7 @@ run / fork := true
 // (BENCH_r01..r05 all have parsed:null with the line visibly present in
 // the tail behind an "[info] " prefix). StdoutOutput hands the forked
 // JVM sbt's own stdout/stderr directly.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -229,11 +229,14 @@ object DedupQueries {
     "q_corpus_dedup_incremental" -> ((s, dir) => {
       import graft.operators.CorpusOps._
       val docs = Tables.documents(s, dir)
+      // banded 3x4 split, like the rest of the composed corpus family
       val sigs = CacheScope.track(
         MinHashLSH.signatures(docs, "doc_id", "text", "lang",
-          n = 3, numBands = 6, rowsPerBand = 2).localCheckpoint(true))
+          n = 3, numBands = MinHashLSH.BandedBands,
+          rowsPerBand = MinHashLSH.BandedRows).localCheckpoint(true))
       val comp = ConnectedComponents.components(
-        MinHashLSH.candidatesFromBanded(MinHashLSH.banded(sigs)), "id_a", "id_b")
+        MinHashLSH.candidatesFromBanded(MinHashLSH.banded(sigs,
+          MinHashLSH.BandedBands, MinHashLSH.BandedRows)), "id_a", "id_b")
       val dropped = comp.filter(col("id") =!= col("component_id"))
         .select(col("id").as("doc_id"))
       // corpus-derived drop set: anti join SHUFFLES on the id (never a
@@ -252,8 +255,12 @@ object DedupQueries {
     // Verified-edge corpus artifact: clusters are built from candidates
     // that PASSED exact n-gram-Jaccard verification, so an LSH false
     // positive costs one array_intersect but can never merge unrelated
-    // documents into a cluster. This is the production shape on dense
-    // corpora: ScaleProbe measured raw candidate pairs growing ~n^2 on
+    // documents into a cluster. Candidates use the banded 3x4 split (see
+    // q_corpus_dedup_full): verification caps the DAMAGE of a false
+    // positive at one array_intersect, banding caps their COUNT — on the
+    // dense x100 probe corpus the 6x2 split spent 47.3 s mostly
+    // verifying >99.9%-false candidates. This is the production shape on
+    // dense corpora: ScaleProbe measured raw candidate pairs growing ~n^2 on
     // the dense-vocab generator (SCALE.md round-4 exponents) — unverified
     // clustering would chain those false positives into giant components
     // (CC round depth grew 4 -> 9 at 10x for exactly that reason), while
@@ -389,6 +396,28 @@ object DedupQueries {
       val e = Tables.embeddings(s, dir)
       graft.operators.IvfIndex.probe(s, dir, e.filter(col("vec_id") < 10),
         k = 5, candidatePred = col("vec_id") >= 10)
+    }),
+
+    // Index HEALTH — the monitoring half of the serving story (round-5
+    // verdict item 3): per-cell occupancy of the persisted cells table
+    // plus the global skew ratio (hottest cell / mean occupancy) that is
+    // the IVF retrain trigger — as batches drift from the training
+    // distribution, cells unbalance, recall decays, and THIS number says
+    // when to pay the rebuild. One groupBy(cell).count() over the
+    // bucketed index (scan-local: grouping key = bucketing key), then
+    // window math over the <= K aggregate rows. The oracle replays the
+    // same trained assignment via the unrolled-Lloyd's CTEs.
+    "q_ann_index_stats" -> ((s, dir) => {
+      val (cellsT, _) = graft.operators.IvfIndex.ensureIndex(s, dir)
+      // no orderBy -> frame = whole (single) partition of <= K agg rows
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      s.table(cellsT).groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .select(col("cell"), col("n_vecs"),
+          (col("n_vecs").cast("double") /
+            sum("n_vecs").over(w).cast("double")).as("share"),
+          ((max("n_vecs").over(w).cast("double")
+              * count(lit(1)).over(w).cast("double"))
+            / sum("n_vecs").over(w).cast("double")).as("skew"))
     }),
 
     // IVFADC — IVF coarse cells + product-quantization scoring
@@ -621,7 +650,8 @@ object DedupQueries {
     s"""WITH RECURSIVE canonical AS (
        |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, text
        |  FROM documents GROUP BY text),
-       |${minhashCtes("canonical")},
+       |${minhashCtes("canonical", numBands = MinHashLSH.BandedBands,
+                      rowsPerBand = MinHashLSH.BandedRows)},
        |gsets AS (
        |  SELECT doc_id, list_distinct(
        |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS gs
@@ -654,7 +684,9 @@ object DedupQueries {
   /** Full dedup artifact: transitive closure -> drop non-canonical cluster
     * members -> per-language budget over the survivors. */
   private val corpusDedupFullSql: String =
-    s"""WITH RECURSIVE ${minhashCtes("documents")},
+    s"""WITH RECURSIVE ${minhashCtes("documents",
+                      numBands = MinHashLSH.BandedBands,
+                      rowsPerBand = MinHashLSH.BandedRows)},
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM cand
        |  UNION
@@ -677,7 +709,9 @@ object DedupQueries {
     * duplicate-cluster count — the combined artifact of the
     * materialize-signatures-once pipeline. */
   private val corpusDedupIncrementalSql: String =
-    s"""WITH RECURSIVE ${minhashCtes("documents")},
+    s"""WITH RECURSIVE ${minhashCtes("documents",
+                      numBands = MinHashLSH.BandedBands,
+                      rowsPerBand = MinHashLSH.BandedRows)},
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM cand
        |  UNION
@@ -1077,6 +1111,31 @@ object DedupQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Index-health stats: the persisted cells table is the trained
+    * assignment of the fixture embeddings, so per-cell occupancy replays
+    * as one GROUP BY over the unrolled-Lloyd's assignment. All inputs to
+    * the double divisions are exact small integers and the operation
+    * order matches the Spark query (max*count then /sum), so the ratios
+    * are bit-identical. */
+  private lazy val annIndexStatsSql: String = {
+    val cT = s"c${KMeans.MaxIters}"
+    s"""WITH $kmeansCtes,
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cc.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlDot("e.embedding", "cc.cvec")} DESC, cc.cell ASC) AS rn
+       |    FROM embeddings e, $cT cc) WHERE rn = 1),
+       |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cell)
+       |SELECT cell, n_vecs,
+       |  CAST(n_vecs AS DOUBLE) /
+       |    CAST((SELECT CAST(sum(n_vecs) AS BIGINT) FROM occ) AS DOUBLE) AS share,
+       |  (CAST((SELECT max(n_vecs) FROM occ) AS DOUBLE)
+       |     * CAST((SELECT count(*) FROM occ) AS DOUBLE))
+       |    / CAST((SELECT CAST(sum(n_vecs) AS BIGINT) FROM occ) AS DOUBLE) AS skew
+       |FROM occ""".stripMargin
+  }
+
   /** Semantic dedup: trained-centroid assignment (the kmeansCtes replay)
     * as the blocking key, then exact within-cell pairs at the PRENORMED
     * cosine operation order (dot / (sqrt(aa)*sqrt(bb)) — what
@@ -1250,6 +1309,7 @@ object DedupQueries {
     // the persisted index serves the SAME trained-centroid result, so the
     // same unrolled-training replay is its oracle
     "q_sim_ivf_indexed" -> kmeansIvfSql,
+    "q_ann_index_stats" -> annIndexStatsSql,
     "q_sim_ivf_pq" -> pqIvfSql,
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_sim_ivf_pq_trained" -> pqTrainedSql,

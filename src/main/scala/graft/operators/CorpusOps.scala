@@ -27,6 +27,13 @@ object CorpusOps {
   val MaxTokens = 90
   val MinDistinctRatio = 0.2
 
+  /** The composed corpus artifacts (dedupedNear / dedupedVerified) default
+    * to the dense-corpus banded split — at 100 TB the 6x2 split's
+    * candidate count grows ~n^2 with >99.9% false positives (measured,
+    * SCALE.md Finding 1), so the pipeline shape a user ships must not. */
+  private val BandedBands = MinHashLSH.BandedBands
+  private val BandedRows = MinHashLSH.BandedRows
+
   implicit class DocumentCorpus(private val df: DataFrame) extends AnyVal {
 
     /** Append token-count/quality columns (narrow, codegen'd). */
@@ -111,17 +118,23 @@ object CorpusOps {
           col("n_tokens").cast("long").as("n_tokens"),
           floor(col("_cum_before") / binTokens).cast("long").as("bin_id"))
 
-    /** MinHash-LSH near-dup candidate pairs (see [[MinHashLSH]]). */
+    /** MinHash-LSH near-dup candidate pairs (see [[MinHashLSH]]). The band
+      * split is a pass-through knob; the composed corpus artifacts run the
+      * banded 3x4 split (see [[dedupedNear]]). */
     def minhashCandidates(idCol: String = "doc_id", textCol: String = "text",
-                          blockCol: String = "lang"): DataFrame =
-      MinHashLSH.candidatePairs(df, idCol, textCol, blockCol)
+                          blockCol: String = "lang",
+                          numBands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+      MinHashLSH.candidatePairs(df, idCol, textCol, blockCol,
+        numBands = numBands, rowsPerBand = rowsPerBand)
 
     /** Near-dup clusters: candidate pairs → connected components →
       * (id, component_id) with the min id as canonical. */
     def dedupClusters(idCol: String = "doc_id", textCol: String = "text",
-                      blockCol: String = "lang"): DataFrame =
+                      blockCol: String = "lang",
+                      numBands: Int = 6, rowsPerBand: Int = 2): DataFrame =
       ConnectedComponents.components(
-        minhashCandidates(idCol, textCol, blockCol), "id_a", "id_b")
+        minhashCandidates(idCol, textCol, blockCol, numBands, rowsPerBand),
+        "id_a", "id_b")
 
     /** Near-dup-REMOVED corpus — the artifact a training pipeline ships:
       * every document outside any duplicate cluster, plus the min-id
@@ -130,8 +143,10 @@ object CorpusOps {
       * here would collect an unbounded fraction of the corpus to the
       * driver (same rule as eval-set decontamination). */
     def dedupedNear(idCol: String = "doc_id", textCol: String = "text",
-                    blockCol: String = "lang"): DataFrame = {
-      val dropped = dedupClusters(idCol, textCol, blockCol)
+                    blockCol: String = "lang",
+                    numBands: Int = BandedBands,
+                    rowsPerBand: Int = BandedRows): DataFrame = {
+      val dropped = dedupClusters(idCol, textCol, blockCol, numBands, rowsPerBand)
         .filter(col("id") =!= col("component_id"))
         .select(col("id").as(idCol))
       df.join(dropped, Seq(idCol), "left_anti")
@@ -150,13 +165,16 @@ object CorpusOps {
       * corpus-derived: semi/anti joins shuffle on the 8-byte id. */
     def dedupedVerified(idCol: String = "doc_id", textCol: String = "text",
                         blockCol: String = "lang",
-                        threshold: Double = 0.4): DataFrame = {
+                        threshold: Double = 0.4,
+                        numBands: Int = BandedBands,
+                        rowsPerBand: Int = BandedRows): DataFrame = {
       // computed ONCE and shared by the pipeline (signatures + gram sets)
       // and the survivor semi-join — the text-keyed canonical shuffle is
       // the expensive aggregate here, so it must not run twice
       val canonical = CacheScope.track(
         Dedup.canonicalByText(df, idCol, textCol, blockCol).persist())
-      val verified = Dedup.dedupPipelineFrom(canonical, threshold = threshold)
+      val verified = Dedup.dedupPipelineFrom(canonical, threshold = threshold,
+        numBands = numBands, rowsPerBand = rowsPerBand)
       val droppedNear = ConnectedComponents
         .components(verified.select("id_a", "id_b"), "id_a", "id_b")
         .filter(col("id") =!= col("component_id"))

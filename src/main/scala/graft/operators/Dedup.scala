@@ -42,16 +42,22 @@ object Dedup {
       .select(col("c")(idCol).as("doc_id"), col("c")(blockCol).as("lang"), col("text"))
 
   def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
-                    blockCol: String, n: Int = 3, threshold: Double = 0.4): DataFrame =
-    dedupPipelineFrom(canonicalByText(df, idCol, textCol, blockCol), n, threshold)
+                    blockCol: String, n: Int = 3, threshold: Double = 0.4,
+                    numBands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+    dedupPipelineFrom(canonicalByText(df, idCol, textCol, blockCol), n, threshold,
+      numBands, rowsPerBand)
 
   /** [[dedupPipeline]] from an already-canonical (doc_id, lang, text)
     * frame — callers that also need the canonical set for survivor
     * filtering (CorpusOps.dedupedVerified) pass it in instead of paying
-    * the text-keyed canonical shuffle twice. */
+    * the text-keyed canonical shuffle twice. The band split is a
+    * pass-through knob: dense corpora run 3x4 (J^4 per-band collisions),
+    * the default stays the reference 6x2. */
   def dedupPipelineFrom(canonical: DataFrame, n: Int = 3,
-                        threshold: Double = 0.4): DataFrame = {
-    val cand = MinHashLSH.candidatePairs(canonical, "doc_id", "text", "lang", n)
+                        threshold: Double = 0.4,
+                        numBands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val cand = MinHashLSH.candidatePairs(canonical, "doc_id", "text", "lang", n,
+      numBands, rowsPerBand)
     // persisted: gsets joins into cand TWICE (id_a and id_b sides, different
     // join keys → no ReusedExchange), and the interpreted-HOF shingle stage
     // is the dominant cost — without the cache it runs twice per execution
@@ -370,8 +376,26 @@ object Dedup {
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|); the division is one exact int/int
     * IEEE op, so scores are engine-portable.
     */
+  /** Guardrail for [[ngramJaccardPairs]]'s candidate join: a prefix gram
+    * shared by f documents contributes ~f^2/2 candidate pairs, so one hot
+    * posting list is the whole quadratic risk (measured: the dense-vocab
+    * probe corpus drove ~n^2.07 growth, 180 s at x30 — the last declared
+    * query that could still go quadratic unbounded, round-5 verdict
+    * item 5). Posting lists at or under this size stay on the exact
+    * PPJoin path (bit-exact, oracle-checkable); larger ones route their
+    * documents through banded-MinHash candidate generation over their
+    * FULL gram sets — the [[embeddingNearDups]] pattern — where exact
+    * verification still discards every false positive, so the trade is
+    * RECALL on pairs whose only shared prefix grams are corpus-hot (the
+    * pairs least likely to be true near-dups). 1024 caps a bucket's pair
+    * contribution at ~0.5M. NgramGuardSpec asserts every fixture posting
+    * list stays under this (the oracle's validity condition) and that a
+    * planted near-dup still pairs when the guardrail is forced on. */
+  val DefaultMaxPostingSize: Long = 1024L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+                        blockCol: String, n: Int, threshold: Double,
+                        maxPostingSize: Long = DefaultMaxPostingSize): DataFrame = {
     // tokens materialized as their own projection (see shinglesFromTokens),
     // then the per-doc gram arrays are persisted: the downstream branches
     // (prefix index, pair verification) would otherwise each recompute the
@@ -407,6 +431,14 @@ object Dedup {
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("block"), col("sz"), xxhash64(col("gram")).as("gh"))
+    // Posting-list sizes per (block, gram-hash): aggregate + shuffled join
+    // back — the same broadcast-free pattern as `freq` (a window count
+    // would route a hot bucket to one task, the exact skew the guardrail
+    // exists to bound). The join key is the candidate join's own key, so
+    // the exchange co-locates with it.
+    val postingSizes = prefixes.groupBy("block", "gh").agg(count(lit(1)).as("bn"))
+    val sized = prefixes.join(postingSizes, Seq("block", "gh"))
+    val small = sized.filter(col("bn") <= maxPostingSize)
     // NOT persisted: the self-join's two sides are identical subplans, so
     // Spark's ReusedExchange already computes the window shuffle once;
     // caching here was measured to DEFEAT that reuse (6s -> 22s at sf0.1)
@@ -415,14 +447,32 @@ object Dedup {
     // join before the expensive distinct+verify stages — the standard
     // companion to prefix filtering, and the one that still prunes when a
     // dense vocabulary defeats the prefix (this corpus).
-    val cand = prefixes.as("a")
-      .join(prefixes.as("b"),
+    val candExact = small.as("a")
+      .join(small.as("b"),
         col("a.gh") === col("b.gh") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") >= col("b.sz") * threshold &&
           col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // Oversized posting lists: their documents generate candidates via
+    // banded MinHash over their FULL gram sets instead of the f^2 bucket
+    // join — per-document work becomes constant (k permutation minima +
+    // band emission), and the dense-corpus 3x4 split holds the collision
+    // count down. Verification below is shared, so a banded false
+    // positive costs one array_intersect, same as an exact-path one.
+    val hotDocs = sized.filter(col("bn") > maxPostingSize)
+      .select("block", "doc_id").distinct()
+    val candBanded = MinHashLSH.candidatesFromBanded(
+      MinHashLSH.banded(
+        MinHashLSH.signaturesFromHashes(
+          exploded.join(hotDocs, Seq("block", "doc_id"), "left_semi")
+            .select(col("doc_id"), col("block"),
+                    (graft.functions.PortableHash.hash60(col("gram"))
+                      % graft.functions.PortableHash.P).as("gh")),
+          MinHashLSH.BandedBands, MinHashLSH.BandedRows),
+        MinHashLSH.BandedBands, MinHashLSH.BandedRows))
+    val cand = candExact.union(candBanded).distinct()
     cand
       .join(base.select(col("doc_id").as("id_a"), col("grams").as("grams_a"),
                         col("sz").as("sz_a")), "id_a")

@@ -22,6 +22,19 @@ import graft.functions.PortableHash._
   */
 object MinHashLSH {
 
+  /** The dense-corpus band split the COMPOSED corpus artifacts default to:
+    * the same 12 signature minima split 3 bands x 4 rows. Per-band
+    * collision probability drops from J^2 to J^4, which ScaleProbe
+    * measured as ~4x fewer candidate pairs (>99.9% of which were false
+    * positives at x100 under 6x2) at identical signature cost — SCALE.md
+    * round-4/5 Finding 1. Single source of truth shared by CorpusOps'
+    * dedupedNear/dedupedVerified and the DuckDB oracle CTEs, so the Spark
+    * defaults and the oracle SQL can never split differently. The
+    * DECLARED knob pair (q_dedup_minhash 6x2 vs q_dedup_minhash_banded
+    * 3x4) keeps both operating points measurable side by side. */
+  val BandedBands = 3
+  val BandedRows = 4
+
   /** Distinct (doc_id, block, shingle-hash) pairs. Tokens are projected
     * before the shingle lambda runs (see Dedup.shinglesFromTokens PERF note). */
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
@@ -35,14 +48,22 @@ object MinHashLSH {
   /** MinHash signature: k = numBands * rowsPerBand permutation minima,
     * one groupBy. */
   def signatures(df: DataFrame, idCol: String, textCol: String, blockCol: String,
-                 n: Int, numBands: Int, rowsPerBand: Int): DataFrame = {
+                 n: Int, numBands: Int, rowsPerBand: Int): DataFrame =
+    signaturesFromHashes(shingleHashes(df, idCol, textCol, blockCol, n),
+      numBands, rowsPerBand)
+
+  /** [[signatures]] from an already-hashed (doc_id, block, gh) frame —
+    * for callers that hold exploded shingle hashes already (the
+    * ngram-Jaccard guardrail routes its oversized posting lists here
+    * without re-shingling). gh must be in [0, P). */
+  def signaturesFromHashes(hashes: DataFrame,
+                           numBands: Int, rowsPerBand: Int): DataFrame = {
     val k = numBands * rowsPerBand
     val sigCols = (0 until k).map { i =>
       val (a, b) = perm(i)
       min((col("gh") * a + b) % P).as(s"sig_$i")
     }
-    shingleHashes(df, idCol, textCol, blockCol, n)
-      .groupBy(col("doc_id"), col("block"))
+    hashes.groupBy(col("doc_id"), col("block"))
       .agg(sigCols.head, sigCols.tail: _*)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{IvfIndex, Similarity, SimilarityIVF}
+import graft.operators.{IvfIndex, PqIndex, Similarity, SimilarityIVF}
 
 /** Online ANN serving: a stream of query vectors answered against the
   * PERSISTED IVF index ([[IvfIndex]]) — the online half of the
@@ -66,6 +66,32 @@ object StreamingAnn {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(IvfIndex.probe(spark, dir, batch, k, idColQ, vecCol, candidatePred),
+             batchId)
+      }
+      .start()
+
+  /** The IVFADC funnel online — the shape a 100 TB deployment actually
+    * serves (round-5 verdict item 4): each micro-batch's queries run the
+    * STORED-CODE ADC shortlist of `r` plus the exact-cosine re-rank to
+    * top-k ([[PqIndex.probeRerank]]). Per batch, candidates cross the
+    * probe join as 8-byte codes from the persisted codes table (never
+    * the 512-byte vectors), and true vectors are id-fetched for only the
+    * #queries x r shortlist — so a micro-batch's cost is the same
+    * corpus-size-independent probe cost PqIndexSpec pins for batch, and
+    * the answers are bit-identical to the batch funnel's by
+    * construction. Same foreachBatch reasoning as [[serveTopK]]: top-k
+    * is complete within the batch that carried the query, so there is no
+    * streaming state and no watermark — the spec pins zero state
+    * operators in the plan. */
+  def servePqTopK(spark: SparkSession, dir: String, queryStream: DataFrame,
+                  k: Int, r: Int, sink: (DataFrame, Long) => Unit,
+                  idColQ: String = "vec_id", vecCol: String = "embedding",
+                  candidatePred: Column = lit(true)): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(PqIndex.probeRerank(spark, dir, batch, k, r, idColQ, vecCol,
+               candidatePred),
              batchId)
       }
       .start()

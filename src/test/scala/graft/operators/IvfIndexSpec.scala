@@ -80,6 +80,38 @@ class IvfIndexSpec extends SparkSpec {
     } finally dropIndexTables()
   }
 
+  test("index-health stats register post-append occupancy shifts") {
+    val s = spark
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      def occ(): Map[Int, Long] =
+        graft.DedupQueries.queries("q_ann_index_stats")(s, sfDir)
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val (_, cents) = IvfIndex.ensureIndex(s, sfDir)
+      val before = occ()
+      assert(before.values.sum == e.count())
+      // ingest a batch of fresh ids; the health query must see the shift
+      // immediately (it reads the live cells table, not a snapshot)
+      val batch = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val expectedShift = batch
+        .select(SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      IvfIndex.append(s, sfDir, batch)
+      val after = occ()
+      assert(after.values.sum == before.values.sum + batch.count())
+      val shift = after.map { case (c, n) => c -> (n - before.getOrElse(c, 0L)) }
+        .filter(_._2 != 0L)
+      assert(shift == expectedShift, s"occupancy shift $shift != batch assignment $expectedShift")
+      // the skew column is the max/mean ratio over the SAME live counts
+      val skew = graft.DedupQueries.queries("q_ann_index_stats")(s, sfDir)
+        .select("skew").head().getDouble(0)
+      val expSkew = after.values.max.toDouble * after.size / after.values.sum
+      assert(math.abs(skew - expSkew) < 1e-12)
+    } finally dropIndexTables()
+  }
+
   test("a non-broadcast probe batch joins the index with no shuffle on the index side") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ

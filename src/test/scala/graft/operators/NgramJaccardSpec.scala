@@ -53,4 +53,53 @@ class NgramJaccardSpec extends SparkSpec {
     // same int/int IEEE division on both sides -> exactly equal
     exp.foreach { case (k, j) => assert(got(k) == j, s"score mismatch at $k") }
   }
+
+  test("oversized posting lists route through banded MinHash — hot bucket never self-joins") {
+    val s = spark
+    import s.implicits._
+    // 60 docs sharing one boilerplate head (a hot posting list of 60) with
+    // unique tails (J between distinct docs << 0.3), plus one planted
+    // exact-duplicate pair. With the guardrail forced on (maxPostingSize
+    // = 8 < 60) the hot bucket's docs generate candidates via banded
+    // MinHash; the duplicate pair has identical signatures, so it ALWAYS
+    // collides — found deterministically — while the f^2 hot-bucket join
+    // never runs. Verification keeps the result set exact: only the
+    // planted pair clears J >= 0.3 either way.
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val docs: Seq[(Long, String)] = (0 until 60).map { i =>
+      (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")
+    } :+ (100L, docs0)
+    lazy val docs0 = s"$boiler u0a u0b u0c u0d u0e u0f u0g u0h"
+    val df = docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = CacheScope.withOperatorCaches {
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", n = 3,
+          threshold = 0.3, maxPostingSize = 8L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    assert(got.keySet == Set((0L, 100L)),
+      s"expected exactly the planted duplicate pair, got ${got.keySet}")
+    assert(got((0L, 100L)) == 1.0)
+  }
+
+  test("every sf fixture stays under the exact-path guardrail " +
+       "(q_dedup_ngram_jaccard oracle validity)") {
+    // the declared query's all-pairs oracle is only valid while every
+    // posting list takes the exact path. A prefix posting list is a
+    // subset of the gram's full per-block posting list, so max per-block
+    // document frequency < DefaultMaxPostingSize is a sufficient
+    // condition — derived from the SAME constant the operator defaults
+    // to, so a regenerated fixture with a hot boilerplate gram fails
+    // HERE instead of silently flipping the query to banded candidates.
+    val s = spark
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = graft.sources.Tables.documents(s, s"/root/testdata/$sf")
+      val maxDf = docs
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("lang"), explode(Dedup.shinglesFromTokens(col("toks"), 3)).as("gram"))
+        .groupBy("lang", "gram").count()
+        .agg(max("count")).head().getLong(0)
+      assert(maxDf < Dedup.DefaultMaxPostingSize,
+        s"$sf: hottest posting list $maxDf >= guardrail ${Dedup.DefaultMaxPostingSize}")
+    }
+  }
 }

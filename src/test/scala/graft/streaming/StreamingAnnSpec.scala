@@ -45,6 +45,37 @@ class StreamingAnnSpec extends SparkSpec {
       s"streaming top-k diverges from the batch probe: ${got.size} vs ${expect.size} rows")
   }
 
+  test("foreachBatch PQ-funnel serving equals the batch funnel, with zero state operators") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamingAnn.servePqTopK(
+      s, sfDir, ms.toDF().toDF("vec_id", "embedding"), k = 5, r = 20,
+      sink = (df, _) => got.synchronized {
+        got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      },
+      candidatePred = col("vec_id") >= 10)
+    try {
+      // answers must not depend on which micro-batch carried the query
+      ms.addData(queryRows.take(4).toSeq)
+      q.processAllAvailable()
+      ms.addData(queryRows.drop(4).toSeq)
+      q.processAllAvailable()
+      // the online funnel is STATELESS: per-query top-k completes within
+      // its batch, so the streaming plan carries no state operator
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected a stateless plan, got ${q.lastProgress.stateOperators.length} state operators")
+    } finally q.stop()
+    val expect = graft.operators.PqIndex.probeRerank(
+        s, sfDir, Tables.embeddings(s, sfDir).filter(col("vec_id") < 10),
+        k = 5, r = 20, candidatePred = col("vec_id") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet == expect,
+      s"streaming PQ funnel diverges from the batch funnel: ${got.size} vs ${expect.size} rows")
+  }
+
   test("scored-candidate stream is stateless and matches batch scoring") {
     val s = spark
     import s.implicits._
