@@ -272,11 +272,18 @@ object DedupQueries {
 
     // Duplicate-cluster resolution: connected components over the MinHash
     // candidate pairs (operators.ConnectedComponents) — the step that turns
-    // near-dup PAIRS into CLUSTERS with one canonical (min) id each.
+    // near-dup PAIRS into CLUSTERS with one canonical (min) id each. Uses
+    // the banded 3x4 split so the whole composed corpus family
+    // (components/full/incremental/verified) shares ONE candidate set —
+    // CrossQueryConsistencySpec pins survivors = docs - members + clusters
+    // across q_dedup_components and q_corpus_dedup_full, which only holds
+    // if both derive clusters from the same split.
     "q_dedup_components" -> ((s, dir) =>
       ConnectedComponents.components(
           MinHashLSH.candidatePairs(Tables.documents(s, dir),
-            "doc_id", "text", "lang"),
+            "doc_id", "text", "lang",
+            numBands = MinHashLSH.BandedBands,
+            rowsPerBand = MinHashLSH.BandedRows),
           "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component_id"))),
 
@@ -825,9 +832,13 @@ object DedupQueries {
     annLshSqlWith(t => s"bit_count(xor(q.bk_$t, c.bk_$t)) <= 1")
 
   /** Transitive closure over the candidate pairs (recursive CTE) — the
-    * declarative mirror of the iterative min-label propagation. */
+    * declarative mirror of the iterative min-label propagation. Banded 3x4
+    * split, matching the Spark query and the rest of the composed corpus
+    * family. */
   private val componentsSql: String =
-    s"""WITH RECURSIVE ${minhashCtes("documents")},
+    s"""WITH RECURSIVE ${minhashCtes("documents",
+                                     numBands = MinHashLSH.BandedBands,
+                                     rowsPerBand = MinHashLSH.BandedRows)},
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM cand
        |  UNION

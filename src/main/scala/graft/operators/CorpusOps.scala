@@ -128,10 +128,13 @@ object CorpusOps {
         numBands = numBands, rowsPerBand = rowsPerBand)
 
     /** Near-dup clusters: candidate pairs → connected components →
-      * (id, component_id) with the min id as canonical. */
+      * (id, component_id) with the min id as canonical. Defaults to the
+      * banded 3x4 split like the rest of the composed corpus family
+      * (q_dedup_components, [[dedupedNear]], [[dedupedVerified]]). */
     def dedupClusters(idCol: String = "doc_id", textCol: String = "text",
                       blockCol: String = "lang",
-                      numBands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+                      numBands: Int = BandedBands,
+                      rowsPerBand: Int = BandedRows): DataFrame =
       ConnectedComponents.components(
         minhashCandidates(idCol, textCol, blockCol, numBands, rowsPerBand),
         "id_a", "id_b")

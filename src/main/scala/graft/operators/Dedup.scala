@@ -388,7 +388,7 @@ object Dedup {
     * verification still discards every false positive, so the trade is
     * RECALL on pairs whose only shared prefix grams are corpus-hot (the
     * pairs least likely to be true near-dups). 1024 caps a bucket's pair
-    * contribution at ~0.5M. NgramGuardSpec asserts every fixture posting
+    * contribution at ~0.5M. NgramJaccardSpec asserts every fixture posting
     * list stays under this (the oracle's validity condition) and that a
     * planted near-dup still pairs when the guardrail is forced on. */
   val DefaultMaxPostingSize: Long = 1024L

@@ -34,7 +34,11 @@ class CrossQueryConsistencySpec extends SparkSpec {
   }
 
   test("every document of a near-dup pair resolves into the same component") {
-    val pairs = q("q_dedup_minhash").collect()
+    // q_dedup_components derives clusters from the banded 3x4 candidate
+    // split (shared with the composed corpus family), so the pair query it
+    // must absorb is the banded one — a 6x2-only pair can legitimately be
+    // absent from the banded edge set (the documented recall trade).
+    val pairs = q("q_dedup_minhash_banded").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val comp = q("q_dedup_components").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

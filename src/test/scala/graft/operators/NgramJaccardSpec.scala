@@ -58,18 +58,21 @@ class NgramJaccardSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     // 60 docs sharing one boilerplate head (a hot posting list of 60) with
-    // unique tails (J between distinct docs << 0.3), plus one planted
-    // exact-duplicate pair. With the guardrail forced on (maxPostingSize
-    // = 8 < 60) the hot bucket's docs generate candidates via banded
-    // MinHash; the duplicate pair has identical signatures, so it ALWAYS
-    // collides — found deterministically — while the f^2 hot-bucket join
-    // never runs. Verification keeps the result set exact: only the
-    // planted pair clears J >= 0.3 either way.
+    // long unique tails, plus one planted exact-duplicate pair. The
+    // 10-token head contributes 8 shared head-internal 3-grams; a 24-token
+    // tail pushes each doc to 32 grams, so cross-doc J = 8/(32+32-8) =
+    // 0.143 << 0.3. With the guardrail forced on (maxPostingSize = 8 < 60)
+    // the hot bucket's docs generate candidates via banded MinHash; the
+    // duplicate pair has identical signatures, so it ALWAYS collides —
+    // found deterministically — while the f^2 hot-bucket join never runs.
+    // Verification keeps the result set exact: only the planted pair
+    // clears J >= 0.3 either way.
     val boiler = "the quick brown fox jumps over the lazy dog again"
+    def tail(i: Int): String = (0 until 24).map(k => s"u${i}x$k").mkString(" ")
+    val docs0 = s"$boiler ${tail(0)}"
     val docs: Seq[(Long, String)] = (0 until 60).map { i =>
-      (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")
+      (i.toLong, s"$boiler ${tail(i)}")
     } :+ (100L, docs0)
-    lazy val docs0 = s"$boiler u0a u0b u0c u0d u0e u0f u0g u0h"
     val df = docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
     val got = CacheScope.withOperatorCaches {
       Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", n = 3,
