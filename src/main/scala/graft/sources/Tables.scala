@@ -21,7 +21,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The testdata's timestamp columns are parquet TIMESTAMP(MICROS)
+    * without the adjusted-to-UTC flag, which Spark 4 infers as
+    * TIMESTAMP_NTZ. Every engine surface (watermarks, window(), the
+    * DuckDB oracles, specs reading `getTimestamp`) is defined over
+    * session-UTC `TimestampType`, so normalize HERE — one load-time cast
+    * (wall-clock-preserving under the UTC session timezone) instead of a
+    * per-builder parquet-inference conf that external callers could miss. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark does not model;
     * read it as a nanos long (legacy conf, set here so callers need not

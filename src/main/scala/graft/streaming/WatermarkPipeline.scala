@@ -92,6 +92,43 @@ object WatermarkPipeline {
         col("session_window.end").as("session_end"),
         col("url"), col("cnt"))
 
+  /** The reference's O3b semantics on OVERLAPPING windows: N
+    * independently-watermarked streams, min-of-inputs gating, sliding
+    * windows (width/slide) per url. Every event lands in width/slide
+    * windows; each of those windows fires (append mode) only once the
+    * MIN watermark passes ITS end — so a lagging input holds back every
+    * window that overlaps its horizon, not just the one containing its
+    * last event. State per open (url, window) is one count; the
+    * width/slide expansion happens at the aggregation INPUT (before the
+    * partial aggregate), never in the state store. */
+  def slidingCounts(streams: Seq[Dataset[Pageview]],
+                    width: String = "1 hour",
+                    slide: String = "30 minutes",
+                    delay: String = "0 seconds"): DataFrame = {
+    val watermarked = streams.map(_.withWatermark("ts", delay))
+    watermarked.reduce(_ unionByName _)
+      .groupBy(window(col("ts"), width, slide), col("url"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("url"), col("cnt"))
+  }
+
+  /** Batch replay of [[slidingCounts]] — the same sliding-window
+    * aggregate without watermarks; the streaming run's complete output
+    * must equal these rows (SlidingWindowStreamingSpec). */
+  def slidingCountsBatch(all: DataFrame,
+                         width: String = "1 hour",
+                         slide: String = "30 minutes"): DataFrame =
+    all
+      .groupBy(window(col("ts"), width, slide), col("url"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("url"), col("cnt"))
+
   /** Watermark-bounded stream-stream INTERVAL join — the two-input
     * stateful operator class the single-pipeline reference never needed:
     * pair each event of `probes` with the same-url `views` events in the
