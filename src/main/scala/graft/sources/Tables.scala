@@ -20,43 +20,73 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+  /** The testdata's timestamp columns are parquet TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (verified via footer: `events.ts`,
+    * `lineitem.l_shipdate`, `orders.o_orderdate` are all `timestamp[us]`),
+    * which Spark 4 would otherwise infer as TIMESTAMP_NTZ. Every engine
+    * surface (watermarks, `window()`, the DuckDB oracles, specs reading
+    * `getTimestamp`) is defined over session-UTC `TimestampType`, so we
+    * disable NTZ inference at the SOURCE: the scan itself then produces
+    * TimestampType (the micros value is read verbatim — wall-clock-as-UTC,
+    * identical to what the oracles compute). Fixing it at the reader, not
+    * via a load-time cast, keeps parquet predicate pushdown and row-group
+    * min-max skipping for timestamp predicates (a cast would wrap the scan
+    * in a Project) and normalizes nested NTZ columns for free. Set here so
+    * callers need not care; batch and streaming reads share it. */
+  private def disableNtzInference(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
-  /** The testdata's timestamp columns are parquet TIMESTAMP(MICROS)
-    * without the adjusted-to-UTC flag, which Spark 4 infers as
-    * TIMESTAMP_NTZ. Every engine surface (watermarks, window(), the
-    * DuckDB oracles, specs reading `getTimestamp`) is defined over
-    * session-UTC `TimestampType`, so normalize HERE — one load-time cast
-    * (wall-clock-preserving under the UTC session timezone) instead of a
-    * per-builder parquet-inference conf that external callers could miss. */
-  private def normalizeNtz(df: DataFrame): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    disableNtzInference(spark)
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Safety net behind the inference conf, shared by batch and streaming
+    * paths: if a frame still carries top-level TIMESTAMP_NTZ (e.g. built
+    * from a raw read before `load`'s conf took effect), cast it to
+    * session-UTC TimestampType. No-op — inserts no Project — when the
+    * reader conf already yielded TimestampType everywhere. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema.fields.filter(_.dataType == TimestampNTZType)
       .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark does not model;
-    * read it as a nanos long (legacy conf, set here so callers need not
-    * care) and convert to microsecond TimestampType. The sub-microsecond
-    * digits are zero in the testdata, and the DuckDB oracles cast to
-    * microsecond TIMESTAMP identically. */
+  /** Early testdata generations wrote `events.ts` as parquet
+    * TIMESTAMP(NANOS); current fixtures write TIMESTAMP(MICROS) (see
+    * footer note above), so the nanos path below is a retained
+    * absorb-point, not the live path. The legacy conf is still set so a
+    * regenerated nanos fixture reads as a long instead of failing. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(load(spark, dir, "events"))
   }
 
-  /** The single definition of the ns→µs conversion (also applied by the
-    * streaming file-source path): guarded on the column type so a move of
-    * the testdata to native TIMESTAMP(MICROS) is absorbed here, not in
-    * every caller. */
+  /** The single definition of the ns→µs conversion (shared with the
+    * streaming file-source path): guarded on the column type, so it is a
+    * no-op for the current TIMESTAMP(MICROS) fixtures and converts only if
+    * the testdata moves back to TIMESTAMP(NANOS)-as-long. */
   def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  /** Streaming mirror of `events()`: a parquet file stream over
+    * `streamDir` whose event-time column is guaranteed the SAME type as
+    * the batch surface, by construction — the explicit stream schema is
+    * derived from the normalized batch frame (file streams require one),
+    * and the same normalization chain is applied. Batch and streaming
+    * source surfaces must agree on event-time's type; this is the one
+    * place that guarantee lives. `schemaDir` points at the sf fixture the
+    * schema is derived from; `streamDir` is the directory being listed
+    * incrementally (the 100 TB ingest shape). */
+  def streamEvents(spark: SparkSession, schemaDir: String, streamDir: String): DataFrame = {
+    val schema = events(spark, schemaDir).schema
+    normalizeNtz(normalizeEventTs(spark.readStream.schema(schema).parquet(streamDir)))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

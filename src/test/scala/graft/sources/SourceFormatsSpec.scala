@@ -62,4 +62,24 @@ class SourceFormatsSpec extends SparkSpec {
     assert(filtered.count() ==
       Tables.documents(s, sfDir).filter(col("lang") === "en").count())
   }
+
+  test("loader yields TimestampType at the scan and pushes timestamp predicates") {
+    val s = spark
+    // every table the loader serves must surface session-UTC TimestampType,
+    // not TIMESTAMP_NTZ — the engine's batch/streaming event-time contract
+    for (t <- Tables.all) {
+      val schema = Tables.load(s, sfDir, t).schema
+      assert(!schema.exists(_.dataType == TimestampNTZType),
+        s"$t leaked TIMESTAMP_NTZ: $schema")
+    }
+    // and because the fix is at the READER (NTZ inference off), not a cast
+    // over the scan, a timestamp predicate still reaches PushedFilters —
+    // at 100 TB this is row-group min-max skipping on the date column
+    val plan = Tables.lineitem(s, sfDir)
+      .filter(col("l_shipdate") < lit("1995-01-01").cast(TimestampType))
+      .select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert("(?i)pushedfilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      s"l_shipdate predicate not pushed to the parquet scan:\n$plan")
+  }
 }

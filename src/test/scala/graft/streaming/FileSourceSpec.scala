@@ -12,18 +12,16 @@ class FileSourceSpec extends SparkSpec {
   test("parquet file stream + complete-mode windowed counts == batch result") {
     val s = spark
     import org.apache.spark.sql.functions._
-    // file streams need an explicit schema; reuse the batch loader's
-    // (post ns->us conversion happens on a LongType ts, same as batch)
     val batchEvents = graft.sources.Tables.events(s, sfDir)
-    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
 
     // file streams require a DIRECTORY to list incrementally
     val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("part-0.parquet"))
-    val streamRaw = s.readStream.schema(schema).parquet(streamDir.toString)
-    val stream = graft.sources.Tables.normalizeEventTs(streamRaw)
+    // schema + event-time normalization both come from Tables, so the
+    // streaming surface agrees with the batch surface by construction
+    val stream = graft.sources.Tables.streamEvents(s, sfDir, streamDir.toString)
 
     val agg = stream
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
