@@ -258,8 +258,10 @@ object DedupQueries {
     // documents into a cluster. Candidates use the banded 3x4 split (see
     // q_corpus_dedup_full): verification caps the DAMAGE of a false
     // positive at one array_intersect, banding caps their COUNT — on the
-    // dense x100 probe corpus the 6x2 split spent 47.3 s mostly
-    // verifying >99.9%-false candidates. This is the production shape on
+    // dense x100 probe corpus the 6x2 split constructs in 155-169 s vs
+    // banded 3x4's 40-44 s (quiet head-to-head, SCALE.md round 9),
+    // nearly all of it verifying >99.9%-false candidates (9.74M vs
+    // 2.34M). This is the production shape on
     // dense corpora: ScaleProbe measured raw candidate pairs growing ~n^2 on
     // the dense-vocab generator (SCALE.md round-4 exponents) — unverified
     // clustering would chain those false positives into giant components

@@ -268,12 +268,24 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Guardrail-probe knob: run q_dedup_ngram_jaccard with a non-default
+    // posting cap. With the default knobs the operator's candidate-volume
+    // budget picks the regime itself (sf fixtures: pure exact; the dense
+    // generator: banded handoff — measured after the x30 exact path
+    // spilled >70 GB and died); this knob pins the per-gram cap to probe
+    // a specific operating point.
+    val ngramCap = sys.env.get("SPARK_GRAFT_PROBE_NGRAM_CAP").map(_.toLong)
     mults.foreach { mult =>
       val dir = ensureData(spark, mult)
       val names = Family.filter(n => only.forall(_.findFirstIn(n).isDefined))
       if (names.exists(RelNames)) ensureRelData(spark, dir, mult)
       val timed = names.map { name =>
-        val fn = SparkEntry.queries(name)
+        val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+          if (name == "q_dedup_ngram_jaccard" && ngramCap.isDefined)
+            (s, d) => Dedup.ngramJaccardPairs(
+              graft.sources.Tables.documents(s, d), "doc_id", "text", "lang",
+              3, 0.3, ngramCap.get)
+          else SparkEntry.queries(name)
         var rounds = -1
         val wantMetrics = sys.env.contains("SPARK_GRAFT_PROBE_METRICS")
         val times = (1 to runs).map { _ =>
@@ -349,7 +361,8 @@ object ScaleProbe {
         MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
           numBands = 3, rowsPerBand = 4).count() else -1L
       val pairsNgram = if (names.contains("q_dedup_ngram_jaccard"))
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.3).count() else -1L
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.3,
+          ngramCap.getOrElse(Dedup.DefaultMaxPostingSize)).count() else -1L
       spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
       val qjson = timed.map { case (n, t, _, _) => s""""$n":$t""" }.mkString("{", ",", "}")
       // max-of-runs construction seconds: the honest eager-operator cost

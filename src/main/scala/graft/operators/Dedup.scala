@@ -404,9 +404,35 @@ object Dedup {
     * via the banded branch when the guardrail is forced on. */
   val DefaultMaxPostingSize: Long = 1024L
 
+  /** Aggregate-volume companion to [[DefaultMaxPostingSize]]: the per-gram
+    * cap bounds each BUCKET's f^2/2 pairs, but a dense vocabulary — every
+    * gram common, none individually over the cap — still drives the TOTAL
+    * candidate volume Sigma f^2/2 quadratic in corpus size (measured on
+    * the dense-vocab probe corpus: the x30 exact-path candidate join
+    * spilled past 70 GB of disk and died, with no single posting list
+    * anywhere near 1024). So the operator budgets total pair mass: from
+    * the distinct-FREQUENCY histogram of the already-aggregated df
+    * relation (one bounded collect — at most one row per distinct
+    * frequency value, O(sqrt(gram occurrences)) rows, never corpus-sized)
+    * it picks the largest cap whose cumulative Sigma n_f * f(f-1)/2 over
+    * f <= cap fits this budget; hotter grams route their documents through
+    * the banded branch. Sparse corpora (every sf fixture: pair mass
+    * ~1e5 << budget) keep the FULL exact path, so the oracle stays valid;
+    * dense corpora hand off to banded automatically instead of spilling.
+    * The budget is sized by the VERIFICATION stage, not the candidate
+    * join: each surviving candidate carries both documents' gram ARRAYS
+    * (~1 KB/row on 50-gram docs) through the verify shuffle, so 4M pairs
+    * ~ 4 GB shuffled — a 64M budget was measured to spill >50 GB on the
+    * x30 dense probe corpus at exactly that stage. Per executor-core this
+    * is ~128 MB; on a 1000-core cluster the same default verifies 4M
+    * pairs per corpus partition-set without pressure — callers with wider
+    * documents should scale it down proportionally. */
+  val DefaultMaxCandidatePairs: Long = 4000000L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double,
-                        maxPostingSize: Long = DefaultMaxPostingSize): DataFrame = {
+                        maxPostingSize: Long = DefaultMaxPostingSize,
+                        maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     // tokens materialized as their own projection (see shinglesFromTokens),
     // then the per-doc gram arrays are persisted: the downstream branches
     // (prefix index, pair verification) would otherwise each recompute the
@@ -456,11 +482,35 @@ object Dedup {
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("block"), col("sz"), col("df_"), col("gh"))
+    // Effective cap = the per-gram posting cap, tightened until the TOTAL
+    // exact-path pair mass fits the candidate budget (see
+    // DefaultMaxCandidatePairs): from the distinct-frequency histogram of
+    // `freq` — a bounded eager collect, at most one row per distinct
+    // frequency value — walk frequencies ascending and keep the largest
+    // cap whose cumulative Sigma n_f * f(f-1)/2 stays inside the budget.
+    // Sparse corpora land on maxPostingSize unchanged (the sf-fixture /
+    // oracle-validity regime); dense corpora tighten the cap and hand the
+    // hot grams' documents to the banded branch instead of letting the
+    // self-join's output go quadratic. This one probe job also decides
+    // whether the banded branch exists at all and warms `base`'s persist
+    // for the main action.
+    val hist = freq.groupBy("df_").agg(count(lit(1)).as("n_grams")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val effCap: Long = {
+      var cum = 0.0
+      var c = 1L
+      for ((f, ng) <- hist if f <= maxPostingSize) {
+        cum += f.toDouble * (f - 1) / 2 * ng
+        if (cum <= maxCandidatePairs) c = f
+      }
+      math.min(maxPostingSize, c)
+    }
+    val hasHot = hist.exists(_._1 > effCap)
     // Guardrail routing reads the df_ ALREADY on each prefix row (see
     // DefaultMaxPostingSize): df bounds the gram's posting-list size from
     // above, so no per-bucket count — and no second aggregate + shuffled
     // join — is needed to keep every exact-path bucket under the cap.
-    val small = prefixes.filter(col("df_") <= maxPostingSize)
+    val small = prefixes.filter(col("df_") <= effCap)
       .select("doc_id", "block", "sz", "gh")
     // NOT persisted: the self-join's two sides are identical subplans, so
     // Spark's ReusedExchange already computes the window shuffle once;
@@ -485,18 +535,13 @@ object Dedup {
     // so a banded false positive costs one array_intersect, same as an
     // exact-path one.
     //
-    // The branch is attached only when a hot gram EXISTS: one bounded
-    // eager probe on the already-aggregated frequency relation (limit-1
-    // semantics via isEmpty — vocabulary-sized input, one-row answer,
-    // never data-sized on the driver) decides it at plan-construction
-    // time. In the common no-hot-gram case this replaces the branch's
-    // runtime machinery — the hotDocs aggregate, an AQE replan round, and
-    // a wider union+distinct — with one short job over the cached shingle
-    // frame, and the query plan IS the exact PPJoin plan. The probe also
-    // warms `base`'s persist for the main action.
-    val hasHot = !freq.filter(col("df_") > maxPostingSize).isEmpty
+    // The branch is attached only when a hot gram EXISTS (decided by the
+    // histogram probe above): in the common no-hot-gram case the query
+    // plan IS the exact PPJoin plan, with none of the branch's runtime
+    // machinery — the hotDocs aggregate, an AQE replan round, and a wider
+    // union+distinct.
     val cand = if (!hasHot) candExact.distinct() else {
-      val hotDocs = prefixes.filter(col("df_") > maxPostingSize)
+      val hotDocs = prefixes.filter(col("df_") > effCap)
         .select("block", "doc_id").distinct()
       val candBanded = MinHashLSH.candidatesFromBanded(
         MinHashLSH.banded(

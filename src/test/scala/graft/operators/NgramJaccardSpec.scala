@@ -87,6 +87,50 @@ class NgramJaccardSpec extends SparkSpec {
     assert(got((100L, 101L)) == 1.0 && got((0L, 200L)) == 1.0)
   }
 
+  test("candidate-volume budget tightens the cap — dense fixture hands off " +
+       "to banded and still finds the planted duplicate") {
+    val s = spark
+    import s.implicits._
+    // 30 docs over a tiny shared vocabulary, so every gram's df is ~2-6
+    // and no gram crosses a per-gram cap — but the TOTAL pair mass
+    // exceeds a forced 10-pair budget, which must tighten the effective
+    // cap, route the (now-hot) grams' documents through banded MinHash,
+    // and still surface the planted identical pair (identical docs ->
+    // identical signatures -> deterministic collision). This is the
+    // dense-vocab regime in miniature: the x30 probe corpus' exact path
+    // spilled >70 GB with no hot posting list anywhere near the cap.
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 8).map(i => s"w$i")
+    val docs: Seq[(Long, String)] = (0 until 30).map { i =>
+      (i.toLong, Vector.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (100L, "")
+    val base = docs.init :+ (100L, docs.head._2) // doc 100 duplicates doc 0
+    val df = base.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = CacheScope.withOperatorCaches {
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", n = 3,
+          threshold = 0.9, maxCandidatePairs = 10L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    // brute force at the same threshold confirms the expected pair set
+    def grams(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val gs = base.map { case (id, t) => id -> grams(t) }
+    val exp = (for {
+      (a, ga) <- gs; (b, gb) <- gs if a < b
+      inter = (ga & gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter) if j >= 0.9
+    } yield (a, b)).toSet
+    assert(exp.contains((0L, 100L)), "fixture must plant the duplicate pair")
+    // banded recall is approximate by design: the planted identical pair
+    // MUST be found (deterministic collision); no non-pair may appear
+    // (exact verification); near-threshold extras may legitimately be
+    // missed, so assert containment both ways on the planted pair + subset
+    assert(got.keySet.contains((0L, 100L)),
+      s"planted duplicate lost in banded handoff: ${got.keySet}")
+    assert(got.keySet.subsetOf(exp), s"false positives: ${got.keySet -- exp}")
+    assert(got((0L, 100L)) == 1.0)
+  }
+
   test("every sf fixture stays under the exact-path guardrail " +
        "(q_dedup_ngram_jaccard oracle validity)") {
     // the declared query's all-pairs oracle is only valid while every
@@ -100,13 +144,21 @@ class NgramJaccardSpec extends SparkSpec {
     val s = spark
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val docs = graft.sources.Tables.documents(s, s"/root/testdata/$sf")
-      val maxDf = docs
+      val dfreq = docs
         .select(col("lang"), split(col("text"), " ").as("toks"))
         .select(col("lang"), explode(Dedup.shinglesFromTokens(col("toks"), 3)).as("gram"))
         .groupBy("lang", "gram").count()
-        .agg(max("count")).head().getLong(0)
+      val r = dfreq.agg(max("count"),
+        sum(expr("count * (count - 1) / 2"))).head()
+      val (maxDf, pairMass) = (r.getLong(0), r.getDouble(1).toLong)
       assert(maxDf < Dedup.DefaultMaxPostingSize,
         s"$sf: hottest posting list $maxDf >= guardrail ${Dedup.DefaultMaxPostingSize}")
+      // second half of the (now two-part) oracle-validity condition: the
+      // TOTAL exact-path pair mass must fit the candidate-volume budget,
+      // or the operator tightens the cap and flips part of the fixture to
+      // banded candidates (approximate recall, oracle would diverge)
+      assert(pairMass <= Dedup.DefaultMaxCandidatePairs,
+        s"$sf: exact-path pair mass $pairMass exceeds candidate budget")
     }
   }
 }
