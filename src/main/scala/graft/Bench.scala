@@ -16,6 +16,45 @@ object Bench {
       }
     } catch { case _: Throwable => -1L }
 
+  /** Fixed deterministic CPU reference work, timed single-thread: a
+    * splitmix-style mixing loop whose wall time depends only on how fast
+    * this host actually executes ALU work RIGHT NOW. Round 9 measured
+    * zero-code-change queries inflating ~25-95% across runs with ZERO
+    * steal jiffies recorded (q_multimodal_video 3.3-10.6 s in one
+    * 4-run set, steal 0.0) — hypervisor/clock contention the steal
+    * counter cannot see. Recording the hostmark beside the totals lets a
+    * reader normalize cross-round comparisons: if hostmark moved, the
+    * host moved. ~50M iterations ≈ 0.15-0.3 s on a quiet core. */
+  private def hostmark(): Double = {
+    val t0 = System.nanoTime()
+    var z = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 50000000) {
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      i += 1
+    }
+    // side effect so the loop cannot be eliminated
+    if (z == 42L) System.err.println("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The same reference loop on every core at once (wall time of the
+    * slowest of `n` threads). On an idle box this ~equals the
+    * single-thread mark; a co-tenant eating cores/bandwidth inflates it
+    * even when single-thread stays flat — which is exactly the round-9
+    * signature (saturating 32-thread queries +25% while the 1-thread
+    * mark held 0.15 s). */
+  private def hostmarkParallel(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to n).map { _ =>
+      val t = new Thread(() => { hostmark(); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,6 +91,9 @@ object Bench {
     // Optional name filter (regex, dev iteration only — the driver runs
     // the full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // host-speed reference: min-of-3 before, min-of-3 after the suite
+    // (JIT is warm after the first call; min filters transient stalls)
+    val hostmarkBefore = (1 to 3).map(_ => hostmark()).min
     // Sorted, fixed execution order: Map iteration order is arbitrary, and
     // run-to-run order changes made round-1 timings incomparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -136,7 +178,10 @@ object Bench {
     // The full 3-runs-per-query raw/steal arrays move to
     // BENCH_DETAIL.json in-repo — forensic detail no longer rides the
     // pipe at all.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
+    val hostmarkAfter = (1 to 3).map(_ => hostmark()).min
+    val hostmarkMt = (1 to 2).map(_ => hostmarkParallel(cpus.toInt)).min
+    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -151,8 +196,8 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val totalS = ms3(total)
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"queries":$qsMs,"steal_suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"n_queries":${mins.size},"slowest":$slowest,"detail":"BENCH_DETAIL.json","steal_suspect":$suspectJson,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"queries":$qsMs,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"n_queries":${mins.size},"slowest":$slowest,"detail":"BENCH_DETAIL.json","steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
     spark.stop()
   }
 }
