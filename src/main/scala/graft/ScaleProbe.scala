@@ -233,7 +233,11 @@ object ScaleProbe {
     "q_boilerplate_removal", "q_decontaminate_semantic",
     // constant-state sketch: explode + 64-counter partial aggregates —
     // expected linear scan cost, shuffle bounded at capacity x #tasks
-    "q_approx_top_terms")
+    "q_approx_top_terms",
+    // the 100 TB workhorse: one hash-keyed map-side-combined aggregate,
+    // ~16-byte shuffle rows — the second named linear flagship for the
+    // past-x100 exponent rows (round-9)
+    "q_dedup_exact_hash")
 
   /** Names that read the relational/event tables (trigger their generation). */
   private val RelNames = Set(
