@@ -118,6 +118,25 @@ object TextQueries {
               lit(graft.functions.Bpe.PreTokenRegex), lit(0)))
             .cast("long").as("n_pretokens"))),
 
+    // REAL BPE ENCODE: the token SEQUENCE itself (every token's surface
+    // followed by Bpe.Sep, pre-tokens in order) — what a tokenization
+    // pass actually ships downstream, vs the count above. One codegen
+    // static call per document at the scan, zero shuffle; the oracle
+    // replays the identical merge chain then inserts the separator after
+    // every surviving symbol before expanding symbols back to surfaces.
+    // A Sep-joined STRING rather than an array because the driver's
+    // compare sorts rows by every column (arrays don't sort); stripping
+    // the separators reproduces the input text on this corpus, a
+    // BpeSpec-pinned invariant.
+    "q_bpe_encode" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          graft.functions.expressions.BpeEncodeExpression.bpe_encode(col("text"))
+            .as("tokens_str"),
+          graft.functions.expressions.BpeCountExpression.bpe_count(col("text"))
+            .as("n_tokens_bpe"))),
+
     // BPE merge-table TRAINING on the corpus itself (Sennrich et al.
     // 2016) — the other half of the tokenization story beside applying a
     // table (operators.BpeTrain): one corpus-sized pre-token frequency
@@ -720,6 +739,12 @@ object TextQueries {
          |  CAST(${graft.functions.Bpe.countSql("text")} AS BIGINT) AS n_tokens_bpe,
          |  CAST(len(regexp_extract_all(text, '${graft.functions.Bpe.PreTokenRegex}')) AS BIGINT)
          |    AS n_pretokens
+         |FROM documents""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""SELECT doc_id,
+         |  ${graft.functions.Bpe.encodeSql("text")} AS tokens_str,
+         |  CAST(${graft.functions.Bpe.countSql("text")} AS BIGINT) AS n_tokens_bpe
          |FROM documents""".stripMargin,
 
     "q_pack_bins_bpe" ->

@@ -88,15 +88,22 @@ object Bpe {
      resolved)
   }
 
+  /** Surface string for any symbol char: a base char is its own surface;
+    * rule i's output symbol expands to its rule's concatenated surface
+    * (each side is itself a surface by the hierarchy invariant). */
+  val surfaceOf: Map[Char, String] =
+    rulesResolved.zipWithIndex.map { case (_, i) =>
+      sym(i) -> (RuleSurfaces(i)._1 + RuleSurfaces(i)._2)
+    }.toMap
+
   /** The real BPE merge loop over one pre-token: repeatedly merge every
     * occurrence (leftmost first) of the lowest-rank adjacent pair present;
-    * return the surviving symbol count. */
-  def bpeCount(preToken: String): Int = {
+    * return the surviving symbol chars. */
+  private def bpeMerge(preToken: String): (Array[Char], Int) = {
     var cur = preToken.toCharArray
     var n = cur.length
     var done = n < 2
     while (!done) {
-      // lowest-rank pair present
       var best = Int.MaxValue
       var i = 0
       while (i < n - 1) {
@@ -107,7 +114,6 @@ object Bpe {
       if (best == Int.MaxValue) done = true
       else {
         val (l, r, o) = rulesResolved(best)
-        // merge all occurrences, leftmost first (overlaps resolve left)
         val next = new Array[Char](n)
         var src = 0; var dst = 0
         while (src < n) {
@@ -122,15 +128,43 @@ object Bpe {
         if (n < 2) done = true
       }
     }
-    n
+    (cur, n)
+  }
+
+  /** Surviving symbol count of one pre-token. */
+  def bpeCount(preToken: String): Int = bpeMerge(preToken)._2
+
+  /** ENCODE one pre-token: the surviving symbols' surfaces, each followed
+    * by [[Sep]] — the wire form of the token SEQUENCE (see encodeTokens). */
+  def bpeEncode(preToken: String): String = {
+    val (cur, n) = bpeMerge(preToken)
+    val sb = new java.lang.StringBuilder(preToken.length + n)
+    var i = 0
+    while (i < n) {
+      val c = cur(i)
+      if (c >= 0xE000) sb.append(surfaceOf(c)) else sb.append(c)
+      sb.append(Sep)
+      i += 1
+    }
+    sb.toString
   }
 
   private val preTokenPattern = java.util.regex.Pattern.compile(PreTokenRegex)
+
+  /** Token separator in the encoded wire form: a private-use char above
+    * every rule symbol (rules stop at 0xE000+|rules|), so it can never be
+    * produced by a merge. It may in principle occur in adversarial input
+    * text — harmless for correctness, because the oracle computes the
+    * SAME string from the same input, but consumers splitting on it
+    * should treat the wire form as advisory for such text. */
+  val Sep: Char = 0xE0FF.toChar
 
   /** Per-thread pre-token memo (Zipfian hit rate), bounded so a
     * pathological corpus can't grow it without limit. */
   private val memo = ThreadLocal.withInitial(
     () => new java.util.HashMap[String, Integer](1 << 12))
+  private val encodeMemo = ThreadLocal.withInitial(
+    () => new java.util.HashMap[String, String](1 << 12))
   private val MemoMax = 1 << 16
 
   /** Total real-BPE token count of a document — the static entry point the
@@ -150,6 +184,29 @@ object Bpe {
     total
   }
 
+  /** Full BPE token SEQUENCE of a document as a single string — every
+    * token's surface followed by [[Sep]], pre-tokens concatenated in
+    * order — the static entry point the generated whole-stage code calls
+    * (see BpeEncodeExpression). A string, not an array: the driver's
+    * oracle compare sorts result rows by every column, which arrays
+    * break; stripping the separators reproduces the pre-token
+    * concatenation (= the input text on single-spaced corpora), and
+    * counting them reproduces countTokens — both spec-pinned. */
+  def encodeDoc(text: UTF8String): UTF8String = {
+    val m = encodeMemo.get()
+    if (m.size > MemoMax) m.clear()
+    val s = text.toString
+    val it = preTokenPattern.matcher(s)
+    val sb = new java.lang.StringBuilder(s.length * 2)
+    while (it.find()) {
+      val t = it.group()
+      var e = m.get(t)
+      if (e == null) { e = bpeEncode(t); m.put(t, e) }
+      sb.append(e)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   private def charSql(c: Char): String =
     if (c >= 0xE000) s"chr(${c.toInt})" else s"'$c'"
 
@@ -167,4 +224,26 @@ object Bpe {
     s"""COALESCE(list_sum(list_transform(
        |    regexp_extract_all($textCol, '$PreTokenRegex'),
        |    t -> length(${replaceChainSql("t")}))), 0)""".stripMargin
+
+  /** Full oracle fragment replaying [[encodeDoc]]: per pre-token, run the
+    * merge chain to its symbol fixpoint, then per surviving SYMBOL (each
+    * is one code point) emit its surface followed by [[Sep]]. The
+    * symbol→surface map is one flat CASE over the rule outputs, NOT a
+    * second replace chain: the merge chain alone is |rules| levels of
+    * expression nesting, and stacking another |rules| replaces on top
+    * blew DuckDB's 128-deep binder recursion limit (measured); a CASE
+    * with |rules| branches is a single node however many rules exist. */
+  def encodeSql(textCol: String): String = {
+    val cases = rulesResolved.zipWithIndex.map { case ((_, _, o), i) =>
+      s"WHEN ${charSql(o)} THEN '${RuleSurfaces(i)._1 + RuleSurfaces(i)._2}'"
+    }.mkString(" ")
+    val perSymbol = s"CASE c $cases ELSE c END || chr(${Sep.toInt})"
+    val perPreToken =
+      s"""array_to_string(list_transform(
+         |      regexp_extract_all(${replaceChainSql("t")}, '.'),
+         |      c -> $perSymbol), '')""".stripMargin
+    s"""COALESCE(array_to_string(list_transform(
+       |    regexp_extract_all($textCol, '$PreTokenRegex'),
+       |    t -> $perPreToken), ''), '')""".stripMargin
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BpeCountExpression, DotProduct, RollingHashExpression, SpaceSavingTopK, TopKByScore, ZOrderExpression}
+import graft.functions.expressions.{BpeCountExpression, BpeEncodeExpression, DotProduct, RollingHashExpression, SpaceSavingTopK, TopKByScore, ZOrderExpression}
 
 /** Session extension registering the engine's custom Catalyst expressions
   * as SQL functions, so the SQL surface is at parity with the Column API:
@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("bpe_count(text)", 1, exprs)
         BpeCountExpression(exprs(0))
+      }))
+
+    e.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpression].getName, "bpe_encode"),
+      (exprs: Seq[Expression]) => {
+        arity("bpe_encode(text)", 1, exprs)
+        BpeEncodeExpression(exprs(0))
       }))
 
     e.injectFunction((

@@ -71,6 +71,63 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  /** In-JVM replica of the ENCODE oracle (Bpe.encodeSql): replace chain
+    * to the symbol fixpoint, Sep after every surviving symbol, then each
+    * rule symbol expanded to its surface. */
+  private def replayEncode(preToken: String): String = {
+    val fix = Bpe.rulesResolved.foldLeft(preToken) { case (s, (l, r, o)) =>
+      s.replace(new String(Array(l, r)), o.toString)
+    }
+    val sepped = fix.flatMap(c => Seq(c, Bpe.Sep))
+    Bpe.rulesResolved.zipWithIndex.foldLeft(sepped.mkString) {
+      case (s, ((_, _, o), i)) =>
+        s.replace(o.toString, Bpe.RuleSurfaces(i)._1 + Bpe.RuleSurfaces(i)._2)
+    }
+  }
+
+  test("encode: hand cases, and the wire-form invariants") {
+    def enc(t: String): String = Bpe.encodeDoc(UTF8String.fromString(t)).toString
+    val S = Bpe.Sep
+    assert(enc("the") == s"the$S")
+    // " cat": (a,t) merges first (tier-1 rank), then ( ,c) (tier 3) ->
+    // tokens [the][ c][at]
+    assert(enc("the cat").split(S).toSeq == Seq("the", " c", "at"))
+    assert(enc("") == "")
+    // invariant 1: stripping separators reproduces the pre-token
+    // concatenation (the input text itself on single-spaced corpora)
+    // invariant 2: separator count == the declared token count
+    for (t <- Seq("the cat sat on the mat in 2024", "with that out of it",
+                  "  double  spaces", "mixed 0042 runs!!")) {
+      val e = enc(t)
+      assert(e.filterNot(_ == S) == pretokens(t).mkString, s"surface loss on '$t'")
+      assert(e.count(_ == S).toLong == Bpe.countTokens(UTF8String.fromString(t)),
+        s"token count mismatch on '$t'")
+    }
+  }
+
+  test("encode equals the oracle replay on generated strings and the corpus") {
+    val gen = for {
+      n <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.oneOf("etaoinshrdlu ".toSeq)),
+        (2, Gen.oneOf("bcfgmpw0123".toSeq))))
+    } yield cs.mkString
+    val samples = (0 until 300).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(99L + i)))
+    samples.foreach { s =>
+      pretokens(s).foreach { t =>
+        assert(Bpe.bpeEncode(t) == replayEncode(t),
+          s"encode divergence on pre-token '$t' of '$s'")
+      }
+    }
+    val spark = graft.SparkSpec.session
+    val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(_.getString(0))
+    texts.flatMap(pretokens).distinct.foreach { t =>
+      assert(Bpe.bpeEncode(t) == replayEncode(t), s"encode divergence on '$t'")
+    }
+  }
+
   test("merge loop equals the replace chain on every corpus pre-token (sf0.001)") {
     val s = graft.SparkSpec.session
     val texts = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
