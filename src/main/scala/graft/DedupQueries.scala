@@ -289,6 +289,39 @@ object DedupQueries {
           "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component_id"))),
 
+    // Leakage-safe train/val/test split: the assignment unit is the
+    // near-dup CLUSTER, not the document — a naive per-doc hash split
+    // puts one near-duplicate in train and its twin in test, and the
+    // eval set silently measures memorization (the standard contamination
+    // failure dedup exists to prevent). Group key = the doc's component
+    // id (its own id for singletons), split = portable hash of that key:
+    // deterministic, engine-portable, reproducible across runs and
+    // engines, ~90/5/5. The clusters are the SAME banded candidate set
+    // as the rest of the composed corpus family, so "same cluster" here
+    // means exactly what q_dedup_components reports. Scale shape: the
+    // component map joins back on the 8-byte doc id (shuffled, never
+    // broadcast — corpus-derived), and the split itself is one codegen
+    // projection.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = ConnectedComponents.components(
+          MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
+            numBands = MinHashLSH.BandedBands,
+            rowsPerBand = MinHashLSH.BandedRows),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component_id"))
+      docs.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("component_id"), col("doc_id")))
+        .withColumn("bucket",
+          pmod(graft.functions.PortableHash.hash60(
+            col("group_id").cast("string")), lit(100L)))
+        .select(col("doc_id"), col("group_id"),
+          when(col("bucket") < 90, lit("train"))
+            .when(col("bucket") < 95, lit("val"))
+            .otherwise(lit("test")).as("split"))
+    }),
+
     // SimHash near-dup pairs: chunk-collision candidates verified at
     // Hamming <= 5 (complete for <= 3 by pigeonhole over 4 chunks).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -852,6 +885,34 @@ object DedupQueries {
        |SELECT src AS doc_id, least(src, min(dst)) AS component_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Same transitive closure as [[componentsSql]], then the split is a
+    * portable hash of the cluster-or-singleton group id — the oracle
+    * twin of q_split_leakage_safe. */
+  private val splitLeakageSafeSql: String =
+    s"""WITH RECURSIVE ${minhashCtes("documents",
+                                     numBands = MinHashLSH.BandedBands,
+                                     rowsPerBand = MinHashLSH.BandedRows)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN ${PortableHash.hash60Sql("CAST(group_id AS VARCHAR)")} % 100 < 90
+       |         THEN 'train'
+       |       WHEN ${PortableHash.hash60Sql("CAST(group_id AS VARCHAR)")} % 100 < 95
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)""".stripMargin
+
   /** DuckDB replica of the IVF pipeline: centroid weights re-derived from
     * the same md5 labels, cell argmax / probe ranking via row_number with
     * the identical (dot DESC, cell ASC) tie-break. */
@@ -1317,6 +1378,7 @@ object DedupQueries {
     "q_corpus_dedup_full" -> corpusDedupFullSql,
     "q_corpus_dedup_incremental" -> corpusDedupIncrementalSql,
     "q_dedup_components" -> componentsSql,
+    "q_split_leakage_safe" -> splitLeakageSafeSql,
     "q_sim_ivf" -> ivfSql,
     "q_sim_ivf_kmeans" -> kmeansIvfSql,
     // the persisted index serves the SAME trained-centroid result, so the

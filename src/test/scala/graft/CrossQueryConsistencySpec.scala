@@ -33,6 +33,36 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split: clusters never straddle splits, singletons " +
+       "hash independently, and the split partitions the corpus") {
+    val split = q("q_split_leakage_safe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val comp = q("q_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition: one row per document, every doc assigned exactly one split
+    val total = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(split.length.toLong == total)
+    assert(split.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // the leakage guard itself: all members of a component carry the
+    // component as group_id, hence the SAME split — a per-doc hash split
+    // would break this for any cluster whose members hash differently
+    val byGroup = split.groupBy(_._2)
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.map(_._3).toSet.size == 1, s"group $g straddles splits")
+    }
+    // group ids agree with the components query (singletons = own id)
+    split.foreach { case (id, g, _) =>
+      assert(g == comp.getOrElse(id, id), s"doc $id group $g vs components")
+    }
+    // near-dup pairs land in one split (the contamination case in words)
+    q("q_dedup_minhash_banded").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).foreach { case (a, b) =>
+        val sa = split.find(_._1 == a).get._3
+        val sb = split.find(_._1 == b).get._3
+        assert(sa == sb, s"near-dup pair ($a,$b) split across $sa/$sb")
+      }
+  }
+
   test("every document of a near-dup pair resolves into the same component") {
     // q_dedup_components derives clusters from the banded 3x4 candidate
     // split (shared with the composed corpus family), so the pair query it
