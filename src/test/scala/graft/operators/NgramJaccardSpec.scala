@@ -87,6 +87,57 @@ class NgramJaccardSpec extends SparkSpec {
     assert(got((100L, 101L)) == 1.0 && got((0L, 200L)) == 1.0)
   }
 
+  test("property: exact equality with brute force on random corpora " +
+       "(sparse and dense vocab, short docs, duplicates)") {
+    // adversarial shapes for the round-9 refactor (hash-ordered prefixes,
+    // df-routed guardrail): random corpora whose pair mass stays under
+    // the volume budget, so the operator MUST be exactly the brute-force
+    // all-pairs answer — any prefix-selection or routing bug shows as a
+    // missing or extra pair. Mix of regimes per trial: vocabulary size 6
+    // (dense — prefix filtering prunes nothing) to 200 (sparse), doc
+    // lengths 0-12 tokens (sub-n docs produce no grams), 10% literal
+    // duplicates, 2 languages so blocking is exercised.
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 6) {
+      val vocabSize = Seq(6, 12, 40, 200)(trial % 4)
+      val vocab = (0 until vocabSize).map(i => s"v$i")
+      val nDocs = 24 + rnd.nextInt(20)
+      val raw = (0 until nDocs).map { i =>
+        val len = rnd.nextInt(13)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+         if (rnd.nextInt(2) == 0) "en" else "de")
+      }
+      // 10% duplicates of an earlier doc (same lang so they must pair)
+      val docs = raw.map { case t @ (id, _, _) =>
+        if (id % 10 == 9) { val (_, tx, lg) = raw((id / 2).toInt); (id, tx, lg) }
+        else t
+      }
+      val s = spark
+      import s.implicits._
+      val df = docs.toDF("doc_id", "text", "lang")
+      val got = CacheScope.withOperatorCaches {
+        Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", n = 3,
+            threshold = 0.3)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      }
+      def grams(t: String): Set[String] = {
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        if (toks.size < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val gs = docs.map { case (id, t, l) => (id, grams(t), l) }
+      val exp = (for {
+        (a, ga, la) <- gs; (b, gb, lb) <- gs
+        if a < b && la == lb && ga.nonEmpty && gb.nonEmpty
+        inter = (ga & gb).size
+        j = inter.toDouble / (ga.size + gb.size - inter) if j >= 0.3
+      } yield (a, b) -> j).toMap
+      assert(got == exp,
+        s"trial $trial (vocab $vocabSize, $nDocs docs): " +
+        s"missing=${exp.keySet -- got.keySet} extra=${got.keySet -- exp.keySet}")
+    }
+  }
+
   test("candidate-volume budget tightens the cap — dense fixture hands off " +
        "to banded and still finds the planted duplicate") {
     val s = spark
