@@ -292,6 +292,34 @@ object TextQueries {
       Tables.documents(s, dir).packedBins("lang", binTokens = 2048)
     }),
 
+    // The PACKED SEQUENCES themselves — what the training loader reads:
+    // per (lang, bin), the bin's documents joined in id order with an EOS
+    // marker between them, plus the bin's total token count. Built from
+    // the same packedBins assignment (one window cumsum), then one
+    // aggregate: collect (doc_id, text) structs, sort_array for a
+    // DETERMINISTIC in-bin order (collect_list order is partition-
+    // dependent), join surfaces. Bin contents are budget-bounded (2048
+    // whitespace tokens, oversize singletons excepted), so a packed row
+    // is bounded regardless of corpus size — the aggregate state never
+    // exceeds a bin. Oracle: string_agg with ORDER BY inside the
+    // aggregate, an independent formulation of the same order contract.
+    "q_pack_sequences" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      val assigned = Tables.documents(s, dir)
+        .packedBins("lang", binTokens = 2048)
+      assigned
+        .join(Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+        .groupBy("lang", "bin_id")
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            "<eos>").as("packed_text"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          count(lit(1)).cast("long").as("n_docs"))
+    }),
+
     // Packing in the REAL token currency: same one-window-cumsum plan, but
     // the budget counts actual BPE tokens (whitespace counts misstate real
     // sequence lengths, so "2048-token bins" built from them overflow or
@@ -721,6 +749,26 @@ object TextQueries {
         |  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 24)) AS s
         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
         |WHERE s < len(t)""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH assigned AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
+        |  FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |      CAST(coalesce(sum(n_tokens) OVER (
+        |        PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |        AS cum_before
+        |    FROM (
+        |      SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
+        |      FROM documents)))
+        |SELECT a.lang, a.bin_id,
+        |  string_agg(d.text, '<eos>' ORDER BY a.doc_id) AS packed_text,
+        |  CAST(sum(a.n_tokens) AS BIGINT) AS bin_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM assigned a JOIN documents d ON a.doc_id = d.doc_id
+        |GROUP BY a.lang, a.bin_id""".stripMargin,
 
     "q_pack_bins" ->
       """SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -91,6 +91,24 @@ class CrossQueryConsistencySpec extends SparkSpec {
     assert(a.map(_._1).forall(docs) && b.map(_._1).forall(docs))
   }
 
+  test("packed sequences carry exactly their bin's documents and token mass") {
+    val seqs = q("q_pack_sequences").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+                 (r.getString(2), r.getLong(3), r.getLong(4))))
+    val bins = q("q_pack_bins").collect()
+      .map(r => ((r.getString(1), r.getLong(3)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> (v.map(_._2).sum, v.size.toLong) }
+    assert(seqs.map(_._1).toSet == bins.keySet)
+    seqs.foreach { case (key, (text, tokens, nDocs)) =>
+      val (expTokens, expDocs) = bins(key)
+      assert(tokens == expTokens, s"bin $key token mass")
+      assert(nDocs == expDocs, s"bin $key doc count")
+      // fixture texts never contain the EOS marker, so doc count is
+      // recoverable from the packed surface itself
+      assert(text.split("<eos>", -1).length.toLong == nDocs, s"bin $key eos count")
+    }
+  }
+
   test("bin packing never exceeds the budget except for oversize singletons") {
     val rows = q("q_pack_bins").collect()
       .map(r => (r.getString(1), r.getLong(3), r.getLong(2))) // lang, bin, tokens
