@@ -292,6 +292,18 @@ object TextQueries {
       Tables.documents(s, dir).packedBins("lang", binTokens = 2048)
     }),
 
+    // The SCALABLE twin of q_pack_bins: identical assignment (same DuckDB
+    // oracle!), but the per-language window cumsum — which routes every
+    // row of a language through ONE task, a 40 TB single-task
+    // serialization at 100 TB — is replaced by a distributed prefix sum:
+    // range-partition by (lang, doc_id), per-partition totals (tiny),
+    // windowed offsets over the tiny relation, broadcast back, local
+    // cumsum per slice. See CorpusOps.packedBinsScalable.
+    "q_pack_bins_scalable" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      Tables.documents(s, dir).packedBinsScalable("lang", binTokens = 2048)
+    }),
+
     // The PACKED SEQUENCES themselves — what the training loader reads:
     // per (lang, bin), the bin's documents joined in id order with an EOS
     // marker between them, plus the bin's total token count. Built from
@@ -771,6 +783,20 @@ object TextQueries {
         |GROUP BY a.lang, a.bin_id""".stripMargin,
 
     "q_pack_bins" ->
+      """SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM (
+        |    SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
+        |    FROM documents))""".stripMargin,
+
+    // the scalable twin computes the IDENTICAL assignment — one oracle,
+    // two physical strategies (the q_keyed_count_salted device)
+    "q_pack_bins_scalable" ->
       """SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
         |FROM (

@@ -118,6 +118,67 @@ object CorpusOps {
           col("n_tokens").cast("long").as("n_tokens"),
           floor(col("_cum_before") / binTokens).cast("long").as("bin_id"))
 
+    /** [[packedBins]] with the per-group window cumsum replaced by a
+      * DISTRIBUTED PREFIX SUM — identical output (same oracle), scalable
+      * shape. The plain form's `Window.partitionBy(group)` routes every
+      * row of a group through ONE task: at 100 TB with ~40% of the corpus
+      * in one language, that is a single-task serialization of 40 TB.
+      * Here instead:
+      *
+      *  1. range-partition by (group, id) and sort within partitions,
+      *     then pin THAT materialization (eager localCheckpoint — range
+      *     boundaries come from sampling, and the per-partition totals
+      *     below must describe the exact partitioning the final cumsum
+      *     reads, not a recomputed one);
+      *  2. aggregate per-(group, partition) token totals — a
+      *     #partitions x #groups relation, tiny by construction;
+      *  3. window the TINY relation into per-(group, partition) prefix
+      *     offsets (safe: one row per partition, not per doc) and
+      *     broadcast-join them back;
+      *  4. local cumsum within each partition (window over (group, pid):
+      *     every partition processes only its own range slice, all
+      *     partitions in parallel) + offset = the exact global cumsum.
+      *
+      * Prefix-sum associativity makes the result independent of where the
+      * sampled range boundaries fall, so determinism comes from the
+      * (group, id) total order alone — the same contract the plain form
+      * documents. CorpusOpsSpec pins scalable == plain on a many-partition
+      * frame; the declared query pair shares one DuckDB oracle. */
+    def packedBinsScalable(groupCol: String, binTokens: Int = 2048,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                             TextFunctions.nTokens,
+                           numPartitions: Int = 0): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val parts =
+        if (numPartitions > 0) numPartitions
+        else df.sparkSession.sessionState.conf.numShufflePartitions
+      val ranged = CacheScope.track(
+        df.select(col(idCol), col(groupCol),
+            tokenCount(col(textCol)).as("n_tokens"))
+          .repartitionByRange(parts, col(groupCol), col(idCol))
+          .withColumn("_pid", spark_partition_id())
+          .localCheckpoint(true))
+      val offsets = ranged.groupBy(col(groupCol), col("_pid"))
+        .agg(sum(col("n_tokens")).as("_part_tokens"))
+        .withColumn("_offset",
+          coalesce(sum(col("_part_tokens")).over(
+            Window.partitionBy(col(groupCol)).orderBy(col("_pid").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(groupCol), col("_pid"), col("_offset"))
+      ranged
+        .join(broadcast(offsets), Seq(groupCol, "_pid"))
+        .withColumn("_local_before",
+          coalesce(sum(col("n_tokens")).over(
+            Window.partitionBy(col(groupCol), col("_pid"))
+              .orderBy(col(idCol).asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(idCol), col(groupCol),
+          col("n_tokens").cast("long").as("n_tokens"),
+          floor((col("_offset") + col("_local_before")) / binTokens)
+            .cast("long").as("bin_id"))
+    }
+
     /** MinHash-LSH near-dup candidate pairs (see [[MinHashLSH]]). The band
       * split is a pass-through knob; the composed corpus artifacts run the
       * banded 3x4 split (see [[dedupedNear]]). */

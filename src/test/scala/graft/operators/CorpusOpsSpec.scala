@@ -76,6 +76,31 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("scalable bin packing equals the window form on a many-partition frame") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.CorpusOps._
+    // skewed groups (one group dominates, like en at 100 TB) across many
+    // range slices, so group boundaries fall INSIDE partitions and
+    // partitions hold multiple groups — both cross-cases exercised; ids
+    // shuffled so range partitioning actually reorders
+    val rnd = new scala.util.Random(41)
+    val docs = rnd.shuffle((0 until 2000).toList).map { i =>
+      val lang = if (i % 10 < 7) "en" else if (i % 10 < 9) "de" else "fr"
+      (i.toLong, Seq.fill(3 + rnd.nextInt(40))("w").mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    val plain = docs.packedBins("lang", binTokens = 64).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    for (parts <- Seq(3, 7, 32)) {
+      val scalable = CacheScope.withOperatorCaches {
+        docs.packedBinsScalable("lang", binTokens = 64, numPartitions = parts)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      }
+      assert(scalable == plain, s"divergence at numPartitions=$parts")
+    }
+  }
+
   test("fingerprinted and withTextStats append the documented columns and types") {
     val s = spark
     val out = Tables.documents(s, sfDir)
