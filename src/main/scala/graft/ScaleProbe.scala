@@ -237,7 +237,12 @@ object ScaleProbe {
     // the 100 TB workhorse: one hash-keyed map-side-combined aggregate,
     // ~16-byte shuffle rows — the second named linear flagship for the
     // past-x100 exponent rows (round-9)
-    "q_dedup_exact_hash")
+    "q_dedup_exact_hash",
+    // packing pair: the per-language window (single task per group) vs
+    // its distributed-prefix-sum twin — same assignment, two physical
+    // strategies; the probe measures where the window form's serial
+    // sort starts to pay (round-9)
+    "q_pack_bins", "q_pack_bins_scalable")
 
   /** Names that read the relational/event tables (trigger their generation). */
   private val RelNames = Set(

@@ -125,25 +125,30 @@ object CorpusOps {
       * in one language, that is a single-task serialization of 40 TB.
       * Here instead:
       *
-      *  1. range-partition by (group, id) and sort within partitions,
-      *     then pin THAT materialization (eager localCheckpoint — range
-      *     boundaries come from sampling, and the per-partition totals
-      *     below must describe the exact partitioning the final cumsum
-      *     reads, not a recomputed one);
-      *  2. aggregate per-(group, partition) token totals — a
-      *     #partitions x #groups relation, tiny by construction;
-      *  3. window the TINY relation into per-(group, partition) prefix
-      *     offsets (safe: one row per partition, not per doc) and
+      *  1. slice the id domain into `parts` ranges whose BOUNDARIES are
+      *     plan CONSTANTS (one bounded approx-quantile action at
+      *     construction — ~parts doubles to the driver, like the KMeans
+      *     centroid reads), so the slice id is a pure codegen projection
+      *     and every branch below sees the identical slicing with no
+      *     materialization pinning;
+      *  2. aggregate per-(group, slice) token totals — a
+      *     #slices x #groups relation, tiny by construction;
+      *  3. window the TINY relation into per-(group, slice) prefix
+      *     offsets (safe: one row per slice, not per doc) and
       *     broadcast-join them back;
-      *  4. local cumsum within each partition (window over (group, pid):
-      *     every partition processes only its own range slice, all
-      *     partitions in parallel) + offset = the exact global cumsum.
+      *  4. local cumsum within each (group, slice) (window keyed by both:
+      *     every task processes only its slice of one group, all slices
+      *     in parallel) + offset = the exact global cumsum. The totals
+      *     aggregate and the local window hash-partition on the SAME
+      *     (group, slice) key, so the exchange is computed once and
+      *     reused (plan-visible as ReusedExchange).
       *
       * Prefix-sum associativity makes the result independent of where the
-      * sampled range boundaries fall, so determinism comes from the
-      * (group, id) total order alone — the same contract the plain form
-      * documents. CorpusOpsSpec pins scalable == plain on a many-partition
-      * frame; the declared query pair shares one DuckDB oracle. */
+      * quantile boundaries fall (balance is all they affect), so
+      * determinism comes from the (group, id) total order alone — the
+      * same contract the plain form documents. CorpusOpsSpec pins
+      * scalable == plain on a many-partition frame; the declared query
+      * pair shares one DuckDB oracle. */
     def packedBinsScalable(groupCol: String, binTokens: Int = 2048,
                            idCol: String = "doc_id", textCol: String = "text",
                            tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -153,26 +158,32 @@ object CorpusOps {
       val parts =
         if (numPartitions > 0) numPartitions
         else df.sparkSession.sessionState.conf.numShufflePartitions
-      val ranged = CacheScope.track(
-        df.select(col(idCol), col(groupCol),
-            tokenCount(col(textCol)).as("n_tokens"))
-          .repartitionByRange(parts, col(groupCol), col(idCol))
-          .withColumn("_pid", spark_partition_id())
-          .localCheckpoint(true))
-      val offsets = ranged.groupBy(col(groupCol), col("_pid"))
+      // interior quantiles of the id domain as plan literals; dedup
+      // (quantiles repeat on skewed domains) keeps the CASE chain minimal
+      val bounds = df.stat
+        .approxQuantile(idCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+        .distinct.sorted
+      val pid = bounds.zipWithIndex.reverse
+        .foldLeft(lit(bounds.length): org.apache.spark.sql.Column) {
+          case (acc, (b, i)) => when(col(idCol) <= b, lit(i)).otherwise(acc)
+        }
+      val base = df.select(col(idCol), col(groupCol),
+          tokenCount(col(textCol)).as("n_tokens"))
+        .withColumn("_pid", pid)
+      val offsets = base.groupBy(col(groupCol), col("_pid"))
         .agg(sum(col("n_tokens")).as("_part_tokens"))
         .withColumn("_offset",
           coalesce(sum(col("_part_tokens")).over(
             Window.partitionBy(col(groupCol)).orderBy(col("_pid").asc)
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col(groupCol), col("_pid"), col("_offset"))
-      ranged
-        .join(broadcast(offsets), Seq(groupCol, "_pid"))
+      base
         .withColumn("_local_before",
           coalesce(sum(col("n_tokens")).over(
             Window.partitionBy(col(groupCol), col("_pid"))
               .orderBy(col(idCol).asc)
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(offsets), Seq(groupCol, "_pid"))
         .select(col(idCol), col(groupCol),
           col("n_tokens").cast("long").as("n_tokens"),
           floor((col("_offset") + col("_local_before")) / binTokens)
