@@ -322,6 +322,43 @@ object DedupQueries {
             .otherwise(lit("test")).as("split"))
     }),
 
+    // The per-language CURATION REPORT — the one-result dashboard a data
+    // lead reads before shipping a corpus: volume (docs, tokens), quality
+    // (standard-gate pass count), exact duplication (distinct texts), and
+    // near-duplication (cluster members + cluster count from the same
+    // banded candidate set as the rest of the corpus family). Composes
+    // the declared operators instead of re-deriving them, so every
+    // number is individually oracle-checked elsewhere and jointly here.
+    // Scale shape: two map-side-combined aggregates over one scan each,
+    // plus the components join on the 8-byte doc id; #languages rows out.
+    "q_corpus_report" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{nDistinctTokens, nTokens}
+      val docs = Tables.documents(s, dir)
+      val comp = ConnectedComponents.components(
+          MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
+            numBands = MinHashLSH.BandedBands,
+            rowsPerBand = MinHashLSH.BandedRows),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component_id"))
+      val nearStats = docs.select("doc_id", "lang").join(comp, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_near_dup_members"),
+             count_distinct(col("component_id")).as("n_near_dup_clusters"))
+      val t = nTokens(col("text"))
+      val gate = t.between(graft.operators.CorpusOps.MinTokens,
+                           graft.operators.CorpusOps.MaxTokens) &&
+        (nDistinctTokens(col("text")).cast("double") / t) >=
+          graft.operators.CorpusOps.MinDistinctRatio &&
+        (col("n_chars").cast("double") / t) >= 3.0
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(t.cast("long")).as("total_tokens"),
+             sum(when(gate, 1L).otherwise(0L)).as("n_quality_pass"),
+             count_distinct(col("text")).as("n_distinct_texts"))
+        .join(nearStats, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_near_dup_members", "n_near_dup_clusters"))
+    }),
+
     // SimHash near-dup pairs: chunk-collision candidates verified at
     // Hamming <= 5 (complete for <= 3 by pigeonhole over 4 chunks).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -913,6 +950,46 @@ object DedupQueries {
        |  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id
        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)""".stripMargin
 
+  /** Same closure CTEs again, joined per language into the curation
+    * dashboard — the oracle twin of q_corpus_report. */
+  private val corpusReportSql: String =
+    s"""WITH RECURSIVE ${minhashCtes("documents",
+                                     numBands = MinHashLSH.BandedBands,
+                                     rowsPerBand = MinHashLSH.BandedRows)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |  FROM reach GROUP BY src),
+       |near AS (
+       |  SELECT d.lang,
+       |    CAST(count(*) AS BIGINT) AS n_near_dup_members,
+       |    CAST(count(DISTINCT c.component_id) AS BIGINT) AS n_near_dup_clusters
+       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+       |  GROUP BY d.lang),
+       |base AS (
+       |  SELECT lang,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 90
+       |      AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |          / len(string_split(text,' ')) >= 0.2
+       |      AND CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) >= 3.0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+       |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+       |  FROM documents GROUP BY lang)
+       |SELECT b.lang, b.n_docs, b.total_tokens, b.n_quality_pass,
+       |  b.n_distinct_texts,
+       |  COALESCE(n.n_near_dup_members, 0) AS n_near_dup_members,
+       |  COALESCE(n.n_near_dup_clusters, 0) AS n_near_dup_clusters
+       |FROM base b LEFT JOIN near n ON b.lang = n.lang""".stripMargin
+
   /** DuckDB replica of the IVF pipeline: centroid weights re-derived from
     * the same md5 labels, cell argmax / probe ranking via row_number with
     * the identical (dot DESC, cell ASC) tie-break. */
@@ -1379,6 +1456,7 @@ object DedupQueries {
     "q_corpus_dedup_incremental" -> corpusDedupIncrementalSql,
     "q_dedup_components" -> componentsSql,
     "q_split_leakage_safe" -> splitLeakageSafeSql,
+    "q_corpus_report" -> corpusReportSql,
     "q_sim_ivf" -> ivfSql,
     "q_sim_ivf_kmeans" -> kmeansIvfSql,
     // the persisted index serves the SAME trained-centroid result, so the

@@ -109,6 +109,21 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("corpus report totals equal the individual declared queries") {
+    val report = q("q_corpus_report").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(report.map(_._2).sum == docs.count())
+    assert(report.map(_._4).sum == q("q_quality_filter").count())
+    assert(report.map(_._6).sum == q("q_dedup_components").count())
+    val clusters = q("q_dedup_components")
+      .select("component_id").distinct().count()
+    // clusters are per-lang blocks, so per-lang cluster counts sum to the
+    // global distinct-component count
+    assert(report.map(_._7).sum == clusters)
+  }
+
   test("bin packing never exceeds the budget except for oversize singletons") {
     val rows = q("q_pack_bins").collect()
       .map(r => (r.getString(1), r.getLong(3), r.getLong(2))) // lang, bin, tokens
