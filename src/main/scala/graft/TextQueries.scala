@@ -148,6 +148,20 @@ object TextQueries {
     "q_bpe_train" -> ((s, dir) =>
       graft.operators.BpeTrain.train(Tables.documents(s, dir), "text")),
 
+    // The SCALABLE twin of q_bpe_train (the q_pack_bins_scalable device:
+    // same DuckDB oracle): the merge loop is inherently sequential, but
+    // it only reads the vocabulary-sized pre-token dictionary — so ONE
+    // corpus-sized aggregate + a bounded top-frequency collect (the
+    // centroid/codebook rule), then the loop runs driver-local with
+    // incremental pair counts: 1 Spark job instead of one per merge,
+    // which is what makes a real 30k-merge vocabulary trainable.
+    // Bit-identical to the distributed rounds below the dictionary cap
+    // (BpeTrainSpec pins it on the fixture; batched top-m per round was
+    // rejected on MEASURED grounds — it diverges from the sequential
+    // oracle at merge rank 2, see BpeTrain doc + SCALE.md).
+    "q_bpe_train_scalable" -> ((s, dir) =>
+      graft.operators.BpeTrain.trainScalable(Tables.documents(s, dir), "text")),
+
     // Corpus term frequency: explode tokens -> count per term. Map-side
     // partial agg bounds the shuffle at vocabulary size, not corpus size.
     "q_text_termfreq" -> ((s, dir) =>
@@ -307,18 +321,21 @@ object TextQueries {
     // The PACKED SEQUENCES themselves — what the training loader reads:
     // per (lang, bin), the bin's documents joined in id order with an EOS
     // marker between them, plus the bin's total token count. Built from
-    // the same packedBins assignment (one window cumsum), then one
-    // aggregate: collect (doc_id, text) structs, sort_array for a
-    // DETERMINISTIC in-bin order (collect_list order is partition-
-    // dependent), join surfaces. Bin contents are budget-bounded (2048
-    // whitespace tokens, oversize singletons excepted), so a packed row
-    // is bounded regardless of corpus size — the aggregate state never
-    // exceeds a bin. Oracle: string_agg with ORDER BY inside the
-    // aggregate, an independent formulation of the same order contract.
+    // the SCALABLE packing assignment (distributed prefix sum — the
+    // loader-facing artifact must not carry the per-language single-task
+    // window cumsum at 100 TB; same assignment by associativity, pinned
+    // scalable == plain in CorpusOpsSpec), then one aggregate: collect
+    // (doc_id, text) structs, sort_array for a DETERMINISTIC in-bin order
+    // (collect_list order is partition-dependent), join surfaces. Bin
+    // contents are budget-bounded (2048 whitespace tokens, oversize
+    // singletons excepted), so a packed row is bounded regardless of
+    // corpus size — the aggregate state never exceeds a bin. Oracle:
+    // string_agg with ORDER BY inside the aggregate, an independent
+    // formulation of the same order contract.
     "q_pack_sequences" -> ((s, dir) => {
       import graft.operators.CorpusOps._
       val assigned = Tables.documents(s, dir)
-        .packedBins("lang", binTokens = 2048)
+        .packedBinsScalable("lang", binTokens = 2048)
       assigned
         .join(Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
         .groupBy("lang", "bin_id")
@@ -332,13 +349,15 @@ object TextQueries {
           count(lit(1)).cast("long").as("n_docs"))
     }),
 
-    // Packing in the REAL token currency: same one-window-cumsum plan, but
-    // the budget counts actual BPE tokens (whitespace counts misstate real
-    // sequence lengths, so "2048-token bins" built from them overflow or
-    // underfill real training sequences).
+    // Packing in the REAL token currency: the SCALABLE prefix-sum plan,
+    // with the budget counting actual BPE tokens (whitespace counts
+    // misstate real sequence lengths, so "2048-token bins" built from
+    // them overflow or underfill real training sequences). The token
+    // counter is orthogonal to the assignment machinery — CorpusOpsSpec
+    // pins scalable == plain under the BPE counter too.
     "q_pack_bins_bpe" -> ((s, dir) => {
       import graft.operators.CorpusOps._
-      Tables.documents(s, dir).packedBins("lang", binTokens = 2048,
+      Tables.documents(s, dir).packedBinsScalable("lang", binTokens = 2048,
         tokenCount = graft.functions.expressions.BpeCountExpression.bpe_count)
     }),
 
@@ -650,6 +669,9 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainSql,
+    // the scalable twin is graded against the SAME sequential replay —
+    // the dictionary-local loop must reproduce it exactly (BpeTrainSpec)
+    "q_bpe_train_scalable" -> bpeTrainSql,
 
     "q_mix_sources" ->
       s"""WITH counts AS (

