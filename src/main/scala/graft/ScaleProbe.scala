@@ -242,7 +242,15 @@ object ScaleProbe {
     // its distributed-prefix-sum twin — same assignment, two physical
     // strategies; the probe measures where the window form's serial
     // sort starts to pay (round-9)
-    "q_pack_bins", "q_pack_bins_scalable")
+    "q_pack_bins", "q_pack_bins_scalable",
+    // round-10 (verdict item 3): the corpus-family COMPOSITES — each
+    // re-derives the banded candidate set + verification + components
+    // inside its own plan (construction, for the eager parts), on top of
+    // which the split / report is a cheap projection or aggregate. The
+    // x300 probes identified candidate mass as the family's cost driver;
+    // these rows measure what the composites pay for it (construct vs
+    // exec split — see the construct column note above)
+    "q_split_leakage_safe", "q_corpus_report")
 
   /** Names that read the relational/event tables (trigger their generation). */
   private val RelNames = Set(
@@ -282,7 +290,11 @@ object ScaleProbe {
     // budget picks the regime itself (sf fixtures: pure exact; the dense
     // generator: banded handoff — measured after the x30 exact path
     // spilled >70 GB and died); this knob pins the per-gram cap to probe
-    // a specific operating point.
+    // a specific operating point. When pinned, the candidate-volume
+    // budget is DISABLED (maxCandidatePairs = MaxValue): otherwise the
+    // budget could silently tighten the effective cap below the pinned
+    // value on dense probe corpora and the probe row would measure a
+    // different operating point than the knob requested.
     val ngramCap = sys.env.get("SPARK_GRAFT_PROBE_NGRAM_CAP").map(_.toLong)
     mults.foreach { mult =>
       val dir = ensureData(spark, mult)
@@ -293,7 +305,7 @@ object ScaleProbe {
           if (name == "q_dedup_ngram_jaccard" && ngramCap.isDefined)
             (s, d) => Dedup.ngramJaccardPairs(
               graft.sources.Tables.documents(s, d), "doc_id", "text", "lang",
-              3, 0.3, ngramCap.get)
+              3, 0.3, ngramCap.get, maxCandidatePairs = Long.MaxValue)
           else SparkEntry.queries(name)
         var rounds = -1
         val wantMetrics = sys.env.contains("SPARK_GRAFT_PROBE_METRICS")

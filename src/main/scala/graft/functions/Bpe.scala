@@ -142,7 +142,11 @@ object Bpe {
     var i = 0
     while (i < n) {
       val c = cur(i)
-      if (c >= 0xE000) sb.append(surfaceOf(c)) else sb.append(c)
+      // A >= U+E000 char that is NOT a rule output (PUA / CJK-compat /
+      // fullwidth input text, or Sep itself) has no surface: it passes
+      // through verbatim, matching the oracle's `ELSE c` branch.
+      if (c >= 0xE000) sb.append(surfaceOf.getOrElse(c, c.toString))
+      else sb.append(c)
       sb.append(Sep)
       i += 1
     }

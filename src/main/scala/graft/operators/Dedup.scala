@@ -375,6 +375,16 @@ object Dedup {
     *
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|); the division is one exact int/int
     * IEEE op, so scores are engine-portable.
+    *
+    * EAGER construction (the repo's documented eager-operator pattern,
+    * like the KMeans/codebook operators): calling this method runs a
+    * Spark job — the gram-frequency histogram collect that sizes the
+    * effective posting cap — and the returned plan's SHAPE (banded
+    * branch attached or not) is specialized to the input's statistics at
+    * construction time. Construct over the final data (a frame built
+    * over a mutating view keeps the stale regime decision), and don't
+    * construct in a hot path unless the frame will be executed: the
+    * histogram aggregate is paid even if it never is.
     */
   /** Guardrail for [[ngramJaccardPairs]]'s candidate join: a prefix gram
     * shared by f documents contributes ~f^2/2 candidate pairs, so one hot

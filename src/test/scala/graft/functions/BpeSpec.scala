@@ -105,6 +105,25 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encode passes non-symbol chars >= U+E000 through, matching the oracle's ELSE branch") {
+    // PUA / CJK-compat / fullwidth input chars (and Sep itself) are >= U+E000
+    // but are NOT rule outputs: they must pass through verbatim — the oracle's
+    // `CASE c ... ELSE c END` does exactly that, and bpeEncode must not throw.
+    def enc(t: String): String = Bpe.encodeDoc(UTF8String.fromString(t)).toString
+    val pua = 0xF000.toChar        // private-use, above every rule symbol
+    val cjkCompat = 0xF900.toChar  // CJK compatibility ideograph block start
+    val fullwidth = 0xFF01.toChar  // fullwidth exclamation mark
+    for (c <- Seq(pua, cjkCompat, fullwidth, Bpe.Sep)) {
+      val t = s"ab${c}cd"
+      pretokens(t).foreach { p =>
+        assert(Bpe.bpeEncode(p) == replayEncode(p),
+          s"encode divergence on pre-token '$p' with char U+${c.toInt.toHexString}")
+      }
+      // whole-doc entry point must not throw either
+      assert(enc(t).filterNot(_ == Bpe.Sep).nonEmpty || c == Bpe.Sep)
+    }
+  }
+
   test("encode equals the oracle replay on generated strings and the corpus") {
     val gen = for {
       n <- Gen.choose(0, 24)
