@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted component-map index (the corpus family's shared
+  * artifact) and the queries composed on it: the `_indexed` serving
+  * twins must equal their live composites, the index must actually be
+  * derived ONCE and served from the store afterwards, and the
+  * quality-aware survivor selection must pick the argmax member of
+  * every cluster. */
+class ComponentIndexSpec extends SparkSpec {
+
+  private def collectSet(name: String) =
+    CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSet
+    }
+
+  test("indexed split and report equal their live composites") {
+    // build (or reuse) the index, then A/B each pair
+    ComponentIndex.ensure(spark, sfDir)
+    assert(collectSet("q_split_leakage_safe_indexed") ==
+           collectSet("q_split_leakage_safe"))
+    assert(collectSet("q_corpus_report_indexed") ==
+           collectSet("q_corpus_report"))
+  }
+
+  test("the component map is derived once, then served from the store") {
+    val s = spark
+    ComponentIndex.ensure(s, sfDir)
+    // sentinel: if a further call ran the iterative clustering, it would
+    // overwrite lastRounds (components() always sets it to >= 1)
+    ConnectedComponents.lastRounds = -1
+    val n = ComponentIndex.componentsFor(s, sfDir).count()
+    assert(n > 0)
+    assert(ConnectedComponents.lastRounds == -1,
+      "componentsFor re-ran the clustering instead of reading the store")
+    // and the stored map equals the live derivation
+    val live = CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries("q_dedup_components")(s, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val stored = ComponentIndex.componentsFor(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == live && live.nonEmpty)
+  }
+
+  test("rebuild re-derives the snapshot") {
+    val s = spark
+    ComponentIndex.ensure(s, sfDir)
+    ConnectedComponents.lastRounds = -1
+    ComponentIndex.rebuild(s, sfDir)
+    assert(ConnectedComponents.lastRounds >= 1, "rebuild must re-run the clustering")
+  }
+
+  test("keep-best keeps exactly the highest-quality member of every group") {
+    val s = spark
+    import graft.functions.TextFunctions.{nDistinctTokens, nTokens}
+    val kept = CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries("q_dedup_keep_best")(s, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    // one survivor per group, and groups cover every document
+    assert(kept.map(_._2).distinct.length == kept.length)
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val comp = CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries("q_dedup_components")(s, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    val scored = docs.select(col("doc_id"),
+        (nDistinctTokens(col("text")).cast("double") / nTokens(col("text"))).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val groups = scored.keys.groupBy(id => comp.getOrElse(id, id))
+    assert(kept.length == groups.size)
+    // survivor = argmax by (quality, doc_id) — independently recomputed
+    kept.foreach { case (id, gid, q) =>
+      val best = groups(gid).maxBy(m => (scored(m), m))
+      assert(id == best && q == scored(best),
+        s"group $gid survivor $id is not the argmax $best")
+    }
+    // the selection differs from min-id survivorship somewhere (the
+    // operator must not be vacuously the exact-dedup rule re-run)
+    assert(groups.filter(_._2.size > 1).exists { case (_, ms) =>
+      ms.maxBy(m => (scored(m), m)) != ms.min
+    } || groups.forall(_._2.size == 1))
+  }
+}
