@@ -21,7 +21,11 @@ object PlanAudit {
       "q_corpus_dedup_full", "q_dedup_substring", "q_zorder_key",
       "q_sim_ivf_indexed", "q_sim_ann_lsh_multiprobe", "q_sim_ivf_pq",
       "q_sim_ivf_pq_rerank", "q_sim_ivf_pq_trained", "q_sim_ivf_pq_indexed",
-      "q_text_lm_bigram")
+      "q_text_lm_bigram",
+      // round-10: the component-map serving twin (bucketed index side —
+      // the doc_id join must not exchange the stored table) and the
+      // survivor-selection window (high-cardinality partition key)
+      "q_split_leakage_safe_indexed", "q_dedup_keep_best")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")

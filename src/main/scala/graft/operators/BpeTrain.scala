@@ -146,26 +146,43 @@ object BpeTrain {
                     numMerges: Int = NumMerges,
                     maxDictEntries: Int = DefaultMaxDictEntries): DataFrame = {
     val spark = df.sparkSession
-    // bounded driver read, deterministic under the cap: top by frequency,
-    // pre-token ASC tie-break (sub-cap-rare pre-tokens are what real
-    // trainers drop via min_frequency)
-    val dictRows = dictionary(df, textCol)
-      .orderBy(col("freq").desc, col("pt").asc)
-      .limit(maxDictEntries)
-      .collect()
-    val dict = dictRows.map(r => (r.getString(0), r.getLong(1)))
-    val merges = trainOnDict(dict, numMerges)
+    val merges = trainOnDict(collectDictionary(df, textCol, maxDictEntries),
+                             numMerges)
     import spark.implicits._
     merges.toDF("merge_rank", "lhs", "rhs", "cnt")
   }
 
+  /** The ONE Spark job of [[trainScalable]]: the pre-token frequency
+    * dictionary, collected bounded and deterministically under the cap —
+    * top by frequency, pre-token ASC tie-break (sub-cap-rare pre-tokens
+    * are what real trainers drop via min_frequency). */
+  def collectDictionary(df: DataFrame, textCol: String,
+                        maxDictEntries: Int = DefaultMaxDictEntries): Seq[(String, Long)] =
+    dictionary(df, textCol)
+      .orderBy(col("freq").desc, col("pt").asc)
+      .limit(maxDictEntries)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** The in-memory merge loop over a (pre-token, freq) dictionary —
     * exactly [[train]]'s per-round semantics (argmax over
     * frequency-weighted adjacent pair counts with the (cnt DESC, lhs ASC,
-    * rhs ASC) tie-break; merge-all leftmost non-overlapping), with pair
-    * counts maintained INCREMENTALLY: each merge re-scans only the words
-    * containing the merged pair (a pair → word-ids index), so cost per
-    * merge is proportional to the pair's support, not the dictionary. */
+    * rhs ASC) tie-break; merge-all leftmost non-overlapping), in the
+    * structure real trainers use:
+    *
+    *  - pair counts maintained INCREMENTALLY — each merge rewrites only
+    *    the words containing the merged pair (an EXACTLY-maintained
+    *    pair → word-ids index: ids are removed when a rewrite drops the
+    *    pair, so no stale-entry rescans accumulate on hot pairs);
+    *  - the argmax served by a LAZY max-heap (count DESC, lhs ASC, rhs
+    *    ASC): every count change pushes a fresh entry, stale entries are
+    *    discarded at pop time by comparing against the live count — the
+    *    first version's full-map scan per merge was measured to dominate
+    *    at real vocabulary depth (30k merges x ~10^5 live pairs).
+    *
+    * Cost per merge: the merged pair's support (words rewritten) plus
+    * O(log H) heap ops per count change — independent of dictionary and
+    * alphabet size. */
   def trainOnDict(dict: Seq[(String, Long)],
                   numMerges: Int): Seq[(Long, String, String, Long)] = {
     // words as mutable symbol vectors + parallel freq array
@@ -176,6 +193,8 @@ object BpeTrain {
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val index = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    // pairs whose count changed since their last heap push
+    val dirty = scala.collection.mutable.HashSet.empty[(String, String)]
     def addWord(wi: Int, sign: Long): Unit = {
       val w = words(wi); val f = freqs(wi) * sign
       var i = 0
@@ -185,60 +204,74 @@ object BpeTrain {
         if (c == 0L) counts.remove(k) else counts(k) = c
         if (sign > 0)
           index.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty) += wi
+        else index.get(k).foreach { s =>
+          s -= wi
+          if (s.isEmpty) index.remove(k)
+        }
+        dirty += k
         i += 1
       }
-      // on removal the index entries are left stale on purpose: a stale
-      // word id is re-checked against the live pair at merge time
     }
     words.indices.foreach(addWord(_, 1L))
+
+    // lazy max-heap with the engine tie-break; entries are snapshots —
+    // validity is checked against the live count at pop time
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(64, counts.size),
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // count DESC
+          if (c != 0) c
+          else {
+            val l = a._2.compareTo(b._2)             // lhs ASC
+            if (l != 0) l else a._3.compareTo(b._3)  // rhs ASC
+          }
+        }
+      })
+    def pushDirty(): Unit = {
+      dirty.foreach(k => counts.get(k).foreach(c => heap.add((c, k._1, k._2))))
+      dirty.clear()
+    }
+    pushDirty()
 
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var r = 0
     var done = false
     while (r < numMerges && !done) {
-      if (counts.isEmpty) done = true
+      // pop to the first LIVE entry (stale snapshots discard here)
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val t = heap.poll()
+        if (counts.getOrElse((t._2, t._3), Long.MinValue) == t._1) top = t
+      }
+      if (top == null) done = true
       else {
-        // argmax with the engine tie-break; the scan is over the live
-        // pair map (vocabulary-alphabet-sized, tiny next to the words)
-        var bestK: (String, String) = null
-        var bestC = Long.MinValue
-        counts.foreach { case (k, c) =>
-          if (c > bestC || (c == bestC &&
-              (k._1 < bestK._1 || (k._1 == bestK._1 && k._2 < bestK._2)))) {
-            bestK = k; bestC = c
-          }
-        }
-        val (l, rr) = bestK
+        val (bestC, l, rr) = top
+        val bestK = (l, rr)
         out += ((r.toLong, l, rr, bestC))
         val merged = l + rr
-        // rewrite ONLY the words that contain the pair (leftmost
+        // rewrite exactly the words containing the pair (leftmost
         // non-overlapping, same as the engines' replace), updating counts
-        // by remove-old/add-new — the incremental step
-        val touched = index.getOrElse(bestK, scala.collection.mutable.HashSet.empty)
+        // and the index by remove-old/add-new — the incremental step.
+        // Copy the id set first: addWord mutates it mid-iteration.
+        val touched = index.get(bestK).map(_.toArray).getOrElse(Array.empty[Int])
         touched.foreach { wi =>
+          addWord(wi, -1L)
           val w = words(wi)
-          var has = false
-          var i = 0
-          while (!has && i < w.length - 1) {
-            if (w(i) == l && w(i + 1) == rr) has = true
-            i += 1
+          val b = Array.newBuilder[String]
+          var j = 0
+          while (j < w.length) {
+            if (j < w.length - 1 && w(j) == l && w(j + 1) == rr) {
+              b += merged; j += 2
+            } else { b += w(j); j += 1 }
           }
-          if (has) { // stale index entries skip here
-            addWord(wi, -1L)
-            val b = Array.newBuilder[String]
-            var j = 0
-            while (j < w.length) {
-              if (j < w.length - 1 && w(j) == l && w(j + 1) == rr) {
-                b += merged; j += 2
-              } else { b += w(j); j += 1 }
-            }
-            words(wi) = b.result()
-            addWord(wi, 1L)
-          }
+          words(wi) = b.result()
+          addWord(wi, 1L)
         }
         index.remove(bestK)
         counts.remove(bestK) // fully consumed by the rewrite, but a
-        // freq-0 word could leave a zero entry; drop defensively
+        dirty -= bestK       // freq-0 word could leave a zero entry
+        pushDirty()
       }
       r += 1
     }
