@@ -255,7 +255,11 @@ object ScaleProbe {
     // construct column records the one-time index build (ensure), run 2
     // serves from the store — the derive-once/serve-many economics the
     // probe quantifies against the live rows above
-    "q_split_leakage_safe_indexed", "q_corpus_report_indexed")
+    "q_split_leakage_safe_indexed", "q_corpus_report_indexed",
+    // quality-aware survivor selection: same construct-dominated shape
+    // as the other composites; the new part is the row_number window
+    // over the high-cardinality group id, probed for its exec tail
+    "q_dedup_keep_best")
 
   /** Names that read the relational/event tables (trigger their generation). */
   private val RelNames = Set(
