@@ -412,6 +412,23 @@ object DedupQueries {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    // anchor, the top-k most-similar vectors with a DIFFERENT label
+    // (similar-but-wrong is exactly what a contrastive loss needs to
+    // see). Same broadcast-anchors + bounded-heap plan as q_sim_topk;
+    // the label-mismatch filter runs BEFORE scoring, so same-label pairs
+    // never pay a dot product. At corpus scale the anchor set is a
+    // batch (broadcast stays valid — it is the training batch, bounded
+    // by contract) and the candidate scan is the one full pass.
+    "q_sim_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.topK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5,
+          carryQ = Seq("label"), carryC = Seq("label"),
+          pairFilter = col("c_label") =!= col("q_label"))
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // Hyperplane-LSH ANN: same top-k shape, bucket-joined instead of
     // brute-force — the scale path.
     "q_sim_ann_lsh" -> ((s, dir) => {
@@ -1674,5 +1691,17 @@ object DedupQueries {
          |               c.vec_id ASC) AS rank
          |  FROM embeddings q CROSS JOIN embeddings c
          |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
-         |WHERE rank <= 10""".stripMargin)
+         |WHERE rank <= 10""".stripMargin,
+
+    // same ranking contract as q_sim_topk with the label-mismatch
+    // predicate — the declarative mirror of the pre-scoring pair filter
+    "q_sim_hard_negatives" ->
+      s"""SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM embeddings q CROSS JOIN embeddings c
+         |  WHERE q.vec_id < 10 AND c.vec_id >= 10 AND c.label <> q.label)
+         |WHERE rank <= 5""".stripMargin)
 }

@@ -38,13 +38,25 @@ object Similarity {
     * #queries x k heap entries instead of every scored candidate (the
     * window-rank formulation would shuffle all #candidates x #queries
     * scored rows to the rank stage).
+    *
+    * `carryQ`/`carryC` project extra columns (prefixed `q_`/`c_`) into
+    * the scored pairs and `pairFilter` prunes pairs BEFORE scoring — the
+    * hard-negative-mining hook (filter runs at the scan, so excluded
+    * pairs never pay the dot product and never enter a heap).
     */
   def topK(queries: DataFrame, candidates: DataFrame, k: Int,
            idColQ: String = "vec_id", idColC: String = "vec_id",
-           vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idColQ).as("query_id"), col(vecCol).as("q_vec")))
-    val c = candidates.select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"))
+           vecCol: String = "embedding",
+           carryQ: Seq[String] = Nil, carryC: Seq[String] = Nil,
+           pairFilter: Column = lit(true)): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idColQ).as("query_id") +: col(vecCol).as("q_vec") +:
+        carryQ.map(n => col(n).as(s"q_$n")): _*))
+    val c = candidates.select(
+      col(idColC).as("neighbor_id") +: col(vecCol).as("c_vec") +:
+        carryC.map(n => col(n).as(s"c_$n")): _*)
     val scored = c.crossJoin(q)
+      .filter(pairFilter)
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     scored
       .groupBy(col("query_id"))

@@ -27,6 +27,39 @@ class AnnRecallSpec extends SparkSpec {
     (got intersect truth).size.toDouble / truth.size
   }
 
+  test("hard negatives are label-mismatched, dense-ranked, and the argmax among eligibles") {
+    val s = spark
+    val e = Tables.embeddings(s, sfDir)
+    val labels: Map[Long, Any] = e.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.get(1))).toMap
+    val mined = graft.SparkEntry.queries("q_sim_hard_negatives")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mined.nonEmpty)
+    // every mined negative has a different label than its anchor
+    mined.foreach { case (q, n, _) =>
+      assert(labels(n) != labels(q), s"anchor $q mined a same-label negative $n")
+    }
+    // ranks are dense 1..5 per anchor
+    mined.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 5L), s"anchor $q ranks not dense")
+    }
+    // and rank 1 is the true argmax among label-mismatched candidates,
+    // independently recomputed via the brute-force scorer
+    val full = Similarity.topK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        k = 2000, carryQ = Seq("label"), carryC = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val firstEligible = full.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._3).collectFirst {
+        case (_, n, _) if labels(n) != labels(q) => n
+      }.get
+    }
+    mined.filter(_._3 == 1L).foreach { case (q, n, _) =>
+      assert(n == firstEligible(q),
+        s"anchor $q rank-1 negative $n != first label-mismatched brute-force hit ${firstEligible(q)}")
+    }
+  }
+
   test("hyperplane-LSH ANN recall@5 stays above the isotropic floor") {
     val s = spark
     val e = Tables.embeddings(s, sfDir)
