@@ -343,19 +343,17 @@ object DedupQueries {
     // group_id — a HIGH-CARDINALITY partition key (tiny groups, millions
     // of them), so unlike the packing window this parallelizes freely.
     "q_dedup_keep_best" -> ((s, dir) => {
-      import graft.functions.TextFunctions.{nDistinctTokens, nTokens}
       val docs = Tables.documents(s, dir)
-      val scored = docs.select("doc_id", "text")
-        .join(bandedComponentMap(docs), Seq("doc_id"), "left")
-        .withColumn("group_id", coalesce(col("component_id"), col("doc_id")))
-        .withColumn("quality",
-          nDistinctTokens(col("text")).cast("double") / nTokens(col("text")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("group_id")
-        .orderBy(col("quality").desc, col("doc_id").desc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("group_id"), col("quality"))
+      keepBest(docs, bandedComponentMap(docs))
+    }),
+
+    // Serving twin over the persisted component map (same oracle) —
+    // survivor re-selection is the kind of thing a pipeline re-runs as
+    // quality definitions iterate, and it must not re-pay the snapshot's
+    // clustering each time.
+    "q_dedup_keep_best_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      keepBest(docs, operators.ComponentIndex.componentsFor(s, dir))
     }),
 
     // SimHash near-dup pairs: chunk-collision candidates verified at
@@ -695,6 +693,28 @@ object DedupQueries {
         when(col("bucket") < 90, lit("train"))
           .when(col("bucket") < 95, lit("val"))
           .otherwise(lit("test")).as("split"))
+
+  /** Quality-aware survivor selection over a given component map — the
+    * tail shared by q_dedup_keep_best and its `_indexed` twin: per
+    * cluster-or-singleton group, keep the (quality, doc_id)-argmax
+    * member. One row_number window over the HIGH-cardinality group id
+    * (tiny groups, millions of them — parallelizes freely, and the
+    * rank<=1 filter gets WindowGroupLimit pushdown so the exchange
+    * carries at most one row per group per map partition). */
+  private def keepBest(docs: DataFrame, comp: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{nDistinctTokens, nTokens}
+    val scored = docs.select("doc_id", "text")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("component_id"), col("doc_id")))
+      .withColumn("quality",
+        nDistinctTokens(col("text")).cast("double") / nTokens(col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id")
+      .orderBy(col("quality").desc, col("doc_id").desc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("group_id"), col("quality"))
+  }
 
   /** Per-language curation dashboard over a given component map — the
     * tail shared by q_corpus_report and its `_indexed` twin: two
@@ -1557,6 +1577,7 @@ object DedupQueries {
     "q_split_leakage_safe_indexed" -> splitLeakageSafeSql,
     "q_corpus_report_indexed" -> corpusReportSql,
     "q_dedup_keep_best" -> keepBestSql,
+    "q_dedup_keep_best_indexed" -> keepBestSql,
     "q_sim_ivf" -> ivfSql,
     "q_sim_ivf_kmeans" -> kmeansIvfSql,
     // the persisted index serves the SAME trained-centroid result, so the

@@ -46,6 +46,32 @@ class ComponentIndexSpec extends SparkSpec {
     assert(stored == live && live.nonEmpty)
   }
 
+  test("a dup-free corpus yields an empty (but servable) index and an all-singleton split") {
+    // the empty-bucketed-table edge: no near-dup candidates -> zero
+    // component rows -> the index build writes an EMPTY bucketed table,
+    // and every consumer must degrade to singleton semantics
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compidx-empty").toString
+    Seq(
+      (1L, (1 to 30).map(i => s"alpha$i").mkString(" "), "en", "s0", 200),
+      (2L, (1 to 30).map(i => s"beta$i").mkString(" "), "de", "s0", 200),
+      (3L, (1 to 30).map(i => s"gamma$i").mkString(" "), "fr", "s0", 200))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(ComponentIndex.componentsFor(s, dir).count() == 0)
+    val split = CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries("q_split_leakage_safe_indexed")(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(split.length == 3 && split.forall { case (id, gid) => id == gid })
+    val kept = CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries("q_dedup_keep_best_indexed")(s, dir)
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(kept == Set(1L, 2L, 3L), "singletons must all survive keep-best")
+  }
+
   test("rebuild re-derives the snapshot") {
     val s = spark
     ComponentIndex.ensure(s, sfDir)
