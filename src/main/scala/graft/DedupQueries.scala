@@ -427,6 +427,20 @@ object DedupQueries {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // The SCALE PATH of hard-negative mining: the same label-mismatch
+    // selection within LSH buckets — at corpus scale an anchor batch
+    // mines from its collision buckets, not a full scan (approximate
+    // negatives are standard practice; recall economics are the
+    // AnnRecallSpec-measured LSH trade). Same bounded-heap plan as
+    // q_sim_ann_lsh with the pre-scoring pair filter.
+    "q_sim_hard_negatives_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityLSH.annTopK(
+          e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 5,
+          carryQ = Seq("label"), carryC = Seq("label"),
+          pairFilter = col("c_label") =!= col("q_label"))
+    }),
+
     // Hyperplane-LSH ANN: same top-k shape, bucket-joined instead of
     // brute-force — the scale path.
     "q_sim_ann_lsh" -> ((s, dir) => {
@@ -956,7 +970,8 @@ object DedupQueries {
     * bucket equality for the single-probe query, Hamming <= 1 on the
     * bucket bits for the multiprobe variant (the declarative equivalent
     * of probing every one-bit-flipped bucket). */
-  private def annLshSqlWith(perTableCollide: Int => String): String = {
+  private def annLshSqlWith(perTableCollide: Int => String,
+                            extraWhere: String = ""): String = {
     def planeDot(vec: String, i: Int): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, ${SimilarityLSH.Dim + 1}), dd ->
@@ -971,7 +986,7 @@ object DedupQueries {
     val collide = (0 until SimilarityLSH.NumTables)
       .map(perTableCollide).mkString(" OR ")
     s"""WITH bucketed AS (
-       |  SELECT vec_id, embedding,
+       |  SELECT vec_id, label, embedding,
        |  $bkCols
        |  FROM embeddings)
        |SELECT query_id, neighbor_id, rank FROM (
@@ -980,7 +995,7 @@ object DedupQueries {
        |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC,
        |               c.vec_id ASC) AS rank
        |  FROM bucketed q JOIN bucketed c ON ($collide)
-       |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10$extraWhere)
        |WHERE rank <= 5""".stripMargin
   }
 
@@ -989,6 +1004,10 @@ object DedupQueries {
 
   private val annLshMultiprobeSql: String =
     annLshSqlWith(t => s"bit_count(xor(q.bk_$t, c.bk_$t)) <= 1")
+
+  // the ANN mining twin: single-probe collisions + the label predicate
+  private val annLshHardNegSql: String =
+    annLshSqlWith(t => s"q.bk_$t = c.bk_$t", " AND c.label <> q.label")
 
   /** Transitive closure over the candidate pairs (recursive CTE) — the
     * declarative mirror of the iterative min-label propagation. Banded 3x4
@@ -1713,6 +1732,8 @@ object DedupQueries {
          |  FROM embeddings q CROSS JOIN embeddings c
          |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
          |WHERE rank <= 10""".stripMargin,
+
+    "q_sim_hard_negatives_ann" -> annLshHardNegSql,
 
     // same ranking contract as q_sim_topk with the label-mismatch
     // predicate — the declarative mirror of the pre-scoring pair filter

@@ -104,27 +104,37 @@ object SimilarityLSH {
     * cosine ranks the candidate set. `multiprobe` widens each query to
     * its Hamming-1 bucket neighborhood per table (recall knob — see
     * [[tableBucketsMultiprobe]]). */
+  /** `carryQ`/`carryC` project extra columns (prefixed `q_`/`c_`) into
+    * the collided pairs and `pairFilter` prunes them before scoring —
+    * the ANN form of [[Similarity.topK]]'s hard-negative-mining hook
+    * (mining within buckets is how contrastive pipelines find negatives
+    * at corpus scale without a full scan per anchor batch). */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               idColQ: String = "vec_id", idColC: String = "vec_id",
               vecCol: String = "embedding",
-              multiprobe: Boolean = false): DataFrame = {
+              multiprobe: Boolean = false,
+              carryQ: Seq[String] = Nil, carryC: Seq[String] = Nil,
+              pairFilter: Column = lit(true)): DataFrame = {
     val qBuckets =
       if (multiprobe) tableBucketsMultiprobe(col(vecCol))
       else tableBuckets(col(vecCol))
     val q = broadcast(queries
-      .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
-              explode(qBuckets).as("tb"))
-      .select(col("query_id"), col("q_vec"), col("tb.t").as("t"), col("tb.bk").as("bk")))
+      .select(col(idColQ).as("query_id") +: col(vecCol).as("q_vec") +:
+        explode(qBuckets).as("tb") +: carryQ.map(n => col(n).as(s"q_$n")): _*)
+      .select(col("query_id") +: col("q_vec") +: col("tb.t").as("t") +:
+        col("tb.bk").as("bk") +: carryQ.map(n => col(s"q_$n")): _*))
     val c = candidates
-      .select(col(idColC).as("neighbor_id"), col(vecCol).as("c_vec"),
-              explode(tableBuckets(col(vecCol))).as("tb"))
-      .select(col("neighbor_id"), col("c_vec"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+      .select(col(idColC).as("neighbor_id") +: col(vecCol).as("c_vec") +:
+        explode(tableBuckets(col(vecCol))).as("tb") +: carryC.map(n => col(n).as(s"c_$n")): _*)
+      .select(col("neighbor_id") +: col("c_vec") +: col("tb.t").as("t") +:
+        col("tb.bk").as("bk") +: carryC.map(n => col(s"c_$n")): _*)
     // score BEFORE deduplicating multi-table collisions: the distinct then
     // shuffles 24 bytes per pair instead of dragging both 64-float vectors
     // through the exchange as part of the distinct key (scoring a duplicate
     // collision <= NumTables times is cheap codegen work; shuffling its
     // vectors is not).
     c.join(q, Seq("t", "bk"))
+      .filter(pairFilter)
       .withColumn("score", Similarity.cosine(col("q_vec"), col("c_vec")))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("score")).as("score"))

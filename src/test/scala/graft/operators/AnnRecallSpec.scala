@@ -58,6 +58,19 @@ class AnnRecallSpec extends SparkSpec {
       assert(n == firstEligible(q),
         s"anchor $q rank-1 negative $n != first label-mismatched brute-force hit ${firstEligible(q)}")
     }
+
+    // the ANN scale path: still label-mismatched, and its recall against
+    // the exact mining is bounded below by the LSH bucket economics
+    // (isotropic floor — clustered corpora do far better)
+    val annMined = graft.SparkEntry.queries("q_sim_hard_negatives_ann")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(annMined.nonEmpty)
+    annMined.foreach { case (q, n) =>
+      assert(labels(n) != labels(q), s"ANN mining returned same-label $n for $q")
+    }
+    val bruteSet = mined.map(m => (m._1, m._2)).toSet
+    val annRecall = (annMined.toSet intersect bruteSet).size.toDouble / bruteSet.size
+    assert(annRecall >= 0.2, s"ANN mining recall $annRecall below the isotropic floor")
   }
 
   test("hyperplane-LSH ANN recall@5 stays above the isotropic floor") {
