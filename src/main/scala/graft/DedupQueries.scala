@@ -333,6 +333,26 @@ object DedupQueries {
       corpusReport(docs, operators.ComponentIndex.componentsFor(s, dir))
     }),
 
+    // Cross-source duplication matrix — which sources duplicate each
+    // other: for every unordered source pair, the number of near-dup
+    // clusters containing documents from BOTH (the dashboard that tells
+    // a data lead "crawl B is mostly re-crawled A, downweight it").
+    // Composed on the persisted component map (consumer #4 — the
+    // derive-once economics; the live family is already A/B'd three
+    // ways). Scale shape: one distinct bounded by clusters x sources,
+    // then a self-join on the cluster id — tiny relations both.
+    "q_dedup_source_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = docs.select("doc_id", "source")
+        .join(operators.ComponentIndex.componentsFor(s, dir), "doc_id")
+        .select("component_id", "source").distinct()
+      m.as("a").join(m.as("b"),
+          col("a.component_id") === col("b.component_id") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_clusters"))
+    }),
+
     // Quality-aware near-dup SURVIVOR SELECTION — per cluster (singletons
     // are their own cluster), keep the HIGHEST-QUALITY member instead of
     // the min-id one: the FineWeb-style curation choice where near-dup
@@ -1056,6 +1076,32 @@ object DedupQueries {
        |  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id
        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)""".stripMargin
 
+  /** Same closure, then the per-cluster distinct-source self-join — the
+    * oracle twin of q_dedup_source_overlap. */
+  private val sourceOverlapSql: String =
+    s"""WITH RECURSIVE ${minhashCtes("documents",
+                                     numBands = MinHashLSH.BandedBands,
+                                     rowsPerBand = MinHashLSH.BandedRows)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+       |  FROM reach GROUP BY src),
+       |m AS (
+       |  SELECT DISTINCT c.component_id, d.source
+       |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared_clusters
+       |FROM m a JOIN m b
+       |  ON a.component_id = b.component_id AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   /** Same closure, then per cluster-or-singleton group keep the max
     * (quality, doc_id) member — the oracle twin of q_dedup_keep_best.
     * Quality is an exact int/int IEEE division (distinct-token ratio),
@@ -1597,6 +1643,7 @@ object DedupQueries {
     "q_corpus_report_indexed" -> corpusReportSql,
     "q_dedup_keep_best" -> keepBestSql,
     "q_dedup_keep_best_indexed" -> keepBestSql,
+    "q_dedup_source_overlap" -> sourceOverlapSql,
     "q_sim_ivf" -> ivfSql,
     "q_sim_ivf_kmeans" -> kmeansIvfSql,
     // the persisted index serves the SAME trained-centroid result, so the

@@ -80,6 +80,28 @@ class ComponentIndexSpec extends SparkSpec {
     assert(ConnectedComponents.lastRounds >= 1, "rebuild must re-run the clustering")
   }
 
+  test("source-overlap matrix equals the driver-side replay over the component map") {
+    val s = spark
+    ComponentIndex.ensure(s, sfDir)
+    val matrix = CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries("q_dedup_source_overlap")(s, sfDir)
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    }
+    val comp = ComponentIndex.componentsFor(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val srcOf = graft.sources.Tables.documents(s, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val bySources = comp.toSeq.map { case (id, cid) => (cid, srcOf(id)) }
+      .distinct.groupBy(_._1).values
+    val expected = bySources.toSeq.flatMap { ms =>
+      val srcs = ms.map(_._2).sorted
+      for (i <- srcs.indices; j <- i + 1 until srcs.length) yield (srcs(i), srcs(j))
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(matrix == expected,
+      s"overlap matrix $matrix != driver replay $expected")
+  }
+
   test("keep-best keeps exactly the highest-quality member of every group") {
     val s = spark
     import graft.functions.TextFunctions.{nDistinctTokens, nTokens}
