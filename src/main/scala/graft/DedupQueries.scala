@@ -702,16 +702,13 @@ object DedupQueries {
              count(lit(1)).as("n"))
     }))
 
-  /** The corpus family's shared LIVE derivation: banded candidate set ->
-    * min-label components -> (doc_id, component_id), cluster members
-    * only. The persisted twin is [[graft.operators.ComponentIndex]]. */
+  /** The corpus family's shared LIVE derivation — the one definition
+    * lives beside its persisted twin in
+    * [[graft.operators.ComponentIndex.bandedComponentMap]] (review
+    * finding: an inlined copy here let the banding knobs drift from the
+    * index build's). */
   private def bandedComponentMap(docs: DataFrame): DataFrame =
-    ConnectedComponents.components(
-        MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
-          numBands = MinHashLSH.BandedBands,
-          rowsPerBand = MinHashLSH.BandedRows),
-        "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("component_id"))
+    operators.ComponentIndex.bandedComponentMap(docs)
 
   /** Cluster-keyed ~90/5/5 split over a given component map — the tail
     * shared by q_split_leakage_safe and its `_indexed` twin: one join on
@@ -862,17 +859,7 @@ object DedupQueries {
        |  JOIN gsets gb ON id_b = gb.doc_id
        |  WHERE CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
        |    (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))) >= 0.4),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM ver
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM ver),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
-       |  FROM reach GROUP BY src),
+       |${closureCtes("ver")},
        |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
@@ -887,17 +874,7 @@ object DedupQueries {
     s"""WITH RECURSIVE ${minhashCtes("documents",
                       numBands = MinHashLSH.BandedBands,
                       rowsPerBand = MinHashLSH.BandedRows)},
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM cand
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM cand),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
-       |  FROM reach GROUP BY src),
+       |${closureCtes()},
        |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
@@ -912,17 +889,7 @@ object DedupQueries {
     s"""WITH RECURSIVE ${minhashCtes("documents",
                       numBands = MinHashLSH.BandedBands,
                       rowsPerBand = MinHashLSH.BandedRows)},
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM cand
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM cand),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
-       |  FROM reach GROUP BY src),
+       |${closureCtes()},
        |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
@@ -1029,6 +996,26 @@ object DedupQueries {
   private val annLshHardNegSql: String =
     annLshSqlWith(t => s"q.bk_$t = c.bk_$t", " AND c.label <> q.label")
 
+  /** Symmetrized-edge transitive closure over `cand` — the ONE
+    * definition of the oracle-side component semantics (recursive-CTE
+    * mirror of the iterative min-label propagation), composed by every
+    * closure-based oracle below (review finding: six inlined copies of
+    * this block risked one oracle silently drifting to different
+    * cluster semantics than the others). Yields CTEs `edges`, `reach`,
+    * and `comp(doc_id, component_id)`. */
+  private def closureCtes(pairs: String = "cand"): String =
+    s"""edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM $pairs
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM $pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+      |  FROM reach GROUP BY src)""".stripMargin
+
   /** Transitive closure over the candidate pairs (recursive CTE) — the
     * declarative mirror of the iterative min-label propagation. Banded 3x4
     * split, matching the Spark query and the rest of the composed corpus
@@ -1037,16 +1024,8 @@ object DedupQueries {
     s"""WITH RECURSIVE ${minhashCtes("documents",
                                      numBands = MinHashLSH.BandedBands,
                                      rowsPerBand = MinHashLSH.BandedRows)},
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM cand
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM cand),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, least(src, min(dst)) AS component_id
-       |FROM reach GROUP BY src""".stripMargin
+       |${closureCtes()}
+       |SELECT doc_id, component_id FROM comp""".stripMargin
 
   /** Same transitive closure as [[componentsSql]], then the split is a
     * portable hash of the cluster-or-singleton group id — the oracle
@@ -1055,17 +1034,7 @@ object DedupQueries {
     s"""WITH RECURSIVE ${minhashCtes("documents",
                                      numBands = MinHashLSH.BandedBands,
                                      rowsPerBand = MinHashLSH.BandedRows)},
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM cand
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM cand),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
-       |  FROM reach GROUP BY src)
+       |${closureCtes()}
        |SELECT doc_id, group_id,
        |  CASE WHEN ${PortableHash.hash60Sql("CAST(group_id AS VARCHAR)")} % 100 < 90
        |         THEN 'train'
@@ -1082,17 +1051,7 @@ object DedupQueries {
     s"""WITH RECURSIVE ${minhashCtes("documents",
                                      numBands = MinHashLSH.BandedBands,
                                      rowsPerBand = MinHashLSH.BandedRows)},
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM cand
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM cand),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
-       |  FROM reach GROUP BY src),
+       |${closureCtes()},
        |m AS (
        |  SELECT DISTINCT c.component_id, d.source
        |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id)
@@ -1110,17 +1069,7 @@ object DedupQueries {
     s"""WITH RECURSIVE ${minhashCtes("documents",
                                      numBands = MinHashLSH.BandedBands,
                                      rowsPerBand = MinHashLSH.BandedRows)},
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM cand
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM cand),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
-       |  FROM reach GROUP BY src),
+       |${closureCtes()},
        |scored AS (
        |  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id,
        |    CAST(len(list_distinct(string_split(d.text,' '))) AS DOUBLE)
@@ -1136,17 +1085,7 @@ object DedupQueries {
     s"""WITH RECURSIVE ${minhashCtes("documents",
                                      numBands = MinHashLSH.BandedBands,
                                      rowsPerBand = MinHashLSH.BandedRows)},
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM cand
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM cand),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (
-       |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
-       |  FROM reach GROUP BY src),
+       |${closureCtes()},
        |near AS (
        |  SELECT d.lang,
        |    CAST(count(*) AS BIGINT) AS n_near_dup_members,

@@ -185,8 +185,21 @@ object BpeTrain {
     * alphabet size. */
   def trainOnDict(dict: Seq[(String, Long)],
                   numMerges: Int): Seq[(Long, String, String, Long)] = {
-    // words as mutable symbol vectors + parallel freq array
-    val words = dict.map(_._1.map(_.toString).toArray).toArray
+    // Words as mutable symbol vectors + parallel freq array. Symbols are
+    // CODE POINTS, not UTF-16 code units — Spark's `split(pt, "")` runs
+    // over UTF8String and yields whole code points (an emoji is ONE
+    // symbol; measured in BpeTrainSpec's non-BMP case, where a code-unit
+    // split diverged from the distributed rounds at merge rank 0).
+    val words = dict.map { case (pt, _) =>
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < pt.length) {
+        val cp = pt.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }.toArray
     val freqs = dict.map(_._2).toArray
 
     // pair -> global weighted count, and pair -> ids of words containing it
@@ -214,8 +227,21 @@ object BpeTrain {
     }
     words.indices.foreach(addWord(_, 1L))
 
-    // lazy max-heap with the engine tie-break; entries are snapshots —
-    // validity is checked against the live count at pop time
+    // Lazy max-heap with the engine tie-break; entries are snapshots —
+    // validity is checked against the live count at pop time. Tie-break
+    // string order is CODE-POINT order (== UTF8String's binary UTF-8
+    // order, == DuckDB's collation): String.compareTo's UTF-16 unit
+    // order disagrees exactly where a tie pits an astral symbol against
+    // a BMP char >= U+E000.
+    def cmpCp(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
     val heap = new java.util.PriorityQueue[(Long, String, String)](
       math.max(64, counts.size),
       new java.util.Comparator[(Long, String, String)] {
@@ -223,8 +249,8 @@ object BpeTrain {
           val c = java.lang.Long.compare(b._1, a._1) // count DESC
           if (c != 0) c
           else {
-            val l = a._2.compareTo(b._2)             // lhs ASC
-            if (l != 0) l else a._3.compareTo(b._3)  // rhs ASC
+            val l = cmpCp(a._2, b._2)                // lhs ASC
+            if (l != 0) l else cmpCp(a._3, b._3)     // rhs ASC
           }
         }
       })

@@ -38,6 +38,20 @@ object ComponentIndex {
   private def table(dir: String): String =
     "comp_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_components"
 
+  /** The corpus family's LIVE derivation — THE single definition of
+    * "the component map" (banded candidate set -> min-label components
+    * -> (doc_id, component_id), cluster members only): the persisted
+    * build below and every live composite in [[graft.DedupQueries]]
+    * call this one function, so the banding knobs and column contract
+    * cannot drift between the A/B'd twins. */
+  def bandedComponentMap(docs: DataFrame): DataFrame =
+    ConnectedComponents.components(
+        MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
+          numBands = MinHashLSH.BandedBands,
+          rowsPerBand = MinHashLSH.BandedRows),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component_id"))
+
   /** Build the component table for the fixture unless already present;
     * returns the table name. One eager clustering per (JVM session,
     * fixture); later sessions with the same warehouse re-attach via
@@ -47,13 +61,7 @@ object ComponentIndex {
     if (!spark.catalog.tableExists(t)) {
       IvfIndex.dropOrphanLocation(spark, t)
       CacheScope.withOperatorCaches {
-        val docs = graft.sources.Tables.documents(spark, dir)
-        ConnectedComponents.components(
-            MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
-              numBands = MinHashLSH.BandedBands,
-              rowsPerBand = MinHashLSH.BandedRows),
-            "id_a", "id_b")
-          .select(col("id").as("doc_id"), col("component_id"))
+        bandedComponentMap(graft.sources.Tables.documents(spark, dir))
           .write.mode("overwrite")
           .bucketBy(8, "doc_id").sortBy("doc_id")
           .saveAsTable(t)

@@ -147,6 +147,23 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("trainScalable equals the distributed rounds on a non-BMP corpus") {
+    // astral-plane text (emoji = surrogate pairs in UTF-16): the engine's
+    // split(pt, "") yields lone surrogates which UTF8String re-encodes as
+    // '?', and the dictionary-local loop must mirror exactly that — the
+    // review finding this pins caught the twin treating surrogates as
+    // distinct symbols and diverging from the shared oracle's engine side
+    import spark.implicits._
+    val docs = (Seq.fill(20)("😀😀go 😀go west") ++
+        Seq.fill(5)("plain words here")).toDF("text")
+    val viaRounds = BpeTrain.train(docs, "text", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val viaDict = BpeTrain.trainScalable(docs, "text", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(viaDict == viaRounds,
+      s"non-BMP divergence:\n$viaDict\nvs\n$viaRounds")
+  }
+
   test("trainScalable's dictionary cap keeps the top-frequency entries") {
     // under a tight cap the trainer must still run, on the head of the
     // dictionary only — the min_frequency practice of real trainers
