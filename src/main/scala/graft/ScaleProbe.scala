@@ -427,8 +427,13 @@ object ScaleProbe {
       // the SAME filter as the timed queries (a single-query probe must
       // not pay minutes of unrequested candidate counting; review finding)
       val docs = graft.sources.Tables.documents(spark, dir)
-      val wantsMinhash = names.exists(q =>
-        q.contains("minhash") || q.contains("components") || q.contains("corpus"))
+      // SPARK_GRAFT_PROBE_NOPAIRS skips the candidate-count diagnostics:
+      // at x1000 the three extra full candidate enumerations cost far
+      // more than the timed query itself (the x1000 components attempt
+      // spent its heap there), and a timing-only row doesn't need them
+      val wantsMinhash = !sys.env.contains("SPARK_GRAFT_PROBE_NOPAIRS") &&
+        names.exists(q =>
+          q.contains("minhash") || q.contains("components") || q.contains("corpus"))
       val pairsMinhash = if (wantsMinhash)
         MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang").count() else -1L
       val pairsGlobal = if (wantsMinhash)
