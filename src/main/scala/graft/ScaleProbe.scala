@@ -445,7 +445,8 @@ object ScaleProbe {
       val pairsR4 = if (wantsMinhash)
         MinHashLSH.candidatePairs(docs, "doc_id", "text", "lang",
           numBands = 3, rowsPerBand = 4).count() else -1L
-      val pairsNgram = if (names.contains("q_dedup_ngram_jaccard"))
+      val pairsNgram = if (!sys.env.contains("SPARK_GRAFT_PROBE_NOPAIRS") &&
+          names.contains("q_dedup_ngram_jaccard"))
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.3,
           ngramCap.getOrElse(Dedup.DefaultMaxPostingSize)).count() else -1L
       spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()

@@ -82,4 +82,10 @@ object ComponentIndex {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     ensure(spark, dir)
   }
+
+  /** Drop the fixture's index table without rebuilding — retirement of
+    * a snapshot (and test hygiene: a temp-fixture build would otherwise
+    * orphan its uniquely-named warehouse directory forever). */
+  def drop(spark: SparkSession, dir: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${table(dir)}")
 }

@@ -45,9 +45,10 @@ class AnnRecallSpec extends SparkSpec {
     }
     // and rank 1 is the true argmax among label-mismatched candidates,
     // independently recomputed via the brute-force scorer
+    // plain unfiltered full ranking (label eligibility is judged
+    // driver-side below via the labels map)
     val full = Similarity.topK(
-        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
-        k = 2000, carryQ = Seq("label"), carryC = Seq("label"))
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 2000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val firstEligible = full.groupBy(_._1).map { case (q, rows) =>
       q -> rows.sortBy(_._3).collectFirst {

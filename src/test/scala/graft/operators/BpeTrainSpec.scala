@@ -149,10 +149,11 @@ class BpeTrainSpec extends SparkSpec {
 
   test("trainScalable equals the distributed rounds on a non-BMP corpus") {
     // astral-plane text (emoji = surrogate pairs in UTF-16): the engine's
-    // split(pt, "") yields lone surrogates which UTF8String re-encodes as
-    // '?', and the dictionary-local loop must mirror exactly that — the
-    // review finding this pins caught the twin treating surrogates as
-    // distinct symbols and diverging from the shared oracle's engine side
+    // split(pt, "") runs over UTF8String and yields WHOLE CODE POINTS —
+    // an emoji is one symbol — and the dictionary-local loop must mirror
+    // exactly that (BpeTrain.trainOnDict splits by code point). The
+    // review finding this pins caught the twin splitting by UTF-16 code
+    // unit and diverging from the distributed rounds at merge rank 0
     import spark.implicits._
     val docs = (Seq.fill(20)("😀😀go 😀go west") ++
         Seq.fill(5)("plain words here")).toDF("text")

@@ -53,23 +53,34 @@ class ComponentIndexSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compidx-empty").toString
-    Seq(
-      (1L, (1 to 30).map(i => s"alpha$i").mkString(" "), "en", "s0", 200),
-      (2L, (1 to 30).map(i => s"beta$i").mkString(" "), "de", "s0", 200),
-      (3L, (1 to 30).map(i => s"gamma$i").mkString(" "), "fr", "s0", 200))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    assert(ComponentIndex.componentsFor(s, dir).count() == 0)
-    val split = CacheScope.withOperatorCaches {
-      graft.SparkEntry.queries("q_split_leakage_safe_indexed")(s, dir)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    try {
+      Seq(
+        (1L, (1 to 30).map(i => s"alpha$i").mkString(" "), "en", "s0", 200),
+        (2L, (1 to 30).map(i => s"beta$i").mkString(" "), "de", "s0", 200),
+        (3L, (1 to 30).map(i => s"gamma$i").mkString(" "), "fr", "s0", 200))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(ComponentIndex.componentsFor(s, dir).count() == 0)
+      val split = CacheScope.withOperatorCaches {
+        graft.SparkEntry.queries("q_split_leakage_safe_indexed")(s, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(split.length == 3 && split.forall { case (id, gid) => id == gid })
+      val kept = CacheScope.withOperatorCaches {
+        graft.SparkEntry.queries("q_dedup_keep_best_indexed")(s, dir)
+          .collect().map(_.getLong(0)).toSet
+      }
+      assert(kept == Set(1L, 2L, 3L), "singletons must all survive keep-best")
+    } finally {
+      // temp fixture -> uniquely-named table: drop it or every run
+      // orphans another warehouse directory (review finding)
+      ComponentIndex.drop(s, dir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
     }
-    assert(split.length == 3 && split.forall { case (id, gid) => id == gid })
-    val kept = CacheScope.withOperatorCaches {
-      graft.SparkEntry.queries("q_dedup_keep_best_indexed")(s, dir)
-        .collect().map(_.getLong(0)).toSet
-    }
-    assert(kept == Set(1L, 2L, 3L), "singletons must all survive keep-best")
   }
 
   test("rebuild re-derives the snapshot") {
