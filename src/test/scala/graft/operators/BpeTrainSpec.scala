@@ -87,6 +87,57 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("generative parity: the heap/index loop equals a naive recount trainer, to exhaustion") {
+    // trainOnDict's incremental machinery (lazy max-heap with stale-
+    // snapshot discards, exactly-maintained pair->words index) against
+    // the simplest possible formulation: full pair recount + argmax
+    // every round. Many random dictionaries, run PAST exhaustion, so
+    // tie-breaks, overlap counting ("aaa"), index removal, and heap
+    // staleness all get exercised. Driver-only — no Spark in the loop.
+    def naive(dict: Seq[(String, Long)], numMerges: Int): Seq[(Long, String, String, Long)] = {
+      var words = dict.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, f) =>
+          syms.indices.dropRight(1).foreach { i =>
+            val k = (syms(i), syms(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + f
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rt), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((r.toLong, l, rt, c))
+          words = words.map { case (syms, f) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rt) {
+                b += (l + rt); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+        r += 1
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 60).foreach { trial =>
+      val n = 1 + rnd.nextInt(30)
+      val dict = (0 until n).map { _ =>
+        Seq.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString
+      }.distinct.map(w => (w, 1L + rnd.nextInt(50)))
+      val got = BpeTrain.trainOnDict(dict, 1000)
+      val exp = naive(dict, 1000)
+      assert(got == exp, s"trial $trial diverged on dict $dict:\n$got\nvs\n$exp")
+    }
+  }
+
   test("learned table is hierarchical: every side is a base char or an earlier output") {
     val corpus = Seq("aaa bbb aaab", "aab aab aab bba")
     val merges = trained(corpus, 8)
