@@ -349,6 +349,27 @@ object TextQueries {
           count(lit(1)).cast("long").as("n_docs"))
     }),
 
+    // PACK PROVENANCE — the sample-to-source attribution the loader-side
+    // artifact needs for compliance/debugging: for every document, which
+    // packed bin holds it and at what token offset WITHIN the bin's
+    // concatenation (in-bin running sum of earlier docs' tokens, the
+    // exact order q_pack_sequences concatenates; document-token
+    // currency, EOS markers excluded — matching bin_tokens bookkeeping).
+    // The offset window partitions by (lang, bin_id) — high-cardinality,
+    // tiny groups — on top of the scalable assignment, so the whole
+    // inverse mapping is scale-clean.
+    "q_pack_provenance" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      val assigned = Tables.documents(s, dir)
+        .packedBinsScalable("lang", binTokens = 2048)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "bin_id").orderBy(col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      assigned.withColumn("offset_tokens",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("long"))
+        .select("doc_id", "lang", "bin_id", "n_tokens", "offset_tokens")
+    }),
+
     // Packing in the REAL token currency: the SCALABLE prefix-sum plan,
     // with the budget counting actual BPE tokens (whitespace counts
     // misstate real sequence lengths, so "2048-token bins" built from
@@ -815,6 +836,25 @@ object TextQueries {
         |  FROM (
         |    SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
         |    FROM documents))""".stripMargin,
+
+    // same assignment + the in-bin offset window — the inverse mapping
+    "q_pack_provenance" ->
+      """SELECT doc_id, lang, bin_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY lang, bin_id ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS offset_tokens
+        |FROM (
+        |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
+        |  FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |      CAST(coalesce(sum(n_tokens) OVER (
+        |        PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |    FROM (
+        |      SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
+        |      FROM documents)))""".stripMargin,
 
     // the scalable twin computes the IDENTICAL assignment — one oracle,
     // two physical strategies (the q_keyed_count_salted device)

@@ -109,6 +109,27 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("pack provenance offsets tile each bin's packed sequence exactly") {
+    // per (lang, bin): offsets are the in-bin running token sums in doc-id
+    // order (0 for the first doc, contiguous after), and the last doc's
+    // offset + tokens equals the bin's q_pack_sequences token mass — the
+    // inverse mapping and the loader artifact agree row by row
+    val prov = q("q_pack_provenance").collect()
+      .map(r => ((r.getString(1), r.getLong(2)), (r.getLong(0), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1) }
+    val seqTokens = q("q_pack_sequences").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(prov.keySet == seqTokens.keySet)
+    prov.foreach { case (key, docs) =>
+      var expect = 0L
+      docs.foreach { case (id, n, off) =>
+        assert(off == expect, s"bin $key doc $id offset $off != running sum $expect")
+        expect += n
+      }
+      assert(expect == seqTokens(key), s"bin $key total $expect != packed mass")
+    }
+  }
+
   test("corpus report totals equal the individual declared queries") {
     val report = q("q_corpus_report").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -136,7 +136,8 @@ class CorpusOpsSpec extends SparkSpec {
     val s = spark
     def windows(p: LogicalPlan): Seq[Window] =
       p.collect { case w: Window => w }
-    for (name <- Seq("q_pack_sequences", "q_pack_bins_bpe", "q_pack_bins_scalable")) {
+    for (name <- Seq("q_pack_sequences", "q_pack_bins_bpe", "q_pack_bins_scalable",
+                     "q_pack_provenance")) {
       val plan = CacheScope.withOperatorCaches {
         graft.SparkEntry.queries(name)(s, sfDir).queryExecution.optimizedPlan
       }
