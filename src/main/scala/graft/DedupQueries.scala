@@ -337,20 +337,20 @@ object DedupQueries {
     // other: for every unordered source pair, the number of near-dup
     // clusters containing documents from BOTH (the dashboard that tells
     // a data lead "crawl B is mostly re-crawled A, downweight it").
-    // Composed on the persisted component map (consumer #4 — the
-    // derive-once economics; the live family is already A/B'd three
-    // ways). Scale shape: one distinct bounded by clusters x sources,
-    // then a self-join on the cluster id — tiny relations both.
+    // Scale shape: one distinct bounded by clusters x sources, then a
+    // self-join on the cluster id — tiny relations both, on top of the
+    // family's shared clustering (live here, the persisted map in the
+    // `_indexed` twin — same A/B convention as the rest of the family).
     "q_dedup_source_overlap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val m = docs.select("doc_id", "source")
-        .join(operators.ComponentIndex.componentsFor(s, dir), "doc_id")
-        .select("component_id", "source").distinct()
-      m.as("a").join(m.as("b"),
-          col("a.component_id") === col("b.component_id") &&
-            col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("n_shared_clusters"))
+      sourceOverlap(docs, bandedComponentMap(docs))
+    }),
+
+    // Serving twin over the persisted component map (consumer #4 of the
+    // derive-once artifact; same oracle).
+    "q_dedup_source_overlap_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      sourceOverlap(docs, operators.ComponentIndex.componentsFor(s, dir))
     }),
 
     // Quality-aware near-dup SURVIVOR SELECTION — per cluster (singletons
@@ -745,6 +745,19 @@ object DedupQueries {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("group_id"), col("quality"))
+  }
+
+  /** Cross-source duplication matrix over a given component map — the
+    * tail shared by q_dedup_source_overlap and its `_indexed` twin. */
+  private def sourceOverlap(docs: DataFrame, comp: DataFrame): DataFrame = {
+    val m = docs.select("doc_id", "source")
+      .join(comp, "doc_id")
+      .select("component_id", "source").distinct()
+    m.as("a").join(m.as("b"),
+        col("a.component_id") === col("b.component_id") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
   }
 
   /** Per-language curation dashboard over a given component map — the
@@ -1583,6 +1596,7 @@ object DedupQueries {
     "q_dedup_keep_best" -> keepBestSql,
     "q_dedup_keep_best_indexed" -> keepBestSql,
     "q_dedup_source_overlap" -> sourceOverlapSql,
+    "q_dedup_source_overlap_indexed" -> sourceOverlapSql,
     "q_sim_ivf" -> ivfSql,
     "q_sim_ivf_kmeans" -> kmeansIvfSql,
     // the persisted index serves the SAME trained-centroid result, so the

@@ -111,6 +111,12 @@ class ComponentIndexSpec extends SparkSpec {
     }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
     assert(matrix == expected,
       s"overlap matrix $matrix != driver replay $expected")
+    // and the serving twin equals the live form
+    val indexed = CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries("q_dedup_source_overlap_indexed")(spark, sfDir)
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    }
+    assert(indexed == matrix)
   }
 
   test("keep-best keeps exactly the highest-quality member of every group") {
