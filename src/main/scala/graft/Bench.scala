@@ -190,10 +190,22 @@ object Bench {
     // comparisons of `total_normalized_sec` are host-speed-invariant to
     // first order (ALU-bound approximation — noted beside the raw total,
     // which stays the primary value).
-    val HostmarkRef = 0.148
+    // Round9ReferenceHostmark: the 50M-iteration splitmix loop's min
+    // before/after time measured on the round-9 bench host (0.155/0.148 s)
+    // — the fixed denominator that defines "reference-host units" for
+    // every later round's normalized total. Retune only if the loop
+    // itself changes.
+    val Round9ReferenceHostmark = 0.148
     val hostmarkRun = math.min(hostmarkBefore, hostmarkAfter)
-    val totalNorm = total * (HostmarkRef / hostmarkRun)
-    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_ref_sec":$HostmarkRef%.3f,"total_normalized_sec":$totalNorm%.3f"""
+    // Guard the division (review finding): a failed/degenerate hostmark
+    // (<= 0, NaN, or implausibly fast for a 50M-iteration loop) would
+    // format Infinity/NaN via %.3f and corrupt the JSON artifact — emit
+    // null for the normalized field instead, keeping the raw total (the
+    // primary value) intact.
+    val normJson =
+      if (hostmarkRun.isNaN || hostmarkRun < 1e-4) "null"
+      else f"${total * (Round9ReferenceHostmark / hostmarkRun)}%.3f"
+    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),

@@ -152,17 +152,32 @@ object BpeTrain {
     merges.toDF("merge_rank", "lhs", "rhs", "cnt")
   }
 
+  /** Diagnostic: did the most recent [[collectDictionary]] on this driver
+    * hit its cap (i.e. the corpus dictionary was truncated, so the
+    * below-cap bit-equality claim vs [[train]] no longer applies)? */
+  @volatile var lastDictionaryCapped: Boolean = false
+
   /** The ONE Spark job of [[trainScalable]]: the pre-token frequency
     * dictionary, collected bounded and deterministically under the cap —
     * top by frequency, pre-token ASC tie-break (sub-cap-rare pre-tokens
-    * are what real trainers drop via min_frequency). */
+    * are what real trainers drop via min_frequency). Collects cap+1 rows
+    * so a BINDING cap is observable (review finding: `limit` after
+    * `orderBy` truncates silently): when the extra row comes back, the
+    * documented bit-equality vs [[train]] is void — the condition is
+    * logged and recorded in [[lastDictionaryCapped]] for callers/specs. */
   def collectDictionary(df: DataFrame, textCol: String,
-                        maxDictEntries: Int = DefaultMaxDictEntries): Seq[(String, Long)] =
-    dictionary(df, textCol)
+                        maxDictEntries: Int = DefaultMaxDictEntries): Seq[(String, Long)] = {
+    val rows = dictionary(df, textCol)
       .orderBy(col("freq").desc, col("pt").asc)
-      .limit(maxDictEntries)
+      .limit(maxDictEntries + 1)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    lastDictionaryCapped = rows.length > maxDictEntries
+    if (lastDictionaryCapped)
+      System.err.println(s"[BpeTrain] dictionary cap BINDS at $maxDictEntries " +
+        "entries: sub-cap-rare pre-tokens dropped (min_frequency semantics); " +
+        "trainScalable is no longer bit-identical to the distributed rounds")
+    rows.take(maxDictEntries).map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
 
   /** The in-memory merge loop over a (pre-token, freq) dictionary —
     * exactly [[train]]'s per-round semantics (argmax over

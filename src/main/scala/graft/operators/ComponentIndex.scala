@@ -35,8 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object ComponentIndex {
 
-  private def table(dir: String): String =
-    "comp_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_components"
+  /** Sanitized dir plus a short hash of the RAW path: the sanitizer maps
+    * every non-alphanumeric to '_', so distinct fixture paths differing
+    * only in punctuation would collide onto one table and ensure() would
+    * serve the wrong snapshot's component map (review finding) — the
+    * hash disambiguates them. */
+  private def stem(dir: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    "comp_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+  }
+
+  private def table(dir: String): String = stem(dir) + "_components"
 
   /** The corpus family's LIVE derivation — THE single definition of
     * "the component map" (banded candidate set -> min-label components

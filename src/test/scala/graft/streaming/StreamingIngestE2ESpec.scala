@@ -24,9 +24,21 @@ import graft.functions.TextFunctions
   */
 class StreamingIngestE2ESpec extends SparkSpec {
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
+  }
+
   test("parquet dir -> curation chain -> parquet sink, across a restart, equals the batch artifact") {
     val s = spark
     import s.implicits._
+    // all four temp roots up front so one finally cleans them (review
+    // finding: repeated runs were accumulating orphan directories)
+    val batchDir = Files.createTempDirectory("ingest-batch").toString
+    val streamDir = Files.createTempDirectory("ingest-stream").toString
+    val ckpt = Files.createTempDirectory("ingest-ckpt").toString
+    val outPath = Files.createTempDirectory("ingest-out").toString
+    try {
 
     // ---- the corpus: the sf fixture plus one CONTROLLED duplicate pair
     // that straddles the restart boundary (one copy per ingest file), so
@@ -52,7 +64,6 @@ class StreamingIngestE2ESpec extends SparkSpec {
     assert(mixedLangDups == 0, "fixture violates the lang-homogeneity precondition")
 
     // ---- batch side: the declared artifact over the combined corpus
-    val batchDir = Files.createTempDirectory("ingest-batch").toString
     combined.write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
     val batchArtifact = graft.SparkEntry.queries("q_curation_pipeline")(s, batchDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -61,9 +72,6 @@ class StreamingIngestE2ESpec extends SparkSpec {
     // synthetic event time (ts = epoch + id-derived seconds, range far
     // inside the 1-day horizon, so the watermark never drops a row and
     // dedup state spans the whole ingest — the batch-equivalence regime)
-    val streamDir = Files.createTempDirectory("ingest-stream").toString
-    val ckpt = Files.createTempDirectory("ingest-ckpt").toString
-    val outPath = Files.createTempDirectory("ingest-out").toString
     def withTs(df: DataFrame): DataFrame =
       df.withColumn("ts", timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(10000L))))
     val splitId = maxId / 2
@@ -114,5 +122,7 @@ class StreamingIngestE2ESpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batchArtifact && batchArtifact.nonEmpty,
       s"streaming ingest artifact $streamed != batch artifact $batchArtifact")
+    } finally
+      Seq(batchDir, streamDir, ckpt, outPath).foreach(d => rm(new java.io.File(d)))
   }
 }
