@@ -318,13 +318,26 @@ object TextQueries {
       Tables.documents(s, dir).packedBinsScalable("lang", binTokens = 2048)
     }),
 
+    // REGIME-DISPATCHED packing (round-10 verdict item 2): one
+    // max-group-rows aggregate at construction picks the window form
+    // below the measured ~10M-row-group crossover (constants win) and
+    // the distributed prefix sum above it (no single-task serialization)
+    // — both branches compute the identical assignment, so all three
+    // pack queries share ONE oracle. This is the form the composed
+    // artifacts (sequences/provenance/bpe packing) now build on.
+    "q_pack_bins_auto" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      Tables.documents(s, dir).packedBinsAuto("lang", binTokens = 2048)
+    }),
+
     // The PACKED SEQUENCES themselves — what the training loader reads:
     // per (lang, bin), the bin's documents joined in id order with an EOS
     // marker between them, plus the bin's total token count. Built from
-    // the SCALABLE packing assignment (distributed prefix sum — the
-    // loader-facing artifact must not carry the per-language single-task
-    // window cumsum at 100 TB; same assignment by associativity, pinned
-    // scalable == plain in CorpusOpsSpec), then one aggregate: collect
+    // the REGIME-DISPATCHED packing assignment (window form at this
+    // scale, distributed prefix sum beyond the measured boundary — the
+    // loader-facing artifact must never carry a per-language single-task
+    // window cumsum at 100 TB; same assignment either way, pinned
+    // auto == scalable == plain in CorpusOpsSpec), then one aggregate: collect
     // (doc_id, text) structs, sort_array for a DETERMINISTIC in-bin order
     // (collect_list order is partition-dependent), join surfaces. Bin
     // contents are budget-bounded (2048 whitespace tokens, oversize
@@ -335,7 +348,7 @@ object TextQueries {
     "q_pack_sequences" -> ((s, dir) => {
       import graft.operators.CorpusOps._
       val assigned = Tables.documents(s, dir)
-        .packedBinsScalable("lang", binTokens = 2048)
+        .packedBinsAuto("lang", binTokens = 2048)
       assigned
         .join(Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
         .groupBy("lang", "bin_id")
@@ -361,7 +374,7 @@ object TextQueries {
     "q_pack_provenance" -> ((s, dir) => {
       import graft.operators.CorpusOps._
       val assigned = Tables.documents(s, dir)
-        .packedBinsScalable("lang", binTokens = 2048)
+        .packedBinsAuto("lang", binTokens = 2048)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang", "bin_id").orderBy(col("doc_id").asc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -370,15 +383,15 @@ object TextQueries {
         .select("doc_id", "lang", "bin_id", "n_tokens", "offset_tokens")
     }),
 
-    // Packing in the REAL token currency: the SCALABLE prefix-sum plan,
+    // Packing in the REAL token currency: the regime-dispatched plan,
     // with the budget counting actual BPE tokens (whitespace counts
     // misstate real sequence lengths, so "2048-token bins" built from
     // them overflow or underfill real training sequences). The token
     // counter is orthogonal to the assignment machinery — CorpusOpsSpec
-    // pins scalable == plain under the BPE counter too.
+    // pins auto == scalable == plain under the BPE counter too.
     "q_pack_bins_bpe" -> ((s, dir) => {
       import graft.operators.CorpusOps._
-      Tables.documents(s, dir).packedBinsScalable("lang", binTokens = 2048,
+      Tables.documents(s, dir).packedBinsAuto("lang", binTokens = 2048,
         tokenCount = graft.functions.expressions.BpeCountExpression.bpe_count)
     }),
 
@@ -855,6 +868,20 @@ object TextQueries {
         |    FROM (
         |      SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
         |      FROM documents)))""".stripMargin,
+
+    // the dispatched form picks one of the two identical-assignment
+    // branches — same oracle as both
+    "q_pack_bins_auto" ->
+      """SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM (
+        |    SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
+        |    FROM documents))""".stripMargin,
 
     // the scalable twin computes the IDENTICAL assignment — one oracle,
     // two physical strategies (the q_keyed_count_salted device)

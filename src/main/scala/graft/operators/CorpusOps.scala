@@ -34,6 +34,18 @@ object CorpusOps {
   private val BandedBands = MinHashLSH.BandedBands
   private val BandedRows = MinHashLSH.BandedRows
 
+  /** Largest-group row count at which [[DocumentCorpus.packedBinsAuto]]
+    * switches from the window form to the distributed prefix sum — the
+    * crossover SCALE.md measured (window form still faster at x1000's
+    * 2M-row largest group; serialization risk dominates well before
+    * 100 TB). */
+  val PackWindowMaxGroupRows = 10_000_000L
+
+  /** Diagnostic only: which branch the most recent packedBinsAuto on
+    * this driver dispatched to ("window" | "scalable") — read by the
+    * scale probe and the branch-pinning spec, never by query semantics. */
+  @volatile var lastPackDispatch: String = ""
+
   implicit class DocumentCorpus(private val df: DataFrame) extends AnyVal {
 
     /** Append token-count/quality columns (narrow, codegen'd). */
@@ -188,6 +200,39 @@ object CorpusOps {
           col("n_tokens").cast("long").as("n_tokens"),
           floor((col("_offset") + col("_local_before")) / binTokens)
             .cast("long").as("bin_id"))
+    }
+
+    /** REGIME-DISPATCHED packing: [[packedBins]] (per-group window
+      * cumsum) below the measured crossover, [[packedBinsScalable]]
+      * (distributed prefix sum) above it — the two forms compute the
+      * IDENTICAL assignment (spec-pinned, shared oracle), so the only
+      * question is constants, and SCALE.md measured the answer: the
+      * window form wins up to ~10M-row groups on raw constants (a 2M-row
+      * serial sort is ~1 s at x1000, under the scalable form's extra
+      * full-data exchange + broadcast join), while beyond the boundary
+      * the per-group window is a single-task serialization (40 TB of
+      * English through one thread at corpus scale). The dispatch signal
+      * is the LARGEST group's row count — exactly the quantity the
+      * window form serializes — read by one map-side-combined aggregate
+      * at construction (a bounded driver read, the approx-quantile /
+      * KMeans-centroid rule; its cost is one narrow pass over two
+      * columns, repaid many times over at sf-bench scale where the
+      * window branch saves the scalable form's constant factor). */
+    def packedBinsAuto(groupCol: String, binTokens: Int = 2048,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                         TextFunctions.nTokens,
+                       maxWindowGroupRows: Long = PackWindowMaxGroupRows): DataFrame = {
+      val maxGroup = Option(
+          df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+            .agg(max(col("n"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      lastPackDispatch =
+        if (maxGroup <= maxWindowGroupRows) "window" else "scalable"
+      if (maxGroup <= maxWindowGroupRows)
+        packedBins(groupCol, binTokens, idCol, textCol, tokenCount)
+      else
+        packedBinsScalable(groupCol, binTokens, idCol, textCol, tokenCount)
     }
 
     /** MinHash-LSH near-dup candidate pairs (see [[MinHashLSH]]). The band

@@ -125,22 +125,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ws != plain, "BPE counter must actually change the assignment input")
   }
 
-  test("declared packed queries carry no corpus-sized per-group-only window") {
-    // The scale pin behind q_pack_sequences / q_pack_bins_bpe /
-    // q_pack_bins_scalable: the only Window partitioned by the group
-    // ALONE may be the one over the tiny per-(group, slice) totals
-    // aggregate (an Aggregate must sit beneath it); the corpus-sized
-    // cumsum must be keyed by (group, slice) — i.e. a 2-expression
-    // partition spec. The window form's plan violates both.
+  test("above the dispatch boundary, packed plans carry no corpus-sized per-group-only window") {
+    // The scale pin behind the packed family, restated for the
+    // regime-dispatched form (round-10 verdict item 2): whenever the
+    // scalable branch is in effect — always for q_pack_bins_scalable,
+    // and for packedBinsAuto whenever the largest group exceeds the
+    // boundary — the only Window partitioned by the group ALONE may be
+    // the one over the tiny per-(group, slice) totals aggregate (an
+    // Aggregate must sit beneath it); the corpus-sized cumsum must be
+    // keyed by (group, slice) — a 2-expression partition spec. The
+    // window form's plan violates both.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
     val s = spark
+    import graft.operators.CorpusOps._
     def windows(p: LogicalPlan): Seq[Window] =
       p.collect { case w: Window => w }
-    for (name <- Seq("q_pack_sequences", "q_pack_bins_bpe", "q_pack_bins_scalable",
-                     "q_pack_provenance")) {
-      val plan = CacheScope.withOperatorCaches {
-        graft.SparkEntry.queries(name)(s, sfDir).queryExecution.optimizedPlan
-      }
+    def assertScalableShape(name: String, plan: LogicalPlan): Unit = {
       val ws = windows(plan)
       assert(ws.exists(_.partitionSpec.length == 2),
         s"$name: missing the (group, slice)-keyed distributed cumsum window")
@@ -150,12 +150,68 @@ class CorpusOpsSpec extends SparkSpec {
             "(corpus-sized) input — the single-task scale-killer")
       }
     }
+    assertScalableShape("q_pack_bins_scalable", CacheScope.withOperatorCaches {
+      graft.SparkEntry.queries("q_pack_bins_scalable")(s, sfDir)
+        .queryExecution.optimizedPlan
+    })
+    // auto ABOVE the boundary (forced by a zero threshold): the
+    // scalable-branch plan, and the diagnostic records the branch
+    val forced = CacheScope.withOperatorCaches {
+      val df = Tables.documents(s, sfDir)
+        .packedBinsAuto("lang", maxWindowGroupRows = 0L)
+      assert(CorpusOps.lastPackDispatch == "scalable")
+      df.queryExecution.optimizedPlan
+    }
+    assertScalableShape("packedBinsAuto(boundary=0)", forced)
+    // auto BELOW the boundary (the fixture regime): the window branch —
+    // the constants winner SCALE.md measured — and the composed packed
+    // queries inherit it
+    for (name <- Seq("q_pack_bins_auto", "q_pack_sequences", "q_pack_bins_bpe",
+                     "q_pack_provenance")) {
+      CacheScope.withOperatorCaches {
+        graft.SparkEntry.queries(name)(s, sfDir).queryExecution.optimizedPlan
+      }
+      assert(CorpusOps.lastPackDispatch == "window",
+        s"$name: expected the window branch below the boundary")
+    }
     // and the window form, for contrast, is exactly the shape banned above
     val plainPlan = Tables.documents(s, sfDir)
       .packedBins("lang").queryExecution.optimizedPlan
     assert(windows(plainPlan).forall(w =>
       w.partitionSpec.length == 1 &&
         w.child.collectFirst { case a: Aggregate => a }.isEmpty))
+  }
+
+  test("auto packing equals both branches and dispatches on the largest group") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.CorpusOps._
+    val rnd = new scala.util.Random(43)
+    val docs = rnd.shuffle((0 until 1500).toList).map { i =>
+      val lang = if (i % 10 < 7) "en" else if (i % 10 < 9) "de" else "fr"
+      (i.toLong, Seq.fill(3 + rnd.nextInt(40))("w").mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    val plain = docs.packedBins("lang", binTokens = 64).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // default boundary: largest group (~1050 rows) is far below 10M
+    val auto = CacheScope.withOperatorCaches {
+      docs.packedBinsAuto("lang", binTokens = 64).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(CorpusOps.lastPackDispatch == "window")
+    assert(auto == plain && plain.nonEmpty)
+    // boundary forced below the largest group: the scalable branch, same
+    // assignment (prefix-sum associativity)
+    val autoScalable = CacheScope.withOperatorCaches {
+      docs.packedBinsAuto("lang", binTokens = 64, maxWindowGroupRows = 100L)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(CorpusOps.lastPackDispatch == "scalable")
+    assert(autoScalable == plain)
+    // empty input: no groups, defined behavior (window branch, no rows)
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(empty.packedBinsAuto("lang", binTokens = 64).count() == 0)
   }
 
   test("fingerprinted and withTextStats append the documented columns and types") {
