@@ -83,6 +83,125 @@ class ComponentIndexSpec extends SparkSpec {
     }
   }
 
+  test("merge(base, batch) equals the rebuild over the unioned corpus") {
+    // the incremental maintenance path (round-10 verdict, the weak
+    // item): base corpus indexed, then a "crawl append" batch merged in
+    // — the stored map must equal a full re-derivation over base ∪
+    // batch, including a batch doc that BRIDGES two existing clusters
+    // (the transitive case a naive append cannot handle), a batch-only
+    // duplicate pair, and a batch near-dup of a base SINGLETON (absent
+    // from the stored map, reachable only via the signature store).
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compidx-merge").toString
+    try {
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      val w = (1 to 30).map(i => s"base$i")
+      def mut(k: Int) = w.zipWithIndex.map { case (t, i) =>
+        if (i < k) s"mut$i" else t
+      }
+      val u = (1 to 30).map(i => s"solo$i")
+      // base: cluster A = {1, 2} (the w text), cluster B = {3, 4} (w
+      // with its first 17 words mutated — far enough that A and B share
+      // no full minhash band, verified empirically against the seedless
+      // deterministic signatures), plus singleton 5 (u-family)
+      val base = Seq(
+        doc(1, w), doc(2, w),
+        doc(3, mut(17)), doc(4, mut(17)),
+        doc(5, u))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ComponentIndex.ensure(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      val before = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)),
+        s"unexpected base map $before")
+
+      // batch: 10 = w with its first 4 words mutated — band-matches BOTH
+      // the A text and the B text (shares A's long suffix and B's
+      // mutated-prefix shingles; empirically verified deterministic), so
+      // it bridges the two existing clusters; 11+12 duplicate each other
+      // (batch-only cluster); 13 duplicates the base singleton 5
+      val batch = Seq(
+        doc(10, mut(4)), doc(11, (1 to 30).map(i => s"fresh$i")),
+        doc(12, (1 to 30).map(i => s"fresh$i")), doc(13, u))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // the append contract: batch files land in the corpus dir too
+      batch.write.mode("append").parquet(s"$dir/documents.parquet")
+
+      ConnectedComponents.lastRounds = -1
+      ComponentIndex.merge(s, dir, batch)
+      assert(ConnectedComponents.lastRounds >= 1, "merge must run the clustering")
+
+      val merged = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(
+            graft.sources.Tables.documents(s, dir))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(merged == full && merged.nonEmpty,
+        s"merge diverges from rebuild: merged=$merged full=$full")
+      // the semantic content, independently: the bridge doc fused the
+      // two base clusters, the batch pair formed its own, the base
+      // singleton was pulled into a cluster via the signature store
+      val comp = merged.toMap
+      assert(comp(1L) == comp(3L) && comp(1L) == comp(10L),
+        "bridge doc must merge the two base clusters")
+      assert(comp(11L) == comp(12L), "batch-internal duplicate pair missing")
+      assert(comp(5L) == comp(13L),
+        "base singleton not reachable through the stored signature store")
+
+      // and the signature store advanced with the batch: equal to a
+      // fresh derivation over the unioned corpus
+      val storedBanded = ComponentIndex.bandedFor(s, dir)
+        .collect().map(_.toSeq).toSet
+      val freshBanded = ComponentIndex.bandedSignatures(
+          graft.sources.Tables.documents(s, dir))
+        .collect().map(_.toSeq).toSet
+      assert(storedBanded == freshBanded, "banded store out of step after merge")
+    } finally {
+      ComponentIndex.drop(s, dir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("merge's batch join reads the bucketed signature store without re-shuffling it") {
+    // the SignatureStoreSpec contract restated on the index's own store:
+    // only the batch side pays an exchange; the store scan is
+    // bucket-aware (at 100 TB: shuffle the incoming batch, never the
+    // corpus-sized store)
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val store = ComponentIndex.bandedFor(s, sfDir)
+      val batch = graft.sources.Tables.documents(s, sfDir)
+        .filter(col("doc_id") % 10 === 0)
+      val plan = ComponentIndex
+        .crossCandidates(store, ComponentIndex.bandedSignatures(batch))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      val joinKeyExchanges = "Exchange hashpartitioning\\(band#".r.findAllIn(plan).size
+      assert(joinKeyExchanges == 1,
+        s"expected exactly one join-key shuffle (batch side only), got $joinKeyExchanges:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"store scan is not bucket-aware:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("the declared merged map equals the live full map on the fixture") {
+    // q_corpus_dedup_merged (live base derivation + merge composition)
+    // against q_dedup_components (the full map) — the same-oracle pair,
+    // asserted directly
+    assert(collectSet("q_corpus_dedup_merged") == collectSet("q_dedup_components"))
+  }
+
   test("rebuild re-derives the snapshot") {
     val s = spark
     ComponentIndex.ensure(s, sfDir)
