@@ -344,6 +344,53 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Incremental-merge probe (round-11, verdict item 1's A/B row):
+    // SPARK_GRAFT_PROBE_MERGE=<pct> splits each probe corpus into a
+    // (100-pct)% base and a pct% "crawl append" batch (highest ids — the
+    // append contract), builds the persisted index over the base, then
+    // times ComponentIndex.merge(batch) against the full live
+    // re-clustering over base ∪ batch (what rebuild pays), and verifies
+    // the merged stored map equals the rebuild DISTRIBUTED (anti-join
+    // both ways — never collecting a probe-scale map to the driver).
+    sys.env.get("SPARK_GRAFT_PROBE_MERGE").map(_.toInt).foreach { pct =>
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val n = BaseDocs * mult
+        val cut = n - n * pct / 100
+        val baseDir = s"/tmp/graft_probe/merge_base_${mult}_$pct"
+        docs.filter(col("doc_id") < cut)
+          .write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+        val batch = docs.filter(col("doc_id") >= cut)
+        graft.operators.ComponentIndex.drop(spark, baseDir)
+        val t0 = System.nanoTime()
+        graft.operators.ComponentIndex.ensure(spark, baseDir)
+        graft.operators.ComponentIndex.ensureBanded(spark, baseDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.operators.ComponentIndex.merge(spark, baseDir, batch)
+        val tMerge = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val full = graft.operators.CacheScope.withOperatorCaches {
+          val m = graft.operators.ComponentIndex.bandedComponentMap(docs)
+            .localCheckpoint(true)
+          m.write.mode("overwrite").format("noop").save()
+          m
+        }
+        val tRebuild = (System.nanoTime() - t2) / 1e9
+        val stored = spark.table(
+          graft.operators.ComponentIndex.ensure(spark, baseDir))
+        val diff =
+          stored.join(full, Seq("doc_id", "component_id"), "left_anti").count() +
+          full.join(stored, Seq("doc_id", "component_id"), "left_anti").count()
+        val rows = stored.count()
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        graft.operators.ComponentIndex.drop(spark, baseDir)
+        println(s"""{"probe":"component_merge","mult":$mult,"n_docs":$n,"batch_pct":$pct,"map_rows":$rows,"mismatches":$diff,"t_base_build":$tBuild,"t_merge":$tMerge,"t_rebuild":$tRebuild}""")
+      }
+      spark.stop()
+      return
+    }
     // Guardrail-probe knob: run q_dedup_ngram_jaccard with a non-default
     // posting cap. With the default knobs the operator's candidate-volume
     // budget picks the regime itself (sf fixtures: pure exact; the dense

@@ -162,6 +162,39 @@ object TextQueries {
     "q_bpe_train_scalable" -> ((s, dir) =>
       graft.operators.BpeTrain.trainScalable(Tables.documents(s, dir), "text")),
 
+    // The END-TO-END tokenizer artifact chain, serving side (round-10
+    // verdict item 3): encode the corpus under the TRAINED vocabulary
+    // read from the persisted merge table (BpeVocab — trained once per
+    // tokenizer release by the scalable trainer, |merges| rows of model
+    // state), applied per pre-token by replaying the stored rules in
+    // rank order (graft.functions.BpeDyn, carried into whole-stage
+    // codegen as a constant object — the PQ-codebook pattern). The
+    // oracle independently re-trains in CTEs and serves each document's
+    // pre-tokens from the trained dictionary's FINAL state — train and
+    // apply verified together, end to end, in one hash compare.
+    "q_bpe_encode_indexed" -> ((s, dir) => {
+      val rules = graft.operators.BpeVocab.mergesFor(s, dir)
+      import graft.functions.expressions.BpeDynExpressions._
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        bpe_encode_dyn(col("text"), rules).as("tokens_str"),
+        bpe_count_dyn(col("text"), rules).as("n_tokens_bpe"))
+    }),
+
+    // Packing in the TRAINED-vocabulary token currency — the pack twin
+    // of the artifact chain: the budget counts tokens under the stored
+    // merge table (what "2048 tokens" means once a tokenizer is
+    // released), on the regime-dispatched assignment plan. Training is
+    // amortized out of the packing pass entirely: the counter costs one
+    // 24-row table read at construction.
+    "q_pack_bins_bpe_indexed" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      val rules = graft.operators.BpeVocab.mergesFor(s, dir)
+      Tables.documents(s, dir).packedBinsAuto("lang", binTokens = 2048,
+        tokenCount = c =>
+          graft.functions.expressions.BpeDynExpressions.bpe_count_dyn(c, rules))
+    }),
+
     // Corpus term frequency: explode tokens -> count per term. Map-side
     // partial agg bounds the shuffle at vocabulary size, not corpus size.
     "q_text_termfreq" -> ((s, dir) =>
@@ -662,11 +695,14 @@ object TextQueries {
        |      FROM (SELECT doc_id, lang, $scores FROM documents))""".stripMargin
   }
 
-  /** Unrolled replay of [[graft.operators.BpeTrain.train]]: the same
-    * pre-token dictionary, wrapped-string state, pair counting, argmax
-    * tie-break, and leftmost non-overlapping replace, one CTE trio per
-    * round. */
-  private val bpeTrainSql: String = {
+  /** The training-replay CTE body (pre-token dictionary, wrapped-string
+    * state, one pair-count/argmax/replace trio per round) shared by the
+    * train oracle and the trained-apply oracles. `carryPt` threads the
+    * original pre-token through the state CTEs so the FINAL state
+    * (s<NumMerges>) can serve as a pre-token → tokenization dictionary
+    * for the apply replay (the trained-vocab serving twins). */
+  private def bpeTrainCtes(carryPt: Boolean): String = {
+    val keep = if (carryPt) "pt, freq" else "freq"
     val n = graft.operators.BpeTrain.NumMerges
     val rounds = (0 until n).map { r =>
       s"""p$r AS (
@@ -680,25 +716,105 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |b$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
          |s${r + 1} AS MATERIALIZED (
-         |  SELECT freq,
+         |  SELECT $keep,
          |    COALESCE(replace(st, '|'||b.l||'||'||b.r||'|', '|'||b.l||b.r||'|'), st) AS st
          |  FROM s$r LEFT JOIN b$r b ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val out = (0 until n).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt FROM b$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH pt AS (
+    s"""pt AS (
        |  SELECT pt, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(text,
        |      '${graft.functions.Bpe.PreTokenRegex}')) AS pt FROM documents)
        |  WHERE pt NOT LIKE '%|%'
        |  GROUP BY pt),
        |s0 AS MATERIALIZED (
-       |  SELECT freq,
+       |  SELECT $keep,
        |    '|' || array_to_string(string_split(pt, ''), '||') || '|' AS st
        |  FROM pt),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** Unrolled replay of [[graft.operators.BpeTrain.train]]: the same
+    * pre-token dictionary, wrapped-string state, pair counting, argmax
+    * tie-break, and leftmost non-overlapping replace, one CTE trio per
+    * round. */
+  private val bpeTrainSql: String = {
+    val n = graft.operators.BpeTrain.NumMerges
+    val out = (0 until n).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeTrainCtes(carryPt = false)}
        |$out""".stripMargin
+  }
+
+  /** The trained-vocabulary APPLY replay: rebuild the trained dictionary
+    * state (the same CTEs as the train oracle, pre-token carried), read
+    * the FINAL state as a pre-token → symbol-sequence map, and serve
+    * each document's pre-tokens from it in order — an independent
+    * formulation of what the Spark side computes by replaying the STORED
+    * rules per pre-token (graft.functions.BpeDyn): replaying all rounds
+    * on one pre-token's state is exactly the per-round replace chain
+    * that produced the dictionary's final state. Pre-tokens containing
+    * '|' are excluded from training on both engines, so they miss the
+    * join and fall back to base code points. */
+  private def bpeTrainedEncodeSql: String = {
+    val n = graft.operators.BpeTrain.NumMerges
+    val sep = s"chr(${graft.functions.Bpe.Sep.toInt})"
+    s"""WITH ${bpeTrainCtes(carryPt = true)},
+       |enc AS MATERIALIZED (
+       |  SELECT pt,
+       |    array_to_string(list_transform(
+       |      string_split(substr(st, 2, length(st)-2), '||'),
+       |      t -> t || $sep), '') AS enc_str,
+       |    CAST(len(string_split(substr(st, 2, length(st)-2), '||')) AS BIGINT) AS n_tok
+       |  FROM s$n),
+       |docpt AS (
+       |  SELECT doc_id, unnest(pts) AS pt, unnest(range(len(pts))) AS ord
+       |  FROM (SELECT doc_id, regexp_extract_all(text,
+       |          '${graft.functions.Bpe.PreTokenRegex}') AS pts
+       |        FROM documents)),
+       |agg AS (
+       |  SELECT d.doc_id,
+       |    string_agg(COALESCE(e.enc_str,
+       |      array_to_string(list_transform(string_split(d.pt, ''), c -> c || $sep), '')),
+       |      '' ORDER BY d.ord) AS tokens_str,
+       |    CAST(sum(COALESCE(e.n_tok, len(string_split(d.pt, '')))) AS BIGINT) AS n_tokens_bpe
+       |  FROM docpt d LEFT JOIN enc e ON d.pt = e.pt
+       |  GROUP BY d.doc_id)
+       |SELECT d.doc_id, COALESCE(a.tokens_str, '') AS tokens_str,
+       |  CAST(COALESCE(a.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
+  /** Packing under the trained-vocabulary token counter: the per-doc
+    * counts served from the trained dictionary state, then the standard
+    * pack cumsum. */
+  private def bpeTrainedPackSql: String = {
+    val n = graft.operators.BpeTrain.NumMerges
+    s"""WITH ${bpeTrainCtes(carryPt = true)},
+       |cnts AS MATERIALIZED (
+       |  SELECT pt,
+       |    CAST(len(string_split(substr(st, 2, length(st)-2), '||')) AS BIGINT) AS n_tok
+       |  FROM s$n),
+       |docpt AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text,
+       |    '${graft.functions.Bpe.PreTokenRegex}')) AS pt
+       |  FROM documents),
+       |dtok AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(COALESCE(sum(COALESCE(c.n_tok, len(string_split(p.pt, '')))), 0) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents d
+       |  LEFT JOIN docpt p ON d.doc_id = p.doc_id
+       |  LEFT JOIN cnts c ON p.pt = c.pt
+       |  GROUP BY d.doc_id, d.lang)
+       |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
+       |FROM (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM dtok)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -706,6 +822,11 @@ object TextQueries {
     // the scalable twin is graded against the SAME sequential replay —
     // the dictionary-local loop must reproduce it exactly (BpeTrainSpec)
     "q_bpe_train_scalable" -> bpeTrainSql,
+    // the artifact-chain serving twins: the oracle re-trains in CTEs and
+    // applies the trained dictionary state — one hash compare covers
+    // train, persistence, and apply
+    "q_bpe_encode_indexed" -> bpeTrainedEncodeSql,
+    "q_pack_bins_bpe_indexed" -> bpeTrainedPackSql,
 
     "q_mix_sources" ->
       s"""WITH counts AS (

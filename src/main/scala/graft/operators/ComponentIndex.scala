@@ -191,15 +191,17 @@ object ComponentIndex {
       // batch side computed once, read three times (cross join, internal
       // pairs, store update): eager-checkpoint it
       val bb = CacheScope.track(bandedSignatures(batch).localCheckpoint(true))
-      // components() output is localCheckpoint-backed (truncated
-      // lineage), so overwriting the tables it read from is safe
+      // the clustering runs EAGERLY inside components(), and its output
+      // is localCheckpoint-backed (truncated lineage) — so by write time
+      // nothing reads the tables being updated
       val newMap = mergedFromBanded(spark.table(t), spark.table(bt), bb)
-      // materialize the unioned store BEFORE overwriting its own source
-      val newBanded = CacheScope.track(
-        spark.table(bt).unionByName(bb).localCheckpoint(true))
       newMap.write.mode("overwrite")
         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(t)
-      newBanded.write.mode("overwrite")
+      // signatures carry NO transitive property (one row per (doc,
+      // band)), so unlike the map the store takes a plain bucketed
+      // APPEND of the batch rows — merge's write cost is O(batch +
+      // cluster map), never a full-store rewrite
+      bb.write.mode("append")
         .bucketBy(8, "band", "key", "block").sortBy("band", "key", "block")
         .saveAsTable(bt)
     }
