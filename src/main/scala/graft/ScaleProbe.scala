@@ -184,7 +184,7 @@ object ScaleProbe {
     if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
       spark.range(BaseDocs * mult).map { id =>
         val t =
-          if (mode == 2) {
+          if (mode >= 2) {
             val len = 1 + (mix(id, 0) % 12).toInt // 1-12 fresh tokens
             val fresh = Array.tabulate(len)(i =>
               Vocab((mix(id, i + 1) % Vocab.length).toInt)).mkString(" ")
@@ -193,7 +193,14 @@ object ScaleProbe {
             val base = textFor(id)
             if (mix(id, 4242) % 10 < 3) s"$Boiler $base" else base
           }
-        Doc(id, t, langFor(id), s"src${id % 5}", t.length)
+        // mode 3 (round-11, verdict item 6): mode 2's hot-span corpus
+        // under a DELIBERATELY SKEWED language mix (95% one language —
+        // the 100 TB reality the flat generator understates), so every
+        // lang-blocked shuffle in the family gets a hot block on top of
+        // the hot span hash
+        val lang =
+          if (mode == 3 && mix(id, 777) % 100 < 95) "en" else langFor(id)
+        Doc(id, t, lang, s"src${id % 5}", t.length)
       }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
     dir
@@ -387,6 +394,52 @@ object ScaleProbe {
         spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
         graft.operators.ComponentIndex.drop(spark, baseDir)
         println(s"""{"probe":"component_merge","mult":$mult,"n_docs":$n,"batch_pct":$pct,"map_rows":$rows,"mismatches":$diff,"t_base_build":$tBuild,"t_merge":$tMerge,"t_rebuild":$tRebuild}""")
+      }
+      spark.stop()
+      return
+    }
+    // Hard-negative mining recall probe (round-11, verdict item 5): the
+    // contrastive-mining scale path gets the same measured-guardrail
+    // treatment as dedup — at each probe scale, recall@5 of the
+    // LSH-bucketed mining (q_sim_hard_negatives_ann's plan) against the
+    // exact brute-force mining, plus the label-mismatched candidate
+    // volume the buckets admit vs the full-scan pair count they avoid.
+    // Isotropic vectors are the worst case for LSH (no cluster structure
+    // to exploit), so these recalls are conservative floors.
+    sys.env.get("SPARK_GRAFT_PROBE_HARDNEG").foreach { _ =>
+      import graft.operators.{Similarity, SimilarityLSH}
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        val e = graft.sources.Tables.embeddings(spark, dir)
+        val anchors = e.filter(col("vec_id") < 10)
+        val cands = e.filter(col("vec_id") >= 10)
+        val mismatch = col("c_label") =!= col("q_label")
+        val t0 = System.nanoTime()
+        val brute = Similarity.topK(anchors, cands, k = 5,
+            carryQ = Seq("label"), carryC = Seq("label"), pairFilter = mismatch)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val tBrute = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val ann = SimilarityLSH.annTopK(anchors, cands, k = 5,
+            carryQ = Seq("label"), carryC = Seq("label"), pairFilter = mismatch)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val tAnn = (System.nanoTime() - t1) / 1e9
+        val recall = (ann intersect brute).size.toDouble / brute.size
+        // bucket-admitted label-mismatched candidate pairs (distinct) vs
+        // the full-scan pair count the buckets avoid
+        val qb = anchors.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"),
+          explode(SimilarityLSH.tableBuckets(col("embedding"))).as("tb"))
+        val cb = cands.select(col("vec_id").as("neighbor_id"),
+          col("label").as("c_label"),
+          explode(SimilarityLSH.tableBuckets(col("embedding"))).as("tb"))
+        val nCand = cb.join(qb, Seq("tb")).filter(mismatch)
+          .select("query_id", "neighbor_id").distinct().count()
+        val nFull = anchors.count() * cands.count()
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        println(s"""{"probe":"hardneg_recall","mult":$mult,"n_vecs":${BaseVecs * mult},"recall_at_5":$recall,"ann_pairs":${ann.size},"brute_pairs":${brute.size},"candidate_pairs":$nCand,"full_scan_pairs":$nFull,"t_brute":$tBrute,"t_ann":$tAnn}""")
       }
       spark.stop()
       return
@@ -592,6 +645,8 @@ object ScaleProbe {
         probes.foreach { case (name, fn) =>
           var skew = false
           var sawAqe = false
+          var skewSplits = 0L
+          var spillBytes = 0L
           val times = (1 to runs).map { _ =>
             val df = fn(spark, dir)
             val qe = df.queryExecution
@@ -605,12 +660,36 @@ object ScaleProbe {
             }.mkString("\n")
             skew ||= rendered.contains("skew=true")
             sawAqe ||= rendered.contains("AQEShuffleRead")
+            // the round-11 invariant pin: how many skewed partitions AQE
+            // actually SPLIT, and whether anything spilled — walked from
+            // the executed plan's metrics (recursing through stage
+            // boundaries like the Family metrics mode)
+            def captureSkewAndSpill(): Unit = {
+              import org.apache.spark.sql.execution.SparkPlan
+              import org.apache.spark.sql.execution.adaptive.QueryStageExec
+              def walk(p: SparkPlan): Unit = p.foreach {
+                case q: QueryStageExec => walk(q.plan)
+                case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+                case node =>
+                  node.metrics.foreach { case (key, m) =>
+                    val k = key.toLowerCase
+                    // AQEShuffleRead: numSkewedSplits renders as "number
+                    // of skewed partition splits"
+                    if (k.contains("skew") && k.contains("split") && m.value > 0)
+                      skewSplits += m.value
+                    if (k.contains("spill") && m.value > 0)
+                      spillBytes += m.value
+                  }
+              }
+              walk(qe.executedPlan)
+            }
+            captureSkewAndSpill()
             if (sys.env.contains("SPARK_GRAFT_PROBE_BP_DEBUG"))
               System.err.println(s"[bp-debug] $name final plan:\n$rendered")
             spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
             dt
           }
-          println(s"""{"probe":"boilerplate","mode":$mode,"mult":$mult,"query":"$name","n_docs":${BaseDocs * mult},"t_min":${times.min},"skew_join_fired":$skew,"saw_aqe_read":$sawAqe}""")
+          println(s"""{"probe":"boilerplate","mode":$mode,"mult":$mult,"query":"$name","n_docs":${BaseDocs * mult},"t_min":${times.min},"skew_join_fired":$skew,"saw_aqe_read":$sawAqe,"skew_splits":$skewSplits,"spill_bytes":$spillBytes}""")
         }
       }
     } finally saved.foreach {
