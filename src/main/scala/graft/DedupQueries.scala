@@ -301,10 +301,16 @@ object DedupQueries {
       val docs = Tables.documents(s, dir)
       val base = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
-      operators.ComponentIndex.mergedComponentMap(
-        bandedComponentMap(base),
-        operators.ComponentIndex.bandedSignatures(base),
-        batch)
+      // the base's banded signatures are computed ONCE and feed BOTH the
+      // base map derivation and the cross-candidate join — exactly the
+      // sharing merge() gets from its persisted tables (the signature
+      // store stand-in, the q_corpus_dedup_incremental device)
+      val baseBanded = operators.CacheScope.track(
+        operators.ComponentIndex.bandedSignatures(base).localCheckpoint(true))
+      val baseMap = operators.ConnectedComponents.components(
+          MinHashLSH.candidatesFromBanded(baseBanded), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component_id"))
+      operators.ComponentIndex.mergedComponentMap(baseMap, baseBanded, batch)
     }),
 
     // Leakage-safe train/val/test split: the assignment unit is the

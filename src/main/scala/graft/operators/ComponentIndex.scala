@@ -65,6 +65,43 @@ object ComponentIndex {
 
   private def table(dir: String): String = stem(dir) + "_components"
   private def bandedTable(dir: String): String = stem(dir) + "_banded"
+  private def metaTable(dir: String): String = stem(dir) + "_meta"
+
+  /** Cheap corpus fingerprint: (row count, doc_id sum) — one narrow
+    * aggregate over the 8-byte id column. Collision-proof enough for
+    * the failure it guards (a REGENERATED fixture at the same path:
+    * different rows, same table name), and cheap enough to recompute on
+    * a pipeline's own cadence. */
+  private def fingerprint(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)), sum(col("doc_id"))).head()
+    (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
+  private def stamp(spark: SparkSession, dir: String,
+                    fp: (Long, Long)): Unit = {
+    import spark.implicits._
+    val mt = metaTable(dir)
+    IvfIndex.dropOrphanLocation(spark, mt)
+    Seq(fp).toDF("n_docs", "id_sum").write.mode("overwrite").saveAsTable(mt)
+  }
+
+  /** STALENESS check (review finding: `tableExists` cannot detect a
+    * regenerated fixture at the same path — the stale index would serve
+    * silently): compare the corpus dir's current fingerprint against the
+    * one stamped at build/merge time. Explicitly invoked — a pipeline
+    * checks on its own cadence (per snapshot promotion, not per query
+    * construction) — and the sanctioned repairs are [[merge]] for an
+    * append and [[rebuild]] for anything else. True when no stamp
+    * exists (a pre-round-11 index is unverifiable, so treat as stale). */
+  def snapshotStale(spark: SparkSession, dir: String): Boolean = {
+    val mt = metaTable(dir)
+    if (!spark.catalog.tableExists(mt)) true
+    else {
+      val r = spark.table(mt).head()
+      (r.getLong(0), r.getLong(1)) !=
+        fingerprint(graft.sources.Tables.documents(spark, dir))
+    }
+  }
 
   /** The corpus family's LIVE derivation — THE single definition of
     * "the component map" (banded candidate set -> min-label components
@@ -137,12 +174,14 @@ object ComponentIndex {
     val t = table(dir)
     if (!spark.catalog.tableExists(t)) {
       IvfIndex.dropOrphanLocation(spark, t)
+      val docs = graft.sources.Tables.documents(spark, dir)
       CacheScope.withOperatorCaches {
-        bandedComponentMap(graft.sources.Tables.documents(spark, dir))
+        bandedComponentMap(docs)
           .write.mode("overwrite")
           .bucketBy(8, "doc_id").sortBy("doc_id")
           .saveAsTable(t)
       }
+      stamp(spark, dir, fingerprint(docs))
     }
     t
   }
@@ -205,6 +244,10 @@ object ComponentIndex {
         .bucketBy(8, "band", "key", "block").sortBy("band", "key", "block")
         .saveAsTable(bt)
     }
+    // the index now covers the unioned corpus: re-stamp from the dir
+    // (whose files the caller has landed, per the append contract)
+    stamp(spark, dir,
+      fingerprint(graft.sources.Tables.documents(spark, dir)))
     t
   }
 
@@ -213,6 +256,7 @@ object ComponentIndex {
   def rebuild(spark: SparkSession, dir: String): String = {
     spark.sql(s"DROP TABLE IF EXISTS ${table(dir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${bandedTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${metaTable(dir)}")
     ensure(spark, dir)
   }
 
@@ -222,5 +266,6 @@ object ComponentIndex {
   def drop(spark: SparkSession, dir: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${table(dir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${bandedTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${metaTable(dir)}")
   }
 }

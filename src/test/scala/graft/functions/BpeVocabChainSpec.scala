@@ -102,6 +102,17 @@ class BpeVocabChainSpec extends SparkSpec {
     assert(enc.replace(Bpe.Sep.toString, "") == "the hat")
   }
 
+  test("the indexed encode is one codegen'd scan: zero exchanges in the plan") {
+    // the vocabulary rides in as a constant object, so the whole query
+    // must be a narrow projection at the scan — no shuffle, inside
+    // whole-stage codegen (the 100 TB tokenization-pass shape)
+    val plan = graft.SparkEntry.queries("q_bpe_encode_indexed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+    // the compact rendering marks whole-stage-codegen stages with *(n)
+    assert(plan.contains("*(1) Project"), s"fell out of codegen:\n$plan")
+  }
+
   test("the indexed encode equals a fresh-rules dynamic encode on the fixture") {
     // q_bpe_encode_indexed reads the persisted vocab; the same rules
     // applied directly must agree — and differ from the static table's

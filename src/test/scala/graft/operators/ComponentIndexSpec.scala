@@ -114,6 +114,8 @@ class ComponentIndexSpec extends SparkSpec {
       base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       ComponentIndex.ensure(s, dir)
       ComponentIndex.ensureBanded(s, dir)
+      assert(!ComponentIndex.snapshotStale(s, dir),
+        "freshly built index must not read stale")
       val before = ComponentIndex.componentsFor(s, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(before == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)),
@@ -130,10 +132,16 @@ class ComponentIndexSpec extends SparkSpec {
         .toDF("doc_id", "text", "lang", "source", "n_chars")
       // the append contract: batch files land in the corpus dir too
       batch.write.mode("append").parquet(s"$dir/documents.parquet")
+      // the fingerprint detects the landed-but-unindexed batch (the
+      // regenerated-fixture failure tableExists cannot see)
+      assert(ComponentIndex.snapshotStale(s, dir),
+        "landed batch must read as stale before merge")
 
       ConnectedComponents.lastRounds = -1
       ComponentIndex.merge(s, dir, batch)
       assert(ConnectedComponents.lastRounds >= 1, "merge must run the clustering")
+      assert(!ComponentIndex.snapshotStale(s, dir),
+        "merge must re-stamp the snapshot fingerprint")
 
       val merged = ComponentIndex.componentsFor(s, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -162,6 +170,14 @@ class ComponentIndexSpec extends SparkSpec {
           graft.sources.Tables.documents(s, dir))
         .collect().map(_.toSeq).toSet
       assert(storedBanded == freshBanded, "banded store out of step after merge")
+
+      // downstream consumers serve the MERGED snapshot correctly: the
+      // indexed report over the unioned corpus equals the live one
+      def report(name: String) = CacheScope.withOperatorCaches {
+        graft.SparkEntry.queries(name)(s, dir).collect().map(_.toSeq).toSet
+      }
+      assert(report("q_corpus_report_indexed") == report("q_corpus_report"),
+        "indexed report diverges from live after merge")
     } finally {
       ComponentIndex.drop(s, dir)
       def rm(f: java.io.File): Unit = {
