@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * into whole-stage codegen as a constant object. */
 object BpeVocab {
 
-  private def table(dir: String): String = {
+  private def stem(dir: String): String = {
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     "bpe_vocab_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
   }
+  private def table(dir: String): String = stem(dir)
+  private def metaTable(dir: String): String = stem(dir) + "_meta"
 
   /** Train (via the scalable dictionary-local trainer) and persist the
     * fixture's merge table unless already present; returns the table
@@ -33,12 +35,25 @@ object BpeVocab {
     val t = table(dir)
     if (!spark.catalog.tableExists(t)) {
       IvfIndex.dropOrphanLocation(spark, t)
-      BpeTrain.trainScalable(
-          graft.sources.Tables.documents(spark, dir), "text")
+      val docs = graft.sources.Tables.documents(spark, dir)
+      BpeTrain.trainScalable(docs, "text")
         .write.mode("overwrite").saveAsTable(t)
+      SnapshotMeta.stamp(spark, metaTable(dir),
+        SnapshotMeta.fingerprint(docs, "doc_id"))
     }
     t
   }
+
+  /** STALENESS check (the [[ComponentIndex.snapshotStale]] convention):
+    * a regenerated corpus at the same path would otherwise serve the
+    * previous corpus' vocabulary silently. Explicit — checked per
+    * tokenizer/snapshot promotion; the repair is [[drop]] + [[ensure]]
+    * (vocabulary training has no sound incremental path: one new
+    * pre-token can reorder every later merge's argmax). */
+  def snapshotStale(spark: SparkSession, dir: String): Boolean =
+    SnapshotMeta.stale(spark, metaTable(dir),
+      SnapshotMeta.fingerprint(
+        graft.sources.Tables.documents(spark, dir), "doc_id"))
 
   /** The stored trained table. */
   def tableFor(spark: SparkSession, dir: String): DataFrame =
@@ -53,6 +68,8 @@ object BpeVocab {
 
   /** Drop the fixture's vocabulary table (snapshot retirement / test
     * hygiene). */
-  def drop(spark: SparkSession, dir: String): Unit =
+  def drop(spark: SparkSession, dir: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${table(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${metaTable(dir)}")
+  }
 }

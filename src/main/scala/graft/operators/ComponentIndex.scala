@@ -67,23 +67,12 @@ object ComponentIndex {
   private def bandedTable(dir: String): String = stem(dir) + "_banded"
   private def metaTable(dir: String): String = stem(dir) + "_meta"
 
-  /** Cheap corpus fingerprint: (row count, doc_id sum) — one narrow
-    * aggregate over the 8-byte id column. Collision-proof enough for
-    * the failure it guards (a REGENERATED fixture at the same path:
-    * different rows, same table name), and cheap enough to recompute on
-    * a pipeline's own cadence. */
-  private def fingerprint(docs: DataFrame): (Long, Long) = {
-    val r = docs.agg(count(lit(1)), sum(col("doc_id"))).head()
-    (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
-  }
+  private def fingerprint(docs: DataFrame): (Long, Long) =
+    SnapshotMeta.fingerprint(docs, "doc_id")
 
   private def stamp(spark: SparkSession, dir: String,
-                    fp: (Long, Long)): Unit = {
-    import spark.implicits._
-    val mt = metaTable(dir)
-    IvfIndex.dropOrphanLocation(spark, mt)
-    Seq(fp).toDF("n_docs", "id_sum").write.mode("overwrite").saveAsTable(mt)
-  }
+                    fp: (Long, Long)): Unit =
+    SnapshotMeta.stamp(spark, metaTable(dir), fp)
 
   /** STALENESS check (review finding: `tableExists` cannot detect a
     * regenerated fixture at the same path — the stale index would serve
@@ -93,15 +82,9 @@ object ComponentIndex {
     * construction) — and the sanctioned repairs are [[merge]] for an
     * append and [[rebuild]] for anything else. True when no stamp
     * exists (a pre-round-11 index is unverifiable, so treat as stale). */
-  def snapshotStale(spark: SparkSession, dir: String): Boolean = {
-    val mt = metaTable(dir)
-    if (!spark.catalog.tableExists(mt)) true
-    else {
-      val r = spark.table(mt).head()
-      (r.getLong(0), r.getLong(1)) !=
-        fingerprint(graft.sources.Tables.documents(spark, dir))
-    }
-  }
+  def snapshotStale(spark: SparkSession, dir: String): Boolean =
+    SnapshotMeta.stale(spark, metaTable(dir),
+      fingerprint(graft.sources.Tables.documents(spark, dir)))
 
   /** The corpus family's LIVE derivation — THE single definition of
     * "the component map" (banded candidate set -> min-label components
@@ -243,6 +226,14 @@ object ComponentIndex {
       bb.write.mode("append")
         .bucketBy(8, "band", "key", "block").sortBy("band", "key", "block")
         .saveAsTable(bt)
+      // the writes resolve through the BATCH frame's session — under
+      // foreachBatch that is the micro-batch clone, and only the writing
+      // session's relation cache self-invalidates. Refresh the CALLER's
+      // view, or its next merge would read a stale file listing of the
+      // store and silently miss this batch's signatures (measured: the
+      // cross-micro-batch duplicate went unfound).
+      spark.catalog.refreshTable(t)
+      spark.catalog.refreshTable(bt)
     }
     // the index now covers the unioned corpus: re-stamp from the dir
     // (whose files the caller has landed, per the append contract)

@@ -53,6 +53,16 @@ class BpeVocabChainSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       assert(stored.sameElements(trained) && stored.nonEmpty)
 
+      // staleness (the SnapshotMeta convention): fresh build reads
+      // clean; a regenerated/extended corpus at the same path reads
+      // stale — tableExists alone cannot see either
+      assert(!BpeVocab.snapshotStale(s, dir))
+      Seq((4L, "late arrival", "en", "s0", 12))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      assert(BpeVocab.snapshotStale(s, dir),
+        "extended corpus must read stale against the stamped vocabulary")
+
       // serving reads the STORE, not the trainer: plant a sentinel table
       // and observe mergesFor return it verbatim
       val sentinel = Seq((0L, "x", "y", 9L))

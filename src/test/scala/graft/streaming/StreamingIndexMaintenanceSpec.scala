@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{ComponentIndex, ConnectedComponents}
+
+/** CONTINUOUS index maintenance — the 100 TB crawl-append loop whole:
+  * new document files arrive as a stream, and each micro-batch lands
+  * its files into the corpus dir and MERGES into the persisted
+  * component-map index (ComponentIndex.merge under foreachBatch — the
+  * batch-at-a-time sink Structured Streaming provides for exactly this
+  * kind of transactional side effect). The maintained index must equal
+  * a full re-derivation over everything ingested, INCLUDING a
+  * duplicate pair that straddles two micro-batches — the case that
+  * only works because merge APPENDS each batch's signatures to the
+  * store, so batch 2's candidates can reach batch 1's documents. */
+class StreamingIndexMaintenanceSpec extends SparkSpec {
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
+  }
+
+  test("foreachBatch merge maintains the index across streamed crawl appends") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("idxmaint-corpus").toString
+    val src = Files.createTempDirectory("idxmaint-src").toString
+    val ckpt = Files.createTempDirectory("idxmaint-ckpt").toString
+    try {
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      val w = (1 to 30).map(i => s"base$i")
+      def mut(k: Int) = w.zipWithIndex.map { case (t, i) =>
+        if (i < k) s"mut$i" else t
+      }
+      val u = (1 to 30).map(i => s"solo$i")
+      val fresh = (1 to 30).map(i => s"fresh$i")
+
+      // base snapshot: clusters {1,2} and {3,4}, singleton 5 (the
+      // ComponentIndexSpec scenario — empirically-verified deterministic
+      // banding)
+      Seq(doc(1, w), doc(2, w), doc(3, mut(17)), doc(4, mut(17)), doc(5, u))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ComponentIndex.ensure(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+
+      // two crawl appends: batch 1 bridges the base clusters (10) and
+      // introduces 11; batch 2 duplicates 11 ACROSS the batch boundary
+      // (12) and duplicates the base singleton (13)
+      val batch1 = Seq(doc(10, mut(4)), doc(11, fresh))
+      val batch2 = Seq(doc(12, fresh), doc(13, u))
+
+      val schema = graft.sources.Tables.documents(s, dir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val batch = b.persist()
+            batch.write.mode("append").parquet(s"$dir/documents.parquet")
+            ComponentIndex.merge(s, dir, batch)
+            batch.unpersist()
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      batch1.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      batch2.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val maintained = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = graft.operators.CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(
+            graft.sources.Tables.documents(s, dir))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(maintained == full && maintained.nonEmpty,
+        s"maintained index diverges from rebuild: $maintained vs $full")
+      val comp = maintained.toMap
+      assert(comp(1L) == comp(3L) && comp(1L) == comp(10L),
+        "batch-1 bridge doc must merge the two base clusters")
+      assert(comp(11L) == comp(12L),
+        "cross-micro-batch duplicate requires batch 1's signatures in the store")
+      assert(comp(5L) == comp(13L),
+        "base singleton must be reachable through the signature store")
+      assert(!ComponentIndex.snapshotStale(s, dir),
+        "the maintained snapshot must read fresh after the final merge")
+    } finally {
+      ComponentIndex.drop(s, dir)
+      Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+}
