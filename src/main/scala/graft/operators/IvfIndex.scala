@@ -51,6 +51,15 @@ object IvfIndex {
       if (loc.exists()) rm(loc)
     }
 
+  /** Drop the fixture's index tables without rebuilding — snapshot
+    * retirement, and test hygiene for temp fixtures (the
+    * ComponentIndex.drop convention). */
+  def drop(spark: SparkSession, dir: String): Unit = {
+    val stem = tableStem(dir)
+    spark.sql(s"DROP TABLE IF EXISTS ${stem}_cells")
+    spark.sql(s"DROP TABLE IF EXISTS ${stem}_centroids")
+  }
+
   /** Build the index tables for the fixture unless already present;
     * returns the trained centroid matrix (from the persisted centroid
     * table when it exists — a later session serves probes without any
@@ -100,6 +109,12 @@ object IvfIndex {
       .write.mode("append")
       .bucketBy(8, "cell").sortBy("cell")
       .saveAsTable(cellsT)
+    // the write resolves through the BATCH frame's session — under
+    // foreachBatch that is the micro-batch clone, and only the writing
+    // session's relation cache self-invalidates; without this refresh
+    // the caller's next probe/append reads a stale file listing (the
+    // ComponentIndex.merge lesson, measured there)
+    spark.catalog.refreshTable(cellsT)
   }
 
   /** K x Dim model state from the centroid table — the only thing probe

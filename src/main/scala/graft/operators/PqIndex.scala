@@ -134,6 +134,9 @@ object PqIndex {
       .write.mode("append")
       .bucketBy(8, "cell").sortBy("cell")
       .saveAsTable(codesT)
+    // same cross-session staleness guard as IvfIndex.append (the
+    // ComponentIndex.merge lesson): refresh the CALLER's view
+    spark.catalog.refreshTable(codesT)
   }
 
   /** ADC top-k from the STORED codes: the candidate side is a scan of the

@@ -24,6 +24,60 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     f.delete()
   }
 
+  test("foreachBatch IVF append stays visible to the caller across micro-batches") {
+    // the same cross-session staleness class the merge spec flushed out,
+    // on the ANN ingest path: vectors arrive as a stream, each
+    // micro-batch IvfIndex.append()s under foreachBatch (the clone
+    // session), and the CALLER's view of the cells table must include
+    // every appended batch — without the refreshTable guard the caller
+    // read a stale file listing
+    val s = spark
+    import s.implicits._
+    val idxDir = Files.createTempDirectory("ivfmaint-fixture").toString
+    val src = Files.createTempDirectory("ivfmaint-src").toString
+    val ckpt = Files.createTempDirectory("ivfmaint-ckpt").toString
+    try {
+      // a small embeddings fixture of its own (so appended rows don't
+      // leak into other suites' shared-fixture index — the IvfIndexSpec
+      // hygiene rule)
+      def vec(id: Long) = (id,
+        Array.tabulate(64)(d => (((id * 31 + d * 7) % 19) - 9) / 9.0f), id % 10)
+      (0L until 50L).map(vec)
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$idxDir/embeddings.parquet")
+      val (cellsT, _) = graft.operators.IvfIndex.ensureIndex(s, idxDir)
+      val before = s.table(cellsT).count()
+
+      val schema = graft.sources.Tables.embeddings(s, idxDir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) graft.operators.IvfIndex.append(s, idxDir, b)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      (50L until 60L).map(vec).toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(s.table(cellsT).count() == before + 10,
+        "caller view is stale after the first streamed append")
+      (60L until 70L).map(vec).toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      val ids = s.table(cellsT).select("vec_id").as[Long].collect().toSet
+      assert(ids == (0L until 70L).toSet,
+        "appended micro-batches missing from the caller's view")
+    } finally {
+      graft.operators.IvfIndex.drop(s, idxDir)
+      graft.operators.KMeans.clearModels()
+      Seq(idxDir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch merge maintains the index across streamed crawl appends") {
     val s = spark
     import s.implicits._
