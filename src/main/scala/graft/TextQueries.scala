@@ -428,6 +428,35 @@ object TextQueries {
         tokenCount = graft.functions.expressions.BpeCountExpression.bpe_count)
     }),
 
+    // SHARD EXPORT MANIFEST — the last link of the training-data chain
+    // (curate → dedup → pack → shard): packed bins grouped into fixed-size
+    // shards, the unit of training-reader I/O parallelism. The assignment
+    // is a pure projection of the regime-dispatched packing (shard =
+    // bin/binsPerShard per language), so dataset builds are REPRODUCIBLE —
+    // re-running the export over the same corpus yields byte-identical
+    // shard boundaries, which is what makes resumable multi-epoch training
+    // and audit-time sample attribution possible. The manifest row per
+    // shard (bin/doc/token counts + the doc-id range a seeking reader
+    // needs) is bounded by shard count, orders of magnitude below doc
+    // count; 8 bins/shard keeps shards observable at fixture scale — a
+    // production export sets ~10^3 bins/shard for multi-GB shard files,
+    // the constant is load-bearing only for file sizing, never for
+    // correctness.
+    "q_export_shards" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      val binsPerShard = 8
+      Tables.documents(s, dir).packedBinsAuto("lang", binTokens = 2048)
+        .withColumn("shard_id",
+          floor(col("bin_id") / binsPerShard).cast("long"))
+        .groupBy("lang", "shard_id")
+        .agg(
+          countDistinct(col("bin_id")).as("n_bins"),
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("shard_tokens"),
+          min(col("doc_id")).as("first_doc_id"),
+          max(col("doc_id")).as("last_doc_id"))
+    }),
+
     // Eval-set decontamination: drop every document sharing ANY word-3-gram
     // with the held-out set (here: the 10 lowest doc_ids, standing in for a
     // benchmark suite) — the n-gram-overlap contamination rule every
@@ -1006,6 +1035,26 @@ object TextQueries {
         |  FROM (
         |    SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
         |    FROM documents))""".stripMargin,
+
+    // same assignment rolled up to the shard manifest
+    "q_export_shards" ->
+      """WITH assigned AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id
+        |  FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |      CAST(coalesce(sum(n_tokens) OVER (
+        |        PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |    FROM (
+        |      SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens
+        |      FROM documents)))
+        |SELECT lang, CAST(floor(bin_id / 8) AS BIGINT) AS shard_id,
+        |  CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+        |FROM assigned GROUP BY 1, 2""".stripMargin,
 
     // same assignment + the in-bin offset window — the inverse mapping
     "q_pack_provenance" ->

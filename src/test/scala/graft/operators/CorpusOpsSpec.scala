@@ -214,6 +214,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(empty.packedBinsAuto("lang", binTokens = 64).count() == 0)
   }
 
+  test("shard manifest conserves bins, docs, and tokens of the packed assignment") {
+    val s = spark
+    import s.implicits._
+    val assigned = Tables.documents(s, sfDir).packedBinsAuto("lang", binTokens = 2048)
+    val manifest = graft.SparkEntry.queries("q_export_shards")(s, sfDir)
+    // partition property: every bin lands in exactly one shard, so the
+    // manifest's per-lang bin/doc/token totals equal the assignment's
+    val fromAssign = assigned.groupBy("lang")
+      .agg(countDistinct(col("bin_id")).as("bins"),
+        count(lit(1)).as("docs"), sum(col("n_tokens")).as("toks"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val fromManifest = manifest.groupBy("lang")
+      .agg(sum(col("n_bins")).as("bins"),
+        sum(col("n_docs")).as("docs"), sum(col("shard_tokens")).as("toks"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(fromManifest == fromAssign && fromAssign.nonEmpty)
+    // determinism of the export: a second construction is byte-identical
+    val again = graft.SparkEntry.queries("q_export_shards")(s, sfDir)
+    assert(manifest.exceptAll(again).count() == 0 &&
+           again.exceptAll(manifest).count() == 0)
+  }
+
   test("fingerprinted and withTextStats append the documented columns and types") {
     val s = spark
     val out = Tables.documents(s, sfDir)
