@@ -1470,24 +1470,26 @@ object DedupQueries {
        |   sqrt(${sqlDot("b.embedding", "b.embedding")})) >= 0.3""".stripMargin
   }
 
-  /** Rolling-span duplication replay: same span construction as
-    * shinglesFromTokens at w=8, same portable 60-bit hash, distinct-doc
-    * frequency, per-doc coverage. */
+  /** Rolling-span duplication replay: same positional span construction
+    * as the removal family, same portable 60-bit hash, per-doc distinct in
+    * HASH currency (exactly what SpanHashesExpression + array_distinct
+    * compute, and the same currency as the removal oracle's
+    * count(DISTINCT doc_id)), distinct-doc frequency, per-doc coverage. */
   private val substringSql: String = {
     val w = graft.operators.Dedup.DefaultSpanWidth
     val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |starts AS (
+       |  SELECT doc_id, t, unnest(range(1, len(t)-${w - 2})) AS i FROM toks),
        |g AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(t)-${w - 2}), i -> $span))) AS span
-       |  FROM toks WHERE len(t) >= $w),
-       |h AS (SELECT doc_id, ${PortableHash.hash60Sql("span")} AS h FROM g),
-       |freq AS (SELECT h, count(*) AS nd FROM h GROUP BY h)
+       |  SELECT DISTINCT doc_id, ${PortableHash.hash60Sql(s"($span)")} AS h
+       |  FROM starts),
+       |freq AS (SELECT h, count(*) AS nd FROM g GROUP BY h)
        |SELECT doc_id, count(*) AS n_spans,
        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
-       |FROM h JOIN freq USING (h)
+       |FROM g JOIN freq USING (h)
        |GROUP BY doc_id""".stripMargin
   }
 

@@ -258,11 +258,18 @@ object Dedup {
     // persisted — the q_text_tfidf rule: a corpus-sized exploded frame is
     // not a 100 TB persist candidate, and the recomputed stage is narrow
     // scan work (split + hash, no shuffle).
-    // distinct spans per doc (array_distinct inside shinglesFromTokens):
-    // self-repetition within one doc is q_text_repetition's signal, not
-    // cross-doc duplication — count each doc once per span
-    val spans = spanRows(df, idCol, textCol, w)
-      .select(col("doc_id"), graft.functions.PortableHash.hash60(col("span")).as("h"))
+    // Spans are hashed IN PLACE by the codegen kernel (SpanHashesExpression
+    // — no per-span HOF dispatch, no span-string allocation, longs through
+    // the explode instead of ~50-byte strings; round-11 A/B in SCALE.md)
+    // and made distinct per doc in HASH currency: self-repetition within
+    // one doc is q_text_repetition's signal, not cross-doc duplication —
+    // count each doc once per span. Hash-distinct is the same currency the
+    // removal family's oracle uses (count(DISTINCT doc_id) per h), and the
+    // stats oracle replays it identically.
+    val spans = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.expressions.SpanHash.span_hashes(col("toks"), w))).as("h"))
     // spans are DISTINCT per doc (array_distinct upstream), so the
     // distinct-doc count per hash is a plain row count — count_distinct
     // here would add a SECOND full exchange of the span rows (partial
@@ -319,27 +326,26 @@ object Dedup {
     val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     // ALL span occurrences with start positions (0-based) — NOT distinct:
     // a span recurring inside one doc must cover both its sites once the
-    // span is known-duplicated across docs. Spans are built by the HOF
-    // (slice+join, one dispatch per span) but HASHED after the explode,
-    // where md5 runs codegen'd per row — hashing inside the interpreted
-    // lambda was measured 4x slower on the whole query (ScaleProbe x1:
-    // 10.9 s -> 2.7 s)
+    // span is known-duplicated across docs. The codegen span-hash kernel
+    // emits every span's hash in start order in ONE static call
+    // (SpanHashesExpression), so posexplode yields (i, h) directly —
+    // r5 had already moved the md5 out of the interpreted lambda (4x,
+    // 10.9 s -> 2.7 s at x1); r11 removes the span-string HOF and the
+    // string explode entirely (longs through the explode).
     val occ = toks
       .select(col("doc_id"),
-        when(size(col("toks")) >= w,
-          transform(sequence(lit(0), size(col("toks")) - w),
-            i => array_join(slice(col("toks"), i + 1, lit(w)), " ")))
-          .otherwise(array().cast("array<string>")).as("spans"))
-      .select(col("doc_id"), posexplode(col("spans")).as(Seq("i", "span")))
-      .select(col("doc_id"), col("i"),
-              graft.functions.PortableHash.hash60(col("span")).as("h"))
-    // cross-doc frequency over PER-DOC-DISTINCT spans — the spanRows
-    // shape duplicatedSpanStats proved: its row count per hash IS the
+        posexplode(graft.functions.expressions.SpanHash
+          .span_hashes(col("toks"), w)).as(Seq("i", "h")))
+    // cross-doc frequency over PER-DOC-DISTINCT span hashes — the
+    // duplicatedSpanStats shape: its row count per hash IS the
     // distinct-doc count, one exchange; deriving the same relation from
     // the positional rows above would need a distinct aggregate first
-    // (a second full exchange of every span row for nothing)
-    val freq = spanRows(df, idCol, textCol, w)
-      .select(graft.functions.PortableHash.hash60(col("span")).as("h"))
+    // (a second full exchange of every span row for nothing). Hash-level
+    // distinct is exactly the removal oracle's count(DISTINCT doc_id)
+    // currency.
+    val freq = toks
+      .select(explode(array_distinct(graft.functions.expressions.SpanHash
+        .span_hashes(col("toks"), w))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("nd"))
     val covered = occ.join(freq.filter(col("nd") >= minDocs), "h")
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))

@@ -62,4 +62,29 @@ class SubstringDedupSpec extends SparkSpec {
       Seq((1L, t), (2L, t)).toDF("doc_id", "text"), "doc_id", "text")
     assert(out.collect().forall(r => r.getDouble(3) == 1.0))
   }
+
+  test("span-hash kernel is bit-identical to hash60 of the joined span string") {
+    import spark.implicits._
+    import graft.functions.expressions.SpanHash
+    // mixed widths, multi-byte text, and a too-short doc; the kernel's
+    // contract is element j == hash60("tok[j] .. tok[j+w-1]") — replayed
+    // here through PortableHash.hash60String, the one JVM definition of
+    // the hash contract
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld naïve café déjà vu encore une fois",
+      "a b", // shorter than w -> empty
+      words("t", 30))
+    val w = 4
+    val got = texts.toDF("text")
+      .select(SpanHash.span_hashes(split(col("text"), " "), w).as("hs"))
+      .as[Seq[Long]].collect()
+    val want = texts.map { t =>
+      val toks = t.split(" ")
+      if (toks.length < w) Seq.empty[Long]
+      else (0 to toks.length - w).map(j =>
+        graft.functions.PortableHash.hash60String(toks.slice(j, j + w).mkString(" ")))
+    }
+    assert(got.toSeq.map(_.toList) == want.toList.map(_.toList))
+  }
 }
