@@ -35,15 +35,22 @@ object MinHashLSH {
   val BandedBands = 3
   val BandedRows = 4
 
-  /** Distinct (doc_id, block, shingle-hash) pairs. Tokens are projected
-    * before the shingle lambda runs (see Dedup.shinglesFromTokens PERF note). */
+  /** Distinct (doc_id, block, shingle-hash) pairs, hashed IN PLACE by the
+    * codegen span kernel (SpanHashesExpression — the round-11 span-family
+    * upgrade): no per-shingle HOF dispatch or string allocation, longs
+    * through the explode. Distinct-then-hash and hash-then-distinct yield
+    * the IDENTICAL gh set (a collision means the same hash value by
+    * definition), and everything downstream is min() aggregates —
+    * multiplicity-insensitive — so signatures and oracles are unchanged
+    * bit for bit. */
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
                             blockCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
               split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), col("block"),
-              explode(Dedup.shinglesFromTokens(col("toks"), n)).as("gram"))
-      .select(col("doc_id"), col("block"), (hash60(col("gram")) % P).as("gh"))
+        explode(array_distinct(graft.functions.expressions.SpanHash
+          .span_hashes(col("toks"), n))).as("h60"))
+      .select(col("doc_id"), col("block"), (col("h60") % P).as("gh"))
 
   /** MinHash signature: k = numBands * rowsPerBand permutation minima,
     * one groupBy. */
@@ -82,11 +89,15 @@ object MinHashLSH {
     * the only sound collision criterion there. */
   def rowSignature(text: Column, n: Int = 3,
                    numBands: Int = 6, rowsPerBand: Int = 2): Column = {
-    val grams = Dedup.shinglesFromTokens(split(text, " "), n)
+    // same codegen span-hash kernel as the batch path (md5 inside the
+    // kernel, only the permutation arithmetic left in the lambda); the
+    // min over hashes is set-equal to the min over hashed shingle strings
+    val grams = graft.functions.expressions.SpanHash
+      .span_hashes(split(text, " "), n)
     val k = numBands * rowsPerBand
     val sig = array((0 until k).map { i =>
       val (a, b) = perm(i)
-      array_min(transform(grams, g => (hash60(g) % P * a + b) % P))
+      array_min(transform(grams, h => (h % P * a + b) % P))
     }: _*)
     val exact = array((0 until k).map(_ => hash60(text) % P): _*)
     when(size(split(text, " ")) >= n, sig).otherwise(exact)
