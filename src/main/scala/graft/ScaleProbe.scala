@@ -444,6 +444,72 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Bloom-decontamination probe (round-11): the exact rule's cost is the
+    // gram explode of EVERY training doc; the bloom rule explodes only
+    // flagged docs. The shared generator's 31-word vocabulary makes random
+    // gram collisions dominate (~60% of docs "contaminated" — a density no
+    // real corpus has), so this probe builds its own corpus at web-scale
+    // gram sparsity (~200k-word vocabulary: chance overlap ~0) with
+    // PLANTED contamination — 2% of training docs embed a 12-token run
+    // copied verbatim from an eval doc — the percent-level operating point
+    // production decontamination actually runs at. Rows record the
+    // structural reduction (gram rows exploded) and construct+exec wall
+    // clock of both declared plans.
+    sys.env.get("SPARK_GRAFT_PROBE_DECON").foreach { _ =>
+      import graft.functions.expressions.GramBloom
+      mults.foreach { mult =>
+        val dir = s"/tmp/graft_scale/decon_x$mult"
+        if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+          import spark.implicits._
+          spark.range(BaseDocs * mult).map { id =>
+            def tok(src: Long, i: Int) = "t" + mix(src, 1000 + i) % 200000
+            val len = 40 + (mix(id, 0) % 41).toInt
+            val fresh = Array.tabulate(len)(i => tok(id, i))
+            val t =
+              if (id >= 10 && id % 50 == 7) {
+                // 12 consecutive tokens of eval doc (id%10), offset 5 —
+                // inside every eval doc (len >= 40)
+                val run = Array.tabulate(12)(j => tok(id % 10, 5 + j))
+                (fresh.take(len / 2) ++ run ++ fresh.drop(len / 2)).mkString(" ")
+              } else fresh.mkString(" ")
+            Doc(id, t, langFor(id), s"src${id % 5}", t.length)
+          }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        }
+        val docs = graft.sources.Tables.documents(spark, dir)
+        // the query's exact prefilter: hash-currency bloom at per-key
+        // fpp=1e-4 (doc-level ~1%), probed codegen-side by containsAny
+        import graft.functions.expressions.SpanHash
+        val train = docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            SpanHash.span_hashes(col("toks"), 3).as("hs"))
+        val gramRowsTotal = train
+          .agg(sum(size(col("hs")))).head().getLong(0)
+        val evalHashes = docs.filter(col("doc_id") < 10)
+          .select(split(col("text"), " ").as("toks"))
+          .select(explode(array_distinct(
+            SpanHash.span_hashes(col("toks"), 3))).as("h")).distinct()
+        val (bits, m, k) = GramBloom.buildLong(evalHashes, "h", fpp = 1e-4)
+        val flagged = train.filter(
+          GramBloom.bloom_contains_any(bits, m, k)(col("hs")))
+        val Array(nFlagged, gramRowsFlagged) = flagged
+          .agg(count(lit(1)), sum(size(col("hs")))).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val nTrain = train.count()
+        def time(name: String): Double = (1 to runs).map { _ =>
+          spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val tExact = time("q_decontaminate")
+        val tBloom = time("q_decontaminate_bloom")
+        println(s"""{"probe":"decontam_bloom","mult":$mult,"n_docs":${BaseDocs * mult},"n_train":$nTrain,"n_flagged":$nFlagged,"gram_rows_total":$gramRowsTotal,"gram_rows_flagged":$gramRowsFlagged,"t_exact":$tExact,"t_bloom":$tBloom}""")
+      }
+      spark.stop()
+      return
+    }
     // Guardrail-probe knob: run q_dedup_ngram_jaccard with a non-default
     // posting cap. With the default knobs the operator's candidate-volume
     // budget picks the regime itself (sf fixtures: pure exact; the dense

@@ -486,30 +486,41 @@ object TextQueries {
     // the 100 TB cost model fixed. The exact form explodes EVERY training
     // document into gram rows before its (cheap) broadcast probe; at corpus
     // scale that explode + distinct IS the pass's cost. Here a Bloom filter
-    // of the eval gram set (fixed-size long[], shipped as a plan constant —
-    // no broadcast relation, no join) tests each document's gram array IN
-    // PLACE at the scan; only flagged documents (true contamination + ~1%
-    // false positives) pay the explode and the exact verify join, which
-    // removes the FPs. No false negatives are possible, so the composition
-    // is bit-identical to the exact rule — same oracle. The eval-gram
-    // collect for the build is bounded by construction (eval suites are
-    // tiny) and cap-checked loudly in GramBloom.build.
+    // of the eval suite's 60-BIT SPAN HASHES (fixed-size long[], shipped as
+    // a plan constant — no broadcast relation, no join) tests each
+    // document IN PLACE at the scan: the codegen span kernel emits the
+    // doc's gram hashes and one containsAny call probes them, so the whole
+    // flag stage is generated code with no string or interpreted-lambda
+    // work. Only flagged documents — true contamination plus ~1% of clean
+    // docs (per-key fpp 1e-4, sized so the PER-DOCUMENT compound FP rate
+    // stays percent-level; see GramBloom's long-variant note) — pay the
+    // gram-string explode and the exact verify join, which removes every
+    // false positive. No false negatives are possible (every true eval
+    // gram's hash was inserted), so the composition is bit-identical to
+    // the exact rule — same oracle. The eval-hash collect for the build is
+    // bounded by construction (eval suites are tiny) and cap-checked
+    // loudly in GramBloom.buildLong.
     "q_decontaminate_bloom" -> ((s, dir) => {
-      import graft.functions.expressions.GramBloom
+      import graft.functions.expressions.{GramBloom, SpanHash}
       val docs = Tables.documents(s, dir)
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"),
-          explode(graft.operators.Dedup.shinglesFromTokens(col("toks"), 3)).as("gram"))
-      val evalGrams = grams(docs.filter(col("doc_id") < 10)).select("gram").distinct()
-      val (bits, m, k) = GramBloom.build(evalGrams, "gram", fpp = 0.01)
+      val evalHashes = docs.filter(col("doc_id") < 10)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(array_distinct(
+          SpanHash.span_hashes(col("toks"), 3))).as("h")).distinct()
+      val (bits, m, k) = GramBloom.buildLong(evalHashes, "h", fpp = 1e-4)
       val flagged = docs.filter(col("doc_id") >= 10)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"),
-          graft.operators.Dedup.shinglesFromTokens(col("toks"), 3).as("grams"))
-        .filter(exists(col("grams"), g => GramBloom.bloom_contains(bits, m, k)(g)))
+        .filter(GramBloom.bloom_contains_any(bits, m, k)(
+          SpanHash.span_hashes(col("toks"), 3)))
+      // exact verify in STRING currency — the oracle's join key — over
+      // the flagged sliver only
+      val evalGrams = docs.filter(col("doc_id") < 10)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(graft.operators.Dedup
+          .shinglesFromTokens(col("toks"), 3)).as("gram")).distinct()
       val contaminated = flagged
-        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .select(col("doc_id"), explode(graft.operators.Dedup
+          .shinglesFromTokens(col("toks"), 3)).as("gram"))
         .join(broadcast(evalGrams), "gram")
         .select("doc_id").distinct()
       docs.select("doc_id")

@@ -95,6 +95,75 @@ object GramBloom {
   /** Column API: true iff `key` might be in the built filter. */
   def bloom_contains(bits: Array[Long], mBits: Int, k: Int)(key: Column): Column =
     Bridge.column(BloomContainsExpression(bits, mBits, k, Bridge.expression(key)))
+
+  // ---- LONG-key variant: the codegen-end-to-end document prefilter ----
+  //
+  // A per-GRAM fpp compounds per DOCUMENT: at fpp=0.01 a clean ~80-gram
+  // document is falsely flagged with probability 1-(1-0.01)^80 ~ 55% —
+  // the measured decontam probe flagged 47% of a corpus with 2% planted
+  // contamination. The document-level operating point needs per-key fpp
+  // ~ target_doc_fpp / grams_per_doc (1e-4 -> ~1% doc-level at 100
+  // grams), which costs only ~2x the bits (m grows with log 1/p).
+  // Keys are the 60-bit span hashes the codegen span kernel
+  // (SpanHashesExpression) already emits, so both the eval-side build
+  // input and the probe side are whole-stage-codegen with no string or
+  // interpreted-lambda work anywhere in the hot path.
+
+  def setLong(bits: Array[Long], mBits: Int, k: Int, v: Long): Unit = {
+    val h1 = XXH64.hashLong(v, Seed1)
+    val h2 = XXH64.hashLong(v, Seed2)
+    var i = 0
+    while (i < k) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+      bits(idx >>> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+  }
+
+  def containsLong(bits: Array[Long], mBits: Int, k: Int, v: Long): Boolean = {
+    val h1 = XXH64.hashLong(v, Seed1)
+    val h2 = XXH64.hashLong(v, Seed2)
+    var i = 0
+    while (i < k) {
+      val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+      if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Static any-element probe — one generated call per document. */
+  def containsAny(bits: Array[Long], mBits: Int, k: Int,
+                  arr: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (containsLong(bits, mBits, k, arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Build from a one-column LONG DataFrame (e.g. distinct span hashes of
+    * the eval suite) — same bounded-collect contract as [[build]]. */
+  def buildLong(keys: DataFrame, column: String, fpp: Double = 1e-4,
+                maxEntries: Int = 4000000): (Array[Long], Int, Int) = {
+    val rows = keys.select(column).na.drop().distinct()
+      .limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"GramBloom.buildLong: key set exceeds maxEntries=$maxEntries — a " +
+        "truncated Bloom filter loses the no-false-negative guarantee; " +
+        "raise the cap or pre-reduce the key set")
+    val (mBits, k) = params(rows.length.toLong.max(1L), fpp)
+    val bits = new Array[Long](mBits >>> 6)
+    rows.foreach(r => setLong(bits, mBits, k, r.getLong(0)))
+    (bits, mBits, k)
+  }
+
+  /** Column API: true iff ANY element of the ARRAY<BIGINT> column might be
+    * in the built filter. */
+  def bloom_contains_any(bits: Array[Long], mBits: Int, k: Int)(keys: Column): Column =
+    Bridge.column(BloomContainsAnyExpression(bits, mBits, k, Bridge.expression(keys)))
 }
 
 /** Membership probe against a driver-built [[GramBloom]] bit array. The
@@ -129,5 +198,39 @@ case class BloomContainsExpression(bits: Array[Long], mBits: Int, k: Int,
   override def toString: String = s"bloom_contains($child)"
 
   override protected def withNewChildInternal(newChild: Expression): BloomContainsExpression =
+    copy(child = newChild)
+}
+
+/** Any-element membership probe over an ARRAY<BIGINT> column — the
+  * document-level prefilter: one static call per document inside the
+  * scan's codegen span (composes with SpanHashesExpression so the whole
+  * flag stage is generated code; no interpreted higher-order lambda). */
+case class BloomContainsAnyExpression(bits: Array[Long], mBits: Int, k: Int,
+                                      child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_contains_any expects ARRAY<BIGINT> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramBloom.containsAny(bits, mBits, k,
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.GramBloom.containsAny($bitsRef, $mBits, $k, $c)")
+  }
+
+  override def toString: String = s"bloom_contains_any($child)"
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsAnyExpression =
     copy(child = newChild)
 }

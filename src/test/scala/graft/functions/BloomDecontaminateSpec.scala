@@ -80,7 +80,43 @@ class BloomDecontaminateSpec extends SparkSpec {
     // over the flagged subset, and the bloom probe appears as a filter.
     val df = graft.SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_contains"),
+    assert(plan.contains("bloom_contains_any"),
       "bloom probe should survive into the executed plan as a filter")
+  }
+
+  test("long variant: no false negatives, containsAny flags iff some element is set") {
+    def scramble(i: Long): Long = i * 0x9E3779B97F4A7C15L + 12345L
+    val keys = (0 until 5000).map(i => scramble(i))
+    val (m, k) = GramBloom.params(keys.size.toLong, 1e-4)
+    val bits = new Array[Long](m >>> 6)
+    keys.foreach(v => GramBloom.setLong(bits, m, k, v))
+    assert(keys.forall(v => GramBloom.containsLong(bits, m, k, v)))
+    // per-key FP at 1e-4: 20k random probes should see ~2 FPs, bound 20
+    val probes = (1 to 20000).map(i => scramble(-i - 1))
+    val fps = probes.count(v => GramBloom.containsLong(bits, m, k, v))
+    assert(fps <= 20, s"long-variant FP count $fps far above the 1e-4 target")
+    // array probe: any member -> true, all non-members overwhelmingly false
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    assert(GramBloom.containsAny(bits, m, k,
+      new GenericArrayData(Array(probes.head, keys(17)))))
+  }
+
+  test("doc-level FP rate: a clean many-gram document stays percent-level at fpp=1e-4") {
+    import spark.implicits._
+    import graft.functions.expressions.SpanHash
+    // 200 eval grams vs 1000 clean docs of ~100 grams each, all disjoint
+    val evalDocs = (0 until 5).map(i => (i.toLong, (0 until 42).map(j => s"e${i}_$j").mkString(" ")))
+    val clean = (0 until 1000).map(i => (100L + i, (0 until 102).map(j => s"c${i}_$j").mkString(" ")))
+    val all = (evalDocs ++ clean).toDF("doc_id", "text")
+    val evalHashes = all.filter(col("doc_id") < 10)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(array_distinct(SpanHash.span_hashes(col("toks"), 3))).as("h"))
+      .distinct()
+    val (bits, m, k) = GramBloom.buildLong(evalHashes, "h", fpp = 1e-4)
+    val flagged = all.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(GramBloom.bloom_contains_any(bits, m, k)(SpanHash.span_hashes(col("toks"), 3)))
+      .count()
+    assert(flagged <= 50, s"$flagged of 1000 clean docs flagged — doc-level FP should be ~1%")
   }
 }
