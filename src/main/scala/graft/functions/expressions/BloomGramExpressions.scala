@@ -166,6 +166,74 @@ object GramBloom {
     Bridge.column(BloomContainsAnyExpression(bits, mBits, k, Bridge.expression(keys)))
 }
 
+/** EXACT membership against a plan-constant sorted long array (binary
+  * search per element, one generated call per row) — the confirm tier of
+  * the streaming decontamination chain: the Bloom prefilter says "maybe",
+  * this answers exactly IN HASH CURRENCY with no join, which is what makes
+  * per-row decontamination expressible in a STREAMING query (the batch
+  * form's verify join derives its anti-join side from the corpus itself —
+  * a stream cannot anti-join against an aggregate of itself). Size: 8
+  * bytes/key, fine for eval suites (bounded by construction); the bloom
+  * tier in front keeps the common clean-document case one cache-resident
+  * probe instead of log2(M) jumps through a multi-MB array. */
+object SortedLongSet {
+  def containsAny(sorted: Array[Long],
+                  arr: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Bounded, cap-checked collect of a one-column LONG DataFrame into the
+    * sorted plan constant (the GramBloom.buildLong contract). */
+  def build(keys: DataFrame, column: String, maxEntries: Int = 4000000): Array[Long] = {
+    val rows = keys.select(column).na.drop().distinct()
+      .limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"SortedLongSet.build: key set exceeds maxEntries=$maxEntries")
+    val out = rows.map(_.getLong(0))
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  def contains_any(sorted: Array[Long])(keys: Column): Column =
+    Bridge.column(SortedContainsAnyExpression(sorted, Bridge.expression(keys)))
+}
+
+case class SortedContainsAnyExpression(sorted: Array[Long], child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_contains_any expects ARRAY<BIGINT> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SortedLongSet.containsAny(sorted,
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("sortedSet", sorted, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SortedLongSet.containsAny($setRef, $c)")
+  }
+
+  override def toString: String = s"sorted_contains_any($child)"
+
+  override protected def withNewChildInternal(newChild: Expression): SortedContainsAnyExpression =
+    copy(child = newChild)
+}
+
 /** Membership probe against a driver-built [[GramBloom]] bit array. The
   * array travels as a plan reference (`ctx.addReferenceObj`), not a
   * broadcast relation — there is no join, no exchange, and the probe is one

@@ -88,4 +88,65 @@ class StreamingCurationSpec extends SparkSpec {
         s"exactly one of the near-dup pair must survive: $kept")
     } finally q.stop()
   }
+
+  test("streaming decontamination: stateless two-tier filter equals the batch exact rule") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.functions.expressions.{GramBloom, SortedLongSet, SpanHash}
+    // Per-row decontamination is what a STREAM can express — the batch
+    // form's verify join anti-joins against an aggregate of the corpus
+    // itself, which no streaming query can do. Two plan-constant tiers
+    // built from the STATIC eval suite: Bloom prefilter (cheap pass for
+    // the overwhelmingly clean common case), exact sorted-hash-set
+    // confirm (removes the bloom's false positives without a join). Both
+    // stateless: no watermark, no state store, restart-trivial.
+    val evalDocs = Seq(
+      (0L, (1 to 25).map(i => s"e$i").mkString(" ")),
+      (1L, (1 to 25).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val evalHashes = evalDocs
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(array_distinct(SpanHash.span_hashes(col("toks"), 3))).as("h"))
+      .distinct()
+    val (bits, m, k) = GramBloom.buildLong(evalHashes, "h", fpp = 1e-4)
+    val exact = SortedLongSet.build(evalHashes, "h")
+    // 25 distinct tokens (passes the gate); shares eval 3-gram "e7 e8 e9"
+    val contaminated = (1 to 22).map(i => s"c$i").mkString(" ") + " e7 e8 e9"
+    val clean = (1 to 25).map(i => s"k$i").mkString(" ")
+    val ms = MemoryStream[CurationDoc]
+    import graft.operators.CorpusOps._
+    val hs = SpanHash.span_hashes(split(col("text"), " "), 3)
+    val decon = ms.toDS().toDF()
+      .qualityFiltered()
+      .withColumn("_hs", hs)
+      .filter(!(GramBloom.bloom_contains_any(bits, m, k)(col("_hs")) &&
+                SortedLongSet.contains_any(exact)(col("_hs"))))
+      .select("doc_id")
+    val q = decon.writeStream.outputMode("append")
+      .format("memory").queryName("decon").start()
+    try {
+      ms.addData(
+        CurationDoc(10, clean, "en", ts(1)),
+        CurationDoc(11, contaminated, "en", ts(2)), // shares an eval gram
+        CurationDoc(12, goodText2, "de", ts(3)),
+        CurationDoc(13, shortText, "en", ts(4)))    // gate-dropped
+      q.processAllAvailable()
+      val kept = s.table("decon").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L, 12L), s"survivors: $kept")
+      // parity: the batch EXACT STRING rule over the same rows agrees
+      val streamDocs = Seq((10L, clean), (11L, contaminated), (12L, goodText2))
+        .toDF("doc_id", "text")
+      val evalGrams = evalDocs.select(split(col("text"), " ").as("toks"))
+        .select(explode(graft.operators.Dedup
+          .shinglesFromTokens(col("toks"), 3)).as("gram")).distinct()
+      val batchContaminated = streamDocs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(graft.operators.Dedup
+          .shinglesFromTokens(col("toks"), 3)).as("gram"))
+        .join(evalGrams, "gram").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(batchContaminated == Set(11L),
+        s"batch exact rule must agree: $batchContaminated")
+    } finally q.stop()
+  }
 }
