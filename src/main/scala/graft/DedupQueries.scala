@@ -174,6 +174,22 @@ object DedupQueries {
         .select("id_a", "id_b")
     }),
 
+    // The SERVING twin of q_dedup_semantic (the q_sim_ivf_indexed device):
+    // the persisted IVF index's cells table ALREADY holds every vector's
+    // trained-cell assignment — the exact same centroids (one
+    // KMeans.trainForFixture definition, persisted by IvfIndex.ensureIndex)
+    // — so semantic dedup serves from the store with NO training job and
+    // NO assignment scan. The table is bucketed by cell, the blocking key
+    // of the near-dup self-join, so the blocked pairs co-locate without an
+    // exchange (the BucketedJoinSpec economics applied to dedup). Same
+    // oracle as the live twin: one semantics, two physical strategies.
+    "q_dedup_semantic_indexed" -> ((s, dir) => {
+      val (cellsT, _) = graft.operators.IvfIndex.ensureIndex(s, dir)
+      Dedup.embeddingNearDups(s.table(cellsT),
+          "vec_id", "embedding", "cell", threshold = 0.3)
+        .select("id_a", "id_b")
+    }),
+
     // MinHash-LSH candidate pairs — the 100 TB-scale dedup path (constant-
     // size signatures + band-bucket join instead of all-pairs). The portable
     // hash makes even this pipeline exactly oracle-checkable.
@@ -1608,6 +1624,9 @@ object DedupQueries {
     "q_ts_similarity" -> tsSimilaritySql,
     "q_ts_anomaly" -> tsAnomalySql,
     "q_dedup_semantic" -> semanticSql,
+    // the serving twin is graded against the SAME oracle — one semantics,
+    // two physical strategies (the q_sim_ivf_indexed device)
+    "q_dedup_semantic_indexed" -> semanticSql,
     "q_dedup_substring" -> substringSql,
     "q_dedup_substring_removal" -> substringRemovalSql(2),
     "q_boilerplate_removal" -> substringRemovalSql(3),

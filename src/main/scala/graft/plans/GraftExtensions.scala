@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BpeCountExpression, BpeEncodeExpression, DotProduct, RollingHashExpression, SpaceSavingTopK, TopKByScore, ZOrderExpression}
+import graft.functions.expressions.{BpeCountExpression, BpeEncodeExpression, DotProduct, RollingHashExpression, SpaceSavingTopK, SpanHashesExpression, TopKByScore, ZOrderExpression}
 
 /** Session extension registering the engine's custom Catalyst expressions
   * as SQL functions, so the SQL surface is at parity with the Column API:
@@ -68,6 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("bpe_encode(text)", 1, exprs)
         BpeEncodeExpression(exprs(0))
+      }))
+
+    e.injectFunction((
+      new FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[SpanHashesExpression].getName, "span_hashes"),
+      (exprs: Seq[Expression]) => {
+        arity("span_hashes(toks, w)", 2, exprs)
+        SpanHashesExpression(exprs(0), intArg(exprs(1)))
       }))
 
     e.injectFunction((

@@ -270,6 +270,15 @@ class CrossQueryConsistencySpec extends SparkSpec {
       s"indexed != retrained: missing=${retrained -- indexed} extra=${indexed -- retrained}")
   }
 
+  test("persisted-cell semantic dedup serves the same pairs as per-query retraining") {
+    val retrained = q("q_dedup_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = q("q_dedup_semantic_indexed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(retrained.nonEmpty && indexed == retrained,
+      s"indexed != retrained: missing=${retrained -- indexed} extra=${indexed -- retrained}")
+  }
+
   test("per-doc dup-span mass equals the per-span transpose's mass") {
     // q_dedup_substring counts, per DOC, its spans that occur in >= 2
     // docs; summing that over docs must equal summing nd over every span

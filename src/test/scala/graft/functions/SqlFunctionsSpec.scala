@@ -51,6 +51,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("span_hashes is callable from SQL and matches the column function") {
+    val s = spark
+    // element 0 of w=2 spans of "a b c" == hash60("a b")
+    assert(s.sql("SELECT span_hashes(split('a b c', ' '), 2)[0] AS h")
+      .head().getLong(0) == graft.functions.PortableHash.hash60String("a b"))
+    val diff = graft.sources.Tables.documents(s, sfDir)
+      .selectExpr("span_hashes(split(text, ' '), 3) AS a", "text")
+      .select(org.apache.spark.sql.functions.col("a"),
+        graft.functions.expressions.SpanHash.span_hashes(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "), 3).as("b"))
+      .filter("NOT (a <=> b)").count()
+    assert(diff == 0L)
+  }
+
   test("bpe_count is callable from SQL and matches the column function") {
     val s = spark
     val diff = graft.sources.Tables.documents(s, sfDir)
