@@ -25,7 +25,13 @@ object PlanAudit {
       // round-10: the component-map serving twin (bucketed index side —
       // the doc_id join must not exchange the stored table) and the
       // survivor-selection window (high-cardinality partition key)
-      "q_split_leakage_safe_indexed", "q_dedup_keep_best")
+      "q_split_leakage_safe_indexed", "q_dedup_keep_best",
+      // round-11: the bloom prefilter must appear as a plain Filter over
+      // the scan (plan-constant bits, no exchange before the verify join);
+      // the semantic serving twin's blocked self-join reads the
+      // cell-bucketed cells table; the shard manifest rides the
+      // regime-dispatched packing assignment
+      "q_decontaminate_bloom", "q_dedup_semantic_indexed", "q_export_shards")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
@@ -49,11 +55,15 @@ object PlanAudit {
     // q_text_lm_bigram's bigram/unigram count relations are
     // corpus-vocabulary-sized: both joins must show NO BroadcastExchange
     // here (only the 1-row V aggregate may)
+    // q_decontaminate_bloom may broadcast ONLY the eval-gram verify
+    // relation (the q_decontaminate rule); its bloom bits are a plan
+    // constant, not a relation, so they never appear as an exchange
     Seq("q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
         "q_corpus_dedup_full", "q_text_tfidf", "q_dedup_embedding",
         "q_corpus_dedup_verified", "q_mix_sources",
         "q_dedup_substring", "q_boilerplate_spans",
-        "q_dedup_substring_removal", "q_text_lm_bigram").foreach { name =>
+        "q_dedup_substring_removal", "q_text_lm_bigram",
+        "q_decontaminate_bloom").foreach { name =>
       println(s"========== $name (auto-broadcast disabled: hints only) ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
     }
