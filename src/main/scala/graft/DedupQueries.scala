@@ -593,6 +593,20 @@ object DedupQueries {
             / sum("n_vecs").over(w).cast("double")).as("skew"))
     }),
 
+    // CORPUS SEARCH from the persisted inverted index (round 11): top-10
+    // documents per query term by the integer-exact tf-idf proxy
+    // (q_text_tfidf's currency), served from the term-bucketed postings
+    // table — the IN filter on the bucket column prunes the scan to the
+    // matching buckets (SelectedBucketsCount, pinned in
+    // InvertedIndexSpec), per-term df derives from exactly the pruned
+    // rows, and ranking windows over tiny per-term groups. The absent
+    // probe term exercises the no-postings edge (zero rows both
+    // engines). The inspection workload every curation pipeline runs,
+    // priced as an index lookup instead of a corpus scan.
+    "q_search_corpus" -> ((s, dir) =>
+      graft.operators.InvertedIndex.search(s, dir,
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
+
     // IVFADC — IVF coarse cells + product-quantization scoring
     // (operators.Pq): candidates cross the probe join as (id, cell,
     // 8 codes) — the 512-byte vector payload never shuffles, the 100 TB
@@ -1657,6 +1671,25 @@ object DedupQueries {
     // same unrolled-training replay is its oracle
     "q_sim_ivf_indexed" -> kmeansIvfSql,
     "q_ann_index_stats" -> annIndexStatsSql,
+    // replays the search from the raw corpus: per-(term, doc) tf over the
+    // probed term set, df from the same rows, the shared integer-exact
+    // idf proxy, row_number ties on doc_id — the index is a physical
+    // strategy, not a semantics change
+    "q_search_corpus" ->
+      """WITH tfq AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+        |  WHERE term IN ('join','hash','scan','graftabsentterm')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT term, doc_id, tf,
+        |  CAST(tf * CAST(floor((CAST(n.n AS DOUBLE) * 1048576.0) / df_) AS BIGINT) AS BIGINT) AS score,
+        |  CAST(row_number() OVER (PARTITION BY term
+        |    ORDER BY tf * CAST(floor((CAST(n.n AS DOUBLE) * 1048576.0) / df_) AS BIGINT) DESC,
+        |             doc_id ASC) AS BIGINT) AS rank
+        |FROM tfq JOIN dfq USING (term) CROSS JOIN n
+        |QUALIFY rank <= 10""".stripMargin,
     "q_sim_ivf_pq" -> pqIvfSql,
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_sim_ivf_pq_trained" -> pqTrainedSql,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted inverted index: build-once/serve-many, exact append
+  * maintenance, snapshot staleness, and the bucket-pruning plan evidence
+  * that makes a term lookup an index read instead of a corpus scan. */
+class InvertedIndexSpec extends SparkSpec {
+
+  private def rm(path: String): Unit = {
+    def loop(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(loop)
+      f.delete()
+    }
+    loop(new java.io.File(path))
+  }
+
+  test("search equals the live replay from the raw corpus") {
+    val s = spark
+    val terms = Seq("join", "hash", "scan")
+    val served = InvertedIndex.search(s, sfDir, terms, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // independent replay: postings from the raw docs, same scoring
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val post = InvertedIndex.postings(docs).filter(col("term").isin(terms: _*))
+    val dfq = post.groupBy("term").agg(count(lit(1)).as("df_"))
+    val n = docs.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("score").desc, col("doc_id").asc)
+    val live = post.join(dfq, "term")
+      .withColumn("score",
+        col("tf") * floor((lit(n).cast("double") * 1048576.0) / col("df_")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("term", "doc_id", "tf", "score", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(served == live && served.nonEmpty)
+  }
+
+  test("term lookup prunes the bucketed scan (SelectedBucketsCount)") {
+    val s = spark
+    // the df aggregate on `term` (the bucketing key) keeps the bucketed
+    // scan enabled, so the IN filter's bucket pruning applies — assert on
+    // the SEARCH plan, the shape the index actually serves. (A bare
+    // filter+collect has no distribution requirement and the planner's
+    // DisableUnnecessaryBucketedScan turns the bucketed read off — that
+    // plan reads PushedFilters instead; both paths are pruned reads.)
+    val plan = InvertedIndex.search(s, sfDir, Seq("join", "hash"), k = 5)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"bucket pruning must appear in the scan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      "an IN filter on the bucket column must select fewer buckets")
+  }
+
+  test("append of a new-doc batch equals a full rebuild") {
+    val s = spark
+    import s.implicits._
+    val base = s.createDataFrame(Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta delta"),
+      (3L, "gamma gamma epsilon")
+    )).toDF("doc_id", "text")
+    val batch = s.createDataFrame(Seq(
+      (4L, "alpha zeta"),
+      (5L, "delta delta delta")
+    )).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_append_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      val t = InvertedIndex.ensure(s, dir)
+      InvertedIndex.append(s, dir, batch)
+      val appended = s.table(t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = InvertedIndex.postings(base.unionByName(batch))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(appended == rebuilt && rebuilt.nonEmpty)
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
+  test("snapshot staleness: regenerated fixture detected, appended corpus reads fresh") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_inv_stale_fixture"
+    rm(dir)
+    Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      InvertedIndex.ensure(s, dir)
+      assert(!InvertedIndex.snapshotStale(s, dir))
+      // regenerate the fixture with different content at the same path
+      Seq((1L, "a b"), (7L, "x y")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(InvertedIndex.snapshotStale(s, dir),
+        "a regenerated fixture must read stale")
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
+  test("absent term yields no rows; declared query matches its own second run") {
+    val s = spark
+    val out = graft.SparkEntry.queries("q_search_corpus")(s, sfDir)
+    assert(out.filter(col("term") === "graftabsentterm").count() == 0)
+    val a = out.collect().toSet
+    val b = graft.SparkEntry.queries("q_search_corpus")(s, sfDir).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
