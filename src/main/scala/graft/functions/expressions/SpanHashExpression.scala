@@ -28,7 +28,12 @@ object SpanHash {
 
   /** All w-token rolling span hashes of a token array, in span-start
     * order (index j = 0-based start position); empty when the document
-    * is shorter than w. Tokens must be non-null (split() output). */
+    * is shorter than w. split() output never contains nulls, but the
+    * SQL surface (GraftExtensions) accepts any ARRAY<STRING>: null
+    * elements are SKIPPED along with their separator — exactly what
+    * `array_join(slice(...), " ")` does without a null replacement, so
+    * the contract element j == hash60(array_join(slice(toks, j+1, w)))
+    * holds on null-bearing arrays too instead of NPE-ing. */
   def spanHashes(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
     if (n < w) return empty
@@ -37,15 +42,23 @@ object SpanHash {
     // one byte copy per token, not one per (token x covering span)
     val tokBytes = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { tokBytes(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      tokBytes(i) = if (s == null) null else s.getBytes
+      i += 1
+    }
     val out = new Array[Long](n - w + 1)
     var j = 0
     while (j <= n - w) {
       md.reset()
       var t = j
+      var wrote = false
       while (t < j + w) {
-        md.update(tokBytes(t))
-        if (t < j + w - 1) md.update(0x20.toByte)
+        if (tokBytes(t) != null) {
+          if (wrote) md.update(0x20.toByte)
+          md.update(tokBytes(t))
+          wrote = true
+        }
         t += 1
       }
       md.digest(digest, 0, 16)

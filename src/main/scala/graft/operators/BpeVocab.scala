@@ -21,10 +21,8 @@ import org.apache.spark.sql.functions._
   * into whole-stage codegen as a constant object. */
 object BpeVocab {
 
-  private def stem(dir: String): String = {
-    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
-    "bpe_vocab_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
-  }
+  private def stem(dir: String): String =
+    SnapshotMeta.indexStem("bpe_vocab_", dir)
   private def table(dir: String): String = stem(dir)
   private def metaTable(dir: String): String = stem(dir) + "_meta"
 

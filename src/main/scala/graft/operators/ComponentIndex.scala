@@ -58,10 +58,8 @@ object ComponentIndex {
     * only in punctuation would collide onto one table and ensure() would
     * serve the wrong snapshot's component map (review finding) — the
     * hash disambiguates them. */
-  private def stem(dir: String): String = {
-    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
-    "comp_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
-  }
+  private def stem(dir: String): String =
+    SnapshotMeta.indexStem("comp_index_", dir)
 
   private def table(dir: String): String = stem(dir) + "_components"
   private def bandedTable(dir: String): String = stem(dir) + "_banded"

@@ -212,9 +212,11 @@ object Dedup {
   /** (doc_id, span) rows: each document's DISTINCT w-token rolling spans
     * (slice+array_join per span — one HOF dispatch instead of w
     * element_at calls, measured 2.3x; same output string as the
-    * shinglesFromTokens form). Shared by [[duplicatedSpanStats]] (the
-    * per-doc profile) and the boilerplate extraction query (the per-span
-    * transpose). */
+    * shinglesFromTokens form). STRING-currency only since round 11: the
+    * span-stats/removal family hashes in place via SpanHashesExpression
+    * and no longer routes through here — the remaining production caller
+    * is the boilerplate extraction query (the per-span transpose), whose
+    * OUTPUT is the span surface itself. */
   def spanRows(df: DataFrame, idCol: String, textCol: String,
                w: Int = DefaultSpanWidth): DataFrame =
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))

@@ -35,15 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  /** Sanitized dir + short hash of the raw path (the ComponentIndex
-    * naming rule — punctuation-only path differences must not collide). */
-  private def stem(dir: String): String = {
-    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
-    "inv_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
-  }
-
-  private def table(dir: String): String = stem(dir) + "_postings"
-  private def metaTable(dir: String): String = stem(dir) + "_meta"
+  private def table(dir: String): String =
+    SnapshotMeta.indexStem("inv_index_", dir) + "_postings"
+  private def metaTable(dir: String): String =
+    SnapshotMeta.indexStem("inv_index_", dir) + "_meta"
 
   val Buckets = 16
 
@@ -74,16 +69,23 @@ object InvertedIndex {
   /** Incremental maintenance for a crawl append (new doc_ids only): the
     * batch's postings rows are disjoint from every existing row — tf is
     * (term, doc)-local, not transitive — so a bucketed append IS the
-    * updated index. Restamps the fingerprint over the appended corpus. */
+    * updated index. The restamp is ADDITIVE: SnapshotMeta's (count, sum)
+    * fingerprint over disjoint doc_id sets is a sum, so the new stamp is
+    * old stamp + fingerprint(batch) — O(batch), never a scan of the
+    * stored index (the family's ingest-cost contract). refreshTable
+    * guards the cross-session relation cache, the sibling-index rule. */
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val t = ensure(spark, dir)
+    val old = spark.table(metaTable(dir)).head()
     postings(batch)
       .write.mode("append")
       .bucketBy(Buckets, "term").sortBy("term", "doc_id")
       .saveAsTable(t)
-    val fp = SnapshotMeta.fingerprint(
-      spark.table(t).select(col("doc_id")).distinct(), "doc_id")
-    SnapshotMeta.stamp(spark, metaTable(dir), fp)
+    spark.catalog.refreshTable(t)
+    val bfp = SnapshotMeta.fingerprint(
+      batch.select(col("doc_id")).distinct(), "doc_id")
+    SnapshotMeta.stamp(spark, metaTable(dir),
+      (old.getLong(0) + bfp._1, old.getLong(1) + bfp._2))
   }
 
   /** Staleness check vs the CURRENT fixture content (explicit, on the

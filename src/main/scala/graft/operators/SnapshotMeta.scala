@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   * column to compute. */
 object SnapshotMeta {
 
+  /** THE table-naming rule of the persisted-index family: sanitized dir
+    * (every non-alphanumeric → '_') plus a short hash of the RAW path —
+    * the sanitizer alone would collide distinct paths differing only in
+    * punctuation, and ensure() would serve the wrong snapshot's table
+    * (the round-10 review finding). One definition so a future change to
+    * the collision rule lands everywhere at once. ([[IvfIndex]] predates
+    * the hash suffix and keeps its unsuffixed names — renaming would
+    * orphan existing warehouse tables.) */
+  def indexStem(prefix: String, dir: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    prefix + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+  }
+
   /** (row count, id sum) of the fixture relation's `idCol`. */
   def fingerprint(df: DataFrame, idCol: String): (Long, Long) = {
     val r = df.agg(count(lit(1)), sum(col(idCol))).head()

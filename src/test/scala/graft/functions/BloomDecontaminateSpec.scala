@@ -53,7 +53,8 @@ class BloomDecontaminateSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(viaFilter == viaExists)
     assert(Set(1L, 2L).subsetOf(viaFilter)) // members always flagged
-    assert(!viaFilter.contains(3L) || true) // FPs allowed, absence not required
+    // doc 3/4 (non-members) MAY false-positive — that is the filter's
+    // contract, so their absence is deliberately not asserted
   }
 
   test("build cap binds loudly, never truncates silently") {
@@ -74,13 +75,31 @@ class BloomDecontaminateSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
-  test("the pruned plan carries no broadcast of the eval grams before the verify join") {
-    // The prefilter must be a plain Filter over the scan (plan-constant
-    // bits, no exchange): the FIRST join in the plan is the verify join
-    // over the flagged subset, and the bloom probe appears as a filter.
+  test("the pruned plan explodes only the bloom-flagged branch; bits are a plan constant") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Generate, Join, LogicalPlan}
+    import graft.functions.expressions.BloomContainsAnyExpression
     val df = graft.SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_contains_any"),
+    val lp = df.queryExecution.optimizedPlan
+    def hasBloomFilterBelow(p: LogicalPlan): Boolean = p.exists {
+      case f: LFilter =>
+        f.condition.exists(_.isInstanceOf[BloomContainsAnyExpression])
+      case _ => false
+    }
+    // the verify-side explode must sit ABOVE the bloom prefilter — the
+    // structural form of "only flagged documents pay the explode"
+    val gens = lp.collect { case g: Generate => g }
+    assert(gens.nonEmpty && gens.exists(hasBloomFilterBelow),
+      s"some Generate must have the bloom Filter beneath it:\n$lp")
+    // the bloom bits travel as a plan constant: no join may sit BELOW
+    // the bloom filter (a broadcast of the eval relation feeding the
+    // prefilter would appear here as a Join under the Filter)
+    lp.foreach {
+      case f: LFilter if f.condition.exists(_.isInstanceOf[BloomContainsAnyExpression]) =>
+        assert(f.find(_.isInstanceOf[Join]).isEmpty,
+          s"the bloom prefilter must not depend on any join:\n$f")
+      case _ => ()
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("bloom_contains_any"),
       "bloom probe should survive into the executed plan as a filter")
   }
 

@@ -56,6 +56,11 @@ class SqlFunctionsSpec extends SparkSpec {
     // element 0 of w=2 spans of "a b c" == hash60("a b")
     assert(s.sql("SELECT span_hashes(split('a b c', ' '), 2)[0] AS h")
       .head().getLong(0) == graft.functions.PortableHash.hash60String("a b"))
+    // null elements skip with their separator — array_join's contract —
+    // instead of NPE-ing on SQL-surface arrays
+    assert(s.sql(
+        "SELECT span_hashes(array('a', CAST(NULL AS STRING), 'b'), 3)[0] AS h")
+      .head().getLong(0) == graft.functions.PortableHash.hash60String("a b"))
     val diff = graft.sources.Tables.documents(s, sfDir)
       .selectExpr("span_hashes(split(text, ' '), 3) AS a", "text")
       .select(org.apache.spark.sql.functions.col("a"),
