@@ -444,6 +444,52 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Inverted-index search probe (round-11): served lookup vs the live
+    // corpus-scan replay at each scale, plus the index's relative size.
+    // The lookup's cost grows with the probed terms' postings (linear in
+    // corpus for common terms) but never pays the full-vocabulary explode
+    // + aggregate the live form does — the gap is the index economics.
+    sys.env.get("SPARK_GRAFT_PROBE_SEARCH").foreach { _ =>
+      import graft.operators.InvertedIndex
+      val terms = Seq("join", "hash", "scan", "window")
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        InvertedIndex.drop(spark, dir)
+        val t0 = System.nanoTime()
+        val t = InvertedIndex.ensure(spark, dir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val postRows = spark.table(t).count()
+        def time(f: => Unit): Double = (1 to runs).map { _ =>
+          val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
+        }.min
+        val tServe = time {
+          InvertedIndex.search(spark, dir, terms, k = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val tLive = time {
+          // the index-free form: full explode + per-(term, doc) aggregate
+          // before the same filter/rank tail
+          val post = InvertedIndex.postings(docs)
+            .filter(col("term").isin(terms: _*))
+          val dfq = post.groupBy("term").agg(count(lit(1)).as("df_"))
+          val n = docs.count()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("term").orderBy(col("score").desc, col("doc_id").asc)
+          post.join(dfq, "term")
+            .withColumn("score", col("tf") *
+              floor((lit(n).cast("double") * 1048576.0) / col("df_")).cast("long"))
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= 10)
+            .write.mode("overwrite").format("noop").save()
+        }
+        InvertedIndex.drop(spark, dir)
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        println(s"""{"probe":"inv_search","mult":$mult,"n_docs":${BaseDocs * mult},"post_rows":$postRows,"t_build":$tBuild,"t_serve":$tServe,"t_live":$tLive}""")
+      }
+      spark.stop()
+      return
+    }
     // Bloom-decontamination probe (round-11): the exact rule's cost is the
     // gram explode of EVERY training doc; the bloom rule explodes only
     // flagged docs. The shared generator's 31-word vocabulary makes random
