@@ -78,6 +78,67 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch postings append maintains the inverted index; stamp stays fresh") {
+    // the third member of the continuous-maintenance family: postings
+    // are (term, doc)-local, so the streamed loop is append-only — no
+    // merge fixpoint — but the same two cross-session hazards apply
+    // (caller-view staleness after the clone session's write, and the
+    // fingerprint stamp tracking the appended corpus)
+    val s = spark
+    import s.implicits._
+    import graft.operators.InvertedIndex
+    val dir = Files.createTempDirectory("invmaint-corpus").toString
+    val src = Files.createTempDirectory("invmaint-src").toString
+    val ckpt = Files.createTempDirectory("invmaint-ckpt").toString
+    try {
+      def doc(id: Long, text: String) = (id, text, "en", "s0", text.length)
+      Seq(doc(1, "alpha beta alpha"), doc(2, "beta gamma"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val t = InvertedIndex.ensure(s, dir)
+
+      val schema = graft.sources.Tables.documents(s, dir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val batch = b.persist()
+            batch.write.mode("append").parquet(s"$dir/documents.parquet")
+            InvertedIndex.append(s, dir, batch)
+            batch.unpersist()
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      Seq(doc(3, "gamma delta"), doc(4, "alpha delta delta"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      Seq(doc(5, "epsilon alpha"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val maintained = s.table(t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = InvertedIndex.postings(
+          graft.sources.Tables.documents(s, dir))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(maintained == rebuilt && maintained.nonEmpty,
+        "maintained postings diverge from a full rebuild over the ingested corpus")
+      assert(!InvertedIndex.snapshotStale(s, dir),
+        "the additive restamp must track the appended corpus")
+    } finally {
+      InvertedIndex.drop(s, dir)
+      Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch merge maintains the index across streamed crawl appends") {
     val s = spark
     import s.implicits._
