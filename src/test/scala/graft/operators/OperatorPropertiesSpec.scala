@@ -81,4 +81,43 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(got == expected, s"trial $trial")
     }
   }
+
+  test("span-hash kernel equals hash60 of the joined span on random unicode token arrays") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.expressions.SpanHash
+    val rnd = new Random(23)
+    // token alphabet spans ASCII, multi-byte BMP, and supplementary
+    // planes — the byte-level concat must equal string-level join on all
+    val alphabet = Seq("cat", "héllo", "日本語", "x", "", "a b",
+      new String(Character.toChars(0x1F600)), "Ωμέγα", "tok")
+    def randTokens() = (0 until 2 + rnd.nextInt(12))
+      .map(_ => alphabet(rnd.nextInt(alphabet.size)))
+    val cases = (1 to 60).map(_ => randTokens())
+    for (w <- Seq(2, 3, 5)) {
+      val got = cases.map(t => (t, w)).toDF("toks", "w")
+        .select(SpanHash.span_hashes(org.apache.spark.sql.functions.col("toks"), w).as("hs"))
+        .as[Seq[Long]].collect().map(_.toList)
+      val want = cases.map { t =>
+        if (t.length < w) Nil
+        else (0 to t.length - w).map(j =>
+          graft.functions.PortableHash.hash60String(t.slice(j, j + w).mkString(" "))).toList
+      }
+      assert(got.toList == want.toList, s"w=$w")
+    }
+  }
+
+  test("bloom long-kernel: no false negatives on random key sets, any fpp") {
+    import graft.functions.expressions.GramBloom
+    val rnd = new Random(91)
+    for (trial <- 1 to 5) {
+      val keys = (0 until 200 + rnd.nextInt(3000)).map(_ => rnd.nextLong()).distinct
+      val fpp = Seq(0.1, 0.01, 1e-4)(trial % 3)
+      val (m, k) = GramBloom.params(keys.size.toLong, fpp)
+      val bits = new Array[Long](m >>> 6)
+      keys.foreach(v => GramBloom.setLong(bits, m, k, v))
+      assert(keys.forall(v => GramBloom.containsLong(bits, m, k, v)),
+        s"trial $trial: an inserted key tested negative (breaks the exact-verify soundness)")
+    }
+  }
 }
