@@ -236,6 +236,36 @@ class CorpusOpsSpec extends SparkSpec {
            again.exceptAll(manifest).count() == 0)
   }
 
+  test("shard manifest matches a physically written shard-partitioned artifact") {
+    val s = spark
+    import s.implicits._
+    // the export's physical form: docs written partitionBy(lang, shard_id);
+    // the manifest must agree with what a reader finds on disk
+    val out = java.nio.file.Files.createTempDirectory("shard-export").toString
+    try {
+      val assigned = Tables.documents(s, sfDir)
+        .packedBinsAuto("lang", binTokens = 2048)
+        .withColumn("shard_id", floor(col("bin_id") / 8).cast("long"))
+      assigned.write.mode("overwrite")
+        .partitionBy("lang", "shard_id").parquet(out)
+      val onDisk = s.read.parquet(out)
+        .groupBy("lang", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val manifest = graft.SparkEntry.queries("q_export_shards")(s, sfDir)
+        .select(col("lang"), col("shard_id"), col("n_docs"),
+          col("shard_tokens"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(onDisk == manifest && manifest.nonEmpty,
+        "the manifest must describe exactly the written partitions")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("fingerprinted and withTextStats append the documented columns and types") {
     val s = spark
     val out = Tables.documents(s, sfDir)
