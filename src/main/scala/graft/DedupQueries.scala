@@ -138,6 +138,30 @@ object DedupQueries {
         .select("vec_id")
     }),
 
+    // Substring dedup on the WINNOWED fingerprint set (round 11): the
+    // q_dedup_substring profile computed over ~2/(k+1) of the span mass —
+    // the subsample the winnowing guarantee makes sound (any shared run
+    // of >= w+k-1 tokens forces a shared fingerprint, so long copies are
+    // never missed; what the subsample gives up is sensitivity to matches
+    // SHORTER than w+k-1 tokens, the matches closest to coincidence).
+    // This is the operating point a 100 TB substring-dedup pass actually
+    // runs at: per-doc fingerprints instead of every span, one codegen
+    // call per document, the same one-exchange frequency join.
+    "q_dedup_winnow" -> ((s, dir) => {
+      import graft.functions.expressions.SpanHash
+      val fps = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(array_distinct(
+          SpanHash.winnow_hashes(col("toks"), 8, 4))).as("h"))
+      val freq = fps.groupBy("h").agg(count(lit(1)).as("nd"))
+      fps.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"),
+             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_fps"))
+        .withColumn("dup_ratio",
+          col("n_dup_fps").cast("double") / col("n_fingerprints"))
+    }),
+
     // Boilerplate extraction — the per-SPAN transpose of
     // q_dedup_substring: which exact 8-token spans recur across >= 3
     // distinct documents (navigation chrome, license headers, templated
@@ -1642,6 +1666,29 @@ object DedupQueries {
     // two physical strategies (the q_sim_ivf_indexed device)
     "q_dedup_semantic_indexed" -> semanticSql,
     "q_dedup_substring" -> substringSql,
+    // the winnowed profile: same shape over the per-doc distinct
+    // sliding-window minima of the span-hash list
+    "q_dedup_winnow" -> {
+      val w = graft.operators.Dedup.DefaultSpanWidth
+      val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(t)-${w - 2}),
+         |      i -> ${graft.functions.PortableHash.hash60Sql(s"($span)")}) AS sp
+         |  FROM toks WHERE len(t) >= ${w + 3}),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(sp)-2), j -> list_min(sp[j:j+3])))) AS h
+         |  FROM sp),
+         |freq AS (SELECT h, count(*) AS nd FROM g GROUP BY h)
+         |SELECT doc_id, count(*) AS n_fingerprints,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fps,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+         |FROM g JOIN freq USING (h)
+         |GROUP BY doc_id""".stripMargin
+    },
     "q_dedup_substring_removal" -> substringRemovalSql(2),
     "q_boilerplate_removal" -> substringRemovalSql(3),
     "q_boilerplate_spans" -> boilerplateSql,

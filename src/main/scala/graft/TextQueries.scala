@@ -482,6 +482,31 @@ object TextQueries {
         .select("doc_id")
     }),
 
+    // WINNOWED document fingerprints (Schleimer et al. 2003, the MOSS
+    // scheme): per sliding window of k=4 consecutive span hashes keep the
+    // minimum; the distinct minima are the fingerprint set. The selection
+    // guarantee — any shared run of >= w+k-1 tokens forces a shared
+    // fingerprint — is what makes the subsample SOUND for substring
+    // dedup, while per-doc mass drops to ~2/(k+1) of span mass: the knob
+    // that prices span-granular dedup at 100 TB (q_dedup_winnow runs the
+    // dedup on exactly this set). One codegen call per document
+    // (WinnowHashesExpression: span hashes + monotonic-deque sliding min,
+    // O(tokens) not O(tokens*k)). Docs shorter than w+k-1 have no window
+    // and are absent. Reduction = exact int/int IEEE division.
+    "q_text_winnow" -> ((s, dir) => {
+      import graft.functions.expressions.SpanHash
+      val w = 8; val k = 4
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= w + k - 1)
+        .select(col("doc_id"),
+          (size(col("toks")) - (w - 1)).cast("long").as("n_spans"),
+          size(array_distinct(SpanHash.winnow_hashes(col("toks"), w, k)))
+            .cast("long").as("n_fingerprints"))
+        .withColumn("reduction",
+          col("n_fingerprints").cast("double") / col("n_spans"))
+    }),
+
     // Bloom-pruned decontamination — the same rule as q_decontaminate with
     // the 100 TB cost model fixed. The exact form explodes EVERY training
     // document into gram rows before its (cheap) broadcast probe; at corpus
@@ -1151,6 +1176,26 @@ object TextQueries {
         |  JOIN eval_grams e ON g.gram = e.gram WHERE g.doc_id >= 10)
         |SELECT doc_id FROM documents
         |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // winnowing replay: span-hash list per doc, sliding-window list_min,
+    // distinct minima — the same selection the deque kernel computes
+    "q_text_winnow" -> {
+      val w = graft.operators.Dedup.DefaultSpanWidth // 8
+      val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sp AS (
+         |  SELECT doc_id, len(t) - ${w - 1} AS n_spans,
+         |    list_transform(range(1, len(t)-${w - 2}),
+         |      i -> ${graft.functions.PortableHash.hash60Sql(s"($span)")}) AS sp
+         |  FROM toks WHERE len(t) >= ${w + 3})
+         |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(len(list_distinct(list_transform(range(1, len(sp)-2),
+         |    j -> list_min(sp[j:j+3])))) AS BIGINT) AS n_fingerprints,
+         |  CAST(len(list_distinct(list_transform(range(1, len(sp)-2),
+         |    j -> list_min(sp[j:j+3])))) AS DOUBLE) / n_spans AS reduction
+         |FROM sp""".stripMargin
+    },
 
     // identical rule by construction — the Bloom prefilter admits no false
     // negatives and the exact verify join removes its false positives

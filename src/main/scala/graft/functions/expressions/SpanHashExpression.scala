@@ -74,6 +74,45 @@ object SpanHash {
   /** Column API: `span_hashes(toks, w)` over a token-array column. */
   def span_hashes(toks: Column, w: Int): Column =
     Bridge.column(SpanHashesExpression(Bridge.expression(toks), w))
+
+  /** WINNOWED span hashes (Schleimer et al. 2003, the MOSS scheme):
+    * element j = min of the w-token span hashes in window [j, j+k-1] —
+    * the per-window minimum selection whose DISTINCT set is the
+    * document's fingerprint. The guarantee that makes it sound for
+    * substring dedup: any shared run of >= w+k-1 tokens contains a full
+    * window on both sides, and the minimum of equal hash windows is
+    * equal, so the documents MUST share a fingerprint — detection never
+    * misses long matches, while per-doc fingerprint mass drops to
+    * ~2/(k+1) of span mass. Computed in one pass over the span hashes
+    * with a monotonic deque (O(n), not O(n*k)); empty when the document
+    * has fewer than w+k-1 tokens. */
+  def winnowHashes(toks: ArrayData, w: Int, k: Int): ArrayData = {
+    val spans = spanHashes(toks, w)
+    val n = spans.numElements()
+    if (n < k) return empty
+    val out = new Array[Long](n - k + 1)
+    // deque of indices with increasing hash values; front = window min.
+    // ties keep the EARLIEST index (strict < when evicting), which makes
+    // the per-window minimum value well-defined either way — the output
+    // is the VALUE, so tie policy cannot change it.
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail) live
+    var j = 0
+    while (j < n) {
+      while (tail > head && spans.getLong(dq(tail - 1)) > spans.getLong(j))
+        tail -= 1
+      dq(tail) = j; tail += 1
+      if (dq(head) <= j - k) head += 1
+      if (j >= k - 1) out(j - k + 1) = spans.getLong(dq(head))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: `winnow_hashes(toks, w, k)` — positional per-window
+    * minima; wrap in `array_distinct` for the fingerprint SET. */
+  def winnow_hashes(toks: Column, w: Int, k: Int): Column =
+    Bridge.column(WinnowHashesExpression(Bridge.expression(toks), w, k))
 }
 
 /** All rolling w-token span hashes of a token array in ONE codegen call.
@@ -111,5 +150,34 @@ case class SpanHashesExpression(child: Expression, w: Int) extends UnaryExpressi
       s"graft.functions.expressions.SpanHash.spanHashes($c, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): SpanHashesExpression =
+    copy(child = newChild)
+}
+
+/** Winnowed (per-window minimum) span hashes in one codegen call — see
+  * [[SpanHash.winnowHashes]] for the selection guarantee and the O(n)
+  * deque. Same input contract as [[SpanHashesExpression]]. */
+case class WinnowHashesExpression(child: Expression, w: Int, k: Int)
+  extends UnaryExpression {
+  require(w >= 1 && k >= 1, s"span width and window must be >= 1, got w=$w k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_hashes expects ARRAY<STRING> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpanHash.winnowHashes(input.asInstanceOf[ArrayData], w, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SpanHash.winnowHashes($c, $w, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashesExpression =
     copy(child = newChild)
 }
