@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BpeCountExpression, BpeEncodeExpression, DotProduct, RollingHashExpression, SpaceSavingTopK, SpanHashesExpression, TopKByScore, ZOrderExpression}
+import graft.functions.expressions.{BpeCountExpression, BpeEncodeExpression, DotProduct, RollingHashExpression, SpaceSavingTopK, SpanHashesExpression, TopKByScore, WinnowHashesExpression, ZOrderExpression}
 
 /** Session extension registering the engine's custom Catalyst expressions
   * as SQL functions, so the SQL surface is at parity with the Column API:
@@ -76,6 +76,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("span_hashes(toks, w)", 2, exprs)
         SpanHashesExpression(exprs(0), intArg(exprs(1)))
+      }))
+
+    e.injectFunction((
+      new FunctionIdentifier("winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowHashesExpression].getName, "winnow_hashes"),
+      (exprs: Seq[Expression]) => {
+        arity("winnow_hashes(toks, w, k)", 3, exprs)
+        WinnowHashesExpression(exprs(0), intArg(exprs(1)), intArg(exprs(2)))
       }))
 
     e.injectFunction((

@@ -71,6 +71,17 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("winnow_hashes is callable from SQL and matches the column function") {
+    val s = spark
+    // 5 tokens, w=2 -> 4 span hashes; k=3 -> 2 window minima
+    val row = s.sql(
+      "SELECT winnow_hashes(split('a b c d e', ' '), 2, 3) AS hs").head()
+    val spans = Seq("a b", "b c", "c d", "d e")
+      .map(graft.functions.PortableHash.hash60String)
+    assert(row.getSeq[Long](0) ==
+      Seq(spans.slice(0, 3).min, spans.slice(1, 4).min))
+  }
+
   test("bpe_count is callable from SQL and matches the column function") {
     val s = spark
     val diff = graft.sources.Tables.documents(s, sfDir)
