@@ -147,20 +147,8 @@ object DedupQueries {
     // This is the operating point a 100 TB substring-dedup pass actually
     // runs at: per-doc fingerprints instead of every span, one codegen
     // call per document, the same one-exchange frequency join.
-    "q_dedup_winnow" -> ((s, dir) => {
-      import graft.functions.expressions.SpanHash
-      val fps = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(array_distinct(
-          SpanHash.winnow_hashes(col("toks"), 8, 4))).as("h"))
-      val freq = fps.groupBy("h").agg(count(lit(1)).as("nd"))
-      fps.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fingerprints"),
-             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_fps"))
-        .withColumn("dup_ratio",
-          col("n_dup_fps").cast("double") / col("n_fingerprints"))
-    }),
+    "q_dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowedSpanStats(Tables.documents(s, dir), "doc_id", "text")),
 
     // Boilerplate extraction — the per-SPAN transpose of
     // q_dedup_substring: which exact 8-token spans recur across >= 3
@@ -1667,9 +1655,13 @@ object DedupQueries {
     "q_dedup_semantic_indexed" -> semanticSql,
     "q_dedup_substring" -> substringSql,
     // the winnowed profile: same shape over the per-doc distinct
-    // sliding-window minima of the span-hash list
+    // sliding-window minima of the span-hash list. Every w/k-derived
+    // constant below comes from the SHARED (DefaultSpanWidth,
+    // WinnowWindow) pair — the Spark side reads the same two values, so
+    // the query and its oracle cannot desynchronize on the knobs.
     "q_dedup_winnow" -> {
       val w = graft.operators.Dedup.DefaultSpanWidth
+      val k = graft.operators.Dedup.WinnowWindow
       val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
@@ -1677,10 +1669,10 @@ object DedupQueries {
          |  SELECT doc_id,
          |    list_transform(range(1, len(t)-${w - 2}),
          |      i -> ${graft.functions.PortableHash.hash60Sql(s"($span)")}) AS sp
-         |  FROM toks WHERE len(t) >= ${w + 3}),
+         |  FROM toks WHERE len(t) >= ${w + k - 1}),
          |g AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, len(sp)-2), j -> list_min(sp[j:j+3])))) AS h
+         |    range(1, len(sp)-${k - 2}), j -> list_min(sp[j:j+${k - 1}])))) AS h
          |  FROM sp),
          |freq AS (SELECT h, count(*) AS nd FROM g GROUP BY h)
          |SELECT doc_id, count(*) AS n_fingerprints,

@@ -469,18 +469,11 @@ object ScaleProbe {
         val docs = graft.sources.Tables.documents(spark, dir)
         val tLive = time {
           // the index-free form: full explode + per-(term, doc) aggregate
-          // before the same filter/rank tail
-          val post = InvertedIndex.postings(docs)
-            .filter(col("term").isin(terms: _*))
-          val dfq = post.groupBy("term").agg(count(lit(1)).as("df_"))
-          val n = docs.count()
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("term").orderBy(col("score").desc, col("doc_id").asc)
-          post.join(dfq, "term")
-            .withColumn("score", col("tf") *
-              floor((lit(n).cast("double") * 1048576.0) / col("df_")).cast("long"))
-            .withColumn("rank", row_number().over(w).cast("long"))
-            .filter(col("rank") <= 10)
+          // feeding the SAME shared rank tail as search — the A/B times
+          // the identical computation on both sides by construction
+          InvertedIndex.rankedFromPostings(
+              InvertedIndex.postings(docs).filter(col("term").isin(terms: _*)),
+              docs.agg(count(lit(1)).as("n")), k = 10)
             .write.mode("overwrite").format("noop").save()
         }
         InvertedIndex.drop(spark, dir)

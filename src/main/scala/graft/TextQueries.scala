@@ -495,7 +495,8 @@ object TextQueries {
     // and are absent. Reduction = exact int/int IEEE division.
     "q_text_winnow" -> ((s, dir) => {
       import graft.functions.expressions.SpanHash
-      val w = 8; val k = 4
+      val w = graft.operators.Dedup.DefaultSpanWidth
+      val k = graft.operators.Dedup.WinnowWindow
       Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= w + k - 1)
@@ -1178,9 +1179,13 @@ object TextQueries {
         |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
 
     // winnowing replay: span-hash list per doc, sliding-window list_min,
-    // distinct minima — the same selection the deque kernel computes
+    // distinct minima — the same selection the deque kernel computes.
+    // Knob constants derive from the shared (DefaultSpanWidth,
+    // WinnowWindow) pair; the winnow expression is computed ONCE in its
+    // own CTE and reused by both output columns.
     "q_text_winnow" -> {
-      val w = graft.operators.Dedup.DefaultSpanWidth // 8
+      val w = graft.operators.Dedup.DefaultSpanWidth
+      val k = graft.operators.Dedup.WinnowWindow
       val span = (0 until w).map(j => s"t[i+$j]").mkString("||' '||")
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
@@ -1188,13 +1193,16 @@ object TextQueries {
          |  SELECT doc_id, len(t) - ${w - 1} AS n_spans,
          |    list_transform(range(1, len(t)-${w - 2}),
          |      i -> ${graft.functions.PortableHash.hash60Sql(s"($span)")}) AS sp
-         |  FROM toks WHERE len(t) >= ${w + 3})
+         |  FROM toks WHERE len(t) >= ${w + k - 1}),
+         |fp AS (
+         |  SELECT doc_id, n_spans,
+         |    len(list_distinct(list_transform(range(1, len(sp)-${k - 2}),
+         |      j -> list_min(sp[j:j+${k - 1}])))) AS n_fp
+         |  FROM sp)
          |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
-         |  CAST(len(list_distinct(list_transform(range(1, len(sp)-2),
-         |    j -> list_min(sp[j:j+3])))) AS BIGINT) AS n_fingerprints,
-         |  CAST(len(list_distinct(list_transform(range(1, len(sp)-2),
-         |    j -> list_min(sp[j:j+3])))) AS DOUBLE) / n_spans AS reduction
-         |FROM sp""".stripMargin
+         |  CAST(n_fp AS BIGINT) AS n_fingerprints,
+         |  CAST(n_fp AS DOUBLE) / n_spans AS reduction
+         |FROM fp""".stripMargin
     },
 
     // identical rule by construction — the Bloom prefilter admits no false

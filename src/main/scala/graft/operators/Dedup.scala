@@ -268,25 +268,55 @@ object Dedup {
     // count each doc once per span. Hash-distinct is the same currency the
     // removal family's oracle uses (count(DISTINCT doc_id) per h), and the
     // stats oracle replays it identically.
-    val spans = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.expressions.SpanHash.span_hashes(col("toks"), w))).as("h"))
-    // spans are DISTINCT per doc (array_distinct upstream), so the
-    // distinct-doc count per hash is a plain row count — count_distinct
-    // here would add a SECOND full exchange of the span rows (partial
-    // distinct shuffles (h, doc_id), then h) for nothing; measured 24M
-    // shuffled rows saved at the 100x probe scale. Two spans of one doc
-    // colliding into one h would count that doc twice (~2^-60 per pair);
-    // the oracle counts the same rows, so results still hash-match.
+    statsFromDistinctHashes(
+      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.expressions.SpanHash.span_hashes(col("toks"), w))).as("h")),
+      "n_spans", "n_dup_spans")
+  }
+
+  /** The winnowing window: per k=4 consecutive span hashes keep the
+    * minimum (Schleimer et al. 2003) — ~2/(k+1) of the span mass survives
+    * while any shared run of >= DefaultSpanWidth + WinnowWindow - 1
+    * tokens still forces a shared fingerprint. ONE definition shared by
+    * the Spark queries and the DuckDB oracle builders (review finding:
+    * scattered inline k constants desynchronize silently). */
+  val WinnowWindow = 4
+
+  /** [[duplicatedSpanStats]] computed over the WINNOWED fingerprint set —
+    * the subsampled operating point a 100 TB span-granular pass runs at
+    * (see SpanHash.winnowHashes for the selection guarantee). Same
+    * one-exchange frequency-join shape, shared via
+    * [[statsFromDistinctHashes]]. */
+  def winnowedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = DefaultSpanWidth,
+                        k: Int = WinnowWindow): DataFrame =
+    statsFromDistinctHashes(
+      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.expressions.SpanHash.winnow_hashes(col("toks"), w, k))).as("h")),
+      "n_fingerprints", "n_dup_fps")
+
+  /** Shared tail of the span-granular duplication profiles: per-doc
+    * distinct (doc_id, h) rows → cross-doc frequency → per-doc dup
+    * counts/ratio. Input rows MUST be distinct per doc (array_distinct
+    * upstream), so the distinct-doc count per hash is a plain row count —
+    * count_distinct here would add a SECOND full exchange of the span
+    * rows (partial distinct shuffles (h, doc_id), then h) for nothing;
+    * measured 24M shuffled rows saved at the 100x probe scale. Two spans
+    * of one doc colliding into one h would count that doc twice (~2^-60
+    * per pair); the oracles count the same rows, so results still
+    * hash-match. */
+  private def statsFromDistinctHashes(spans: DataFrame,
+                                      nCol: String, dupCol: String): DataFrame = {
     val freq = spans.groupBy("h")
       .agg(count(lit(1)).as("nd"))
     spans.join(freq, "h")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .agg(count(lit(1)).as(nCol),
+           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as(dupCol))
       .withColumn("dup_ratio",
-        col("n_dup_spans").cast("double") / col("n_spans"))
+        col(dupCol).cast("double") / col(nCol))
   }
 
   /** The REMOVAL artifact of substring dedup — the corpus with cross-doc

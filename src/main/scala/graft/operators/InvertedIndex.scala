@@ -112,14 +112,22 @@ object InvertedIndex {
   def search(spark: SparkSession, dir: String, terms: Seq[String],
              k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
-    val post = spark.table(ensure(spark, dir))
-      .filter(col("term").isin(terms: _*))
+    rankedFromPostings(
+      spark.table(ensure(spark, dir)).filter(col("term").isin(terms: _*)),
+      graft.sources.Tables.documents(spark, dir).agg(count(lit(1)).as("n")),
+      k)
+  }
+
+  /** THE scoring/ranking tail — one definition shared by [[search]] and
+    * any index-free replay (the ScaleProbe A/B times the identical
+    * computation on both sides by construction): per-term df from the
+    * given postings rows, score = tf × floor(N·2^20/df), top-k per term
+    * with doc_id ties. `nDocs` is a 1-row (n BIGINT) scalar frame. */
+  def rankedFromPostings(post: DataFrame, nDocs: DataFrame, k: Int): DataFrame = {
     val dfq = post.groupBy("term").agg(count(lit(1)).as("df_"))
-    val n = graft.sources.Tables.documents(spark, dir)
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("term")
       .orderBy(col("score").desc, col("doc_id").asc)
-    post.join(dfq, "term").crossJoin(n)
+    post.join(dfq, "term").crossJoin(nDocs)
       .withColumn("score",
         col("tf") * floor((col("n").cast("double") * 1048576.0) / col("df_"))
           .cast("long"))
