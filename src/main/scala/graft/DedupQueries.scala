@@ -565,6 +565,35 @@ object DedupQueries {
         cents = cents)
     }),
 
+    // CLUSTER-BALANCED diversity sampling (round 11): a fixed-size
+    // deterministic sample per TRAINED embedding cluster — the curation
+    // move that keeps a training mix from collapsing onto the dominant
+    // topic (uniform sampling follows the cluster-size skew; per-cluster
+    // bottom-k by portable hash gives every region of embedding space
+    // equal representation, reproducibly across engines and runs).
+    // Composition of existing currencies: the memoized Lloyd's training
+    // (KMeans.trainForFixture — centroids enter the scan as ONE constant
+    // reference object), map-side cell assignment (no shuffle), then the
+    // bounded-heap TopKByScore aggregate rather than a rank window: K is
+    // tiny, so a window would sort the whole corpus in K partitions —
+    // the heap form crosses the exchange with k entries per cluster per
+    // map partition, the 100 TB shape (q_sample_bottomk_heap's device,
+    // same 2^50 hash reduction so the double score is tie-exact).
+    "q_sample_cluster_balanced" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = KMeans.trainForFixture(e, dir)
+      val h = pmod(graft.functions.PortableHash.hash60(
+        col("vec_id").cast("string")), lit(1125899906842624L)) // 2^50
+      e.select(
+          SimilarityIVF.cell(col("embedding"), cents).cast("long").as("cell"),
+          col("vec_id"), h.as("h"))
+        .groupBy("cell")
+        .agg(graft.functions.expressions.TopKAggregate
+          .top_k(-col("h").cast("double"), col("vec_id"), 5).as("tk"))
+        .select(col("cell"), explode(col("tk")).as("e"))
+        .select(col("cell"), col("e.id").as("vec_id"))
+    }),
+
     // The PERSISTED-index serving shape (operators.IvfIndex): train once,
     // materialize centroids + cell assignments as tables (assignments
     // BUCKETED by cell), serve every probe from the stored index — no
@@ -617,6 +646,18 @@ object DedupQueries {
     // priced as an index lookup instead of a corpus scan.
     "q_search_corpus" -> ((s, dir) =>
       graft.operators.InvertedIndex.search(s, dir,
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
+
+    // BM25-RANKED corpus search (round 11): top-10 DOCUMENTS for a
+    // multi-term query under the rational fixed-point BM25 (k1=6/5,
+    // b=3/4 exact fractions, idf ratio without ln — bit-portable across
+    // engines; see InvertedIndex scaladoc). Doc length rides
+    // denormalized in the postings rows and (N, total_tokens) come from
+    // the index's 1-row _stats table, so the search pays a pruned bucket
+    // read + tiny aggregates — never a corpus scan or a corpus join.
+    // Doc-level top-k is TakeOrderedAndProject, not a rank window.
+    "q_search_bm25" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchBm25(s, dir,
         Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
 
     // IVFADC — IVF coarse cells + product-quantization scoring
@@ -1706,6 +1747,24 @@ object DedupQueries {
     "q_dedup_source_overlap_indexed" -> sourceOverlapSql,
     "q_sim_ivf" -> ivfSql,
     "q_sim_ivf_kmeans" -> kmeansIvfSql,
+    // the same unrolled-Lloyd's assignment feeding the portable bottom-k
+    // qualification — heap top-k by (-h, id) == window bottom-k by (h, id)
+    "q_sample_cluster_balanced" -> {
+      val cT = s"c${KMeans.MaxIters}"
+      s"""WITH $kmeansCtes,
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cc.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "cc.cvec")} DESC, cc.cell ASC) AS rn
+         |    FROM embeddings e, $cT cc) WHERE rn = 1)
+         |SELECT cell, vec_id FROM (
+         |  SELECT cell, vec_id, row_number() OVER (
+         |    PARTITION BY cell
+         |    ORDER BY ${graft.functions.PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % 1125899906842624, vec_id) AS rn
+         |  FROM assigned)
+         |WHERE rn <= 5""".stripMargin
+    },
     // the persisted index serves the SAME trained-centroid result, so the
     // same unrolled-training replay is its oracle
     "q_sim_ivf_indexed" -> kmeansIvfSql,
@@ -1729,6 +1788,35 @@ object DedupQueries {
         |             doc_id ASC) AS BIGINT) AS rank
         |FROM tfq JOIN dfq USING (term) CROSS JOIN n
         |QUALIFY rank <= 10""".stripMargin,
+    // replays BM25 from the raw corpus with the IDENTICAL double
+    // expression shape (association and promotion points match the
+    // Column tree in InvertedIndex.bm25FromPostings — IEEE ×,/ are
+    // exactly rounded, so the fixed-point floor is bit-equal)
+    "q_search_bm25" ->
+      """WITH tfq AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+        |  WHERE term IN ('join','hash','scan','graftabsentterm')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+        |dlq AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+        |        FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(len(string_split(text,' '))) AS BIGINT) AS dltot
+        |          FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(1048576.0 *
+        |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
+        |      ((2.0 * df_ + 1.0) *
+        |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
+        |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |               CAST(sum(s) AS BIGINT) AS score
+        |        FROM scored GROUP BY 1)
+        |SELECT doc_id, n_terms, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM agg QUALIFY rank <= 10""".stripMargin,
     "q_sim_ivf_pq" -> pqIvfSql,
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_sim_ivf_pq_trained" -> pqTrainedSql,

@@ -476,9 +476,22 @@ object ScaleProbe {
               docs.agg(count(lit(1)).as("n")), k = 10)
             .write.mode("overwrite").format("noop").save()
         }
+        // BM25 A/B on the SAME build: served = pruned postings (dl rides
+        // in the rows) + the 1-row stats table; live = full explode +
+        // corpus stats aggregate, same shared scoring tail
+        val tServeBm25 = time {
+          InvertedIndex.searchBm25(spark, dir, terms, k = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val tLiveBm25 = time {
+          InvertedIndex.bm25FromPostings(
+              InvertedIndex.postings(docs).filter(col("term").isin(terms: _*)),
+              InvertedIndex.corpusStats(docs), k = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
         InvertedIndex.drop(spark, dir)
         spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
-        println(s"""{"probe":"inv_search","mult":$mult,"n_docs":${BaseDocs * mult},"post_rows":$postRows,"t_build":$tBuild,"t_serve":$tServe,"t_live":$tLive}""")
+        println(s"""{"probe":"inv_search","mult":$mult,"n_docs":${BaseDocs * mult},"post_rows":$postRows,"t_build":$tBuild,"t_serve":$tServe,"t_live":$tLive,"t_serve_bm25":$tServeBm25,"t_live_bm25":$tLiveBm25}""")
       }
       spark.stop()
       return

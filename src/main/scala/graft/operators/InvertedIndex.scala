@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   * Scoring: tf × the integer-exact idf proxy floor(N·2^20/df) — the
   * q_text_tfidf currency, bit-portable across engines, so the declared
   * search query is exact-oracle-checkable. Ties break on doc_id.
+  *
+  * BM25 ([[searchBm25]]): postings DENORMALIZE the per-doc whitespace
+  * token count `dl` (the classic doc-length-in-postings forward-index
+  * trick — one long per row buys length normalization without a join
+  * back to the corpus), and a 1-row `_stats` companion table holds
+  * (n_docs, total_tokens) so N and avgdl are index-build-time constants,
+  * never a query-time corpus scan. Both stay exact under [[append]]:
+  * dl is doc-local and the stats update is additive. The score is the
+  * RATIONAL BM25 — k1 = 6/5, b = 3/4 as exact fractions and the idf
+  * ratio (N − df + ½)/(df + ½) WITHOUT the ln — in ×2^20 fixed point:
+  * every factor is a ratio of integer-valued doubles, so the value is
+  * bit-portable across engines (ln is libm-dependent; IEEE ×,/ are
+  * exactly rounded) and the declared query stays exact-oracle-checkable.
+  * Unlike ln-idf it is also strictly positive even at df > N/2.
+  * Per-term ranking is order-identical to classic BM25 (the idf ratio
+  * is monotone in df, saturation monotone in tf, dl); multi-term doc
+  * scores weight rare terms more steeply than the ln form — documented
+  * currency, same trade the tf-idf proxy already makes.
   */
 object InvertedIndex {
 
@@ -39,14 +57,28 @@ object InvertedIndex {
     SnapshotMeta.indexStem("inv_index_", dir) + "_postings"
   private def metaTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_meta"
+  private def statsTable(dir: String): String =
+    SnapshotMeta.indexStem("inv_index_", dir) + "_stats"
 
   val Buckets = 16
 
   /** THE single definition of the postings relation — the persisted build
-    * and any live replay derive from this one function. */
+    * and any live replay derive from this one function. `dl` (the doc's
+    * whitespace token count, q_text_tokens' currency) rides along
+    * denormalized: constant within the (term, doc) group, so max() is
+    * exact. */
   def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).cast("long").as("tf"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
+
+  /** THE single definition of the corpus-level BM25 constants:
+    * (n BIGINT, dltot BIGINT) — document count and total whitespace
+    * token count — as a 1-row frame. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n"),
+      sum(size(split(col("text"), " ")).cast("long")).as("dltot"))
 
   /** Build the postings table for the fixture if absent; returns the
     * table name. Stamps the snapshot fingerprint (the SnapshotMeta
@@ -60,6 +92,8 @@ object InvertedIndex {
         .write.mode("overwrite")
         .bucketBy(Buckets, "term").sortBy("term", "doc_id")
         .saveAsTable(t)
+      IvfIndex.dropOrphanLocation(spark, statsTable(dir))
+      corpusStats(docs).write.mode("overwrite").saveAsTable(statsTable(dir))
       SnapshotMeta.stamp(spark, metaTable(dir),
         SnapshotMeta.fingerprint(docs, "doc_id"))
     }
@@ -77,11 +111,19 @@ object InvertedIndex {
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val t = ensure(spark, dir)
     val old = spark.table(metaTable(dir)).head()
+    val oldStats = spark.table(statsTable(dir)).head()
     postings(batch)
       .write.mode("append")
       .bucketBy(Buckets, "term").sortBy("term", "doc_id")
       .saveAsTable(t)
     spark.catalog.refreshTable(t)
+    // the BM25 constants update additively too: count and token sum over
+    // disjoint doc sets are sums — O(batch), like the fingerprint restamp
+    val bs = corpusStats(batch).head()
+    import spark.implicits._
+    Seq((oldStats.getLong(0) + bs.getLong(0),
+         oldStats.getLong(1) + bs.getLong(1)))
+      .toDF("n", "dltot").write.mode("overwrite").saveAsTable(statsTable(dir))
     val bfp = SnapshotMeta.fingerprint(
       batch.select(col("doc_id")).distinct(), "doc_id")
     SnapshotMeta.stamp(spark, metaTable(dir),
@@ -99,7 +141,7 @@ object InvertedIndex {
         graft.sources.Tables.documents(spark, dir), "doc_id"))
 
   def drop(spark: SparkSession, dir: String): Unit =
-    Seq(table(dir), metaTable(dir)).foreach { t =>
+    Seq(table(dir), metaTable(dir), statsTable(dir)).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       IvfIndex.dropOrphanLocation(spark, t)
     }
@@ -134,5 +176,53 @@ object InvertedIndex {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("term", "doc_id", "tf", "score", "rank")
+  }
+
+  /** Top-k DOCUMENTS for a multi-term query under rational fixed-point
+    * BM25, served from the pruned postings scan: dl rides in the hit
+    * rows (no corpus join), N and total token count come from the 1-row
+    * `_stats` table (no corpus scan), per-term df from exactly the
+    * pruned rows. The doc-level top-k is an orderBy+limit —
+    * TakeOrderedAndProject, the distributed per-partition-heap top-k —
+    * NOT a single-partition rank window; the rank column is attached
+    * after the limit, over ≤ k rows. */
+  def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
+                 k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "searchBm25 needs at least one term")
+    bm25FromPostings(
+      spark.table(ensure(spark, dir)).filter(col("term").isin(terms: _*)),
+      spark.table(statsTable(dir)), k)
+  }
+
+  /** THE BM25 scoring/ranking tail — shared by [[searchBm25]] and the
+    * index-free replay. `stats` is a 1-row (n, dltot) frame
+    * ([[corpusStats]] shape). Per-(term, doc) score, ×2^20 fixed point,
+    * k1 = 6/5, b = 3/4 (see the object doc for the exact-rational
+    * derivation; `22·tf·dltot / (10·tf·dltot + 3·dltot + 9·dl·n)` IS
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with avgdl = dltot/n):
+    *
+    *   floor(2^20 · (2n−2df+1)·(22·tf·dltot)
+    *               / ((2df+1)·(10·tf·dltot + 3·dltot + 9·dl·n)))
+    *
+    * evaluated in doubles with this exact association on both engines —
+    * every input is an integer-valued double, ×,/ are IEEE
+    * exactly-rounded, so the floor is bit-portable. Doc score = sum of
+    * per-term longs (sum-of-floors, not floor-of-sum — exact in int64). */
+  def bm25FromPostings(post: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val dfq = post.groupBy("term").agg(count(lit(1)).as("df_"))
+    val num = (lit(2.0) * col("n") - lit(2.0) * col("df_") + lit(1.0)) *
+      (lit(22.0) * col("tf") * col("dltot"))
+    val den = (lit(2.0) * col("df_") + lit(1.0)) *
+      (lit(10.0) * col("tf") * col("dltot") + lit(3.0) * col("dltot") +
+        lit(9.0) * col("dl") * col("n"))
+    val ranked = post.join(dfq, "term").crossJoin(stats)
+      .withColumn("s", floor(lit(1048576.0) * num / den).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum("s").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "n_terms", "score", "rank")
   }
 }

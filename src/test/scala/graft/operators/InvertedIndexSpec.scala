@@ -103,6 +103,88 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 
+  test("BM25 search equals the live replay from the raw corpus") {
+    val s = spark
+    val terms = Seq("join", "hash", "scan")
+    val served = InvertedIndex.searchBm25(s, sfDir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val live = InvertedIndex.bm25FromPostings(
+      InvertedIndex.postings(docs).filter(col("term").isin(terms: _*)),
+      InvertedIndex.corpusStats(docs), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(served == live && served.nonEmpty)
+  }
+
+  test("BM25 length normalization: same tf, longer doc scores lower") {
+    val s = spark
+    import s.implicits._
+    // doc 2 repeats the query term as often as doc 1 but is much longer
+    val docs = Seq(
+      (1L, "target filler"),
+      (2L, "target " + Seq.fill(40)("pad").mkString(" ")),
+      (3L, "other words entirely")
+    ).toDF("doc_id", "text")
+    val out = InvertedIndex.bm25FromPostings(
+      InvertedIndex.postings(docs).filter(col("term") === "target"),
+      InvertedIndex.corpusStats(docs), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) > out(2L),
+      s"shorter doc must outscore longer at equal tf: $out")
+    // and rank order follows
+    assert(InvertedIndex.bm25FromPostings(
+      InvertedIndex.postings(docs).filter(col("term") === "target"),
+      InvertedIndex.corpusStats(docs), k = 1)
+      .head().getLong(0) == 1L)
+  }
+
+  test("BM25 doc top-k plans as TakeOrderedAndProject over the pruned bucket scan") {
+    val s = spark
+    val plan = InvertedIndex.searchBm25(s, sfDir, Seq("join", "hash"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"doc-level top-k must be a distributed TakeOrdered, not a rank window:\n$plan")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"BM25 search must still prune the bucketed postings scan:\n$plan")
+  }
+
+  test("append keeps the BM25 stats additive: post-append search equals union replay") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta delta"),
+      (3L, "gamma gamma epsilon")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "alpha zeta"),
+      (5L, "delta delta delta")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_bm25_append_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      InvertedIndex.ensure(s, dir)
+      InvertedIndex.append(s, dir, batch)
+      val terms = Seq("alpha", "delta", "gamma")
+      val served = InvertedIndex.searchBm25(s, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val union = base.unionByName(batch)
+      val replay = InvertedIndex.bm25FromPostings(
+        InvertedIndex.postings(union).filter(col("term").isin(terms: _*)),
+        InvertedIndex.corpusStats(union), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(served == replay && served.nonEmpty)
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
   test("absent term yields no rows; declared query matches its own second run") {
     val s = spark
     val out = graft.SparkEntry.queries("q_search_corpus")(s, sfDir)

@@ -138,4 +138,39 @@ class IvfIndexSpec extends SparkSpec {
       dropIndexTables()
     }
   }
+
+  test("cluster-balanced sample: <=k per trained cell, heap == window replay, deterministic") {
+    val s = spark
+    val out = graft.SparkEntry.queries("q_sample_cluster_balanced")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-cell cap and balance: every sampled cell carries exactly
+    // min(k, cell size) members
+    val e = Tables.embeddings(s, sfDir)
+    val cents = KMeans.trainForFixture(e, sfDir)
+    val assigned = e.select(
+      SimilarityIVF.cell(col("embedding"), cents).cast("long").as("cell"),
+      col("vec_id"))
+    val cellSizes = assigned.groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCell = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perCell.nonEmpty)
+    perCell.foreach { case (cell, n) =>
+      assert(n == math.min(5L, cellSizes(cell)),
+        s"cell $cell sampled $n of ${cellSizes(cell)}")
+    }
+    // heap form equals the window bottom-k replay (same hash currency)
+    val h = pmod(graft.functions.PortableHash.hash60(
+      col("vec_id").cast("string")), lit(1125899906842624L)) // 2^50
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("h").asc, col("vec_id").asc)
+    val windowed = assigned.withColumn("h", h)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("cell", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == windowed)
+    // deterministic across runs
+    val again = graft.SparkEntry.queries("q_sample_cluster_balanced")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == again)
+  }
 }
