@@ -660,6 +660,17 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchBm25(s, dir,
         Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
 
+    // EXACT-PHRASE search (round 11) from the positional index: the
+    // occurrence join is pure equi-joins — term_i's pruned rows project
+    // (doc_id, pos−i AS start) and the relations intersect on (doc_id,
+    // start); no inequality condition, every join co-partitions on one
+    // key. Positional rows are (term, doc, pos)-local, so the positional
+    // table appends exactly like the tf postings. Top-k docs by
+    // occurrence count via TakeOrderedAndProject.
+    "q_search_phrase" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchPhrase(s, dir,
+        Seq("hash", "join"), k = 10)),
+
     // IVFADC — IVF coarse cells + product-quantization scoring
     // (operators.Pq): candidates cross the probe join as (id, cell,
     // 8 codes) — the 512-byte vector payload never shuffles, the 100 TB
@@ -1788,6 +1799,23 @@ object DedupQueries {
         |             doc_id ASC) AS BIGINT) AS rank
         |FROM tfq JOIN dfq USING (term) CROSS JOIN n
         |QUALIFY rank <= 10""".stripMargin,
+    // replays the phrase match from the raw corpus: 1-based positions by
+    // zip-unnest, per-term (doc_id, pos−i) projections intersected on
+    // (doc_id, start) — the same pure-equi-join shape as the Spark tail
+    "q_search_phrase" ->
+      """WITH pos AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term,
+        |         unnest(range(1, len(string_split(text,' '))+1)) AS pos
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, pos - 0 AS start FROM pos WHERE term = 'hash'),
+        |p1 AS (SELECT doc_id, pos - 1 AS start FROM pos WHERE term = 'join'),
+        |occ AS (SELECT doc_id, start FROM p0 JOIN p1 USING (doc_id, start)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+        |               CAST(min(start) AS BIGINT) AS first_pos
+        |        FROM occ GROUP BY 1)
+        |SELECT doc_id, n_occ, first_pos,
+        |  CAST(row_number() OVER (ORDER BY n_occ DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM agg QUALIFY rank <= 10""".stripMargin,
     // replays BM25 from the raw corpus with the IDENTICAL double
     // expression shape (association and promotion points match the
     // Column tree in InvertedIndex.bm25FromPostings — IEEE ×,/ are

@@ -31,7 +31,12 @@ object PlanAudit {
       // the semantic serving twin's blocked self-join reads the
       // cell-bucketed cells table; the shard manifest rides the
       // regime-dispatched packing assignment
-      "q_decontaminate_bloom", "q_dedup_semantic_indexed", "q_export_shards")
+      "q_decontaminate_bloom", "q_dedup_semantic_indexed", "q_export_shards",
+      // round-11 (late): BM25 doc search must show TakeOrderedAndProject
+      // over the bucket-pruned postings scan (pins in InvertedIndexSpec);
+      // cluster-balanced sampling must show the heap aggregate (partial
+      // per map partition), never a rank window over K tiny partitions
+      "q_search_bm25", "q_sample_cluster_balanced")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")

@@ -59,6 +59,8 @@ object InvertedIndex {
     SnapshotMeta.indexStem("inv_index_", dir) + "_meta"
   private def statsTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_stats"
+  private def posTable(dir: String): String =
+    SnapshotMeta.indexStem("inv_index_", dir) + "_positions"
 
   val Buckets = 16
 
@@ -72,6 +74,16 @@ object InvertedIndex {
         size(split(col("text"), " ")).cast("long").as("dl"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
+
+  /** THE single definition of the POSITIONAL postings relation —
+    * (term, doc_id, pos), pos 1-BASED (the SQL list-index convention, so
+    * the oracle's zip-unnest replay needs no off-by-one shim). Unlike
+    * [[postings]] nothing aggregates: every token occurrence is a row,
+    * which is what phrase matching needs. */
+  def positions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "term")))
+      .select(col("term"), col("doc_id"), (col("p0") + 1).cast("long").as("pos"))
 
   /** THE single definition of the corpus-level BM25 constants:
     * (n BIGINT, dltot BIGINT) — document count and total whitespace
@@ -140,8 +152,38 @@ object InvertedIndex {
       SnapshotMeta.fingerprint(
         graft.sources.Tables.documents(spark, dir), "doc_id"))
 
+  /** Build the positional table if absent (bucketed by term like the
+    * postings — a phrase lookup prunes to the phrase terms' buckets).
+    * Builds on top of [[ensure]] so the snapshot stamp and stats exist:
+    * one staleness contract governs the whole index family at this dir. */
+  def ensurePositions(spark: SparkSession, dir: String): String = {
+    ensure(spark, dir)
+    val t = posTable(dir)
+    if (!spark.catalog.tableExists(t)) {
+      IvfIndex.dropOrphanLocation(spark, t)
+      positions(graft.sources.Tables.documents(spark, dir))
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "term").sortBy("term", "doc_id")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** Positional rows are (term, doc, pos)-local like tf rows, so the
+    * bucketed append is exact for a new-doc batch. No separate stamp:
+    * [[append]] (which callers run for the same batch) maintains the
+    * shared meta/stats; this keeps the positional table in step. */
+  def appendPositions(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val t = ensurePositions(spark, dir)
+    positions(batch)
+      .write.mode("append")
+      .bucketBy(Buckets, "term").sortBy("term", "doc_id")
+      .saveAsTable(t)
+    spark.catalog.refreshTable(t)
+  }
+
   def drop(spark: SparkSession, dir: String): Unit =
-    Seq(table(dir), metaTable(dir), statsTable(dir)).foreach { t =>
+    Seq(table(dir), metaTable(dir), statsTable(dir), posTable(dir)).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       IvfIndex.dropOrphanLocation(spark, t)
     }
@@ -224,5 +266,42 @@ object InvertedIndex {
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     ranked.withColumn("rank", row_number().over(w).cast("long"))
       .select("doc_id", "n_terms", "score", "rank")
+  }
+
+  /** Top-k documents containing an exact PHRASE (consecutive tokens),
+    * served from the pruned positional scan. The occurrence join is pure
+    * equi-joins: an occurrence starts at `s` iff term_i sits at `s + i`
+    * for every i, so each phrase term's rows project (doc_id,
+    * pos − i AS start) and the i relations intersect on (doc_id, start)
+    * — no inequality condition, every join co-partitions on the same
+    * key. Ranked by occurrence count (doc_id ties), top-k via
+    * orderBy+limit (TakeOrderedAndProject). */
+  def searchPhrase(spark: SparkSession, dir: String, phrase: Seq[String],
+                   k: Int = 10): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    phraseFromPositions(
+      spark.table(ensurePositions(spark, dir))
+        .filter(col("term").isin(phrase.distinct: _*)),
+      phrase, k)
+  }
+
+  /** THE phrase-match tail — shared by [[searchPhrase]] and the
+    * index-free replay. `pos` holds positional rows covering (at least)
+    * the phrase terms. */
+  def phraseFromPositions(pos: DataFrame, phrase: Seq[String],
+                          k: Int): DataFrame = {
+    val rels = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).cast("long").as("start"))
+    }
+    val occ = rels.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    val ranked = occ.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        min("start").cast("long").as("first_pos"))
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+      .limit(k)
+    val w = Window.orderBy(col("n_occ").desc, col("doc_id").asc)
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "n_occ", "first_pos", "rank")
   }
 }

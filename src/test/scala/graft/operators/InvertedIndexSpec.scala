@@ -185,6 +185,77 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 
+  test("phrase search equals the live replay; known occurrences on a synthetic corpus") {
+    val s = spark
+    import s.implicits._
+    // fixture replay parity
+    val served = InvertedIndex.searchPhrase(s, sfDir, Seq("hash", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val live = InvertedIndex.phraseFromPositions(
+      InvertedIndex.positions(docs)
+        .filter(col("term").isin("hash", "join")), Seq("hash", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(served == live && served.nonEmpty)
+    // synthetic: 3-term phrase, overlapping + repeated-term edges
+    val syn = Seq(
+      (1L, "a b c x a b c"),   // two occurrences of "a b c"
+      (2L, "a b x b c"),       // none
+      (3L, "a a a a"),         // repeated-term phrase "a a" -> 3 overlapping
+      (4L, "c b a")            // none (reversed)
+    ).toDF("doc_id", "text")
+    val abc = InvertedIndex.phraseFromPositions(
+      InvertedIndex.positions(syn), Seq("a", "b", "c"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(abc == Set((1L, 2L, 1L)), s"got $abc")
+    val aa = InvertedIndex.phraseFromPositions(
+      InvertedIndex.positions(syn), Seq("a", "a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(aa == Set((3L, 3L, 1L)), s"got $aa")
+  }
+
+  test("phrase search prunes the positional scan and plans TakeOrderedAndProject") {
+    val s = spark
+    val plan = InvertedIndex.searchPhrase(s, sfDir, Seq("hash", "join"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"phrase lookup must prune the bucketed positional scan:\n$plan")
+  }
+
+  test("positional append of a new-doc batch equals a full rebuild") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "alpha beta gamma"), (2L, "beta alpha beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "alpha beta alpha")).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_pos_append_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      val t = InvertedIndex.ensurePositions(s, dir)
+      InvertedIndex.append(s, dir, batch)
+      InvertedIndex.appendPositions(s, dir, batch)
+      val appended = s.table(t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = InvertedIndex.positions(base.unionByName(batch))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(appended == rebuilt && rebuilt.nonEmpty)
+      // post-append phrase result equals the union replay
+      val served = InvertedIndex.searchPhrase(s, dir, Seq("alpha", "beta"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val replay = InvertedIndex.phraseFromPositions(
+        InvertedIndex.positions(base.unionByName(batch)),
+        Seq("alpha", "beta"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(served == replay && served.nonEmpty)
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
   test("absent term yields no rows; declared query matches its own second run") {
     val s = spark
     val out = graft.SparkEntry.queries("q_search_corpus")(s, sfDir)

@@ -133,6 +133,23 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
         "maintained postings diverge from a full rebuild over the ingested corpus")
       assert(!InvertedIndex.snapshotStale(s, dir),
         "the additive restamp must track the appended corpus")
+      // BM25 closes the loop: the streamed appends updated dl rows AND
+      // the (n, dltot) stats additively, so a BM25 search over the
+      // maintained index must equal the from-scratch replay over the
+      // ingested corpus — any drift in the stats table shifts every score
+      val terms = Seq("alpha", "delta", "gamma")
+      val served = InvertedIndex.searchBm25(s, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val docsNow = graft.sources.Tables.documents(s, dir)
+      val replay = InvertedIndex.bm25FromPostings(
+        InvertedIndex.postings(docsNow)
+          .filter(org.apache.spark.sql.functions.col("term").isin(terms: _*)),
+        InvertedIndex.corpusStats(docsNow), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(served == replay && served.nonEmpty,
+        "BM25 over the maintained index diverges from the ingested-corpus replay")
     } finally {
       InvertedIndex.drop(s, dir)
       Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
