@@ -704,6 +704,27 @@ object TextQueries {
     // the aggregate's double score (2^60 would round past the 53-bit
     // mantissa and tie-breaks could diverge from the oracle's integer
     // ordering); top-k by (-h desc, id asc) == bottom-k by (h asc, id asc).
+    // QUALITY-WEIGHTED sampling (round 11): deterministic Bernoulli —
+    // keep a document with probability equal to its quality score (the
+    // keep-best distinct-token-ratio currency), decided by the portable
+    // hash: accept iff h mod 2^50 < floor(quality · 2^50). Soft
+    // filtering for a training mix: low-quality docs survive at reduced
+    // rate instead of a hard cutoff, reproducibly across engines/runs
+    // (same doc set every time — no RNG state). The comparison is
+    // integer-vs-integer; quality's double division is IEEE-identical on
+    // both engines, so the floor threshold is bit-portable. Pure
+    // map-side: one narrow scan, a filter, no shuffle at any scale.
+    "q_sample_quality_weighted" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{nDistinctTokens, nTokens}
+      val q = nDistinctTokens(col("text")).cast("double") /
+        nTokens(col("text"))
+      val h = pmod(graft.functions.PortableHash.hash60(
+        col("doc_id").cast("string")), lit(1125899906842624L)) // 2^50
+      Tables.documents(s, dir)
+        .filter(h < floor(q * lit(1125899906842624.0)).cast("long"))
+        .select(col("doc_id"), col("lang"), q.as("quality"))
+    }),
+
     "q_sample_bottomk_heap" -> ((s, dir) => {
       val h = pmod(graft.functions.PortableHash.hash60(
         col("doc_id").cast("string")), lit(1125899906842624L)) // 2^50
@@ -1244,6 +1265,17 @@ object TextQueries {
          |    ORDER BY ${graft.functions.PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 5""".stripMargin,
+
+    // the hash threshold mirrors the Spark floor(q * 2^50) exactly: the
+    // division and multiply are the only float ops, in identical order
+    "q_sample_quality_weighted" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS quality
+         |FROM documents
+         |WHERE ${graft.functions.PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 1125899906842624
+         |  < CAST(floor((CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |      / len(string_split(text,' '))) * 1125899906842624.0) AS BIGINT)""".stripMargin,
 
     "q_sample_bottomk_heap" ->
       s"""SELECT doc_id, lang FROM (

@@ -91,6 +91,28 @@ class CrossQueryConsistencySpec extends SparkSpec {
     assert(a.map(_._1).forall(docs) && b.map(_._1).forall(docs))
   }
 
+  test("quality-weighted sample accepts at a rate tracking quality; deterministic") {
+    val out = q("q_sample_quality_weighted").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // every survivor's own quality bounds its acceptance: h < floor(q·2^50)
+    // implies q > 0 — and high-quality docs must survive at a visibly
+    // higher rate than low-quality ones (split at the corpus median)
+    val all = q("q_text_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(2).toDouble / r.getLong(1)))
+    val med = all.map(_._2).sorted.apply(all.length / 2)
+    val kept = out.map(_._1).toSet
+    def rate(xs: Array[(Long, Double)]) =
+      if (xs.isEmpty) 0.0 else xs.count(x => kept(x._1)).toDouble / xs.length
+    val (hi, lo) = all.partition(_._2 >= med)
+    assert(rate(hi) > rate(lo),
+      s"high-quality acceptance ${rate(hi)} must exceed low ${rate(lo)}")
+    // deterministic across runs
+    val again = q("q_sample_quality_weighted").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("packed sequences carry exactly their bin's documents and token mass") {
     val seqs = q("q_pack_sequences").collect()
       .map(r => ((r.getString(0), r.getLong(1)),
