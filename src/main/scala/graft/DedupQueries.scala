@@ -25,6 +25,22 @@ object DedupQueries {
     // collision would merge two distinct texts — astronomically unlikely
     // at 60 bits for dedup purposes, and production pipelines verify
     // survivors when it matters (the composed pipeline does).
+    // CANONICALIZED exact dedup (round 11): case/punctuation/whitespace-
+    // insensitive — the normalization every web-crawl pipeline applies
+    // before exact dedup ("Hello,  World!" == "hello world"). Grouping
+    // key is the 60-bit portable hash OF THE CANONICAL FORM, so shuffle
+    // rows stay ~16 bytes (the q_dedup_exact_hash economics) and the
+    // canonicalization itself is three codegen string ops at the scan
+    // (lower, strip non-alnum, collapse spaces) — map-side, no extra
+    // pass. Survivor = min doc_id per canonical class.
+    "q_dedup_canonical" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(graft.functions.PortableHash.hash60(
+          graft.operators.Dedup.canonicalText(col("text"))))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .select("canonical_id", "n_copies")),
+
     "q_dedup_exact_hash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy(graft.functions.PortableHash.hash60(col("text")).as("h"))
@@ -1910,6 +1926,13 @@ object DedupQueries {
     "q_dedup_exact_hash" ->
       s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
          |FROM documents GROUP BY ${PortableHash.hash60Sql("text")}""".stripMargin,
+
+    // canonicalization mirrored with 'g'-flagged regexp_replace (Spark
+    // replaces all matches by default; DuckDB needs the flag)
+    "q_dedup_canonical" ->
+      s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM documents GROUP BY ${PortableHash.hash60Sql(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")}""".stripMargin,
 
     "q_token_histogram" ->
       """SELECT CAST(floor(CAST(len(string_split(text,' ')) AS DOUBLE) / 16.0) AS BIGINT) AS bucket,

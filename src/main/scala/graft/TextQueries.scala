@@ -102,6 +102,24 @@ object TextQueries {
             .cast("long").as("n_bpe_tokens"),
           nTokens(col("text")).cast("long").as("n_ws_tokens"))),
 
+    // TOKENIZER FERTILITY per language (round 11): BPE tokens per
+    // whitespace word — THE tokenizer-efficiency metric a multilingual
+    // training mix is budgeted with (a language whose fertility is 2x
+    // pays 2x the context window per word; mixes and pack budgets key
+    // off this number). Both counts ride the real merge-table BPE codegen
+    // expression in ONE narrow aggregate scan; the ratio is a single
+    // IEEE division of two exact longs, bit-portable.
+    "q_text_bpe_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          sum(graft.functions.expressions.BpeCountExpression
+            .bpe_count(col("text")).cast("long")).as("n_bpe"),
+          sum(nTokens(col("text")).cast("long")).as("n_ws"))
+        .select(col("lang"), col("n_bpe"), col("n_ws"),
+          (col("n_bpe").cast("double") / col("n_ws").cast("double"))
+            .as("fertility"))),
+
     // REAL BPE tokenization: the full merge-table algorithm (rank-priority
     // pair merging per pre-token, graft.functions.Bpe) as one codegen
     // expression at the scan — the actual token-budget currency, vs the
@@ -1002,6 +1020,14 @@ object TextQueries {
         |    / len(string_split(text,' ')) AS stop_ratio,
         |  CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) AS chars_per_token
         |FROM documents""".stripMargin,
+
+    "q_text_bpe_fertility" ->
+      s"""SELECT lang,
+         |  CAST(sum(${graft.functions.Bpe.countSql("text")}) AS BIGINT) AS n_bpe,
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_ws,
+         |  CAST(CAST(sum(${graft.functions.Bpe.countSql("text")}) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(len(string_split(text,' '))) AS BIGINT) AS DOUBLE) AS fertility
+         |FROM documents GROUP BY lang""".stripMargin,
 
     "q_text_langid" -> langCase,
 

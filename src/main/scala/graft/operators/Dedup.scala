@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** THE text canonicalization rule for case/punctuation-insensitive
+    * dedup: lowercase, strip every char outside [a-z0-9 ], collapse
+    * space runs, trim. Three codegen string ops at the scan; the oracle
+    * mirrors them with DuckDB's 'g'-flagged regexp_replace (Spark
+    * replaces all occurrences by default). Deliberately ASCII-scoped:
+    * the fixture corpus is ASCII, and a Unicode-normalizing variant
+    * would hide engine-specific NFC/casefold differences behind the
+    * oracle — scope honestly declared here. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Exact duplicate groups: one row per distinct value of `keyCols`,
     * carrying the canonical (minimum) id and the multiplicity. */
   def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =

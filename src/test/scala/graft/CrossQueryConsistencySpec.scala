@@ -91,6 +91,54 @@ class CrossQueryConsistencySpec extends SparkSpec {
     assert(a.map(_._1).forall(docs) && b.map(_._1).forall(docs))
   }
 
+  test("canonical dedup merges case/punct/whitespace variants; refines to exact dedup") {
+    val s = spark
+    import s.implicits._
+    // synthetic: canonicalization collapses the three surface variants
+    val syn = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO WORLD."),
+      (4L, "different text")
+    ).toDF("doc_id", "text")
+    val groups = syn.groupBy(graft.functions.PortableHash.hash60(
+        graft.operators.Dedup.canonicalText(org.apache.spark.sql.functions.col("text"))))
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("canonical_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(groups == Set((1L, 3L), (4L, 1L)), s"got $groups")
+    // on the fixture corpus: canonical classes can only MERGE exact
+    // classes, never split them — class count and survivor mass bound
+    val exact = q("q_dedup_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val canon = q("q_dedup_canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(canon.length <= exact.length)
+    assert(canon.map(_._2).sum == exact.map(_._2).sum,
+      "total multiplicity must be the corpus size either way")
+  }
+
+  test("BPE fertility is consistent with the per-doc token queries; >= 1 per language") {
+    val fert = q("q_text_bpe_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fert.nonEmpty)
+    fert.foreach { case (lang, nBpe, nWs, f) =>
+      assert(f >= 1.0, s"$lang fertility $f < 1 (pre-tokens split at word boundaries)")
+      assert(f == nBpe.toDouble / nWs.toDouble)
+    }
+    // cross-check the summed masses against q_text_tokens_bpe_real's
+    // per-doc counts joined to the lang column
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = q("q_text_tokens_bpe_real").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byLang = perDoc.groupBy(p => docs(p._1)).view.mapValues(_.map(_._2).sum).toMap
+    fert.foreach { case (lang, nBpe, _, _) =>
+      assert(byLang(lang) == nBpe,
+        s"$lang BPE mass $nBpe != summed per-doc ${byLang(lang)}")
+    }
+  }
+
   test("quality-weighted sample accepts at a rate tracking quality; deterministic") {
     val out = q("q_sample_quality_weighted").collect()
       .map(r => (r.getLong(0), r.getDouble(2)))
