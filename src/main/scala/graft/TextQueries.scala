@@ -672,6 +672,45 @@ object TextQueries {
     // corpus-vocabulary-sized so they join SHUFFLED on their keys (never
     // broadcast — same rule as q_text_fluency/q_text_tfidf); V is a
     // 1-row cross join; stop-bigram probe skew is AQE-splittable.
+    // PMI-RANKED COLLOCATIONS (round 11): top bigrams by pointwise
+    // mutual information — the phrase-discovery pass a tokenizer/corpus
+    // report runs ("which word pairs co-occur far above chance"). PMI's
+    // log is rank-irrelevant (monotone), so the score is the RAW ratio
+    // p(xy)/(p(x)p(y)) = n_pair·N_bigrams/(c(w1)·c(w2)) in x2^20 fixed
+    // point — integer-valued doubles only, bit-portable (the BM25
+    // discipline). A min-support floor of 5 kills the rare-pair PMI
+    // pathology deterministically. Count relations are vocab-sized and
+    // flow through shuffled joins (never broadcast-hinted — the
+    // q_text_lm_bigram rule); the global top-20 is TakeOrderedAndProject.
+    "q_text_collocations" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bg = toks
+        .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+      val occ = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 5)
+      val cug = occ.groupBy("w").agg(count(lit(1)).as("cw"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      val scored = cbg
+        .join(cug.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(cug.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(nb)
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("n_pair"),
+          floor(((col("n_pair").cast("double") * col("nb")) /
+            (col("c1").cast("double") * col("c2"))) * 1048576.0)
+            .cast("long").as("pmi_q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi_q").desc, col("bigram").asc)
+      scored.orderBy(col("pmi_q").desc, col("bigram").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     "q_text_lm_bigram" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -1330,6 +1369,30 @@ object TextQueries {
         |  count(*) AS n_terms
         |FROM occ JOIN dfq USING (term) CROSS JOIN n
         |GROUP BY doc_id""".stripMargin,
+
+    // the ratio is formed in the IDENTICAL association as the Spark tree:
+    // ((n_pair·nb)/(c1·c2))·2^20, then floor — bit-portable
+    "q_text_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split(text,' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |occ AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |        FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |cug AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM occ GROUP BY 1),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+        |scored AS (
+        |  SELECT w1||' '||w2 AS bigram, n_pair,
+        |    CAST(floor(((CAST(n_pair AS DOUBLE) * nb)
+        |      / (CAST(c1.cw AS DOUBLE) * c2.cw)) * 1048576.0) AS BIGINT) AS pmi_q
+        |  FROM cbg JOIN cug c1 ON c1.w = cbg.w1
+        |           JOIN cug c2 ON c2.w = cbg.w2 CROSS JOIN nb)
+        |SELECT bigram, n_pair, pmi_q,
+        |  CAST(row_number() OVER (ORDER BY pmi_q DESC, bigram ASC) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 20""".stripMargin,
 
     "q_text_lm_bigram" ->
       """WITH toks AS (

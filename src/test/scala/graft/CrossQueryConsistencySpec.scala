@@ -139,6 +139,26 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("collocations respect min support, PMI rank order, and the bigram mass") {
+    val rows = q("q_text_collocations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 5), "every collocation must meet min support")
+    val sorted = rows.sortBy(_._4).toSeq
+    sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1),
+        s"rank order violated between $a and $b")
+    }
+    // each reported pair count is bounded by its words' unigram counts
+    val cug = q("q_text_termfreq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (b, n, _, _) =>
+      val Array(w1, w2) = b.split(" ")
+      assert(n <= math.min(cug(w1), cug(w2)),
+        s"pair count $n exceeds unigram counts for '$b'")
+    }
+  }
+
   test("quality-weighted sample accepts at a rate tracking quality; deterministic") {
     val out = q("q_sample_quality_weighted").collect()
       .map(r => (r.getLong(0), r.getDouble(2)))
