@@ -41,6 +41,24 @@ object DedupQueries {
           count(lit(1)).as("n_copies"))
         .select("canonical_id", "n_copies")),
 
+    // SNAPSHOT DIFF (round 11): classify docs across two corpus
+    // snapshots as added/removed/changed (operators.SnapshotDiff — one
+    // co-partitioned full-outer join over 16-byte (id, hash) rows). The
+    // fixture has one snapshot, so the "previous" one is synthesized
+    // DETERMINISTICALLY from it: drop ids ≡3 (mod 10) (they become
+    // `added`), suffix the text of ids ≡7 (they become `changed`), and
+    // the current view drops ids ≡5 (they read `removed`). The oracle
+    // replays the same two derivations, so every classification branch
+    // is hash-checked.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text", when(col("doc_id") % 10 === 7,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val cur = docs.filter(col("doc_id") % 10 =!= 5)
+      graft.operators.SnapshotDiff.diff(prev, cur)
+    }),
+
     "q_dedup_exact_hash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy(graft.functions.PortableHash.hash60(col("text")).as("h"))
@@ -1926,6 +1944,23 @@ object DedupQueries {
     "q_dedup_exact_hash" ->
       s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
          |FROM documents GROUP BY ${PortableHash.hash60Sql("text")}""".stripMargin,
+
+    // replays the two snapshot derivations and the full-outer classify;
+    // hash comparison elided — differing TEXT implies differing hash
+    // (collision-free at fixture scale), so status logic is on content
+    "q_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 7 THEN text || ' v1' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 5),
+        |j AS (
+        |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN p.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN p.text <> c.text THEN 'changed' END AS status
+        |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
 
     // canonicalization mirrored with 'g'-flagged regexp_replace (Spark
     // replaces all matches by default; DuckDB needs the flag)

@@ -96,6 +96,12 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val t = InvertedIndex.ensure(s, dir)
+      // the positional table must exist BEFORE the stream lands a batch:
+      // ensurePositions inside a foreachBatch that has already appended
+      // the batch to the corpus would build from the appended corpus and
+      // then append the batch AGAIN (the same contract append itself has
+      // via the up-front ensure above)
+      val pT = InvertedIndex.ensurePositions(s, dir)
 
       val schema = graft.sources.Tables.documents(s, dir).schema
       def run() = s.readStream.schema(schema)
@@ -106,6 +112,7 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
             val batch = b.persist()
             batch.write.mode("append").parquet(s"$dir/documents.parquet")
             InvertedIndex.append(s, dir, batch)
+            InvertedIndex.appendPositions(s, dir, batch)
             batch.unpersist()
             ()
           }
@@ -150,6 +157,25 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
           r.getLong(3))).toSet
       assert(served == replay && served.nonEmpty,
         "BM25 over the maintained index diverges from the ingested-corpus replay")
+      // positional symmetry: the streamed appendPositions calls leave the
+      // positional table equal to a rebuild, and phrase search agrees
+      val posMaintained = s.table(pT)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val posRebuilt = InvertedIndex.positions(docsNow)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(posMaintained == posRebuilt && posMaintained.nonEmpty,
+        "maintained positions diverge from a full rebuild")
+      val phraseServed = InvertedIndex.searchPhrase(s, dir,
+        Seq("alpha", "delta"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val phraseReplay = InvertedIndex.phraseFromPositions(
+        InvertedIndex.positions(docsNow)
+          .filter(org.apache.spark.sql.functions.col("term")
+            .isin("alpha", "delta")),
+        Seq("alpha", "delta"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(phraseServed == phraseReplay,
+        "phrase search over the maintained positional table diverges from the replay")
     } finally {
       InvertedIndex.drop(s, dir)
       Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
