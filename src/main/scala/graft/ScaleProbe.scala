@@ -489,9 +489,25 @@ object ScaleProbe {
               InvertedIndex.corpusStats(docs), k = 10)
             .write.mode("overwrite").format("noop").save()
         }
+        // phrase A/B: positional build on top of the same dir, then the
+        // pruned-bucket serve vs the full zip-positions replay
+        val p0 = System.nanoTime()
+        InvertedIndex.ensurePositions(spark, dir)
+        val tBuildPos = (System.nanoTime() - p0) / 1e9
+        val phrase = Seq("hash", "join")
+        val tServePhrase = time {
+          InvertedIndex.searchPhrase(spark, dir, phrase, k = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val tLivePhrase = time {
+          InvertedIndex.phraseFromPositions(
+              InvertedIndex.positions(docs).filter(col("term").isin(phrase: _*)),
+              phrase, k = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
         InvertedIndex.drop(spark, dir)
         spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
-        println(s"""{"probe":"inv_search","mult":$mult,"n_docs":${BaseDocs * mult},"post_rows":$postRows,"t_build":$tBuild,"t_serve":$tServe,"t_live":$tLive,"t_serve_bm25":$tServeBm25,"t_live_bm25":$tLiveBm25}""")
+        println(s"""{"probe":"inv_search","mult":$mult,"n_docs":${BaseDocs * mult},"post_rows":$postRows,"t_build":$tBuild,"t_serve":$tServe,"t_live":$tLive,"t_serve_bm25":$tServeBm25,"t_live_bm25":$tLiveBm25,"t_build_pos":$tBuildPos,"t_serve_phrase":$tServePhrase,"t_live_phrase":$tLivePhrase}""")
       }
       spark.stop()
       return
