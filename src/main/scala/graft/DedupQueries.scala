@@ -41,6 +41,35 @@ object DedupQueries {
           count(lit(1)).as("n_copies"))
         .select("canonical_id", "n_copies")),
 
+    // CURATION FUNNEL (round 11): the per-stage survivor report every
+    // pipeline owner reads before shipping — (stage, n_docs, n_tokens)
+    // for raw → quality gate → exact dedup → near dedup, each stage
+    // composed from the SAME CorpusOps chain verbs the artifact queries
+    // use (no parallel stage definitions to drift). Stages recompute
+    // their upstream narrow scans rather than persisting text-bearing
+    // intermediates — at 100 TB re-running a codegen filter scan is
+    // cheaper than materializing the corpus per stage; a production run
+    // that also SHIPS the final stage would persist `exact` once (the
+    // dedupedVerified CacheScope device).
+    "q_curation_funnel" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      import graft.functions.TextFunctions.nTokens
+      val raw = Tables.documents(s, dir)
+      val qual = raw.qualityFiltered()
+      val exact = qual.dedupedExact()
+      val near = exact.dedupedNear()
+      def stat(idx: Long, stage: String,
+               df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum(nTokens(col("text")).cast("long")).as("n_tokens"))
+          .select(lit(idx).as("stage_id"), lit(stage).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stat(1L, "raw", raw)
+        .unionByName(stat(2L, "quality", qual))
+        .unionByName(stat(3L, "exact_dedup", exact))
+        .unionByName(stat(4L, "near_dedup", near))
+    }),
+
     // SNAPSHOT DIFF (round 11): classify docs across two corpus
     // snapshots as added/removed/changed (operators.SnapshotDiff — one
     // co-partitioned full-outer join over 16-byte (id, hash) rows). The
@@ -1944,6 +1973,47 @@ object DedupQueries {
     "q_dedup_exact_hash" ->
       s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
          |FROM documents GROUP BY ${PortableHash.hash60Sql("text")}""".stripMargin,
+
+    // replays the funnel from the same stage definitions: the quality
+    // gate's constants interpolate from CorpusOps (one source of truth),
+    // exact survivors are the min-id row per text, near-dedup reuses the
+    // shared minhash + transitive-closure CTEs over the `canon` stage
+    "q_curation_funnel" -> {
+      import graft.operators.CorpusOps
+      s"""WITH RECURSIVE
+         |kept AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE len(string_split(text,' '))
+         |          BETWEEN ${CorpusOps.MinTokens} AND ${CorpusOps.MaxTokens}
+         |    AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |        / len(string_split(text,' ')) >= ${CorpusOps.MinDistinctRatio}),
+         |canon AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1),
+         |${minhashCtes("canon", numBands = MinHashLSH.BandedBands,
+                        rowsPerBand = MinHashLSH.BandedRows)},
+         |${closureCtes()},
+         |near AS (
+         |  SELECT c.doc_id, c.text FROM canon c
+         |  LEFT JOIN (SELECT doc_id FROM comp WHERE doc_id <> component_id) d
+         |    ON c.doc_id = d.doc_id
+         |  WHERE d.doc_id IS NULL)
+         |SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'quality', CAST(count(*) AS BIGINT),
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) FROM kept
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) FROM canon
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'near_dedup', CAST(count(*) AS BIGINT),
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) FROM near""".stripMargin
+    },
 
     // replays the two snapshot derivations and the full-outer classify;
     // hash comparison elided — differing TEXT implies differing hash

@@ -139,6 +139,25 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("curation funnel stages are monotone and agree with the stage queries") {
+    val funnel = q("q_curation_funnel").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(funnel.map(_._2).toSeq ==
+      Seq("raw", "quality", "exact_dedup", "near_dedup"))
+    // docs and tokens can only shrink down the funnel
+    funnel.zip(funnel.drop(1)).foreach { case (a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"funnel grew from $a to $b")
+    }
+    // stage 2 == q_quality_filter's survivor count
+    assert(funnel(1)._3 == q("q_quality_filter").count())
+    // stage 3 == q_curation_pipeline's per-language stats summed
+    val pipe = q("q_curation_pipeline").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(funnel(2)._3 == pipe.map(_._1).sum)
+    assert(funnel(2)._4 == pipe.map(_._2).sum)
+  }
+
   test("collocations respect min support, PMI rank order, and the bigram mass") {
     val rows = q("q_text_collocations").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
