@@ -802,6 +802,28 @@ object DedupQueries {
     // comes from the codegen DotProduct (deterministic left-to-right
     // fold) and is summed fixed-point-exact (x 2^20, truncate, long sum)
     // so the aggregate survives the hash compare.
+    // PER-DIMENSION embedding stats (round 11): mean and fixed-point
+    // first/second moments of every embedding dimension — the drift
+    // monitor an ANN deployment watches (a dimension whose distribution
+    // shifts silently degrades every trained centroid/codebook; the
+    // per-dim view localizes WHICH ones moved). Values quantize to
+    // x2^20 integers at the scan (the q_doc_embedding_stats currency) so
+    // the sums are order-independent exact integers; one posexplode +
+    // 64-group aggregate, map-side combined.
+    "q_embed_dim_stats" -> ((s, dir) => {
+      val q = (col("v").cast("double") * 1048576.0).cast("long")
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .select((col("i") + 1).cast("long").as("dim"), q.as("q"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("q").cast("decimal(38,0)")).cast("double") / 1048576.0)
+            .as("sum_v"),
+          (sum((col("q") * col("q")).cast("decimal(38,0)")).cast("double")
+            / 1099511627776.0).as("sum_sq"))
+        .withColumn("mean", col("sum_v") / col("n"))
+    }),
+
     "q_doc_embedding_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
       val emb = Tables.embeddings(s, dir)
@@ -1916,6 +1938,19 @@ object DedupQueries {
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,
     "q_sim_ann_lsh_multiprobe" -> annLshMultiprobeSql,
+
+    // trunc == Spark's double->long cast (toward zero); q*q stays under
+    // 2^40 per row so the BIGINT products are exact before the wide sum
+    "q_embed_dim_stats" ->
+      s"""WITH q AS (
+         |  SELECT dd AS dim,
+         |    CAST(trunc(CAST(embedding[dd] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+         |  FROM embeddings, range(1, ${SimilarityIVF.Dim + 1}) t(dd))
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(q) AS DOUBLE) / 1048576.0 AS sum_v,
+         |  CAST(sum(q * q) AS DOUBLE) / 1099511627776.0 AS sum_sq,
+         |  (CAST(sum(q) AS DOUBLE) / 1048576.0) / CAST(count(*) AS BIGINT) AS mean
+         |FROM q GROUP BY dim""".stripMargin,
 
     "q_doc_embedding_stats" ->
       s"""WITH je AS (

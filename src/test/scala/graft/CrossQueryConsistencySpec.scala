@@ -139,6 +139,19 @@ class CrossQueryConsistencySpec extends SparkSpec {
     }
   }
 
+  test("per-dimension embedding stats cover every dim with the full vector count") {
+    val rows = q("q_embed_dim_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSet == (1L to 64L).toSet)
+    val nVecs = graft.sources.Tables.embeddings(spark, sfDir).count()
+    rows.foreach { case (dim, n, sumV, sumSq, mean) =>
+      assert(n == nVecs, s"dim $dim saw $n of $nVecs vectors")
+      assert(mean == sumV / n)
+      assert(sumSq >= 0.0)
+    }
+  }
+
   test("curation funnel stages are monotone and agree with the stage queries") {
     val funnel = q("q_curation_funnel").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
