@@ -723,6 +723,33 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchBm25(s, dir,
         Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
 
+    // HYBRID RETRIEVAL (round 11): the lexical-recall → semantic-
+    // precision funnel — BM25 shortlists 20 docs from the index (mass
+    // pruning at postings cost), then the shortlist re-ranks by exact
+    // cosine to the best EMBEDDED hit's vector. The expensive arithmetic
+    // runs on ≤20 rows; the shortlist is bounded by construction (k),
+    // so its broadcast into the embeddings join is legal, and the
+    // 1-row query vector crossJoins as a scalar (the whitelisted
+    // pattern). The q_sim_ivf_pq_rerank funnel shape applied to
+    // lexical-first retrieval.
+    "q_search_hybrid" -> ((s, dir) => {
+      val short = graft.operators.InvertedIndex.searchBm25(s, dir,
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 20)
+        .select(col("doc_id"), col("rank").as("bm25_rank"))
+      val e = Tables.embeddings(s, dir)
+      val sv = short.join(e, short("doc_id") === e("vec_id"))
+        .select(col("doc_id"), col("bm25_rank"), col("embedding"))
+      val qv = sv.orderBy(col("bm25_rank").asc).limit(1)
+        .select(col("embedding").as("qvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      sv.crossJoin(qv)
+        .select(col("doc_id"), col("bm25_rank"),
+          Similarity.cosine(col("embedding"), col("qvec")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     // EXACT-PHRASE search (round 11) from the positional index: the
     // occurrence join is pure equi-joins — term_i's pruned rows project
     // (doc_id, pos−i AS start) and the relations intersect on (doc_id,
@@ -997,6 +1024,35 @@ object DedupQueries {
   /** Explicit sequential-fold dot product in DuckDB SQL — element order and
     * double promotion identical to [[Similarity.dot]], so scores are
     * bit-equal between engines. */
+  /** THE BM25 raw-corpus replay (q_search_bm25's oracle) as a function
+    * of k, so the hybrid funnel's shortlist subquery is the SAME text —
+    * one definition, no drift. */
+  private def bm25RankedSql(k: Int): String =
+    s"""WITH tfq AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+       |  WHERE term IN ('join','hash','scan','graftabsentterm')
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+       |dlq AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+       |        FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                 CAST(sum(len(string_split(text,' '))) AS BIGINT) AS dltot
+       |          FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(1048576.0 *
+       |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
+       |      ((2.0 * df_ + 1.0) *
+       |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
+       |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |               CAST(sum(s) AS BIGINT) AS score
+       |        FROM scored GROUP BY 1)
+       |SELECT doc_id, n_terms, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM agg QUALIFY rank <= $k""".stripMargin
+
   private def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(range(1, len($a)+1),
@@ -1905,31 +1961,24 @@ object DedupQueries {
     // expression shape (association and promotion points match the
     // Column tree in InvertedIndex.bm25FromPostings — IEEE ×,/ are
     // exactly rounded, so the fixed-point floor is bit-equal)
-    "q_search_bm25" ->
-      """WITH tfq AS (
-        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
-        |  WHERE term IN ('join','hash','scan','graftabsentterm')
-        |  GROUP BY 1, 2),
-        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
-        |dlq AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl
-        |        FROM documents),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |                 CAST(sum(len(string_split(text,' '))) AS BIGINT) AS dltot
-        |          FROM documents),
-        |scored AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(1048576.0 *
-        |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
-        |      ((2.0 * df_ + 1.0) *
-        |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
-        |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |               CAST(sum(s) AS BIGINT) AS score
-        |        FROM scored GROUP BY 1)
-        |SELECT doc_id, n_terms, score,
-        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
-        |FROM agg QUALIFY rank <= 10""".stripMargin,
+    "q_search_bm25" -> bm25RankedSql(10),
+    // the hybrid funnel: the SAME BM25 replay at k=20 as a subquery (one
+    // definition — the shortlist oracle cannot drift from q_search_bm25),
+    // then the exact-cosine re-rank against the best embedded hit
+    "q_search_hybrid" ->
+      s"""WITH short AS (
+         |  SELECT doc_id, rank AS bm25_rank FROM (${bm25RankedSql(20)})),
+         |sv AS (
+         |  SELECT s.doc_id, s.bm25_rank, e.embedding
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.doc_id),
+         |qv AS (SELECT embedding AS qvec FROM sv ORDER BY bm25_rank ASC LIMIT 1),
+         |scored AS (
+         |  SELECT doc_id, bm25_rank,
+         |    ${sqlCosine("sv.embedding", "qv.qvec")} AS cos
+         |  FROM sv CROSS JOIN qv)
+         |SELECT doc_id, bm25_rank, cos,
+         |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 10""".stripMargin,
     "q_sim_ivf_pq" -> pqIvfSql,
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_sim_ivf_pq_trained" -> pqTrainedSql,

@@ -256,6 +256,25 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 
+  test("hybrid search re-ranks within the BM25 shortlist by cosine, deterministically") {
+    val s = spark
+    val hybrid = graft.SparkEntry.queries("q_search_hybrid")(s, sfDir).collect()
+    assert(hybrid.nonEmpty)
+    val shortIds = InvertedIndex.searchBm25(s, sfDir,
+      Seq("join", "hash", "scan", "graftabsentterm"), k = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hybrid.map(_.getLong(0)).toSet.subsetOf(shortIds),
+      "hybrid results must come from the lexical shortlist")
+    val rows = hybrid.map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._3).toSeq
+    rows.zip(rows.drop(1)).foreach { case (a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1),
+        s"cosine rank order violated between $a and $b")
+    }
+    val again = graft.SparkEntry.queries("q_search_hybrid")(s, sfDir).collect()
+    assert(hybrid.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("absent term yields no rows; declared query matches its own second run") {
     val s = spark
     val out = graft.SparkEntry.queries("q_search_corpus")(s, sfDir)
