@@ -628,6 +628,27 @@ object DedupQueries {
         cents = cents)
     }),
 
+    // The cluster-balanced sample SERVED from the persisted IVF index:
+    // the stored cells table already holds every vector's trained-cell
+    // assignment under the same KMeans.trainForFixture definition (sync
+    // pinned in IvfIndexSpec/PqIndex), so the serving twin pays a
+    // bucketed scan + the heap aggregate — no training job, no
+    // assignment scan in the query path (the q_sim_ivf_indexed device).
+    // Same oracle as the live twin: one semantics, two physical
+    // strategies.
+    "q_sample_cluster_balanced_indexed" -> ((s, dir) => {
+      val (cellsT, _) = graft.operators.IvfIndex.ensureIndex(s, dir)
+      val h = pmod(graft.functions.PortableHash.hash60(
+        col("vec_id").cast("string")), lit(1125899906842624L)) // 2^50
+      s.table(cellsT)
+        .select(col("cell").cast("long").as("cell"), col("vec_id"), h.as("h"))
+        .groupBy("cell")
+        .agg(graft.functions.expressions.TopKAggregate
+          .top_k(-col("h").cast("double"), col("vec_id"), 5).as("tk"))
+        .select(col("cell"), explode(col("tk")).as("e"))
+        .select(col("cell"), col("e.id").as("vec_id"))
+    }),
+
     // CLUSTER-BALANCED diversity sampling (round 11): a fixed-size
     // deterministic sample per TRAINED embedding cluster — the curation
     // move that keeps a training mix from collapsing onto the dominant
@@ -1024,6 +1045,28 @@ object DedupQueries {
   /** Explicit sequential-fold dot product in DuckDB SQL — element order and
     * double promotion identical to [[Similarity.dot]], so scores are
     * bit-equal between engines. */
+  /** Cluster-balanced sample replay: unrolled-Lloyd's assignment +
+    * portable bottom-k qualification. ONE definition serving both the
+    * live twin (trains per invocation) and the `_indexed` twin (reads
+    * the stored cells table) — the stored assignment is sync-pinned to
+    * the same training, so one oracle covers both physical strategies. */
+  private lazy val clusterBalancedSql: String = {
+    val cT = s"c${KMeans.MaxIters}"
+    s"""WITH $kmeansCtes,
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cc.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlDot("e.embedding", "cc.cvec")} DESC, cc.cell ASC) AS rn
+       |    FROM embeddings e, $cT cc) WHERE rn = 1)
+       |SELECT cell, vec_id FROM (
+       |  SELECT cell, vec_id, row_number() OVER (
+       |    PARTITION BY cell
+       |    ORDER BY ${graft.functions.PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % 1125899906842624, vec_id) AS rn
+       |  FROM assigned)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** THE BM25 raw-corpus replay (q_search_bm25's oracle) as a function
     * of k, so the hybrid funnel's shortlist subquery is the SAME text —
     * one definition, no drift. */
@@ -1901,22 +1944,10 @@ object DedupQueries {
     "q_sim_ivf_kmeans" -> kmeansIvfSql,
     // the same unrolled-Lloyd's assignment feeding the portable bottom-k
     // qualification — heap top-k by (-h, id) == window bottom-k by (h, id)
-    "q_sample_cluster_balanced" -> {
-      val cT = s"c${KMeans.MaxIters}"
-      s"""WITH $kmeansCtes,
-         |assigned AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, cc.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${sqlDot("e.embedding", "cc.cvec")} DESC, cc.cell ASC) AS rn
-         |    FROM embeddings e, $cT cc) WHERE rn = 1)
-         |SELECT cell, vec_id FROM (
-         |  SELECT cell, vec_id, row_number() OVER (
-         |    PARTITION BY cell
-         |    ORDER BY ${graft.functions.PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % 1125899906842624, vec_id) AS rn
-         |  FROM assigned)
-         |WHERE rn <= 5""".stripMargin
-    },
+    "q_sample_cluster_balanced" -> clusterBalancedSql,
+    // the stored cells table IS the trained assignment (sync-pinned), so
+    // the serving twin shares the live twin's oracle verbatim
+    "q_sample_cluster_balanced_indexed" -> clusterBalancedSql,
     // the persisted index serves the SAME trained-centroid result, so the
     // same unrolled-training replay is its oracle
     "q_sim_ivf_indexed" -> kmeansIvfSql,
