@@ -120,4 +120,75 @@ class OperatorPropertiesSpec extends SparkSpec {
         s"trial $trial: an inserted key tested negative (breaks the exact-verify soundness)")
     }
   }
+
+  test("snapshot diff equals the per-id reference classification on random snapshots") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(23)
+    // overlapping id spaces with per-id random membership and mutation —
+    // all four outcomes (added/removed/changed/unchanged) occur
+    val ids = (1L to 200L)
+    val prev = ids.filter(_ => rnd.nextInt(4) != 0)
+      .map(i => (i, s"text-${i % 17}"))
+    val curMut = ids.map(i => i -> (rnd.nextInt(4) == 0)).toMap
+    val cur = ids.filter(_ => rnd.nextInt(4) != 0)
+      .map(i => (i, if (curMut(i)) s"text-${i % 17}-v2" else s"text-${i % 17}"))
+    val got = SnapshotDiff.diff(
+        prev.toDF("doc_id", "text"), cur.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pm = prev.toMap
+    val cm = cur.toMap
+    val expected = ids.flatMap { i =>
+      (pm.get(i), cm.get(i)) match {
+        case (None, Some(_))              => Some(i -> "added")
+        case (Some(_), None)              => Some(i -> "removed")
+        case (Some(a), Some(b)) if a != b => Some(i -> "changed")
+        case _                            => None
+      }
+    }.toMap
+    assert(got == expected && expected.values.toSet.size == 3)
+    // diff of a snapshot against itself is empty
+    assert(SnapshotDiff.diff(
+      prev.toDF("doc_id", "text"), prev.toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("canonicalText is idempotent and case/punct/space-insensitive on random strings") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(41)
+    val alphabet = "abcXYZ019 ,.!-_;:'\"\t"
+    val base = (1 to 300).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(30)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = base.toDF("id", "t")
+    val once = df.select(col("id"), Dedup.canonicalText(col("t")).as("c"))
+    val twice = once.select(col("id"), Dedup.canonicalText(col("c")).as("c"))
+    assert(once.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+           twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // surface variants collapse: uppercasing / extra punctuation / doubled
+    // spaces never change the canonical form
+    val variants = base.map { case (i, t) =>
+      (i, t.toUpperCase + "!!", "  " + t.replace(" ", "   ") + " ,")
+    }
+    val vdf = variants.toDF("id", "up", "sp")
+    val a = vdf.select(col("id"), Dedup.canonicalText(col("up")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = df.select(col("id"),
+        Dedup.canonicalText(org.apache.spark.sql.functions.upper(col("t"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (i, c) =>
+      // "up" adds only punctuation on top of uppercasing -> same canonical
+      assert(c == b(i), s"id $i: '$c' vs '${b(i)}'")
+    }
+    val c1 = df.select(col("id"), Dedup.canonicalText(col("t")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val c2 = vdf.select(col("id"), Dedup.canonicalText(col("sp")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    c1.foreach { case (i, c) =>
+      assert(c == c2(i), s"space-variant diverged for id $i: '$c' vs '${c2(i)}'")
+    }
+  }
 }
