@@ -63,12 +63,16 @@ object PlanAudit {
     // q_decontaminate_bloom may broadcast ONLY the eval-gram verify
     // relation (the q_decontaminate rule); its bloom bits are a plan
     // constant, not a relation, so they never appear as an exchange
+    // q_curation_funnel's near-dup dropped-id set and q_text_collocations'
+    // vocab-sized count relations are corpus-derived: both must show NO
+    // BroadcastExchange here (no hints anywhere in their trees)
     Seq("q_decontaminate", "q_dedup_ngram_jaccard", "q_text_fluency",
         "q_corpus_dedup_full", "q_text_tfidf", "q_dedup_embedding",
         "q_corpus_dedup_verified", "q_mix_sources",
         "q_dedup_substring", "q_boilerplate_spans",
         "q_dedup_substring_removal", "q_text_lm_bigram",
-        "q_decontaminate_bloom").foreach { name =>
+        "q_decontaminate_bloom", "q_curation_funnel",
+        "q_text_collocations").foreach { name =>
       println(s"========== $name (auto-broadcast disabled: hints only) ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
     }
