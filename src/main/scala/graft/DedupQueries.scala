@@ -782,6 +782,17 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchPhrase(s, dir,
         Seq("hash", "join"), k = 10)),
 
+    // ORDERED-PROXIMITY search (round 11): "join" within 3 tokens after
+    // "hash" — the NEAR operator, formulated inequality-free: the slop
+    // window is the UNION over d = 1..slop of exact equi-joins on
+    // (doc_id, a.pos = b.pos − d), so every join co-partitions on one
+    // key and no range join appears at any scale (slop is a tiny query
+    // constant). Anchors count once however many matches land in the
+    // window.
+    "q_search_near" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchNear(s, dir,
+        "hash", "join", slop = 3, k = 10)),
+
     // IVFADC — IVF coarse cells + product-quantization scoring
     // (operators.Pq): candidates cross the probe join as (id, cell,
     // 8 codes) — the 512-byte vector payload never shuffles, the 100 TB
@@ -1988,6 +1999,26 @@ object DedupQueries {
         |SELECT doc_id, n_occ, first_pos,
         |  CAST(row_number() OVER (ORDER BY n_occ DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM agg QUALIFY rank <= 10""".stripMargin,
+    // the oracle states proximity as the RANGE condition the union of
+    // equi-joins implements — an independent formulation, same fixpoint
+    "q_search_near" ->
+      """WITH pos AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term,
+        |         unnest(range(1, len(string_split(text,' '))+1)) AS pos
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, pos FROM pos WHERE term = 'hash'),
+        |p1 AS (SELECT doc_id, pos FROM pos WHERE term = 'join'),
+        |occ AS (
+        |  SELECT DISTINCT p0.doc_id, p0.pos AS apos
+        |  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
+        |   AND p1.pos > p0.pos AND p1.pos <= p0.pos + 3),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+        |               CAST(min(apos) AS BIGINT) AS first_pos
+        |        FROM occ GROUP BY 1)
+        |SELECT doc_id, n_near, first_pos,
+        |  CAST(row_number() OVER (ORDER BY n_near DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM agg QUALIFY rank <= 10""".stripMargin,
+
     // replays BM25 from the raw corpus with the IDENTICAL double
     // expression shape (association and promotion points match the
     // Column tree in InvertedIndex.bm25FromPostings — IEEE ×,/ are

@@ -304,4 +304,44 @@ object InvertedIndex {
     ranked.withColumn("rank", row_number().over(w).cast("long"))
       .select("doc_id", "n_occ", "first_pos", "rank")
   }
+
+  /** Top-k documents where `second` follows `first` within `slop`
+    * tokens (ordered proximity — the NEAR operator). Served from the
+    * pruned positional scan like [[searchPhrase]]. */
+  def searchNear(spark: SparkSession, dir: String, first: String,
+                 second: String, slop: Int, k: Int = 10): DataFrame = {
+    require(slop >= 1, "slop must be at least 1 (slop = 1 is the phrase case)")
+    nearFromPositions(
+      spark.table(ensurePositions(spark, dir))
+        .filter(col("term").isin(Seq(first, second).distinct: _*)),
+      first, second, slop, k)
+  }
+
+  /** THE proximity tail — an inequality-free formulation: "b within
+    * (a.pos, a.pos + slop]" is the UNION over d = 1..slop of the exact
+    * equi-join on (doc_id, a.pos = b.pos − d), so every join
+    * co-partitions on the same key and no range join appears at any
+    * scale (slop is a small query constant, not data-dependent). An
+    * anchor occurrence counts once however many b's land in its window
+    * (the distinct). */
+  def nearFromPositions(pos: DataFrame, first: String, second: String,
+                        slop: Int, k: Int): DataFrame = {
+    val a = pos.filter(col("term") === first)
+      .select(col("doc_id"), col("pos").as("apos"))
+    val b = pos.filter(col("term") === second)
+      .select(col("doc_id"), col("pos").as("bpos"))
+    val occ = (1 to slop).map { d =>
+      a.join(b.select(col("doc_id"), (col("bpos") - d).as("apos")),
+          Seq("doc_id", "apos"))
+        .select(col("doc_id"), col("apos"))
+    }.reduce(_ unionByName _).distinct()
+    val ranked = occ.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_near"),
+        min("apos").cast("long").as("first_pos"))
+      .orderBy(col("n_near").desc, col("doc_id").asc)
+      .limit(k)
+    val w = Window.orderBy(col("n_near").desc, col("doc_id").asc)
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "n_near", "first_pos", "rank")
+  }
 }

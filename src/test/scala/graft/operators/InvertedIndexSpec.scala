@@ -256,6 +256,38 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 
+  test("proximity search: window edges on a synthetic corpus; slop=1 equals phrase") {
+    val s = spark
+    import s.implicits._
+    val syn = Seq(
+      (1L, "a x x b"),        // b at a.pos+3: inside slop 3, outside slop 2
+      (2L, "b a"),            // b BEFORE a: never counts (ordered)
+      (3L, "a b x b"),        // two b's in one window: anchor counts once
+      (4L, "a x b x a b")     // two anchors, each satisfied
+    ).toDF("doc_id", "text")
+    def near(slop: Int) = InvertedIndex.nearFromPositions(
+      InvertedIndex.positions(syn), "a", "b", slop, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(near(3) == Map(1L -> 1L, 3L -> 1L, 4L -> 2L), s"got ${near(3)}")
+    assert(near(2) == Map(3L -> 1L, 4L -> 2L), s"got ${near(2)}")
+    // slop = 1 is exactly the 2-term phrase count
+    val phrase = InvertedIndex.phraseFromPositions(
+      InvertedIndex.positions(syn), Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(near(1) == phrase)
+    // fixture: served equals the live replay
+    val served = InvertedIndex.searchNear(s, sfDir, "hash", "join", slop = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val live = InvertedIndex.nearFromPositions(
+      InvertedIndex.positions(docs).filter(col("term").isin("hash", "join")),
+      "hash", "join", slop = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(served == live && served.nonEmpty)
+  }
+
   test("hybrid search re-ranks within the BM25 shortlist by cosine, deterministically") {
     val s = spark
     val hybrid = graft.SparkEntry.queries("q_search_hybrid")(s, sfDir).collect()
