@@ -104,10 +104,17 @@ object InvertedIndex {
         .write.mode("overwrite")
         .bucketBy(Buckets, "term").sortBy("term", "doc_id")
         .saveAsTable(t)
-      IvfIndex.dropOrphanLocation(spark, statsTable(dir))
-      corpusStats(docs).write.mode("overwrite").saveAsTable(statsTable(dir))
       SnapshotMeta.stamp(spark, metaTable(dir),
         SnapshotMeta.fingerprint(docs, "doc_id"))
+    }
+    // the stats table is checked INDEPENDENTLY: a failure between the
+    // postings write and this one (or a postings table from the
+    // pre-_stats layout) must be repairable on the next ensure, not a
+    // permanent TABLE_NOT_FOUND for every BM25 search (review finding)
+    if (!spark.catalog.tableExists(statsTable(dir))) {
+      IvfIndex.dropOrphanLocation(spark, statsTable(dir))
+      corpusStats(graft.sources.Tables.documents(spark, dir))
+        .write.mode("overwrite").saveAsTable(statsTable(dir))
     }
     t
   }
@@ -130,11 +137,15 @@ object InvertedIndex {
       .saveAsTable(t)
     spark.catalog.refreshTable(t)
     // the BM25 constants update additively too: count and token sum over
-    // disjoint doc sets are sums — O(batch), like the fingerprint restamp
+    // disjoint doc sets are sums — O(batch), like the fingerprint restamp.
+    // Null-safe on an empty batch (sum over zero rows is NULL — the same
+    // guard SnapshotMeta.fingerprint carries), so an unconditional
+    // foreachBatch append stays the no-op it was pre-stats
     val bs = corpusStats(batch).head()
+    val bn = bs.getLong(0)
+    val bd = Option(bs.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
     import spark.implicits._
-    Seq((oldStats.getLong(0) + bs.getLong(0),
-         oldStats.getLong(1) + bs.getLong(1)))
+    Seq((oldStats.getLong(0) + bn, oldStats.getLong(1) + bd))
       .toDF("n", "dltot").write.mode("overwrite").saveAsTable(statsTable(dir))
     val bfp = SnapshotMeta.fingerprint(
       batch.select(col("doc_id")).distinct(), "doc_id")
