@@ -35,13 +35,23 @@ object GramBloom {
   private val Seed2 = 0x9747b28cL
 
   /** Sized from the standard Bloom formulae: m = -n ln p / (ln 2)^2 bits
-    * (rounded up to whole longs), k = m/n ln 2 hash functions. */
+    * (rounded up to whole longs), k = m/n ln 2 hash functions. The array
+    * is indexed by Int, so m caps at ~2^31 bits; past ~25M keys at
+    * fpp=1e-4 that cap would bind and a silent clamp would degrade the
+    * effective per-key fpp — eroding the compounded per-document FP
+    * budget the decontamination sizing depends on — so exceeding it
+    * fails loudly like the maxEntries check (shard the key set or raise
+    * fpp instead). */
   def params(n: Long, fpp: Double): (Int, Int) = {
     require(n > 0, "empty key set — nothing to filter")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val ln2 = math.log(2)
     val mBits0 = math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong
-    val mBits = math.min(((mBits0 + 63) / 64) * 64, Int.MaxValue.toLong - 63)
+    val mBits = ((mBits0 + 63) / 64) * 64
+    require(mBits <= Int.MaxValue.toLong - 63,
+      s"GramBloom.params: n=$n at fpp=$fpp needs $mBits bits, over the " +
+        "2^31-bit array cap — the filter can no longer honor the " +
+        "requested fpp; shard the key set or raise fpp")
     val k = math.max(1, math.round(mBits.toDouble / n * ln2).toInt)
     (mBits.toInt, k)
   }

@@ -62,7 +62,19 @@ object InvertedIndex {
   private def posTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_positions"
 
-  val Buckets = 16
+  /** Index-side file parallelism knob: every pruned lookup reads ~k/Buckets
+    * of the postings, and every bucket is one file per table partition —
+    * a fixture-scale default of 16; at production scale size it from a
+    * target bucket FILE size, not a count (Buckets ≈ postings bytes /
+    * (#batches × 256 MB), see SCALE.md). Override with
+    * -Dgraft.index.invBuckets=N BEFORE the first build (the bucket spec
+    * is fixed at table creation). */
+  val Buckets: Int =
+    sys.props.getOrElse("graft.index.invBuckets", "16").toInt
+
+  /** The base build's ledger partition. foreachBatch batch ids start at
+    * 0, so the base sits below every legitimate maintenance batch. */
+  val BaseBatchId: Long = -1L
 
   /** THE single definition of the postings relation — the persisted build
     * and any live replay derive from this one function. `dl` (the doc's
@@ -90,76 +102,105 @@ object InvertedIndex {
     * token count — as a 1-row frame. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.agg(count(lit(1)).as("n"),
-      sum(size(split(col("text"), " ")).cast("long")).as("dltot"))
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("dltot"))
 
-  /** Build the postings table for the fixture if absent; returns the
-    * table name. Stamps the snapshot fingerprint (the SnapshotMeta
-    * staleness contract shared with ComponentIndex/BpeVocab). */
+  /** Build the postings/stats/meta family for the fixture if absent;
+    * returns the postings table name. The THREE tables are one unit: a
+    * partial family (crash between the creates, or a pre-batch-ledger
+    * layout) is rebuilt WHOLESALE from the corpus dir — with the batched
+    * ledger, per-table repair would desync the commit record from the
+    * data, so the only sound repairs are "all present" or "re-derive
+    * all". Every table carries a `batch_id` partition column (base build
+    * = [[BaseBatchId]]); maintenance writes are per-batch partition
+    * overwrites, which is what makes [[append]] safe to re-run after a
+    * crash anywhere in its sequence. */
   def ensure(spark: SparkSession, dir: String): String = {
     val t = table(dir)
-    if (!spark.catalog.tableExists(t)) {
-      IvfIndex.dropOrphanLocation(spark, t)
+    val family = Seq(t, statsTable(dir), metaTable(dir))
+    if (!family.forall(spark.catalog.tableExists)) {
+      (family :+ posTable(dir)).foreach { x =>
+        spark.sql(s"DROP TABLE IF EXISTS $x")
+        IvfIndex.dropOrphanLocation(spark, x)
+      }
       val docs = graft.sources.Tables.documents(spark, dir)
-      postings(docs)
-        .write.mode("overwrite")
+      postings(docs).withColumn("batch_id", lit(BaseBatchId))
+        .write.partitionBy("batch_id")
         .bucketBy(Buckets, "term").sortBy("term", "doc_id")
         .saveAsTable(t)
-      SnapshotMeta.stamp(spark, metaTable(dir),
+      corpusStats(docs).withColumn("batch_id", lit(BaseBatchId))
+        .write.partitionBy("batch_id").saveAsTable(statsTable(dir))
+      SnapshotMeta.stampBatch(spark, metaTable(dir), BaseBatchId,
         SnapshotMeta.fingerprint(docs, "doc_id"))
-    }
-    // the stats table is checked INDEPENDENTLY: a failure between the
-    // postings write and this one (or a postings table from the
-    // pre-_stats layout) must be repairable on the next ensure, not a
-    // permanent TABLE_NOT_FOUND for every BM25 search (review finding)
-    if (!spark.catalog.tableExists(statsTable(dir))) {
-      IvfIndex.dropOrphanLocation(spark, statsTable(dir))
-      corpusStats(graft.sources.Tables.documents(spark, dir))
-        .write.mode("overwrite").saveAsTable(statsTable(dir))
     }
     t
   }
 
-  /** Incremental maintenance for a crawl append (new doc_ids only): the
-    * batch's postings rows are disjoint from every existing row — tf is
-    * (term, doc)-local, not transitive — so a bucketed append IS the
-    * updated index. The restamp is ADDITIVE: SnapshotMeta's (count, sum)
-    * fingerprint over disjoint doc_id sets is a sum, so the new stamp is
-    * old stamp + fingerprint(batch) — O(batch), never a scan of the
-    * stored index (the family's ingest-cost contract). refreshTable
-    * guards the cross-session relation cache, the sibling-index rule. */
-  def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    val t = ensure(spark, dir)
-    val old = spark.table(metaTable(dir)).head()
-    val oldStats = spark.table(statsTable(dir)).head()
-    postings(batch)
-      .write.mode("append")
-      .bucketBy(Buckets, "term").sortBy("term", "doc_id")
-      .saveAsTable(t)
-    spark.catalog.refreshTable(t)
-    // the BM25 constants update additively too: count and token sum over
-    // disjoint doc sets are sums — O(batch), like the fingerprint restamp.
-    // Null-safe on an empty batch (sum over zero rows is NULL — the same
-    // guard SnapshotMeta.fingerprint carries), so an unconditional
-    // foreachBatch append stays the no-op it was pre-stats
-    val bs = corpusStats(batch).head()
-    val bn = bs.getLong(0)
-    val bd = Option(bs.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    import spark.implicits._
-    Seq((oldStats.getLong(0) + bn, oldStats.getLong(1) + bd))
-      .toDF("n", "dltot").write.mode("overwrite").saveAsTable(statsTable(dir))
-    val bfp = SnapshotMeta.fingerprint(
-      batch.select(col("doc_id")).distinct(), "doc_id")
-    SnapshotMeta.stamp(spark, metaTable(dir),
-      (old.getLong(0) + bfp._1, old.getLong(1) + bfp._2))
+  /** The live BM25 constants — (n, dltot) summed over the per-batch
+    * stats rows (additive over disjoint doc sets), as a 1-row frame.
+    * O(#batches) rows, never a corpus scan. */
+  def statsFor(spark: SparkSession, dir: String): DataFrame =
+    spark.table(statsTable(dir))
+      .agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("dltot"), lit(0L)).as("dltot"))
+
+  /** A content-derived batch id for callers without an external one (the
+    * no-arg [[append]] overload): a 64-bit mix of the batch fingerprint,
+    * so replaying the SAME batch content reuses the same ledger slot —
+    * idempotent by construction. Callers with a durable batch identity
+    * (foreachBatch's batchId) should pass it instead. */
+  private[operators] def derivedBatchId(fp: (Long, Long)): Long = {
+    val h = java.lang.Long.rotateLeft(fp._1 * 0x9E3779B97F4A7C15L, 31) ^
+      (fp._2 * 0xC2B2AE3D27D4EB4FL)
+    if (h == BaseBatchId) 0L else h
   }
 
+  /** Incremental maintenance for a crawl append (new doc_ids only),
+    * CRASH-IDEMPOTENT (round-11 verdict): the batch's postings rows are
+    * disjoint from every existing row — tf is (term, doc)-local, not
+    * transitive — and all three writes key on `batchId`:
+    *
+    *   1. postings → partition overwrite `batch_id = batchId`
+    *   2. stats    → partition overwrite (the batch's own (n, dltot) row;
+    *                 readers SUM the rows, which is additive over
+    *                 disjoint doc sets)
+    *   3. ledger stamp (partition overwrite) — the COMMIT POINT
+    *
+    * Recovery contract: a committed batch replays as a no-op (the ledger
+    * check); a crash ANYWHERE before step 3 leaves no commit record, and
+    * the re-run REPLACES each partial partition instead of appending
+    * beside it — so re-run == clean single application, bit-exact
+    * (spec-pinned by the kill-between-writes test). This is the
+    * exactly-once-effect bar the streaming specs hold the query path to
+    * (reference README.md:19-24), applied to index maintenance. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             batchId: Long): Unit = {
+    require(batchId != BaseBatchId, s"batch_id $BaseBatchId is the base build")
+    val t = ensure(spark, dir)
+    if (SnapshotMeta.appliedBatch(spark, metaTable(dir), batchId)) return
+    SnapshotMeta.overwritePartition(spark, t, batchId, postings(batch))
+    // null-safe on an empty batch (sum over zero rows) via corpusStats'
+    // coalesce, so an unconditional foreachBatch append stays a no-op
+    SnapshotMeta.overwritePartition(spark, statsTable(dir), batchId,
+      corpusStats(batch))
+    SnapshotMeta.stampBatch(spark, metaTable(dir), batchId,
+      SnapshotMeta.fingerprint(batch.select(col("doc_id")).distinct(), "doc_id"))
+  }
+
+  /** [[append]] with a content-derived batch id — for callers without a
+    * durable external batch identity. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame): Unit =
+    append(spark, dir, batch, derivedBatchId(
+      SnapshotMeta.fingerprint(batch.select(col("doc_id")).distinct(), "doc_id")))
+
   /** Staleness check vs the CURRENT fixture content (explicit, on the
-    * pipeline's snapshot-promotion cadence — the ComponentIndex rule).
-    * NOTE: after [[append]] the stamp covers the stored corpus (base ∪
-    * batch), so a fixture regenerated to equal exactly that union reads
-    * fresh — the intended append contract. */
+    * pipeline's snapshot-promotion cadence — the ComponentIndex rule):
+    * the ledger's SUMMED per-batch fingerprints vs the dir's. After
+    * [[append]] the sum covers the stored corpus (base ∪ batches), so a
+    * fixture dir holding exactly that union reads fresh — the intended
+    * append contract (the caller lands batch files into the dir). */
   def snapshotStale(spark: SparkSession, dir: String): Boolean =
-    SnapshotMeta.stale(spark, metaTable(dir),
+    SnapshotMeta.staleBatched(spark, metaTable(dir),
       SnapshotMeta.fingerprint(
         graft.sources.Tables.documents(spark, dir), "doc_id"))
 
@@ -173,7 +214,8 @@ object InvertedIndex {
     if (!spark.catalog.tableExists(t)) {
       IvfIndex.dropOrphanLocation(spark, t)
       positions(graft.sources.Tables.documents(spark, dir))
-        .write.mode("overwrite")
+        .withColumn("batch_id", lit(BaseBatchId))
+        .write.partitionBy("batch_id")
         .bucketBy(Buckets, "term").sortBy("term", "doc_id")
         .saveAsTable(t)
     }
@@ -181,17 +223,23 @@ object InvertedIndex {
   }
 
   /** Positional rows are (term, doc, pos)-local like tf rows, so the
-    * bucketed append is exact for a new-doc batch. No separate stamp:
-    * [[append]] (which callers run for the same batch) maintains the
-    * shared meta/stats; this keeps the positional table in step. */
-  def appendPositions(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    * per-batch partition overwrite is exact for a new-doc batch AND
+    * idempotent on its own (re-running replaces the partition) — no
+    * ledger needed here: [[append]] (which callers run for the same
+    * batch) owns the commit record, and whichever order the two run in,
+    * a replay converges on the same state. */
+  def appendPositions(spark: SparkSession, dir: String, batch: DataFrame,
+                      batchId: Long): Unit = {
+    require(batchId != BaseBatchId, s"batch_id $BaseBatchId is the base build")
     val t = ensurePositions(spark, dir)
-    positions(batch)
-      .write.mode("append")
-      .bucketBy(Buckets, "term").sortBy("term", "doc_id")
-      .saveAsTable(t)
-    spark.catalog.refreshTable(t)
+    SnapshotMeta.overwritePartition(spark, t, batchId, positions(batch))
   }
+
+  /** [[appendPositions]] with the content-derived batch id (matches the
+    * 3-arg [[append]]'s slot for the same batch). */
+  def appendPositions(spark: SparkSession, dir: String, batch: DataFrame): Unit =
+    appendPositions(spark, dir, batch, derivedBatchId(
+      SnapshotMeta.fingerprint(batch.select(col("doc_id")).distinct(), "doc_id")))
 
   def drop(spark: SparkSession, dir: String): Unit =
     Seq(table(dir), metaTable(dir), statsTable(dir), posTable(dir)).foreach { t =>

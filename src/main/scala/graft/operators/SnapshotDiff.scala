@@ -27,15 +27,21 @@ object SnapshotDiff {
 
   def diff(prev: DataFrame, cur: DataFrame, idCol: String = "doc_id",
            contentCol: String = "text"): DataFrame = {
+    // presence classifies on ID, via marker columns that survive the
+    // full-outer join — NOT on hash nullity: hash60(NULL text) is NULL,
+    // and a doc present with NULL content would otherwise misread as
+    // absent (the oracle's id-based FULL OUTER semantics)
     val p = prev.select(col(idCol).as("doc_id"),
-      PortableHash.hash60(col(contentCol)).as("h_prev"))
+      PortableHash.hash60(col(contentCol)).as("h_prev"),
+      lit(true).as("in_prev"))
     val c = cur.select(col(idCol).as("doc_id"),
-      PortableHash.hash60(col(contentCol)).as("h_cur"))
+      PortableHash.hash60(col(contentCol)).as("h_cur"),
+      lit(true).as("in_cur"))
     p.join(c, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("h_prev").isNull, lit("added"))
-          .when(col("h_cur").isNull, lit("removed"))
-          .when(col("h_prev") =!= col("h_cur"), lit("changed")))
+        when(col("in_prev").isNull, lit("added"))
+          .when(col("in_cur").isNull, lit("removed"))
+          .when(not(col("h_prev") <=> col("h_cur")), lit("changed")))
       .filter(col("status").isNotNull)
       .select("doc_id", "status")
   }

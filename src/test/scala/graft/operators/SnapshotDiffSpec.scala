@@ -22,6 +22,22 @@ class SnapshotDiffSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("presence classifies on id, not hash nullity: NULL content stays present") {
+    val s = spark
+    import s.implicits._
+    // doc 1: NULL in both -> unchanged (dropped); doc 2: NULL -> text ->
+    // changed; doc 3: text -> NULL -> changed; doc 4: NULL only in prev
+    // -> removed (NOT misread as absent-from-prev)
+    val prev = Seq((1L, null), (2L, null), (3L, "t"), (4L, null))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, null), (2L, "t"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = SnapshotDiff.diff(prev, cur)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((2L, "changed"), (3L, "changed"), (4L, "removed")),
+      s"got $out")
+  }
+
   test("declared query's classes equal the fixture's modular derivation") {
     val s = spark
     val out = graft.SparkEntry.queries("q_snapshot_diff")(s, sfDir)
