@@ -12,6 +12,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep bucketed index reads on the bucketed path: the planner's
+      // DisableUnnecessaryBucketedScan heuristic otherwise drops the
+      // bucketed scan on lookups whose joins are not on the bucket column
+      // (the phrase/NEAR positional path), losing bucket PRUNING — the
+      // index's whole point at scale (InvertedIndexSpec pins the plan)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

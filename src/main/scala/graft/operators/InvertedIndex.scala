@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,13 +53,15 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  private def table(dir: String): String =
+  // private[operators] so the kill-between-writes spec can author a TORN
+  // maintenance state (a partial partition, no commit stamp) directly
+  private[operators] def table(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_postings"
-  private def metaTable(dir: String): String =
+  private[operators] def metaTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_meta"
-  private def statsTable(dir: String): String =
+  private[operators] def statsTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_stats"
-  private def posTable(dir: String): String =
+  private[operators] def posTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_positions"
 
   /** Index-side file parallelism knob: every pruned lookup reads ~k/Buckets
@@ -69,40 +71,65 @@ object InvertedIndex {
     * (#batches × 256 MB), see SCALE.md). Override with
     * -Dgraft.index.invBuckets=N BEFORE the first build (the bucket spec
     * is fixed at table creation). */
-  val Buckets: Int =
-    sys.props.getOrElse("graft.index.invBuckets", "16").toInt
+  val Buckets: Int = {
+    val raw = sys.props.getOrElse("graft.index.invBuckets", "16")
+    val n = scala.util.Try(raw.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"-Dgraft.index.invBuckets must be an integer, got '$raw'"))
+    require(n > 0, s"-Dgraft.index.invBuckets must be positive, got $n " +
+      "(note: the bucket spec is fixed at table creation; changing the " +
+      "property later is ignored for existing tables)")
+    n
+  }
 
-  /** The base build's ledger partition. foreachBatch batch ids start at
-    * 0, so the base sits below every legitimate maintenance batch. */
-  val BaseBatchId: Long = -1L
+  /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
+  val BaseBatchId: Long = SnapshotMeta.BaseBatchId
+
+  /** THE tokenization currency of the index family (round-11 verdict
+    * item: "Hash" must find "hash"): [[Dedup.canonicalText]] — lower,
+    * strip non-alphanumerics, collapse whitespace — then whitespace
+    * split. The SAME canonical rule exact dedup applies
+    * (q_dedup_canonical), so the index and the dedup family agree on
+    * what "the same token" means; query terms pass through
+    * [[canonicalTerm]], the scala mirror. Three codegen string ops at
+    * the scan — map-side, no extra pass. */
+  def tokens(text: Column): Column =
+    split(Dedup.canonicalText(text), " ")
+
+  /** The query-side mirror of [[tokens]]' canonicalization, applied to
+    * each search term (a tiny driver-side constant). */
+  def canonicalTerm(t: String): String =
+    t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
 
   /** THE single definition of the postings relation — the persisted build
     * and any live replay derive from this one function. `dl` (the doc's
-    * whitespace token count, q_text_tokens' currency) rides along
+    * CANONICAL token count — the [[tokens]] currency, which equals the
+    * whitespace count on already-canonical text) rides along
     * denormalized: constant within the (term, doc) group, so max() is
     * exact. */
   def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"),
-        size(split(col("text"), " ")).cast("long").as("dl"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"),
+        size(tokens(col("text"))).cast("long").as("dl"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).cast("long").as("tf"), max("dl").as("dl"))
 
   /** THE single definition of the POSITIONAL postings relation —
     * (term, doc_id, pos), pos 1-BASED (the SQL list-index convention, so
-    * the oracle's zip-unnest replay needs no off-by-one shim). Unlike
-    * [[postings]] nothing aggregates: every token occurrence is a row,
-    * which is what phrase matching needs. */
+    * the oracle's zip-unnest replay needs no off-by-one shim), positions
+    * in the CANONICAL token stream ([[tokens]]). Unlike [[postings]]
+    * nothing aggregates: every token occurrence is a row, which is what
+    * phrase matching needs. */
   def positions(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("p0", "term")))
+        posexplode(tokens(col("text"))).as(Seq("p0", "term")))
       .select(col("term"), col("doc_id"), (col("p0") + 1).cast("long").as("pos"))
 
   /** THE single definition of the corpus-level BM25 constants:
-    * (n BIGINT, dltot BIGINT) — document count and total whitespace
+    * (n BIGINT, dltot BIGINT) — document count and total canonical
     * token count — as a 1-row frame. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+      coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L))
         .as("dltot"))
 
   /** Build the postings/stats/meta family for the fixture if absent;
@@ -118,7 +145,14 @@ object InvertedIndex {
   def ensure(spark: SparkSession, dir: String): String = {
     val t = table(dir)
     val family = Seq(t, statsTable(dir), metaTable(dir))
-    if (!family.forall(spark.catalog.tableExists)) {
+    // "present" means present IN THE BATCHED-LEDGER SCHEMA: a complete
+    // pre-ledger family (all three tables, no batch_id column) would pass
+    // a bare tableExists check and then fail the first append with an
+    // unresolved-column error instead of triggering the rebuild
+    def current(x: String): Boolean =
+      spark.catalog.tableExists(x) &&
+        spark.table(x).columns.contains("batch_id")
+    if (!family.forall(current)) {
       (family :+ posTable(dir)).foreach { x =>
         spark.sql(s"DROP TABLE IF EXISTS $x")
         IvfIndex.dropOrphanLocation(spark, x)
@@ -144,16 +178,14 @@ object InvertedIndex {
       .agg(coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(sum("dltot"), lit(0L)).as("dltot"))
 
-  /** A content-derived batch id for callers without an external one (the
-    * no-arg [[append]] overload): a 64-bit mix of the batch fingerprint,
-    * so replaying the SAME batch content reuses the same ledger slot —
-    * idempotent by construction. Callers with a durable batch identity
-    * (foreachBatch's batchId) should pass it instead. */
-  private[operators] def derivedBatchId(fp: (Long, Long)): Long = {
-    val h = java.lang.Long.rotateLeft(fp._1 * 0x9E3779B97F4A7C15L, 31) ^
-      (fp._2 * 0xC2B2AE3D27D4EB4FL)
-    if (h == BaseBatchId) 0L else h
-  }
+  /** See [[SnapshotMeta.derivedBatchId]] — the id space for the no-arg
+    * [[append]] overload (callers without a durable batch identity). */
+  private[operators] def derivedBatchId(fp: (Long, Long)): Long =
+    SnapshotMeta.derivedBatchId(fp)
+
+  /** See [[SnapshotMeta.contentFingerprint]]. */
+  private[operators] def contentFingerprint(batch: DataFrame): (Long, Long) =
+    SnapshotMeta.contentFingerprint(batch)
 
   /** Incremental maintenance for a crawl append (new doc_ids only),
     * CRASH-IDEMPOTENT (round-11 verdict): the batch's postings rows are
@@ -190,8 +222,7 @@ object InvertedIndex {
   /** [[append]] with a content-derived batch id — for callers without a
     * durable external batch identity. */
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit =
-    append(spark, dir, batch, derivedBatchId(
-      SnapshotMeta.fingerprint(batch.select(col("doc_id")).distinct(), "doc_id")))
+    append(spark, dir, batch, derivedBatchId(contentFingerprint(batch)))
 
   /** Staleness check vs the CURRENT fixture content (explicit, on the
     * pipeline's snapshot-promotion cadence — the ComponentIndex rule):
@@ -238,8 +269,7 @@ object InvertedIndex {
   /** [[appendPositions]] with the content-derived batch id (matches the
     * 3-arg [[append]]'s slot for the same batch). */
   def appendPositions(spark: SparkSession, dir: String, batch: DataFrame): Unit =
-    appendPositions(spark, dir, batch, derivedBatchId(
-      SnapshotMeta.fingerprint(batch.select(col("doc_id")).distinct(), "doc_id")))
+    appendPositions(spark, dir, batch, derivedBatchId(contentFingerprint(batch)))
 
   def drop(spark: SparkSession, dir: String): Unit =
     Seq(table(dir), metaTable(dir), statsTable(dir), posTable(dir)).foreach { t =>
@@ -250,14 +280,18 @@ object InvertedIndex {
   /** Top-k documents per query term by the exact tf-idf proxy, served
     * from the pruned postings scan: the IN filter on the bucket column
     * prunes to the matching buckets; per-term df is the count of exactly
-    * those rows; ranking windows over tiny per-term groups. The 1-row N
+    * those rows; ranking windows over tiny per-term groups. N comes from
+    * the ledger-backed [[statsFor]] — O(#batches) rows, never a
+    * query-time corpus scan, and always in step with the stored postings
+    * (a live corpus count could diverge after an append). The 1-row N
     * aggregate cross-joins as a scalar (the whitelisted pattern). */
   def search(spark: SparkSession, dir: String, terms: Seq[String],
              k: Int = 10): DataFrame = {
-    require(terms.nonEmpty, "search needs at least one term")
+    val canon = terms.map(canonicalTerm).filter(_.nonEmpty)
+    require(canon.nonEmpty, "search needs at least one non-empty term")
     rankedFromPostings(
-      spark.table(ensure(spark, dir)).filter(col("term").isin(terms: _*)),
-      graft.sources.Tables.documents(spark, dir).agg(count(lit(1)).as("n")),
+      spark.table(ensure(spark, dir)).filter(col("term").isin(canon: _*)),
+      statsFor(spark, dir).select("n"),
       k)
   }
 
@@ -281,18 +315,19 @@ object InvertedIndex {
 
   /** Top-k DOCUMENTS for a multi-term query under rational fixed-point
     * BM25, served from the pruned postings scan: dl rides in the hit
-    * rows (no corpus join), N and total token count come from the 1-row
-    * `_stats` table (no corpus scan), per-term df from exactly the
-    * pruned rows. The doc-level top-k is an orderBy+limit —
+    * rows (no corpus join), N and total token count come from
+    * [[statsFor]] — the per-batch `_stats` rows summed, O(#batches), no
+    * corpus scan — per-term df from exactly the pruned rows. The doc-level top-k is an orderBy+limit —
     * TakeOrderedAndProject, the distributed per-partition-heap top-k —
     * NOT a single-partition rank window; the rank column is attached
     * after the limit, over ≤ k rows. */
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
                  k: Int = 10): DataFrame = {
-    require(terms.nonEmpty, "searchBm25 needs at least one term")
+    val canon = terms.map(canonicalTerm).filter(_.nonEmpty)
+    require(canon.nonEmpty, "searchBm25 needs at least one non-empty term")
     bm25FromPostings(
-      spark.table(ensure(spark, dir)).filter(col("term").isin(terms: _*)),
-      spark.table(statsTable(dir)), k)
+      spark.table(ensure(spark, dir)).filter(col("term").isin(canon: _*)),
+      statsFor(spark, dir), k)
   }
 
   /** THE BM25 scoring/ranking tail — shared by [[searchBm25]] and the
@@ -327,6 +362,38 @@ object InvertedIndex {
       .select("doc_id", "n_terms", "score", "rank")
   }
 
+  /** Top-k documents containing ALL query terms (conjunctive / boolean-
+    * AND search — round-11 verdict item 6), served from the pruned
+    * postings scan: the IN filter prunes to the query terms' buckets,
+    * then one aggregate per doc counts matched terms ([[postings]] holds
+    * exactly one row per (term, doc), so a plain count IS the distinct
+    * term count) and keeps docs matching all of them. Ranked by total
+    * term frequency (doc_id ties); doc-level top-k is orderBy+limit —
+    * TakeOrderedAndProject, never a single-partition rank window. */
+  def searchAll(spark: SparkSession, dir: String, terms: Seq[String],
+                k: Int = 10): DataFrame = {
+    val canon = terms.map(canonicalTerm).filter(_.nonEmpty).distinct
+    require(canon.nonEmpty, "searchAll needs at least one non-empty term")
+    conjunctiveFromPostings(
+      spark.table(ensure(spark, dir)).filter(col("term").isin(canon: _*)),
+      canon.size, k)
+  }
+
+  /** THE conjunctive-match tail — shared by [[searchAll]] and the
+    * index-free replay. `post` holds postings rows covering (at least)
+    * the `nTerms` query terms. */
+  def conjunctiveFromPostings(post: DataFrame, nTerms: Int, k: Int): DataFrame = {
+    val ranked = post.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum("tf").cast("long").as("tf_total"))
+      .filter(col("n_terms") === nTerms)
+      .orderBy(col("tf_total").desc, col("doc_id").asc)
+      .limit(k)
+    val w = Window.orderBy(col("tf_total").desc, col("doc_id").asc)
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "tf_total", "rank")
+  }
+
   /** Top-k documents containing an exact PHRASE (consecutive tokens),
     * served from the pruned positional scan. The occurrence join is pure
     * equi-joins: an occurrence starts at `s` iff term_i sits at `s + i`
@@ -337,11 +404,15 @@ object InvertedIndex {
     * orderBy+limit (TakeOrderedAndProject). */
   def searchPhrase(spark: SparkSession, dir: String, phrase: Seq[String],
                    k: Int = 10): DataFrame = {
-    require(phrase.size >= 2, "a phrase needs at least two terms")
+    // a phrase term that canonicalizes away (punctuation-only) has no
+    // position in the canonical token stream — reject, don't shift
+    val canon = phrase.map(canonicalTerm)
+    require(canon.size >= 2 && canon.forall(_.nonEmpty),
+      "a phrase needs at least two non-empty canonical terms")
     phraseFromPositions(
       spark.table(ensurePositions(spark, dir))
-        .filter(col("term").isin(phrase.distinct: _*)),
-      phrase, k)
+        .filter(col("term").isin(canon.distinct: _*)),
+      canon, k)
   }
 
   /** THE phrase-match tail — shared by [[searchPhrase]] and the
@@ -370,10 +441,12 @@ object InvertedIndex {
   def searchNear(spark: SparkSession, dir: String, first: String,
                  second: String, slop: Int, k: Int = 10): DataFrame = {
     require(slop >= 1, "slop must be at least 1 (slop = 1 is the phrase case)")
+    val (a, b) = (canonicalTerm(first), canonicalTerm(second))
+    require(a.nonEmpty && b.nonEmpty, "NEAR needs two non-empty canonical terms")
     nearFromPositions(
       spark.table(ensurePositions(spark, dir))
-        .filter(col("term").isin(Seq(first, second).distinct: _*)),
-      first, second, slop, k)
+        .filter(col("term").isin(Seq(a, b).distinct: _*)),
+      a, b, slop, k)
   }
 
   /** THE proximity tail — an inequality-free formulation: "b within

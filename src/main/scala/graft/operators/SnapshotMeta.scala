@@ -69,6 +69,39 @@ object SnapshotMeta {
   // stay O(#batches), never a stored-index scan.
   // ------------------------------------------------------------------
 
+  /** The base build's ledger partition, shared by every batched-ledger
+    * index ([[InvertedIndex]], [[ComponentIndex]]). foreachBatch batch
+    * ids start at 0, so the base sits below every legitimate maintenance
+    * batch; derived ids ([[derivedBatchId]]) sit strictly below it. */
+  val BaseBatchId: Long = -1L
+
+  /** A content-derived batch id for maintenance callers without an
+    * external one: a 64-bit mix of the batch's content fingerprint,
+    * forced into [Long.MinValue, -2] — strictly below [[BaseBatchId]] and
+    * disjoint from foreachBatch's small non-negative ids, so a derived id
+    * can never silently no-op a distinct external batch via the ledger
+    * check. Replaying the SAME batch content reuses the same slot —
+    * idempotent by construction. Callers with a durable batch identity
+    * (foreachBatch's batchId) should pass it instead. */
+  private[operators] def derivedBatchId(fp: (Long, Long)): Long = {
+    val h = (java.lang.Long.rotateLeft(fp._1 * 0x9E3779B97F4A7C15L, 31) ^
+      (fp._2 * 0xC2B2AE3D27D4EB4FL)) | Long.MinValue
+    if (h == BaseBatchId) Long.MinValue else h
+  }
+
+  /** The derived-id fingerprint over a (doc_id, text) batch:
+    * content-sensitive, unlike the ledger stamp's (count, id-sum) — a
+    * batch with the same ids but different text takes a different slot.
+    * XOR, not SUM, of the per-row hashes: order-independent like sum but
+    * overflow-free under ANSI arithmetic (the hashes span the full 64-bit
+    * range), and cancellation needs duplicate (doc_id, text) rows, which
+    * the append contract (new doc ids) excludes. */
+  private[operators] def contentFingerprint(batch: DataFrame): (Long, Long) = {
+    val r = batch.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Stamp `batchId`'s fingerprint into the batched ledger — the commit
     * point of an idempotent maintenance sequence; itself idempotent
     * (partition overwrite). Creates the ledger on first use. */

@@ -18,6 +18,10 @@ object SparkSpec {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Verify/Bench: keep bucketed index reads on the bucketed path
+      // so bucket pruning (SelectedBucketsCount) survives on lookups whose
+      // joins are not on the bucket column (phrase/NEAR positional scans)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

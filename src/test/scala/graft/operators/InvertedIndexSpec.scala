@@ -185,6 +185,145 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 
+  test("append is crash-idempotent: kill between writes replays clean; committed batch no-ops") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta delta"),
+      (3L, "gamma gamma epsilon")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "alpha zeta"),
+      (5L, "delta delta delta")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_crash_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      val t = InvertedIndex.ensure(s, dir)
+      val batchId = 42L
+      // --- KILL BETWEEN WRITES: step 1 ran PARTIALLY (a torn postings
+      // partition holding only part of the batch), steps 2 (stats) and 3
+      // (ledger stamp) never ran — the worst recoverable state
+      SnapshotMeta.overwritePartition(s, t, batchId,
+        InvertedIndex.postings(batch.limit(1)))
+      assert(!SnapshotMeta.appliedBatch(s, InvertedIndex.metaTable(dir), batchId),
+        "a torn append must leave NO commit record")
+      // the re-run from the top must REPLACE the torn partition, land the
+      // stats row, and stamp — converging on the clean single application
+      InvertedIndex.append(s, dir, batch, batchId)
+      val union = base.unionByName(batch)
+      val appended = s.table(t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = InvertedIndex.postings(union)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(appended == rebuilt && rebuilt.nonEmpty,
+        "replay after a torn postings write must equal the clean application")
+      // --- KILL AFTER STATS, BEFORE THE STAMP: postings + stats partitions
+      // committed for a second batch, ledger stamp missing
+      val batch2 = Seq((6L, "zeta zeta eta")).toDF("doc_id", "text")
+      val batchId2 = 43L
+      SnapshotMeta.overwritePartition(s, t, batchId2,
+        InvertedIndex.postings(batch2))
+      SnapshotMeta.overwritePartition(s, InvertedIndex.statsTable(dir), batchId2,
+        InvertedIndex.corpusStats(batch2))
+      InvertedIndex.append(s, dir, batch2, batchId2)
+      val union2 = union.unionByName(batch2)
+      val stats = InvertedIndex.statsFor(s, dir).head()
+      val expect = InvertedIndex.corpusStats(union2).head()
+      assert((stats.getLong(0), stats.getLong(1)) ==
+        (expect.getLong(0), expect.getLong(1)),
+        "stats must stay additive (no doubled batch row) after the replay")
+      assert(SnapshotMeta.appliedBatch(s, InvertedIndex.metaTable(dir), batchId2))
+      // --- COMMITTED BATCH REPLAYS AS A NO-OP (the ledger check): even a
+      // different frame under the same committed id must not change state
+      InvertedIndex.append(s, dir,
+        Seq((9L, "phantom rows")).toDF("doc_id", "text"), batchId)
+      val after = s.table(t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(after == InvertedIndex.postings(union2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+        "a committed batch id must replay as a no-op")
+      // and BM25 over the recovered index equals the from-scratch replay
+      val terms = Seq("alpha", "delta", "zeta")
+      val served = InvertedIndex.searchBm25(s, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val replay = InvertedIndex.bm25FromPostings(
+        InvertedIndex.postings(union2).filter(col("term").isin(terms: _*)),
+        InvertedIndex.corpusStats(union2), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(served == replay && served.nonEmpty)
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
+  test("canonical tokenization: 'Hash' finds 'hash' (case/punctuation-insensitive index)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hash join!  Hash scan."),     // canonical: hash join hash scan
+      (2L, "the HASH, the merge"),        // canonical: the hash the merge
+      (3L, "no match here")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_canon_fixture"
+    rm(dir)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      // the index stores canonical terms: a cased/punctuated query term
+      // reaches them through the same canonicalization
+      val hits = InvertedIndex.search(s, dir, Seq("Hash,"), k = 10)
+        .select("doc_id", "tf").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hits == Map(1L -> 2L, 2L -> 1L), s"got $hits")
+      // dl is the canonical token count (doc 1: 4 canonical tokens)
+      val dl = InvertedIndex.postings(docs)
+        .filter(col("doc_id") === 1L).select("dl").head().getLong(0)
+      assert(dl == 4L, s"canonical dl expected 4, got $dl")
+      // phrase positions live in the canonical stream: "Hash join" is
+      // consecutive in doc 1 despite the punctuation in the raw text
+      val phrase = InvertedIndex.searchPhrase(s, dir, Seq("Hash", "JOIN!"), k = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(phrase == Set(1L), s"got $phrase")
+      // BM25 agrees with the from-scratch replay over the same currency
+      val served = InvertedIndex.searchBm25(s, dir, Seq("HASH", "merge"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val replay = InvertedIndex.bm25FromPostings(
+        InvertedIndex.postings(docs).filter(col("term").isin("hash", "merge")),
+        InvertedIndex.corpusStats(docs), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(served == replay && served.nonEmpty)
+      // a punctuation-only term canonicalizes away: search drops it,
+      // phrase rejects it
+      assert(InvertedIndex.search(s, dir, Seq("!!!", "hash"), k = 10)
+        .select("term").distinct().collect().map(_.getString(0)).toSet ==
+        Set("hash"))
+      intercept[IllegalArgumentException] {
+        InvertedIndex.searchPhrase(s, dir, Seq("hash", "!!!"), k = 10)
+      }
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
+  test("derived batch ids live below the base id and key on content, not ids alone") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val b = Seq((1L, "alpha DIFFERENT"), (2L, "gamma")).toDF("doc_id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      InvertedIndex.contentFingerprint(df)
+    val ia = InvertedIndex.derivedBatchId(fp(a))
+    val ib = InvertedIndex.derivedBatchId(fp(b))
+    assert(ia < InvertedIndex.BaseBatchId && ib < InvertedIndex.BaseBatchId,
+      "derived ids must be reserved strictly below the base batch id")
+    assert(ia != ib,
+      "same doc_ids with different text must take different ledger slots")
+    assert(ia == InvertedIndex.derivedBatchId(fp(a)),
+      "the same content must reuse its slot (idempotence key)")
+  }
+
   test("phrase search equals the live replay; known occurrences on a synthetic corpus") {
     val s = spark
     import s.implicits._
@@ -286,6 +425,55 @@ class InvertedIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
     assert(served == live && served.nonEmpty)
+  }
+
+  test("conjunctive search returns exactly the docs containing ALL terms") {
+    val s = spark
+    import s.implicits._
+    // synthetic: known AND semantics
+    val syn = Seq(
+      (1L, "a b c a"),   // all three, tf_total 4
+      (2L, "a b b"),     // missing c
+      (3L, "c b a c"),   // all three, tf_total 4 (tie -> doc_id order)
+      (4L, "a a a")      // missing b, c
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_conj_fixture"
+    rm(dir)
+    syn.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      val out = InvertedIndex.searchAll(s, dir, Seq("a", "b", "c"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq == Seq((1L, 4L, 1L), (3L, 4L, 2L)), s"got ${out.toSeq}")
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+    // fixture: every returned doc truly contains all three terms, and the
+    // declared query equals the index-free replay
+    val served = graft.SparkEntry.queries("q_search_conjunctive")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val replay = InvertedIndex.conjunctiveFromPostings(
+      InvertedIndex.postings(docs)
+        .filter(col("term").isin("join", "hash", "scan")), 3, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == replay && served.nonEmpty)
+    val ids = served.map(_._1)
+    val containsAll = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(Seq("join", "hash", "scan")
+        .map(t => array_contains(split(col("text"), " "), t))
+        .reduce(_ && _))
+      .count()
+    assert(containsAll == ids.size,
+      "a conjunctive hit must contain every query term")
+  }
+
+  test("conjunctive search prunes the bucketed scan and plans TakeOrderedAndProject") {
+    val s = spark
+    val plan = InvertedIndex.searchAll(s, sfDir, Seq("join", "hash", "scan"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"conjunctive lookup must prune the bucketed postings scan:\n$plan")
   }
 
   test("hybrid search re-ranks within the BM25 shortlist by cosine, deterministically") {
