@@ -61,27 +61,31 @@ object ComponentIndex {
   private def stem(dir: String): String =
     SnapshotMeta.indexStem("comp_index_", dir)
 
-  private def table(dir: String): String = stem(dir) + "_components"
-  private def bandedTable(dir: String): String = stem(dir) + "_banded"
-  private def metaTable(dir: String): String = stem(dir) + "_meta"
+  // private[operators] so the kill-between-writes spec can author a TORN
+  // maintenance state (a partial partition, no commit stamp) directly
+  private[operators] def table(dir: String): String = stem(dir) + "_components"
+  private[operators] def bandedTable(dir: String): String = stem(dir) + "_banded"
+  private[operators] def metaTable(dir: String): String = stem(dir) + "_meta"
 
   private def fingerprint(docs: DataFrame): (Long, Long) =
     SnapshotMeta.fingerprint(docs, "doc_id")
 
-  private def stamp(spark: SparkSession, dir: String,
-                    fp: (Long, Long)): Unit =
-    SnapshotMeta.stamp(spark, metaTable(dir), fp)
+  /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
+  val BaseBatchId: Long = SnapshotMeta.BaseBatchId
 
   /** STALENESS check (review finding: `tableExists` cannot detect a
     * regenerated fixture at the same path — the stale index would serve
     * silently): compare the corpus dir's current fingerprint against the
-    * one stamped at build/merge time. Explicitly invoked — a pipeline
-    * checks on its own cadence (per snapshot promotion, not per query
-    * construction) — and the sanctioned repairs are [[merge]] for an
-    * append and [[rebuild]] for anything else. True when no stamp
-    * exists (a pre-round-11 index is unverifiable, so treat as stale). */
+    * batched ledger's SUMMED per-batch stamps ((count, id-sum) is
+    * additive over the disjoint per-batch doc-id sets, so after [[merge]]
+    * the sum covers base ∪ batches — a dir holding exactly that union
+    * reads fresh). Explicitly invoked — a pipeline checks on its own
+    * cadence (per snapshot promotion, not per query construction) — and
+    * the sanctioned repairs are [[merge]] for an append and [[rebuild]]
+    * for anything else. True when no ledger exists (a pre-round-11 index
+    * is unverifiable, so treat as stale). */
   def snapshotStale(spark: SparkSession, dir: String): Boolean =
-    SnapshotMeta.stale(spark, metaTable(dir),
+    SnapshotMeta.staleBatched(spark, metaTable(dir),
       fingerprint(graft.sources.Tables.documents(spark, dir)))
 
   /** The corpus family's LIVE derivation — THE single definition of
@@ -132,8 +136,10 @@ object ComponentIndex {
                          batch: DataFrame): DataFrame =
     mergedFromBanded(baseMap, baseBanded, bandedSignatures(batch))
 
-  private def mergedFromBanded(baseMap: DataFrame, baseBanded: DataFrame,
-                               batchBanded: DataFrame): DataFrame = {
+  // private[operators] so the kill-between-writes spec can author the
+  // "map written, store/stamp missing" torn state exactly
+  private[operators] def mergedFromBanded(baseMap: DataFrame, baseBanded: DataFrame,
+                                          batchBanded: DataFrame): DataFrame = {
     val cross = crossCandidates(baseBanded, batchBanded)
     val internal = MinHashLSH.candidatesFromBanded(batchBanded)
     // (m, m) self-rows add nothing: every stored component has >= 2
@@ -147,13 +153,24 @@ object ComponentIndex {
       .select(col("id").as("doc_id"), col("component_id"))
   }
 
-  /** Build the component table for the fixture unless already present;
-    * returns the table name. One eager clustering per (JVM session,
-    * fixture); later sessions with the same warehouse re-attach via
-    * the catalog. */
+  /** Build the component table + ledger for the fixture unless already
+    * present IN THE BATCHED-LEDGER SCHEMA; returns the table name. Like
+    * [[InvertedIndex.ensure]], "present" requires the ledger column: a
+    * complete pre-ledger family (tables exist, meta/banded without
+    * `batch_id`) would pass a bare tableExists check and then desync the
+    * first merge, so an old layout is rebuilt WHOLESALE — per-table
+    * repair would desync the commit record from the data. One eager
+    * clustering per (JVM session, fixture); later sessions with the same
+    * warehouse re-attach via the catalog. */
   def ensure(spark: SparkSession, dir: String): String = {
     val t = table(dir)
-    if (!spark.catalog.tableExists(t)) {
+    def ledgered(x: String): Boolean =
+      spark.table(x).columns.contains("batch_id")
+    val current = spark.catalog.tableExists(t) &&
+      spark.catalog.tableExists(metaTable(dir)) && ledgered(metaTable(dir)) &&
+      (!spark.catalog.tableExists(bandedTable(dir)) || ledgered(bandedTable(dir)))
+    if (!current) {
+      drop(spark, dir)
       IvfIndex.dropOrphanLocation(spark, t)
       val docs = graft.sources.Tables.documents(spark, dir)
       CacheScope.withOperatorCaches {
@@ -162,7 +179,8 @@ object ComponentIndex {
           .bucketBy(8, "doc_id").sortBy("doc_id")
           .saveAsTable(t)
       }
-      stamp(spark, dir, fingerprint(docs))
+      SnapshotMeta.stampBatch(spark, metaTable(dir), BaseBatchId,
+        fingerprint(docs))
     }
     t
   }
@@ -170,15 +188,22 @@ object ComponentIndex {
   /** Build the banded-signature store for the fixture unless already
     * present — the merge path's join side, bucketed by the full band-key
     * set so a batch join never re-shuffles the store (the
-    * SignatureStoreSpec contract, `requireAllClusterKeysForCoPartition`).
-    * A legacy snapshot (indexed before the store existed) pays one
-    * signature pass here on its first merge. */
+    * SignatureStoreSpec contract, `requireAllClusterKeysForCoPartition`),
+    * and partitioned by `batch_id` so [[merge]]'s store update is an
+    * idempotent per-batch partition overwrite (base build =
+    * [[BaseBatchId]]). A legacy snapshot (indexed before the store
+    * existed) pays one signature pass here on its first merge — sound
+    * even after earlier merges, because the append contract lands batch
+    * files into the dir, so the dir-derived base partition covers
+    * everything the ledger has committed. */
   def ensureBanded(spark: SparkSession, dir: String): String = {
+    ensure(spark, dir)
     val bt = bandedTable(dir)
     if (!spark.catalog.tableExists(bt)) {
       IvfIndex.dropOrphanLocation(spark, bt)
       bandedSignatures(graft.sources.Tables.documents(spark, dir))
-        .write.mode("overwrite")
+        .withColumn("batch_id", lit(BaseBatchId))
+        .write.partitionBy("batch_id")
         .bucketBy(8, "band", "key", "block").sortBy("band", "key", "block")
         .saveAsTable(bt)
     }
@@ -189,9 +214,11 @@ object ComponentIndex {
   def componentsFor(spark: SparkSession, dir: String): DataFrame =
     spark.table(ensure(spark, dir))
 
-  /** The stored banded signatures. */
+  /** The stored banded signatures — the LOGICAL relation (the ledger's
+    * `batch_id` partition column projected away; the projection keeps
+    * the bucketed distribution, so join consumers still co-partition). */
   def bandedFor(spark: SparkSession, dir: String): DataFrame =
-    spark.table(ensureBanded(spark, dir))
+    spark.table(ensureBanded(spark, dir)).drop("batch_id")
 
   /** INCREMENTAL index maintenance (the crawl-append path): advance the
     * snapshot's component map and signature store to cover the existing
@@ -203,10 +230,36 @@ object ComponentIndex {
     * must be new (the append contract). Returns the component table
     * name. Equals [[rebuild]] over the unioned corpus exactly —
     * spec-pinned, and the declared q_corpus_dedup_merged form shares the
-    * full map's DuckDB oracle. */
-  def merge(spark: SparkSession, dir: String, batch: DataFrame): String = {
+    * full map's DuckDB oracle.
+    *
+    * CRASH-IDEMPOTENT via the batched ledger, like
+    * [[InvertedIndex.append]] but with one twist: the component MAP is a
+    * transitive property, so its write is a full overwrite, not a
+    * per-batch partition — what makes the sequence replayable is that
+    * the merged-map derivation is a FIXPOINT of itself (re-merging a
+    * batch whose edges the map already encodes yields the identical
+    * partition, since each stored component's star edges carry the same
+    * connectivity as any subset of its original candidate edges):
+    *
+    *   1. map      → full overwrite (idempotent: fixpoint)
+    *   2. store    → partition overwrite `batch_id = batchId` (replaces
+    *                 any torn earlier attempt instead of double-appending
+    *                 — signatures carry no transitive property, so the
+    *                 batch's rows are partition-local)
+    *   3. ledger stamp (partition overwrite) — the COMMIT POINT
+    *
+    * A committed batch replays as a no-op (the ledger check); a crash
+    * anywhere before step 3 leaves no commit record and the re-run
+    * converges on the clean single application — if the torn run already
+    * wrote the map and/or the store partition, step 1 reads them and
+    * still derives the same map (spec-pinned by the kill-between-writes
+    * test in ComponentIndexSpec). */
+  def merge(spark: SparkSession, dir: String, batch: DataFrame,
+            batchId: Long): String = {
+    require(batchId != BaseBatchId, s"batch_id $BaseBatchId is the base build")
     val t = ensure(spark, dir)
     val bt = ensureBanded(spark, dir)
+    if (SnapshotMeta.appliedBatch(spark, metaTable(dir), batchId)) return t
     CacheScope.withOperatorCaches {
       // batch side computed once, read three times (cross join, internal
       // pairs, store update): eager-checkpoint it
@@ -214,16 +267,11 @@ object ComponentIndex {
       // the clustering runs EAGERLY inside components(), and its output
       // is localCheckpoint-backed (truncated lineage) — so by write time
       // nothing reads the tables being updated
-      val newMap = mergedFromBanded(spark.table(t), spark.table(bt), bb)
+      val newMap = mergedFromBanded(spark.table(t),
+        spark.table(bt).drop("batch_id"), bb)
       newMap.write.mode("overwrite")
         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(t)
-      // signatures carry NO transitive property (one row per (doc,
-      // band)), so unlike the map the store takes a plain bucketed
-      // APPEND of the batch rows — merge's write cost is O(batch +
-      // cluster map), never a full-store rewrite
-      bb.write.mode("append")
-        .bucketBy(8, "band", "key", "block").sortBy("band", "key", "block")
-        .saveAsTable(bt)
+      SnapshotMeta.overwritePartition(spark, bt, batchId, bb)
       // the writes resolve through the BATCH frame's session — under
       // foreachBatch that is the micro-batch clone, and only the writing
       // session's relation cache self-invalidates. Refresh the CALLER's
@@ -233,12 +281,19 @@ object ComponentIndex {
       spark.catalog.refreshTable(t)
       spark.catalog.refreshTable(bt)
     }
-    // the index now covers the unioned corpus: re-stamp from the dir
-    // (whose files the caller has landed, per the append contract)
-    stamp(spark, dir,
-      fingerprint(graft.sources.Tables.documents(spark, dir)))
+    // COMMIT: the batch's own fingerprint — the ledger's sum now covers
+    // base ∪ batches, which equals the dir (whose files the caller has
+    // landed, per the append contract)
+    SnapshotMeta.stampBatch(spark, metaTable(dir), batchId,
+      fingerprint(batch))
     t
   }
+
+  /** [[merge]] with a content-derived batch id — for callers without a
+    * durable external batch identity ([[SnapshotMeta.derivedBatchId]]). */
+  def merge(spark: SparkSession, dir: String, batch: DataFrame): String =
+    merge(spark, dir, batch,
+      SnapshotMeta.derivedBatchId(SnapshotMeta.contentFingerprint(batch)))
 
   /** Drop and re-derive — full re-clustering for a REPLACED corpus
     * snapshot (content rewrites, deletions). Appends take [[merge]]. */

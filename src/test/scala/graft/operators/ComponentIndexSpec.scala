@@ -188,6 +188,162 @@ class ComponentIndexSpec extends SparkSpec {
     }
   }
 
+  test("merge is crash-idempotent: kill between writes replays clean; committed batch no-ops") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compidx-crash").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    try {
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      val t1 = (1 to 30).map(i => s"one$i")
+      val t2 = (1 to 30).map(i => s"two$i")
+      val t3 = (1 to 30).map(i => s"three$i")
+      // base: {1, 2} duplicate cluster, 3 singleton
+      val base = Seq(doc(1, t1), doc(2, t1), doc(3, t2))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ComponentIndex.ensure(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      // batch: 4 dups base-1's cluster, 5 dups the base singleton 3, 6 fresh
+      val batch = Seq(doc(4, t1), doc(5, t2), doc(6, t3))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      batch.write.mode("append").parquet(s"$dir/documents.parquet")
+      val batchId = 77L
+      val t = ComponentIndex.table(dir)
+      val bt = ComponentIndex.bandedTable(dir)
+      val mt = ComponentIndex.metaTable(dir)
+
+      // --- TORN STATE, KILLED AFTER STEP 1 AND A PARTIAL STEP 2: the map
+      // was overwritten with the merged map, the store partition holds
+      // only PART of the batch's signatures, no commit stamp
+      CacheScope.withOperatorCaches {
+        val bbFull = CacheScope.track(
+          ComponentIndex.bandedSignatures(batch).localCheckpoint(true))
+        val newMap = ComponentIndex.mergedFromBanded(
+          s.table(t), s.table(bt).drop("batch_id"), bbFull)
+        newMap.write.mode("overwrite")
+          .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(t)
+        val bbPart = CacheScope.track(ComponentIndex.bandedSignatures(
+          batch.filter(col("doc_id") === 4L)).localCheckpoint(true))
+        SnapshotMeta.overwritePartition(s, bt, batchId, bbPart)
+      }
+      assert(!SnapshotMeta.appliedBatch(s, mt, batchId),
+        "a torn merge must leave NO commit record")
+      assert(ComponentIndex.snapshotStale(s, dir),
+        "an uncommitted merge must still read stale")
+
+      // --- REPLAY from the top: must converge on the clean application
+      ComponentIndex.merge(s, dir, batch, batchId)
+      val docsNow = graft.sources.Tables.documents(s, dir)
+      val merged = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(docsNow)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(merged == full && merged.nonEmpty,
+        s"replayed merge diverges from rebuild: merged=$merged full=$full")
+      // the torn store partition was REPLACED, not appended beside: the
+      // stored signatures equal a fresh derivation (no duplicate rows)
+      val storedBanded = ComponentIndex.bandedFor(s, dir)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val freshBanded = ComponentIndex.bandedSignatures(docsNow)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(storedBanded == freshBanded,
+        "torn store partition must be replaced (no double rows) on replay")
+      assert(!ComponentIndex.snapshotStale(s, dir),
+        "the committed ledger sum must cover base ∪ batch")
+
+      // --- COMMITTED BATCH REPLAYS AS A NO-OP: even a different frame
+      // under the same committed id must not change state
+      ConnectedComponents.lastRounds = -1
+      ComponentIndex.merge(s, dir,
+        Seq(doc(9, (1 to 30).map(i => s"nine$i")))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"), batchId)
+      assert(ConnectedComponents.lastRounds == -1,
+        "a committed batch id must not re-run the clustering")
+      assert(ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == merged)
+    } finally {
+      ComponentIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("chained merges equal the one-shot merge and the full rebuild (associativity)") {
+    // round-11 item 2: merge(merge(base, b1), b2) must equal
+    // merge(base, b1 ∪ b2) and the rebuild over base ∪ b1 ∪ b2 —
+    // including a b2 doc whose cluster membership transits THROUGH a b1
+    // doc (reachable only if the first merge's store append is visible
+    // to the second merge's candidate join)
+    val s = spark
+    import s.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("compidx-chain-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("compidx-chain-b").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    try {
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      val t1 = (1 to 30).map(i => s"one$i")
+      val t2 = (1 to 30).map(i => s"two$i")
+      val t3 = (1 to 30).map(i => s"three$i")
+      val base = Seq(doc(1, t1), doc(2, t2))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // b1: 4 dups base-1; 5 opens a NEW text family
+      val b1 = Seq(doc(4, t1), doc(5, t3))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // b2: 6 dups b1's 5 (transits through the chained store), 7 dups base-2
+      val b2 = Seq(doc(6, t3), doc(7, t2))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def run(dir: String)(merges: => Unit): Set[(Long, Long)] = {
+        base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        ComponentIndex.ensure(s, dir)
+        ComponentIndex.ensureBanded(s, dir)
+        merges
+        ComponentIndex.componentsFor(s, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val chained = run(dirA) {
+        b1.write.mode("append").parquet(s"$dirA/documents.parquet")
+        ComponentIndex.merge(s, dirA, b1, 1L)
+        b2.write.mode("append").parquet(s"$dirA/documents.parquet")
+        ComponentIndex.merge(s, dirA, b2, 2L)
+      }
+      assert(!ComponentIndex.snapshotStale(s, dirA),
+        "chained ledger stamps must sum to the dir fingerprint")
+      val oneShot = run(dirB) {
+        val both = b1.unionByName(b2)
+        both.write.mode("append").parquet(s"$dirB/documents.parquet")
+        ComponentIndex.merge(s, dirB, both, 1L)
+      }
+      val full = CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(
+            graft.sources.Tables.documents(s, dirA))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(chained == oneShot,
+        s"chained merges diverge from the one-shot merge: $chained vs $oneShot")
+      assert(chained == full && chained.nonEmpty,
+        s"chained merges diverge from the rebuild: $chained vs $full")
+      // the transitive chain actually happened: 6 clusters with 5 (via b1)
+      val comp = chained.toMap
+      assert(comp.contains(6L) && comp(6L) == comp(5L),
+        "b2 doc must reach its b1 duplicate through the chained store")
+      assert(comp(7L) == comp(2L) && comp(4L) == comp(1L))
+    } finally {
+      ComponentIndex.drop(s, dirA)
+      ComponentIndex.drop(s, dirB)
+      Seq(dirA, dirB).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("merge's batch join reads the bucketed signature store without re-shuffling it") {
     // the SignatureStoreSpec contract restated on the index's own store:
     // only the batch side pays an exchange; the store scan is
