@@ -70,6 +70,33 @@ object DedupQueries {
         .unionByName(stat(4L, "near_dedup", near))
     }),
 
+    // FUNNEL REJECTION ATTRIBUTION (round 13, r11 verdict item 7): the
+    // per-document answer to "WHICH stage rejected this doc" — the
+    // drill-down every pipeline owner needs after reading the funnel
+    // counts. First-rejecting-stage semantics by construction: each doc
+    // labels with the earliest stage whose survivor set dropped it
+    // (quality → exact_dedup → near_dedup), else 'kept'. Three left
+    // semi-join flags, all on doc_id — one hash partitioning reused
+    // across the joins, no text column ever shuffles.
+    "q_curation_rejections" -> ((s, dir) => {
+      import graft.operators.CorpusOps._
+      val raw = Tables.documents(s, dir)
+      val qual = raw.qualityFiltered()
+      val exact = qual.dedupedExact()
+      val near = exact.dedupedNear()
+      def flag(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.select(col("doc_id")).withColumn(c, lit(1))
+      raw.select(col("doc_id"))
+        .join(flag(qual, "_q"), Seq("doc_id"), "left")
+        .join(flag(exact, "_e"), Seq("doc_id"), "left")
+        .join(flag(near, "_n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("_q").isNull, lit("quality"))
+            .when(col("_e").isNull, lit("exact_dedup"))
+            .when(col("_n").isNull, lit("near_dedup"))
+            .otherwise(lit("kept")).as("rejected_by"))
+    }),
+
     // SNAPSHOT DIFF (round 11): classify docs across two corpus
     // snapshots as added/removed/changed (operators.SnapshotDiff — one
     // co-partitioned full-outer join over 16-byte (id, hash) rows). The
@@ -782,6 +809,16 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchPhrase(s, dir,
         Seq("hash", "join"), k = 10)),
 
+    // CONJUNCTIVE (boolean-AND) search (round 13, r11 verdict item 6):
+    // docs containing ALL of the query terms, ranked by total term
+    // frequency. Same pruned-bucket read as q_search_corpus; the AND is
+    // one tiny aggregate over exactly the pruned rows (postings hold one
+    // row per (term, doc), so count(*) IS the matched-term count) —
+    // never an intersection of per-term scans.
+    "q_search_conjunctive" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchAll(s, dir,
+        Seq("join", "hash", "scan"), k = 10)),
+
     // ORDERED-PROXIMITY search (round 11): "join" within 3 tokens after
     // "hash" — the NEAR operator, formulated inequality-free: the slop
     // window is the UNION over d = 1..slop of exact equi-joins on
@@ -1078,20 +1115,27 @@ object DedupQueries {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** The oracle-side mirror of InvertedIndex.tokens — the canonical
+    * ([[graft.operators.Dedup.canonicalText]], 'g'-flagged here since
+    * DuckDB's regexp_replace is first-match by default) token list. */
+  private def canonToksSql: String =
+    "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')"
+
   /** THE BM25 raw-corpus replay (q_search_bm25's oracle) as a function
     * of k, so the hybrid funnel's shortlist subquery is the SAME text —
     * one definition, no drift. */
   private def bm25RankedSql(k: Int): String =
     s"""WITH tfq AS (
        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+       |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
        |  WHERE term IN ('join','hash','scan','graftabsentterm')
        |  GROUP BY 1, 2),
        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
-       |dlq AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+       |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
        |        FROM documents),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |                 CAST(sum(len(string_split(text,' '))) AS BIGINT) AS dltot
+       |                 CAST(sum(len($canonToksSql)) AS BIGINT) AS dltot
        |          FROM documents),
        |scored AS (
        |  SELECT t.doc_id,
@@ -1968,9 +2012,9 @@ object DedupQueries {
     // idf proxy, row_number ties on doc_id — the index is a physical
     // strategy, not a semantics change
     "q_search_corpus" ->
-      """WITH tfq AS (
+      s"""WITH tfq AS (
         |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
         |  WHERE term IN ('join','hash','scan','graftabsentterm')
         |  GROUP BY 1, 2),
         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
@@ -1982,13 +2026,27 @@ object DedupQueries {
         |             doc_id ASC) AS BIGINT) AS rank
         |FROM tfq JOIN dfq USING (term) CROSS JOIN n
         |QUALIFY rank <= 10""".stripMargin,
+    // replays the conjunctive match from the raw corpus: per-(term, doc)
+    // tf over the query terms, docs keeping all 3, ranked by total tf
+    "q_search_conjunctive" ->
+      s"""WITH tfq AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
+        |  WHERE term IN ('join','hash','scan')
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_terms,
+        |               CAST(sum(tf) AS BIGINT) AS tf_total
+        |        FROM tfq GROUP BY 1)
+        |SELECT doc_id, tf_total,
+        |  CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM agg WHERE n_terms = 3 QUALIFY rank <= 10""".stripMargin,
     // replays the phrase match from the raw corpus: 1-based positions by
     // zip-unnest, per-term (doc_id, pos−i) projections intersected on
     // (doc_id, start) — the same pure-equi-join shape as the Spark tail
     "q_search_phrase" ->
-      """WITH pos AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS term,
-        |         unnest(range(1, len(string_split(text,' '))+1)) AS pos
+      s"""WITH pos AS (
+        |  SELECT doc_id, unnest($canonToksSql) AS term,
+        |         unnest(range(1, len($canonToksSql)+1)) AS pos
         |  FROM documents),
         |p0 AS (SELECT doc_id, pos - 0 AS start FROM pos WHERE term = 'hash'),
         |p1 AS (SELECT doc_id, pos - 1 AS start FROM pos WHERE term = 'join'),
@@ -2002,9 +2060,9 @@ object DedupQueries {
     // the oracle states proximity as the RANGE condition the union of
     // equi-joins implements — an independent formulation, same fixpoint
     "q_search_near" ->
-      """WITH pos AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS term,
-        |         unnest(range(1, len(string_split(text,' '))+1)) AS pos
+      s"""WITH pos AS (
+        |  SELECT doc_id, unnest($canonToksSql) AS term,
+        |         unnest(range(1, len($canonToksSql)+1)) AS pos
         |  FROM documents),
         |p0 AS (SELECT doc_id, pos FROM pos WHERE term = 'hash'),
         |p1 AS (SELECT doc_id, pos FROM pos WHERE term = 'join'),
@@ -2159,6 +2217,41 @@ object DedupQueries {
          |UNION ALL
          |SELECT CAST(4 AS BIGINT), 'near_dedup', CAST(count(*) AS BIGINT),
          |  CAST(sum(len(string_split(text,' '))) AS BIGINT) FROM near""".stripMargin
+    },
+
+    // replays the rejection attribution: the SAME stage CTE chain as the
+    // funnel oracle, then per-doc first-rejecting-stage CASE
+    "q_curation_rejections" -> {
+      import graft.operators.CorpusOps
+      s"""WITH RECURSIVE
+         |kept AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE len(string_split(text,' '))
+         |          BETWEEN ${CorpusOps.MinTokens} AND ${CorpusOps.MaxTokens}
+         |    AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |        / len(string_split(text,' ')) >= ${CorpusOps.MinDistinctRatio}),
+         |canon AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1),
+         |${minhashCtes("canon", numBands = MinHashLSH.BandedBands,
+                        rowsPerBand = MinHashLSH.BandedRows)},
+         |${closureCtes()},
+         |near AS (
+         |  SELECT c.doc_id FROM canon c
+         |  LEFT JOIN (SELECT doc_id FROM comp WHERE doc_id <> component_id) d
+         |    ON c.doc_id = d.doc_id
+         |  WHERE d.doc_id IS NULL)
+         |SELECT r.doc_id,
+         |  CASE WHEN k.doc_id IS NULL THEN 'quality'
+         |       WHEN c.doc_id IS NULL THEN 'exact_dedup'
+         |       WHEN n.doc_id IS NULL THEN 'near_dedup'
+         |       ELSE 'kept' END AS rejected_by
+         |FROM documents r
+         |LEFT JOIN kept k ON r.doc_id = k.doc_id
+         |LEFT JOIN canon c ON r.doc_id = c.doc_id
+         |LEFT JOIN near n ON r.doc_id = n.doc_id""".stripMargin
     },
 
     // replays the two snapshot derivations and the full-outer classify;

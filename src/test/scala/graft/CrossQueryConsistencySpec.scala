@@ -10,6 +10,28 @@ class CrossQueryConsistencySpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("rejection attribution reconciles with the funnel's stage counts") {
+    // q_curation_rejections' per-stage rejected counts must equal the
+    // consecutive survivor deltas of q_curation_funnel, and 'kept' must
+    // equal the final stage — independent derivations of the same funnel
+    val rej = graft.operators.CacheScope.withOperatorCaches {
+      q("q_curation_rejections").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    val byStage = rej.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val funnel = graft.operators.CacheScope.withOperatorCaches {
+      q("q_curation_funnel").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    assert(rej.map(_._1).distinct.length == rej.length,
+      "one attribution row per document")
+    assert(rej.length.toLong == funnel(1L), "attribution covers the raw corpus")
+    assert(byStage.getOrElse("quality", 0L) == funnel(1L) - funnel(2L))
+    assert(byStage.getOrElse("exact_dedup", 0L) == funnel(2L) - funnel(3L))
+    assert(byStage.getOrElse("near_dedup", 0L) == funnel(3L) - funnel(4L))
+    assert(byStage.getOrElse("kept", 0L) == funnel(4L))
+  }
+
   test("token counts agree between q_text_tokens and q_pack_bins") {
     val fromTokens = q("q_text_tokens").select("doc_id", "n_tokens")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The snapshot-diff → index-maintenance composition: the diff's
+  * classification must pick the action each index contract allows, and
+  * the applied action must leave every family member equal to a fresh
+  * derivation over the current dir. */
+class SnapshotMaintenanceSpec extends SparkSpec {
+
+  private def rm(path: String): Unit = {
+    def loop(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(loop)
+      f.delete()
+    }
+    loop(new java.io.File(path))
+  }
+
+  private def dropAll(dir: String): Unit = {
+    InvertedIndex.drop(spark, dir)
+    ComponentIndex.drop(spark, dir)
+  }
+
+  test("plan: no delta → NoChange; added-only → Append with exactly the new docs; " +
+       "removed/changed → RebuildRequired") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    assert(SnapshotMaintenance.plan(prev, prev) == SnapshotMaintenance.NoChange)
+    val appended = prev.unionByName(Seq((3L, "g h i")).toDF("doc_id", "text"))
+    SnapshotMaintenance.plan(prev, appended) match {
+      case SnapshotMaintenance.Append(batch) =>
+        assert(batch.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+      case other => fail(s"expected Append, got $other")
+    }
+    // a changed doc poisons the cheap path even when docs were also added
+    val changed = appended
+      .withColumn("text", when(col("doc_id") === 1L, lit("a b CHANGED"))
+        .otherwise(col("text")))
+    assert(SnapshotMaintenance.plan(prev, changed) ==
+      SnapshotMaintenance.RebuildRequired)
+    // so does a removal
+    assert(SnapshotMaintenance.plan(prev, prev.filter(col("doc_id") =!= 2L)) ==
+      SnapshotMaintenance.RebuildRequired)
+  }
+
+  test("maintain: append path advances the whole family; rebuild path repairs a rewrite") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "s0", 200)
+    val t1 = (1 to 30).map(i => s"one$i")
+    val t2 = (1 to 30).map(i => s"two$i")
+    val base = Seq(doc(1, t1), doc(2, t1), doc(3, t2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("snapmaint").toString
+    try {
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dropAll(dir)
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+
+      // --- NO-CHANGE: nothing re-derives
+      ConnectedComponents.lastRounds = -1
+      assert(SnapshotMaintenance.maintain(s, dir, base) == "no_change")
+      assert(ConnectedComponents.lastRounds == -1)
+
+      // --- APPEND path: land a batch (4 dups doc 3's text), maintain
+      val batch = Seq(doc(4, t2), doc(5, (1 to 30).map(i => s"three$i")))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      batch.write.mode("append").parquet(s"$dir/documents.parquet")
+      assert(SnapshotMaintenance.maintain(s, dir, base) == "appended")
+      val docsNow = graft.sources.Tables.documents(s, dir)
+      // every family member equals a fresh derivation over the dir
+      assert(!InvertedIndex.snapshotStale(s, dir))
+      assert(!ComponentIndex.snapshotStale(s, dir))
+      val servedPost = s.table(InvertedIndex.table(dir))
+        .select("term", "doc_id", "tf")
+        .collect().map(_.toSeq).toSet
+      val freshPost = InvertedIndex.postings(docsNow)
+        .select("term", "doc_id", "tf")
+        .collect().map(_.toSeq).toSet
+      assert(servedPost == freshPost && servedPost.nonEmpty)
+      val servedComp = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val freshComp = CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(docsNow)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(servedComp == freshComp,
+        s"component map diverges after diff-driven append: $servedComp vs $freshComp")
+      assert(servedComp.toMap.get(4L) == servedComp.toMap.get(3L),
+        "the appended duplicate must cluster with its base twin")
+      // maintain is idempotent: replaying against the now-covered
+      // snapshot no-ops. MATERIALIZE prev here — a lazy frame over the
+      // dir would re-read whatever the dir holds later
+      val prevNow = docsNow.localCheckpoint(true)
+      assert(SnapshotMaintenance.maintain(s, dir, prevNow) == "no_change")
+
+      // --- REBUILD path: rewrite a doc's content in place
+      val rewritten = graft.sources.Tables.documents(s, dir)
+        .withColumn("text", when(col("doc_id") === 1L,
+          lit((1 to 30).map(i => s"four$i").mkString(" ")))
+          .otherwise(col("text")))
+        .localCheckpoint(true)
+      rewritten.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(SnapshotMaintenance.maintain(s, dir, prevNow) == "rebuilt")
+      assert(!InvertedIndex.snapshotStale(s, dir))
+      assert(!ComponentIndex.snapshotStale(s, dir))
+      val afterRebuild = s.table(InvertedIndex.table(dir))
+        .filter(col("term") === "four1").count()
+      assert(afterRebuild == 1L, "rebuild must index the rewritten content")
+    } finally {
+      dropAll(dir)
+      rm(dir)
+    }
+  }
+}
