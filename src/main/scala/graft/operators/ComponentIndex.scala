@@ -73,6 +73,25 @@ object ComponentIndex {
   /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
   val BaseBatchId: Long = SnapshotMeta.BaseBatchId
 
+  /** Index-side file parallelism knob (the [[InvertedIndex.Buckets]]
+    * twin for the component family): the component map and the banded
+    * signature store are each one file per bucket per batch partition —
+    * a fixture-scale default of 8; at production scale size from a
+    * target bucket FILE size, not a count (Buckets ≈ store bytes /
+    * (#batches × 256 MB), see SCALE.md "Sizing the index bucket
+    * counts"). Override with -Dgraft.index.compBuckets=N BEFORE the
+    * first build (the bucket spec is fixed at table creation). */
+  val Buckets: Int = {
+    val raw = sys.props.getOrElse("graft.index.compBuckets", "8")
+    val n = scala.util.Try(raw.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"-Dgraft.index.compBuckets must be an integer, got '$raw'"))
+    require(n > 0, s"-Dgraft.index.compBuckets must be positive, got $n " +
+      "(note: the bucket spec is fixed at table creation; changing the " +
+      "property later is ignored for existing tables)")
+    n
+  }
+
   /** STALENESS check (review finding: `tableExists` cannot detect a
     * regenerated fixture at the same path — the stale index would serve
     * silently): compare the corpus dir's current fingerprint against the
@@ -176,7 +195,7 @@ object ComponentIndex {
       CacheScope.withOperatorCaches {
         bandedComponentMap(docs)
           .write.mode("overwrite")
-          .bucketBy(8, "doc_id").sortBy("doc_id")
+          .bucketBy(Buckets, "doc_id").sortBy("doc_id")
           .saveAsTable(t)
       }
       SnapshotMeta.stampBatch(spark, metaTable(dir), BaseBatchId,
@@ -204,7 +223,7 @@ object ComponentIndex {
       bandedSignatures(graft.sources.Tables.documents(spark, dir))
         .withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id")
-        .bucketBy(8, "band", "key", "block").sortBy("band", "key", "block")
+        .bucketBy(Buckets, "band", "key", "block").sortBy("band", "key", "block")
         .saveAsTable(bt)
     }
     bt
@@ -270,7 +289,7 @@ object ComponentIndex {
       val newMap = mergedFromBanded(spark.table(t),
         spark.table(bt).drop("batch_id"), bb)
       newMap.write.mode("overwrite")
-        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(t)
+        .bucketBy(Buckets, "doc_id").sortBy("doc_id").saveAsTable(t)
       SnapshotMeta.overwritePartition(spark, bt, batchId, bb)
       // the writes resolve through the BATCH frame's session — under
       // foreachBatch that is the micro-batch clone, and only the writing

@@ -58,6 +58,33 @@ object IvfIndex {
     val stem = tableStem(dir)
     spark.sql(s"DROP TABLE IF EXISTS ${stem}_cells")
     spark.sql(s"DROP TABLE IF EXISTS ${stem}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${stem}_meta")
+  }
+
+  /** The batched maintenance ledger ([[SnapshotMeta]]'s contract) for the
+    * cells table — one (n_rows, id_sum) row per committed batch. */
+  private[operators] def metaTable(dir: String): String =
+    tableStem(dir) + "_meta"
+
+  /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
+  val BaseBatchId: Long = SnapshotMeta.BaseBatchId
+
+  /** Index-side file parallelism knob (the [[InvertedIndex.Buckets]] twin
+    * for the ANN family — cells AND PQ codes share it, so the two tables
+    * stay co-bucketed on `cell`): fixture-scale default 8; at production
+    * scale size from a target bucket file size (see SCALE.md "Sizing the
+    * index bucket counts"). Override with -Dgraft.index.ivfBuckets=N
+    * BEFORE the first build (the bucket spec is fixed at table
+    * creation). */
+  val Buckets: Int = {
+    val raw = sys.props.getOrElse("graft.index.ivfBuckets", "8")
+    val n = scala.util.Try(raw.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"-Dgraft.index.ivfBuckets must be an integer, got '$raw'"))
+    require(n > 0, s"-Dgraft.index.ivfBuckets must be positive, got $n " +
+      "(note: the bucket spec is fixed at table creation; changing the " +
+      "property later is ignored for existing tables)")
+    n
   }
 
   /** Build the index tables for the fixture unless already present;
@@ -68,19 +95,41 @@ object IvfIndex {
     val stem = tableStem(dir)
     val cellsT = s"${stem}_cells"
     val centsT = s"${stem}_centroids"
-    if (!spark.catalog.tableExists(cellsT) || !spark.catalog.tableExists(centsT)) {
-      Seq(cellsT, centsT).foreach(dropOrphanLocation(spark, _))
+    val metaT = metaTable(dir)
+    // "present" means present IN THE BATCHED-LEDGER SCHEMA (the
+    // InvertedIndex.ensure rule): a complete pre-ledger family — cells
+    // without a batch_id column, no ledger — would pass a bare
+    // tableExists check and then fail the first append instead of
+    // triggering the rebuild. The family is one unit: partial presence
+    // is rebuilt WHOLESALE (per-table repair would desync the commit
+    // record from the data). The PQ tables are left alone — their
+    // content derives from the cells table, and PqIndex.ensure's parity
+    // signature self-heals them against the rebuilt cells.
+    def ledgered(x: String): Boolean =
+      spark.catalog.tableExists(x) &&
+        spark.table(x).columns.contains("batch_id")
+    if (!(ledgered(cellsT) && spark.catalog.tableExists(centsT) &&
+          ledgered(metaT))) {
+      Seq(cellsT, centsT, metaT).foreach { x =>
+        spark.sql(s"DROP TABLE IF EXISTS $x")
+        dropOrphanLocation(spark, x)
+      }
       val e = graft.sources.Tables.embeddings(spark, dir)
       val cents = KMeans.trainForFixture(e, dir)
       e.select(col("vec_id"), col("embedding"),
           SimilarityIVF.cell(col("embedding"), cents).as("cell"))
-        .write.mode("overwrite")
-        .bucketBy(8, "cell").sortBy("cell")
+        .withColumn("batch_id", lit(BaseBatchId))
+        .write.partitionBy("batch_id")
+        .bucketBy(Buckets, "cell").sortBy("cell")
         .saveAsTable(cellsT)
       import spark.implicits._
       cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
         .toDF("cell", "cvec")
         .write.mode("overwrite").saveAsTable(centsT)
+      // COMMIT POINT of the base build: stamp last, so a crash mid-build
+      // leaves no ledger and the next ensureIndex rebuilds wholesale
+      SnapshotMeta.stampBatch(spark, metaT, BaseBatchId,
+        SnapshotMeta.fingerprint(e, "vec_id"))
     }
     (cellsT, loadCentroids(spark, centsT))
   }
@@ -99,23 +148,52 @@ object IvfIndex {
     * recall decays — the signal to retrain is cell-occupancy skew, which
     * is one `groupBy(cell).count()` over the index away. Centroids stay
     * fixed until a rebuild, so append order never changes any probe's
-    * result (IvfIndexSpec pins append == rebuild-with-same-centroids). */
+    * result (IvfIndexSpec pins append == rebuild-with-same-centroids).
+    *
+    * CRASH-IDEMPOTENT via the batched ledger (the [[InvertedIndex.append]]
+    * contract): cell assignments are vector-LOCAL — no transitive
+    * property — so the batch's rows land as an idempotent partition
+    * overwrite `batch_id = batchId`, and the ledger stamp written last is
+    * the COMMIT POINT. A committed batch replays as a no-op; a crash
+    * before the stamp leaves no commit record and the re-run REPLACES the
+    * partial partition instead of double-appending beside it (the defect
+    * the pre-ledger blind `mode("append")` had) — spec-pinned by the
+    * kill-between-writes test in IvfIndexSpec. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+             batchId: Long, idCol: String, vecCol: String): Unit = {
+    require(batchId != BaseBatchId, s"batch_id $BaseBatchId is the base build")
     val (cellsT, cents) = ensureIndex(spark, dir)
-    batch
-      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-        SimilarityIVF.cell(col(vecCol), cents).as("cell"))
-      .write.mode("append")
-      .bucketBy(8, "cell").sortBy("cell")
-      .saveAsTable(cellsT)
-    // the write resolves through the BATCH frame's session — under
-    // foreachBatch that is the micro-batch clone, and only the writing
-    // session's relation cache self-invalidates; without this refresh
-    // the caller's next probe/append reads a stale file listing (the
-    // ComponentIndex.merge lesson, measured there)
-    spark.catalog.refreshTable(cellsT)
+    if (SnapshotMeta.appliedBatch(spark, metaTable(dir), batchId)) return
+    // overwritePartition writes through the BATCH frame's session (under
+    // foreachBatch that is the micro-batch clone) and refreshes the
+    // caller's relation cache too — the ComponentIndex.merge lesson
+    SnapshotMeta.overwritePartition(spark, cellsT, batchId,
+      batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        SimilarityIVF.cell(col(vecCol), cents).as("cell")))
+    SnapshotMeta.stampBatch(spark, metaTable(dir), batchId,
+      SnapshotMeta.fingerprint(batch.select(col(idCol)), idCol))
   }
+
+  /** [[append]] with a content-derived batch id — for callers without a
+    * durable external batch identity (foreachBatch callers should pass
+    * their batchId instead). The id keys on (id, vector) content
+    * ([[SnapshotMeta.contentFingerprintCols]]), so replaying the same
+    * batch reuses the same ledger slot. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    append(spark, dir, batch,
+      SnapshotMeta.derivedBatchId(
+        SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol))),
+      idCol, vecCol)
+
+  /** Staleness check vs the CURRENT fixture content (explicit, on the
+    * pipeline's snapshot-promotion cadence — the ComponentIndex rule):
+    * the ledger's SUMMED per-batch fingerprints vs the embeddings dir's.
+    * True for a pre-ledger index (unverifiable → treat as stale). */
+  def snapshotStale(spark: SparkSession, dir: String): Boolean =
+    SnapshotMeta.staleBatched(spark, metaTable(dir),
+      SnapshotMeta.fingerprint(
+        graft.sources.Tables.embeddings(spark, dir), "vec_id"))
 
   /** K x Dim model state from the centroid table — the only thing probe
     * planning needs from training. */

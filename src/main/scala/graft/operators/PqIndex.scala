@@ -56,8 +56,17 @@ object PqIndex {
     val stem = IvfIndex.tableStem(dir)
     val codesT = s"${stem}_pq_codes"
     val cbT = s"${stem}_pq_codebook"
-    if (!spark.catalog.tableExists(codesT) || !spark.catalog.tableExists(cbT)) {
-      Seq(codesT, cbT).foreach(IvfIndex.dropOrphanLocation(spark, _))
+    // codes must be present IN THE LEDGERED LAYOUT (batch_id partition
+    // column, mirroring the cells table) — a pre-ledger codes table
+    // would fail the first partition-overwrite append, so rebuild it
+    def ledgered(x: String): Boolean =
+      spark.catalog.tableExists(x) &&
+        spark.table(x).columns.contains("batch_id")
+    if (!ledgered(codesT) || !spark.catalog.tableExists(cbT)) {
+      Seq(codesT, cbT).foreach { x =>
+        spark.sql(s"DROP TABLE IF EXISTS $x")
+        IvfIndex.dropOrphanLocation(spark, x)
+      }
       val e = graft.sources.Tables.embeddings(spark, dir)
       val cb = Pq.trainResidualForFixture(e, dir)
       writeCodes(spark, cellsT, codesT, cents, cb)
@@ -88,7 +97,11 @@ object PqIndex {
 
   /** Encode every cells-table vector's coarse residual and (over)write the
     * codes table. The cells table already carries the assignment, so this
-    * never re-runs the K dot products per row. */
+    * never re-runs the K dot products per row. The cells table's
+    * `batch_id` rides along, so the rebuilt codes keep the per-batch
+    * partitions the ledgered append path overwrites; bucket count =
+    * [[IvfIndex.Buckets]] so codes and cells stay co-bucketed on
+    * `cell`. */
   private def writeCodes(spark: SparkSession, cellsT: String, codesT: String,
                          cents: Array[Array[Double]],
                          cb: Array[Array[Array[Double]]]): Unit =
@@ -97,9 +110,10 @@ object PqIndex {
         PqExpressions.pq_encode(
           graft.functions.expressions.VectorExpressions
             .centroid_residual(col("embedding"), col("cell"), cents),
-          cb).as("codes"))
+          cb).as("codes"), col("batch_id"))
       .write.mode("overwrite")
-      .bucketBy(8, "cell").sortBy("cell")
+      .partitionBy("batch_id")
+      .bucketBy(IvfIndex.Buckets, "cell").sortBy("cell")
       .saveAsTable(codesT)
 
   private def loadCodebook(spark: SparkSession, cbT: String): Array[Array[Array[Double]]] = {
@@ -113,31 +127,55 @@ object PqIndex {
   }
 
   /** Incremental ingest, paired with [[IvfIndex.append]]: the batch is
-    * assigned to the existing centroids, appended to the cells table, and
-    * its codes (encoded against the existing codebook) appended to the
+    * assigned to the existing centroids, landed in the cells table, and
+    * its codes (encoded against the existing codebook) landed in the
     * codes table — both tables stay in sync at batch cost, model state
     * stays fixed, so append order never changes any probe's answer
     * (spec-pinned: append == rebuild-with-same-model). The retrain signal
-    * is the same cell-occupancy skew check as the coarse index's. */
+    * is the same cell-occupancy skew check as the coarse index's.
+    *
+    * CRASH-IDEMPOTENT without a second ledger: both writes key on the
+    * same `batchId` — the cells write goes through
+    * [[IvfIndex.append]]'s ledgered sequence (partition overwrite +
+    * commit stamp), and the codes write re-runs unless the coarse ledger
+    * has the batch committed AND the codes partition's row count matches
+    * the cells partition's (per-batch parity — both scans prune to one
+    * partition). So: a crash before the coarse stamp replays both writes
+    * from the top; a crash AFTER the stamp but during the codes write
+    * (a torn or missing codes partition) is repaired by the parity
+    * check; a fully committed batch replays as a no-op. The
+    * session-level parity-signature self-heal in [[ensure]] remains the
+    * backstop for batches ingested via [[IvfIndex.append]] directly
+    * (spec-pinned by the kill-between-writes test in PqIndexSpec). */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val (codesT, _, cents, cb) = ensure(spark, dir)
-    IvfIndex.append(spark, dir, batch, idCol, vecCol)
-    batch
-      .select(col(idCol).as("vec_id"),
-        SimilarityIVF.cell(col(vecCol), cents).as("cell"), col(vecCol).as("v"))
-      .select(col("vec_id"), col("cell"),
-        PqExpressions.pq_encode(
-          graft.functions.expressions.VectorExpressions
-            .centroid_residual(col("v"), col("cell"), cents),
-          cb).as("codes"))
-      .write.mode("append")
-      .bucketBy(8, "cell").sortBy("cell")
-      .saveAsTable(codesT)
-    // same cross-session staleness guard as IvfIndex.append (the
-    // ComponentIndex.merge lesson): refresh the CALLER's view
-    spark.catalog.refreshTable(codesT)
+             batchId: Long, idCol: String, vecCol: String): Unit = {
+    val (codesT, cellsT, cents, cb) = ensure(spark, dir)
+    val committed =
+      SnapshotMeta.appliedBatch(spark, IvfIndex.metaTable(dir), batchId)
+    IvfIndex.append(spark, dir, batch, batchId, idCol, vecCol)
+    def partCount(t: String): Long =
+      spark.table(t).filter(col("batch_id") === batchId).count()
+    if (!committed || partCount(codesT) != partCount(cellsT))
+      SnapshotMeta.overwritePartition(spark, codesT, batchId, batch
+        .select(col(idCol).as("vec_id"),
+          SimilarityIVF.cell(col(vecCol), cents).as("cell"), col(vecCol).as("v"))
+        .select(col("vec_id"), col("cell"),
+          PqExpressions.pq_encode(
+            graft.functions.expressions.VectorExpressions
+              .centroid_residual(col("v"), col("cell"), cents),
+            cb).as("codes")))
   }
+
+  /** [[append]] with a content-derived batch id (the [[IvfIndex.append]]
+    * convention — foreachBatch callers should pass their batchId). The
+    * SAME derivation as the coarse index's, so both tables share one
+    * ledger slot per batch. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    append(spark, dir, batch,
+      SnapshotMeta.derivedBatchId(
+        SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol))),
+      idCol, vecCol)
 
   /** ADC top-k from the STORED codes: the candidate side is a scan of the
     * bucketed codes table — no residual, no encode, no vector anywhere on

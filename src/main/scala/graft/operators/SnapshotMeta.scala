@@ -96,9 +96,18 @@ object SnapshotMeta {
     * overflow-free under ANSI arithmetic (the hashes span the full 64-bit
     * range), and cancellation needs duplicate (doc_id, text) rows, which
     * the append contract (new doc ids) excludes. */
-  private[operators] def contentFingerprint(batch: DataFrame): (Long, Long) = {
+  private[operators] def contentFingerprint(batch: DataFrame): (Long, Long) =
+    contentFingerprintCols(batch, Seq("doc_id", "text"))
+
+  /** [[contentFingerprint]] generalized to any column set — the ANN
+    * family keys its derived batch ids on (vec_id, embedding)
+    * (xxhash64 hashes array columns element-wise, so vector content
+    * participates, not just ids). */
+  private[operators] def contentFingerprintCols(batch: DataFrame,
+                                                cols: Seq[String]): (Long, Long) = {
+    val colList = cols.map(c => s"`$c`").mkString(", ")
     val r = batch.agg(count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))).head()
+      coalesce(expr(s"bit_xor(xxhash64($colList))"), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
   }
 

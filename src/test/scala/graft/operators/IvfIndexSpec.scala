@@ -14,7 +14,7 @@ class IvfIndexSpec extends SparkSpec {
     * elsewhere, leaking appended index rows into later tests). */
   private def dropIndexTables(): Unit = {
     val stem = IvfIndex.tableStem(sfDir)
-    Seq("cells", "centroids").foreach(sfx =>
+    Seq("cells", "centroids", "meta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS ${stem}_$sfx"))
   }
 
@@ -172,5 +172,63 @@ class IvfIndexSpec extends SparkSpec {
     val again = graft.SparkEntry.queries("q_sample_cluster_balanced")(s, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == again)
+  }
+
+  test("append is crash-idempotent: kill between writes replays clean; committed batch no-ops") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    // own fixture dir: appended rows must not leak into the shared
+    // fixture's index (the StreamingIndexMaintenanceSpec hygiene rule)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcrash-fixture").toString
+    def vec(id: Long) = (id,
+      Array.tabulate(64)(d => (((id * 31 + d * 7) % 19) - 9) / 9.0f), id % 10)
+    def frame(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "embedding", "label")
+    try {
+      frame(0L until 50L).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val (cellsT, cents) = IvfIndex.ensureIndex(s, dir)
+      val batch = frame(100L until 120L)
+      val batchId = 7L
+      // --- KILL BETWEEN WRITES: the cells partition landed PARTIALLY
+      // (torn), the ledger stamp never ran — the pre-ledger blind
+      // mode("append") would have double-appended on retry
+      SnapshotMeta.overwritePartition(s, cellsT, batchId,
+        batch.limit(5).select(col("vec_id"), col("embedding"),
+          SimilarityIVF.cell(col("embedding"), cents).as("cell")))
+      assert(!SnapshotMeta.appliedBatch(s, IvfIndex.metaTable(dir), batchId),
+        "a torn append must leave NO commit record")
+      // re-run from the top: REPLACES the torn partition, then stamps
+      IvfIndex.append(s, dir, batch, batchId, "vec_id", "embedding")
+      val got = s.table(cellsT).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = frame((0L until 50L) ++ (100L until 120L))
+        .select(col("vec_id"),
+          SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected && got.size == 70,
+        "replay after a torn cells write must equal the clean application")
+      // --- COMMITTED BATCH REPLAYS AS A NO-OP: even a different frame
+      // under the same committed id must not change state
+      IvfIndex.append(s, dir, frame(900L until 905L), batchId,
+        "vec_id", "embedding")
+      assert(s.table(cellsT).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet == expected,
+        "a committed batch id must replay as a no-op")
+      // --- STALENESS CONTRACT: the ledger sum covers base ∪ batch, so
+      // the index reads STALE until the caller lands the batch files
+      // into the dir (the append contract), then FRESH
+      assert(IvfIndex.snapshotStale(s, dir),
+        "index must read stale while the dir lacks the appended batch")
+      batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
+      assert(!IvfIndex.snapshotStale(s, dir),
+        "index must read fresh once the dir holds base ∪ batch")
+    } finally {
+      IvfIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
   }
 }

@@ -12,8 +12,9 @@ class PqIndexSpec extends SparkSpec {
 
   /** Names derived from the ACTIVE fixture dir (round-5 advice: hardcoded
     * sf0.001 names silently no-op under a different SPARK_GRAFT_SF_DIR). */
-  private def dropAll(): Unit = Seq("cells", "centroids", "pq_codes", "pq_codebook")
-    .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.tableStem(sfDir)}_$sfx"))
+  private def dropAll(): Unit =
+    Seq("cells", "centroids", "meta", "pq_codes", "pq_codebook")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.tableStem(sfDir)}_$sfx"))
 
   test("stored-code ADC probe and rerank equal the per-invocation trained pipeline") {
     val s = spark
@@ -114,5 +115,64 @@ class PqIndexSpec extends SparkSpec {
       assert(plan.toLowerCase.contains("pqlut"),
         s"probe plan lost the query-side LUT:\n$plan")
     } finally dropAll()
+  }
+
+  test("append is crash-idempotent: a torn codes partition after the coarse commit replays clean") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pqcrash-fixture").toString
+    def vec(id: Long) = (id,
+      Array.tabulate(64)(d => (((id * 37 + d * 11) % 23) - 11) / 11.0f), id % 10)
+    def frame(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "embedding", "label")
+    def dropTemp(): Unit =
+      Seq("cells", "centroids", "meta", "pq_codes", "pq_codebook")
+        .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS ${IvfIndex.tableStem(dir)}_$sfx"))
+    try {
+      frame(0L until 50L).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val (codesT, cellsT, cents, cb) = PqIndex.ensure(s, dir)
+      val batch = frame(100L until 120L)
+      val batchId = 11L
+      // --- CRASH AFTER THE COARSE COMMIT, DURING THE CODES WRITE: cells
+      // committed (ledger stamped), codes partition TORN — the state a
+      // plain replay-skip would leave broken forever
+      IvfIndex.append(s, dir, batch, batchId, "vec_id", "embedding")
+      SnapshotMeta.overwritePartition(s, codesT, batchId,
+        s.table(cellsT).filter(col("batch_id") === batchId).limit(5)
+          .select(col("vec_id"), col("cell"),
+            graft.functions.expressions.PqExpressions.pq_encode(
+              graft.functions.expressions.VectorExpressions
+                .centroid_residual(col("embedding"), col("cell"), cents),
+              cb).as("codes")))
+      assert(s.table(codesT).filter(col("batch_id") === batchId).count() == 5)
+      // the re-run must detect the per-batch parity break and repair the
+      // codes partition even though the coarse ledger says committed
+      PqIndex.append(s, dir, batch, batchId, "vec_id", "embedding")
+      assert(s.table(codesT).count() == s.table(cellsT).count(),
+        "replay did not repair the torn codes partition")
+      // probes over the recovered index equal the from-scratch pipeline
+      val probed = PqIndex.probe(s, dir, frame(0L until 10L), k = 5,
+          candidatePred = col("vec_id") >= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rebuilt = Pq.ivfAdcResidualTopK(
+          frame(0L until 10L),
+          frame((10L until 50L) ++ (100L until 120L))
+            .select("vec_id", "embedding"),
+          k = 5, cb = cb, cents = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(probed.nonEmpty && probed == rebuilt)
+      // --- FULLY COMMITTED BATCH REPLAYS AS A NO-OP: parity holds, so
+      // the codes write is skipped (count unchanged, content identical)
+      val before = s.table(codesT).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      PqIndex.append(s, dir, batch, batchId, "vec_id", "embedding")
+      assert(s.table(codesT).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet == before,
+        "a fully committed batch must replay as a no-op")
+    } finally { dropTemp(); rm(new java.io.File(dir)) }
   }
 }
