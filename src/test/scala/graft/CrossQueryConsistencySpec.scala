@@ -423,6 +423,18 @@ class CrossQueryConsistencySpec extends SparkSpec {
       s"indexed != retrained: missing=${retrained -- indexed} extra=${indexed -- retrained}")
   }
 
+  test("maintained-index search twins equal the base-build twins") {
+    // q_search_*_maintained serve from an index whose last slice arrived
+    // via the ledgered append path; append == rebuild is exact for this
+    // family, so the results must be bit-identical to the full-corpus
+    // base-build queries — the declared-surface guarantee that index
+    // maintenance cannot change any answer
+    def rows(name: String) = q(name).collect()
+      .map(r => (0 until r.length).map(r.get).toList).toSet
+    assert(rows("q_search_bm25_maintained") == rows("q_search_bm25"))
+    assert(rows("q_search_phrase_maintained") == rows("q_search_phrase"))
+  }
+
   test("per-doc dup-span mass equals the per-span transpose's mass") {
     // q_dedup_substring counts, per DOC, its spans that occur in >= 2
     // docs; summing that over docs must equal summing nd over every span
