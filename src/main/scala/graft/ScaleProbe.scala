@@ -398,6 +398,58 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_PROBE_ANN_MAINT=<pct> (round-13): the ANN family's
+    // maintenance economics, measured like the component-merge probe.
+    // Each probe fixture's embeddings split into a (100-pct)% base
+    // (lowest ids) and a pct% "crawl append" batch; the persisted
+    // IVF+PQ index builds over the base (training included), then the
+    // batch arrives through the LEDGERED append path (cells partition
+    // overwrite + codes partition overwrite + commit stamp) and is
+    // timed against the one-pass full-corpus re-assignment a rebuild's
+    // assignment stage pays (training excluded — centroids are frozen
+    // across both paths, which is what makes append == rebuild exact).
+    // The maintained cells are verified against the rebuilt assignment
+    // DISTRIBUTED (anti-join both ways, nothing collected).
+    sys.env.get("SPARK_GRAFT_PROBE_ANN_MAINT").map(_.toInt).foreach { pct =>
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        val e = graft.sources.Tables.embeddings(spark, dir)
+        val n = BaseVecs * mult
+        val cut = n - n * pct / 100
+        val baseDir = s"/tmp/graft_probe/annmaint_${mult}_$pct"
+        e.filter(col("vec_id") < cut)
+          .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+        val batch = e.filter(col("vec_id") >= cut)
+        graft.operators.IvfIndex.drop(spark, baseDir)
+        graft.operators.PqIndex.drop(spark, baseDir)
+        val t0 = System.nanoTime()
+        val (codesT, cellsT, cents, _) =
+          graft.operators.PqIndex.ensure(spark, baseDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.operators.PqIndex.append(spark, baseDir, batch)
+        val tAppend = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val full = e.select(col("vec_id"),
+            graft.operators.SimilarityIVF.cell(col("embedding"), cents)
+              .as("cell"))
+          .localCheckpoint(true)
+        full.write.mode("overwrite").format("noop").save()
+        val tAssignAll = (System.nanoTime() - t2) / 1e9
+        val stored = spark.table(cellsT).select("vec_id", "cell")
+        val diff =
+          stored.join(full, Seq("vec_id", "cell"), "left_anti").count() +
+          full.join(stored, Seq("vec_id", "cell"), "left_anti").count()
+        val codesRows = spark.table(codesT).count()
+        val cellsRows = stored.count()
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        graft.operators.IvfIndex.drop(spark, baseDir)
+        graft.operators.PqIndex.drop(spark, baseDir)
+        println(s"""{"probe":"ann_maint","mult":$mult,"n_vecs":$n,"batch_pct":$pct,"cells_rows":$cellsRows,"codes_rows":$codesRows,"mismatches":$diff,"t_base_build":$tBuild,"t_append":$tAppend,"t_assign_all":$tAssignAll}""")
+      }
+      spark.stop()
+      return
+    }
     // Hard-negative mining recall probe (round-11, verdict item 5): the
     // contrastive-mining scale path gets the same measured-guardrail
     // treatment as dedup — at each probe scale, recall@5 of the

@@ -44,6 +44,15 @@ object PqIndex {
   /** Spec hook: force the next [[ensure]] to re-run the parity check. */
   private[operators] def resetSyncCheck(): Unit = synced.clear()
 
+  /** Drop the fixture's code tables ([[IvfIndex.drop]]'s twin — callers
+    * retiring the whole family run both). */
+  def drop(spark: SparkSession, dir: String): Unit = {
+    val stem = IvfIndex.tableStem(dir)
+    spark.sql(s"DROP TABLE IF EXISTS ${stem}_pq_codes")
+    spark.sql(s"DROP TABLE IF EXISTS ${stem}_pq_codebook")
+    synced.remove(dir)
+  }
+
   /** Build (or load) the code + codebook tables for the fixture; returns
     * (codesTable, cellsTable, coarse centroids, codebook). If the tables
     * exist but the codes table's row count has drifted from the cells
