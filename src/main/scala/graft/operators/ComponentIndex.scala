@@ -314,6 +314,35 @@ object ComponentIndex {
     merge(spark, dir, batch,
       SnapshotMeta.derivedBatchId(SnapshotMeta.contentFingerprint(batch)))
 
+  /** COMPACTION ([[InvertedIndex.compact]]'s component twin): folds the
+    * banded signature store's batch partitions into the base partition
+    * and resets the ledger to one summed stamp. The component map is
+    * untouched (it is already a single full-overwrite relation), and the
+    * store's rows are unchanged — a later [[merge]] joins the identical
+    * signatures, just from one file per bucket instead of one per bucket
+    * per batch. Same crash contract as the inverted index's: drop-and-
+    * recreate folds recover by wholesale rebuild from the dir, hence the
+    * fresh-index precondition. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    require(!snapshotStale(spark, dir),
+      "compact requires a fresh index (ledger == corpus dir): a crash " +
+        "mid-compact recovers by wholesale rebuild from the dir. Run " +
+        "merge or rebuild first.")
+    val bt = ensureBanded(spark, dir)
+    val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
+    val rows = spark.table(bt).drop("batch_id").localCheckpoint(true)
+    rows.withColumn("batch_id", lit(BaseBatchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(Buckets, "band", "key", "block")
+      .sortBy("band", "key", "block")
+      .saveAsTable(bt)
+    import spark.implicits._
+    Seq((fp._1, fp._2, BaseBatchId)).toDF("n_rows", "id_sum", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id")
+      .saveAsTable(metaTable(dir))
+    spark.catalog.refreshTable(bt)
+  }
+
   /** Drop and re-derive — full re-clustering for a REPLACED corpus
     * snapshot (content rewrites, deletions). Appends take [[merge]]. */
   def rebuild(spark: SparkSession, dir: String): String = {

@@ -277,6 +277,60 @@ object InvertedIndex {
       IvfIndex.dropOrphanLocation(spark, t)
     }
 
+  /** COMPACTION — the operational response to per-batch partition
+    * accretion (SCALE.md "Sizing the index bucket counts": every
+    * committed append adds one file per bucket per table, so a year of
+    * daily crawls turns each pruned lookup into #batches file opens per
+    * selected bucket). Folds every batch partition of the whole family
+    * (postings, stats, positions if present) into the base partition and
+    * resets the ledger to one summed stamp — serving results are
+    * BIT-IDENTICAL before and after (the fold is a partition relayout of
+    * the same rows; stats re-sum to the same totals; spec-pinned), and
+    * the per-lookup file count drops back to one per selected bucket.
+    * Because the bucket spec is re-declared at the rewrite, compaction is
+    * also the sanctioned path to a NEW [[Buckets]] count.
+    *
+    * NOT crash-atomic, by contract: each table fold is a drop-and-
+    * recreate, so a kill mid-compact can leave a table absent — the
+    * family detects that as a partial family and [[ensure]] rebuilds
+    * WHOLESALE from the corpus dir, which is why compaction REQUIRES a
+    * fresh index (ledger == dir): recovery-by-rebuild then reproduces
+    * the identical index. Run it in the maintenance window, like any
+    * offline compaction. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    require(!snapshotStale(spark, dir),
+      "compact requires a fresh index (ledger == corpus dir): a crash " +
+        "mid-compact recovers by wholesale rebuild from the dir, which " +
+        "must reproduce the same index. Run append or rebuild first.")
+    val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
+    def fold(t: String, bucketCols: Seq[String], sortCols: Seq[String],
+             agg: DataFrame => DataFrame = identity): Unit = {
+      // localCheckpoint truncates lineage, so nothing reads `t` when the
+      // overwrite drops it (the ComponentIndex.merge device)
+      val rows = agg(spark.table(t).drop("batch_id")).localCheckpoint(true)
+      val w = rows.withColumn("batch_id", lit(BaseBatchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+      (if (bucketCols.nonEmpty)
+         w.bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+           .sortBy(sortCols.head, sortCols.tail: _*)
+       else w).saveAsTable(t)
+    }
+    fold(table(dir), Seq("term"), Seq("term", "doc_id"))
+    // stats re-aggregate to ONE base row (the additive sum readers take)
+    fold(statsTable(dir), Seq.empty, Seq.empty,
+      _.agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("dltot"), lit(0L)).as("dltot")))
+    if (spark.catalog.tableExists(posTable(dir)))
+      fold(posTable(dir), Seq("term"), Seq("term", "doc_id"))
+    // ledger last: one base stamp carrying the summed fingerprint — the
+    // dir still fingerprints to the same sum, so freshness is preserved
+    import spark.implicits._
+    Seq((fp._1, fp._2, BaseBatchId)).toDF("n_rows", "id_sum", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id")
+      .saveAsTable(metaTable(dir))
+    spark.catalog.refreshTable(table(dir))
+  }
+
   /** Top-k documents per query term by the exact tf-idf proxy, served
     * from the pruned postings scan: the IN filter on the bucket column
     * prunes to the matching buckets; per-term df is the count of exactly

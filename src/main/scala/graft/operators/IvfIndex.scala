@@ -195,6 +195,40 @@ object IvfIndex {
       SnapshotMeta.fingerprint(
         graft.sources.Tables.embeddings(spark, dir), "vec_id"))
 
+  /** CENTROID-PRESERVING compaction ([[InvertedIndex.compact]]'s ANN
+    * twin): folds every batch partition of the cells table into the base
+    * partition and resets the ledger to one summed stamp. Assignments are
+    * untouched — centroids stay frozen — so probes are BIT-IDENTICAL
+    * before and after (spec-pinned); only the file layout changes (one
+    * file per bucket again, instead of one per bucket per batch). This is
+    * NOT the retrain: centroid drift repair is `drop` + `ensureIndex`, a
+    * different operation with different (better-recall) results.
+    *
+    * Crash contract, one honest difference from the inverted index's: a
+    * kill mid-fold can leave the cells table absent, and the recovery
+    * rebuild RETRAINS on the full dir — an equally valid index, but not
+    * bit-identical to the pre-compact one (frozen-centroid state is not
+    * reconstructible once the cells rows are gone). The fresh-index
+    * precondition still guarantees no vector is lost. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    require(!snapshotStale(spark, dir),
+      "compact requires a fresh index (ledger == embeddings dir): a " +
+        "crash mid-compact recovers by rebuild from the dir. Run append " +
+        "or rebuild first.")
+    val (cellsT, _) = ensureIndex(spark, dir)
+    val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
+    val rows = spark.table(cellsT).drop("batch_id").localCheckpoint(true)
+    rows.withColumn("batch_id", lit(BaseBatchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(Buckets, "cell").sortBy("cell")
+      .saveAsTable(cellsT)
+    import spark.implicits._
+    Seq((fp._1, fp._2, BaseBatchId)).toDF("n_rows", "id_sum", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id")
+      .saveAsTable(metaTable(dir))
+    spark.catalog.refreshTable(cellsT)
+  }
+
   /** K x Dim model state from the centroid table — the only thing probe
     * planning needs from training. */
   private def loadCentroids(spark: SparkSession, centsT: String): Array[Array[Double]] =

@@ -44,6 +44,20 @@ object PqIndex {
   /** Spec hook: force the next [[ensure]] to re-run the parity check. */
   private[operators] def resetSyncCheck(): Unit = synced.clear()
 
+  /** Fold the codes table's batch partitions into the base partition —
+    * run alongside [[IvfIndex.compact]] (codes carry no ledger of their
+    * own; model state and code values are untouched, so ADC probes are
+    * bit-identical before and after). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (codesT, _, _, _) = ensure(spark, dir)
+    val rows = spark.table(codesT).drop("batch_id").localCheckpoint(true)
+    rows.withColumn("batch_id", lit(IvfIndex.BaseBatchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .bucketBy(IvfIndex.Buckets, "cell").sortBy("cell")
+      .saveAsTable(codesT)
+    spark.catalog.refreshTable(codesT)
+  }
+
   /** Drop the fixture's code tables ([[IvfIndex.drop]]'s twin — callers
     * retiring the whole family run both). */
   def drop(spark: SparkSession, dir: String): Unit = {

@@ -441,4 +441,59 @@ class ComponentIndexSpec extends SparkSpec {
       ms.maxBy(m => (scored(m), m)) != ms.min
     } || groups.forall(_._2.size == 1))
   }
+
+  test("compact folds the signature store's batch partitions; later merges still work") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("compidx-compact").toString
+    try {
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      val w = (1 to 30).map(i => s"base$i")
+      val base = Seq(doc(1, w), doc(2, w),
+        doc(3, (1 to 30).map(i => s"solo$i")))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ComponentIndex.ensure(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      val batch = Seq(doc(10, w), doc(11, (1 to 30).map(i => s"fresh$i")))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      ComponentIndex.merge(s, dir, batch, 2L)
+      // stale (batch files not landed) → compaction must refuse
+      assertThrows[IllegalArgumentException](ComponentIndex.compact(s, dir))
+      batch.write.mode("append").parquet(s"$dir/documents.parquet")
+      val mapBefore = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val storeBefore = ComponentIndex.bandedFor(s, dir)
+        .collect().map(_.toSeq).toSet
+      ComponentIndex.compact(s, dir)
+      assert(s.table(ComponentIndex.metaTable(dir)).count() == 1)
+      val parts = s.table(ComponentIndex.bandedTable(dir))
+        .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(parts == Set(ComponentIndex.BaseBatchId),
+        s"store still holds batch partitions: $parts")
+      assert(ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == mapBefore)
+      assert(ComponentIndex.bandedFor(s, dir)
+        .collect().map(_.toSeq).toSet == storeBefore,
+        "compaction changed the signature store's rows")
+      assert(!ComponentIndex.snapshotStale(s, dir))
+      // a post-compaction merge joins the folded store correctly: a new
+      // duplicate of the ORIGINAL base text must still find its cluster
+      val batch2 = Seq(doc(20, w))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      ComponentIndex.merge(s, dir, batch2, 5L)
+      val after = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after.contains((20L, 1L)),
+        s"post-compaction merge lost the folded signatures: $after")
+    } finally {
+      ComponentIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
 }

@@ -503,4 +503,72 @@ class InvertedIndexSpec extends SparkSpec {
     val b = graft.SparkEntry.queries("q_search_corpus")(s, sfDir).collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("compact folds batch partitions into the base and preserves every answer") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta delta"),
+      (3L, "gamma gamma epsilon")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "alpha zeta"),
+      (5L, "delta delta delta gamma alpha")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_compact_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      val t = InvertedIndex.ensure(s, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      // a stale index (append committed, batch files not landed) must
+      // refuse compaction — recovery-by-rebuild could not reproduce it
+      InvertedIndex.appendPositions(s, dir, batch, 5L)
+      InvertedIndex.append(s, dir, batch, 5L)
+      assertThrows[IllegalArgumentException](InvertedIndex.compact(s, dir))
+      batch.write.mode("append").parquet(s"$dir/documents.parquet")
+      def answers() = (
+        InvertedIndex.searchBm25(s, dir, Seq("alpha", "delta", "gamma"), k = 10)
+          .collect().map(_.toSeq).toSet,
+        InvertedIndex.search(s, dir, Seq("alpha", "delta"), k = 10)
+          .collect().map(_.toSeq).toSet,
+        InvertedIndex.searchPhrase(s, dir, Seq("delta", "delta"), k = 10)
+          .collect().map(_.toSeq).toSet)
+      val before = answers()
+      assert(s.table(InvertedIndex.metaTable(dir)).count() == 2)
+      InvertedIndex.compact(s, dir)
+      // one ledger row, one partition per table, identical answers
+      assert(s.table(InvertedIndex.metaTable(dir)).count() == 1)
+      Seq(t, InvertedIndex.statsTable(dir), InvertedIndex.posTable(dir))
+        .foreach { x =>
+          val parts = s.table(x).select("batch_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          assert(parts == Set(InvertedIndex.BaseBatchId),
+            s"$x still holds batch partitions: $parts")
+        }
+      assert(answers() == before)
+      assert(!InvertedIndex.snapshotStale(s, dir),
+        "compaction must preserve the freshness handshake")
+      // the pruned serving plan survives the relayout
+      val plan = InvertedIndex.searchBm25(s, dir, Seq("alpha"), k = 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"compacted postings scan lost bucket pruning:\n$plan")
+      // and the index keeps accepting appends after compaction
+      val batch2 = Seq((6L, "zeta zeta alpha")).toDF("doc_id", "text")
+      InvertedIndex.append(s, dir, batch2, 9L)
+      batch2.write.mode("append").parquet(s"$dir/documents.parquet")
+      val union = base.unionByName(batch).unionByName(batch2)
+      val served = InvertedIndex.searchBm25(s, dir, Seq("alpha", "zeta"), k = 10)
+        .collect().map(_.toSeq).toSet
+      val replay = InvertedIndex.bm25FromPostings(
+        InvertedIndex.postings(union)
+          .filter(col("term").isin("alpha", "zeta")),
+        InvertedIndex.corpusStats(union), k = 10)
+        .collect().map(_.toSeq).toSet
+      assert(served == replay && served.nonEmpty)
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
 }

@@ -231,4 +231,43 @@ class IvfIndexSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("compact folds batch partitions, keeps centroids, preserves probes bit-exactly") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact-fixture").toString
+    def vec(id: Long) = (id,
+      Array.tabulate(64)(d => (((id * 41 + d * 13) % 17) - 8) / 8.0f), id % 10)
+    def frame(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "embedding", "label")
+    try {
+      frame(0L until 50L).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val (cellsT, _) = IvfIndex.ensureIndex(s, dir)
+      val batch = frame(100L until 130L)
+      IvfIndex.append(s, dir, batch, 3L, "vec_id", "embedding")
+      // stale (batch files not landed) → compaction must refuse
+      assertThrows[IllegalArgumentException](IvfIndex.compact(s, dir))
+      batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
+      def probes() = IvfIndex.probe(s, dir, frame(0L until 5L), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val before = probes()
+      assert(s.table(IvfIndex.metaTable(dir)).count() == 2)
+      IvfIndex.compact(s, dir)
+      assert(s.table(IvfIndex.metaTable(dir)).count() == 1)
+      val parts = s.table(cellsT).select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(parts == Set(IvfIndex.BaseBatchId),
+        s"cells table still holds batch partitions: $parts")
+      assert(probes() == before && before.nonEmpty,
+        "compaction changed probe answers")
+      assert(!IvfIndex.snapshotStale(s, dir))
+    } finally {
+      IvfIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
 }

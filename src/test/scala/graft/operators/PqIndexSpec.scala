@@ -175,4 +175,39 @@ class PqIndexSpec extends SparkSpec {
         "a fully committed batch must replay as a no-op")
     } finally { dropTemp(); rm(new java.io.File(dir)) }
   }
+
+  test("family compaction preserves ADC probes and folds codes partitions") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pqcompact-fixture").toString
+    def vec(id: Long) = (id,
+      Array.tabulate(64)(d => (((id * 43 + d * 17) % 29) - 14) / 14.0f), id % 10)
+    def frame(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "embedding", "label")
+    def dropTemp(): Unit = {
+      IvfIndex.drop(s, dir); PqIndex.drop(s, dir)
+    }
+    try {
+      frame(0L until 50L).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val (codesT, _, _, _) = PqIndex.ensure(s, dir)
+      val batch = frame(100L until 130L)
+      PqIndex.append(s, dir, batch, 4L, "vec_id", "embedding")
+      batch.write.mode("append").parquet(s"$dir/embeddings.parquet")
+      def probes() = PqIndex.probeRerank(s, dir, frame(0L until 5L), k = 5, r = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val before = probes()
+      IvfIndex.compact(s, dir)
+      PqIndex.compact(s, dir)
+      val parts = s.table(codesT).select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(parts == Set(IvfIndex.BaseBatchId),
+        s"codes table still holds batch partitions: $parts")
+      assert(probes() == before && before.nonEmpty,
+        "compaction changed ADC probe answers")
+    } finally { dropTemp(); rm(new java.io.File(dir)) }
+  }
 }
