@@ -60,8 +60,13 @@ object SnapshotMaintenance {
     plan(prev, cur) match {
       case NoChange => "no_change"
       case Append(batch) =>
-        InvertedIndex.append(spark, dir, batch)
+        // positions BEFORE postings: append() owns the batch's commit
+        // record, so a crash between the two leaves the batch
+        // uncommitted and the re-run replays both — the reverse order
+        // would stamp the ledger with the positions still missing, and
+        // no later call would repair them (the InvertedIndex contract)
         InvertedIndex.appendPositions(spark, dir, batch)
+        InvertedIndex.append(spark, dir, batch)
         ComponentIndex.merge(spark, dir, batch)
         "appended"
       case RebuildRequired =>

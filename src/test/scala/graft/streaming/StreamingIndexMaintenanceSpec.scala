@@ -78,6 +78,80 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch PQ maintenance with the durable batch id keeps cells and codes in sync") {
+    // the production ingest shape: foreachBatch's batchId IS the ledger
+    // slot (no content-derived ids), so a restarted stream replaying its
+    // last committed micro-batch no-ops through the ledger instead of
+    // re-encoding — and the codes table advances in lockstep with the
+    // cells table across micro-batches
+    val s = spark
+    import s.implicits._
+    val idxDir = Files.createTempDirectory("pqmaint-fixture").toString
+    val src = Files.createTempDirectory("pqmaint-src").toString
+    val ckpt = Files.createTempDirectory("pqmaint-ckpt").toString
+    try {
+      def vec(id: Long) = (id,
+        Array.tabulate(64)(d => (((id * 31 + d * 7) % 19) - 9) / 9.0f), id % 10)
+      (0L until 50L).map(vec)
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$idxDir/embeddings.parquet")
+      val (codesT, cellsT, _, _) = graft.operators.PqIndex.ensure(s, idxDir)
+
+      val schema = graft.sources.Tables.embeddings(s, idxDir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty)
+            graft.operators.PqIndex.append(s, idxDir, b, id,
+              "vec_id", "embedding")
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      (50L until 60L).map(vec).toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      (60L until 70L).map(vec).toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(s.table(cellsT).count() == 70)
+      assert(s.table(codesT).count() == 70,
+        "codes table lags the cells table after streamed maintenance")
+      // durable identity: a restarted stream replaying an already
+      // committed micro-batch id must no-op through the ledger — even
+      // with different content under that id
+      graft.operators.PqIndex.append(s, idxDir,
+        (900L until 905L).map(vec).toDF("vec_id", "embedding", "label"),
+        1L, "vec_id", "embedding")
+      assert(s.table(cellsT).count() == 70 && s.table(codesT).count() == 70,
+        "a committed foreachBatch id was re-applied instead of no-opping")
+      // served probes over the maintained index equal the live IVFADC
+      // pipeline over the full union with the same frozen model — the
+      // funnel touches both tables (codes shortlist, cells id-fetch)
+      val (_, _, cents, cb) = graft.operators.PqIndex.ensure(s, idxDir)
+      val queries = (0L until 5L).map(vec).toDF("vec_id", "embedding", "label")
+      val served = graft.operators.PqIndex.probeRerank(s, idxDir, queries,
+          k = 5, r = 20, candidatePred = col("vec_id") >= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val live = graft.operators.Pq.ivfAdcResidualRerank(queries,
+          (0L until 70L).map(vec).toDF("vec_id", "embedding", "label")
+            .filter(col("vec_id") >= 5).select("vec_id", "embedding"),
+          k = 5, r = 20, cb = cb, cents = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(served == live && served.nonEmpty,
+        "maintained-index probe diverged from the live pipeline")
+    } finally {
+      graft.operators.IvfIndex.drop(s, idxDir)
+      graft.operators.PqIndex.drop(s, idxDir)
+      graft.operators.KMeans.clearModels()
+      graft.operators.Pq.clearModels()
+      Seq(idxDir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch postings append maintains the inverted index; stamp stays fresh") {
     // the third member of the continuous-maintenance family: postings
     // are (term, doc)-local, so the streamed loop is append-only — no
