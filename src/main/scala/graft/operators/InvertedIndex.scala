@@ -63,6 +63,8 @@ object InvertedIndex {
     SnapshotMeta.indexStem("inv_index_", dir) + "_stats"
   private[operators] def posTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_positions"
+  private[operators] def tombTable(dir: String): String =
+    SnapshotMeta.indexStem("inv_index_", dir) + "_tombstones"
 
   /** Index-side file parallelism knob: every pruned lookup reads ~k/Buckets
     * of the postings, and every bucket is one file per table partition —
@@ -153,7 +155,10 @@ object InvertedIndex {
       spark.catalog.tableExists(x) &&
         spark.table(x).columns.contains("batch_id")
     if (!family.forall(current)) {
-      (family :+ posTable(dir)).foreach { x =>
+      // tombstones drop with the family: a wholesale rebuild covers the
+      // edited corpus, and a leftover tombstone (batch id > the base's
+      // -1) would wrongly hide rebuilt rows of a re-added doc
+      (family :+ posTable(dir) :+ tombTable(dir)).foreach { x =>
         spark.sql(s"DROP TABLE IF EXISTS $x")
         IvfIndex.dropOrphanLocation(spark, x)
       }
@@ -171,12 +176,38 @@ object InvertedIndex {
   }
 
   /** The live BM25 constants — (n, dltot) summed over the per-batch
-    * stats rows (additive over disjoint doc sets), as a 1-row frame.
-    * O(#batches) rows, never a corpus scan. */
+    * stats rows (additive over disjoint doc sets; [[edit]] batches
+    * contribute NET rows, added minus removed, so the sum stays the live
+    * corpus), as a 1-row frame. O(#batches) rows, never a corpus scan. */
   def statsFor(spark: SparkSession, dir: String): DataFrame =
     spark.table(statsTable(dir))
       .agg(coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(sum("dltot"), lit(0L)).as("dltot"))
+
+  /** The LIVE postings relation — stored rows minus tombstoned docs:
+    * a row dies when some tombstone for its doc sits in a LATER batch
+    * (strict `<`, so an [[edit]] that rewrites a doc re-admits the
+    * rewrite's own rows). The tombstone side is ~churn-sized and
+    * broadcast; with no tombstone table the read is the bare scan. All
+    * serving paths read through here (and [[positionsFor]]), so a
+    * delete is visible to every query the moment its batch commits. */
+  def postingsFor(spark: SparkSession, dir: String): DataFrame =
+    withoutTombstones(spark, dir, spark.table(ensure(spark, dir)))
+
+  /** The live positional relation ([[postingsFor]]'s twin). */
+  def positionsFor(spark: SparkSession, dir: String): DataFrame =
+    withoutTombstones(spark, dir, spark.table(ensurePositions(spark, dir)))
+
+  private def withoutTombstones(spark: SparkSession, dir: String,
+                                rows: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(tombTable(dir))) rows
+    else {
+      val t = broadcast(spark.table(tombTable(dir))
+        .select(col("doc_id").as("t_doc"), col("batch_id").as("t_batch")))
+      rows.join(t,
+        rows("doc_id") === t("t_doc") && rows("batch_id") < t("t_batch"),
+        "left_anti")
+    }
 
   /** See [[SnapshotMeta.derivedBatchId]] — the id space for the no-arg
     * [[append]] overload (callers without a durable batch identity). */
@@ -223,6 +254,76 @@ object InvertedIndex {
     * durable external batch identity. */
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit =
     append(spark, dir, batch, derivedBatchId(contentFingerprint(batch)))
+
+  /** Incremental maintenance for an EDITED snapshot — the diff classes
+    * that previously forced a full rebuild (removals and rewrites),
+    * handled at churn cost. `removed` is the outgoing content — the
+    * (doc_id, text) rows of the PREVIOUS snapshot being dropped or
+    * rewritten (the caller has them: they are the prev frame's rows at
+    * the diff's removed/changed ids) — and `added` is the incoming
+    * content (new docs plus rewritten docs' new text, same ids). Four
+    * idempotent writes keyed on `batchId`, stamp last (the [[append]]
+    * discipline):
+    *
+    *   1. tombstones → partition overwrite: the removed ids. Serving
+    *      reads ([[postingsFor]]/[[positionsFor]]) anti-join them with
+    *      `row.batch_id < tombstone.batch_id`, so every OLDER row of a
+    *      tombstoned doc dies while this batch's own rewrite rows live
+    *   2. postings → partition overwrite with `postings(added)`
+    *   3. stats → partition overwrite with the NET row,
+    *      corpusStats(added) − corpusStats(removed) — readers sum, so
+    *      the live (n, dltot) stays exact without touching old batches
+    *   4. ledger stamp with the net fingerprint (added − removed) — the
+    *      COMMIT POINT; the summed ledger still equals the edited dir
+    *
+    * The compensation derives from the REMOVED CONTENT, not from an
+    * index scan — symmetric with append, exact even for docs with no
+    * postings rows (token-less text), and independent of the current
+    * tombstone state, which is what makes a torn run replay clean.
+    *
+    * Contracts: `batchId` must be explicit, non-negative, and greater
+    * than every batch id previously applied at this dir (tombstone
+    * visibility orders on batch id — content-derived ids sit below the
+    * base partition and cannot order an edit); `removed` rows must be
+    * live index content (double-deleting a doc breaks the stats
+    * compensation); `added` ids must be new or among `removed`. Old
+    * positions die through the same tombstones — callers maintaining
+    * the positional table run [[appendPositions]] with the `added` docs
+    * BEFORE this (the commit owner runs last). At 100 TB the cost is
+    * O(churn): tombstones are id-rows, and no resident partition is
+    * read or rewritten. */
+  def edit(spark: SparkSession, dir: String, removed: DataFrame,
+           added: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0,
+      "edit/delete need an explicit non-negative batch id: tombstone " +
+        "visibility orders on batch id, and derived ids sit below the " +
+        "base partition")
+    val t = ensure(spark, dir)
+    if (SnapshotMeta.appliedBatch(spark, metaTable(dir), batchId)) return
+    val tombs = removed.select(col("doc_id")).distinct()
+    val tt = tombTable(dir)
+    if (!spark.catalog.tableExists(tt)) {
+      IvfIndex.dropOrphanLocation(spark, tt)
+      tombs.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id").saveAsTable(tt)
+    } else SnapshotMeta.overwritePartition(spark, tt, batchId, tombs)
+    SnapshotMeta.overwritePartition(spark, t, batchId, postings(added))
+    val net = corpusStats(added)
+      .crossJoin(corpusStats(removed)
+        .select(col("n").as("rn"), col("dltot").as("rdl")))
+      .select((col("n") - col("rn")).as("n"),
+        (col("dltot") - col("rdl")).as("dltot"))
+    SnapshotMeta.overwritePartition(spark, statsTable(dir), batchId, net)
+    val fa = SnapshotMeta.fingerprint(added.select(col("doc_id")), "doc_id")
+    val fr = SnapshotMeta.fingerprint(tombs, "doc_id")
+    SnapshotMeta.stampBatch(spark, metaTable(dir), batchId,
+      (fa._1 - fr._1, fa._2 - fr._2))
+  }
+
+  /** Pure removal — [[edit]] with no incoming content. */
+  def delete(spark: SparkSession, dir: String, removed: DataFrame,
+             batchId: Long): Unit =
+    edit(spark, dir, removed, removed.limit(0), batchId)
 
   /** Staleness check vs the CURRENT fixture content (explicit, on the
     * pipeline's snapshot-promotion cadence — the ComponentIndex rule):
@@ -272,7 +373,8 @@ object InvertedIndex {
     appendPositions(spark, dir, batch, derivedBatchId(contentFingerprint(batch)))
 
   def drop(spark: SparkSession, dir: String): Unit =
-    Seq(table(dir), metaTable(dir), statsTable(dir), posTable(dir)).foreach { t =>
+    Seq(table(dir), metaTable(dir), statsTable(dir), posTable(dir),
+        tombTable(dir)).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       IvfIndex.dropOrphanLocation(spark, t)
     }
@@ -303,29 +405,48 @@ object InvertedIndex {
         "mid-compact recovers by wholesale rebuild from the dir, which " +
         "must reproduce the same index. Run append or rebuild first.")
     val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
+    // fold INTO the highest committed batch id, not the base partition:
+    // tombstones hide rows with batch_id strictly BELOW their own, so
+    // rows folded to the maximum id are never hidden — every
+    // crash-intermediate state (one table folded, tombstones still
+    // present) keeps serving correct, and a leftover tombstone after a
+    // torn run is inert (future appends use still-higher ids). Folding
+    // to -1 instead would let a surviving tombstone hide the very
+    // rewrite rows an edit admitted.
+    val foldId = spark.table(metaTable(dir))
+      .agg(max("batch_id")).head().getLong(0)
     def fold(t: String, bucketCols: Seq[String], sortCols: Seq[String],
-             agg: DataFrame => DataFrame = identity): Unit = {
+             agg: DataFrame => DataFrame = identity,
+             live: Boolean = false): Unit = {
       // localCheckpoint truncates lineage, so nothing reads `t` when the
       // overwrite drops it (the ComponentIndex.merge device)
-      val rows = agg(spark.table(t).drop("batch_id")).localCheckpoint(true)
-      val w = rows.withColumn("batch_id", lit(BaseBatchId))
+      val src = if (live) withoutTombstones(spark, dir, spark.table(t))
+                else spark.table(t)
+      val rows = agg(src.drop("batch_id")).localCheckpoint(true)
+      val w = rows.withColumn("batch_id", lit(foldId))
         .write.mode("overwrite").partitionBy("batch_id")
       (if (bucketCols.nonEmpty)
          w.bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
            .sortBy(sortCols.head, sortCols.tail: _*)
        else w).saveAsTable(t)
     }
-    fold(table(dir), Seq("term"), Seq("term", "doc_id"))
-    // stats re-aggregate to ONE base row (the additive sum readers take)
+    // tombstones apply PHYSICALLY at the fold (dead rows dropped), so
+    // the tombstone table retires with the batch partitions
+    fold(table(dir), Seq("term"), Seq("term", "doc_id"), live = true)
+    // stats re-aggregate to ONE row (the additive sum readers take;
+    // edit batches' net rows fold into the same exact total)
     fold(statsTable(dir), Seq.empty, Seq.empty,
       _.agg(coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(sum("dltot"), lit(0L)).as("dltot")))
     if (spark.catalog.tableExists(posTable(dir)))
-      fold(posTable(dir), Seq("term"), Seq("term", "doc_id"))
-    // ledger last: one base stamp carrying the summed fingerprint — the
-    // dir still fingerprints to the same sum, so freshness is preserved
+      fold(posTable(dir), Seq("term"), Seq("term", "doc_id"), live = true)
+    spark.sql(s"DROP TABLE IF EXISTS ${tombTable(dir)}")
+    IvfIndex.dropOrphanLocation(spark, tombTable(dir))
+    // ledger last: one stamp at the fold partition carrying the summed
+    // fingerprint — the dir still fingerprints to the same sum, so
+    // freshness is preserved
     import spark.implicits._
-    Seq((fp._1, fp._2, BaseBatchId)).toDF("n_rows", "id_sum", "batch_id")
+    Seq((fp._1, fp._2, foldId)).toDF("n_rows", "id_sum", "batch_id")
       .write.mode("overwrite").partitionBy("batch_id")
       .saveAsTable(metaTable(dir))
     spark.catalog.refreshTable(table(dir))
@@ -344,7 +465,7 @@ object InvertedIndex {
     val canon = terms.map(canonicalTerm).filter(_.nonEmpty)
     require(canon.nonEmpty, "search needs at least one non-empty term")
     rankedFromPostings(
-      spark.table(ensure(spark, dir)).filter(col("term").isin(canon: _*)),
+      postingsFor(spark, dir).filter(col("term").isin(canon: _*)),
       statsFor(spark, dir).select("n"),
       k)
   }
@@ -380,7 +501,7 @@ object InvertedIndex {
     val canon = terms.map(canonicalTerm).filter(_.nonEmpty)
     require(canon.nonEmpty, "searchBm25 needs at least one non-empty term")
     bm25FromPostings(
-      spark.table(ensure(spark, dir)).filter(col("term").isin(canon: _*)),
+      postingsFor(spark, dir).filter(col("term").isin(canon: _*)),
       statsFor(spark, dir), k)
   }
 
@@ -429,7 +550,7 @@ object InvertedIndex {
     val canon = terms.map(canonicalTerm).filter(_.nonEmpty).distinct
     require(canon.nonEmpty, "searchAll needs at least one non-empty term")
     conjunctiveFromPostings(
-      spark.table(ensure(spark, dir)).filter(col("term").isin(canon: _*)),
+      postingsFor(spark, dir).filter(col("term").isin(canon: _*)),
       canon.size, k)
   }
 
@@ -464,7 +585,7 @@ object InvertedIndex {
     require(canon.size >= 2 && canon.forall(_.nonEmpty),
       "a phrase needs at least two non-empty canonical terms")
     phraseFromPositions(
-      spark.table(ensurePositions(spark, dir))
+      positionsFor(spark, dir)
         .filter(col("term").isin(canon.distinct: _*)),
       canon, k)
   }
@@ -498,7 +619,7 @@ object InvertedIndex {
     val (a, b) = (canonicalTerm(first), canonicalTerm(second))
     require(a.nonEmpty && b.nonEmpty, "NEAR needs two non-empty canonical terms")
     nearFromPositions(
-      spark.table(ensurePositions(spark, dir))
+      positionsFor(spark, dir)
         .filter(col("term").isin(Seq(a, b).distinct: _*)),
       a, b, slop, k)
   }

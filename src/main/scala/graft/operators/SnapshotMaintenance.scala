@@ -76,4 +76,59 @@ object SnapshotMaintenance {
         "rebuilt"
     }
   }
+
+  /** [[maintain]] with a DURABLE batch id — unlocks the incremental
+    * path for removals and rewrites (round-13): with an explicit
+    * monotonic id the inverted-index family handles `removed`/`changed`
+    * at churn cost through [[InvertedIndex.edit]]'s tombstones (old
+    * rows die by visibility, the net stats row keeps BM25 exact, no
+    * resident partition is rewritten), so only the COMPONENT map — a
+    * transitive property a removal can genuinely split — still pays its
+    * rebuild. The content-derived ids of the 3-arg overload cannot
+    * order a tombstone (they sit below the base partition), which is
+    * why that overload keeps the full-family rebuild for these
+    * classes. Returns "no_change" / "appended" / "edited". */
+  def maintain(spark: SparkSession, dir: String, prev: DataFrame,
+               batchId: Long): String = {
+    val cur = graft.sources.Tables.documents(spark, dir)
+    // a committed batch replays as a no-op (the restarted-caller case)
+    if (spark.catalog.tableExists(InvertedIndex.metaTable(dir)) &&
+        SnapshotMeta.appliedBatch(spark, InvertedIndex.metaTable(dir), batchId))
+      return "no_change"
+    // the incremental actions assume the family's state IS `prev`: a
+    // family that doesn't cover it (cold start — ensure() inside the
+    // append path would then build over the FULL dir and the append
+    // would double the batch — or divergence) must rebuild instead
+    if (SnapshotMeta.staleBatched(spark, InvertedIndex.metaTable(dir),
+        SnapshotMeta.fingerprint(prev, "doc_id"))) {
+      InvertedIndex.drop(spark, dir)
+      InvertedIndex.ensurePositions(spark, dir)
+      ComponentIndex.rebuild(spark, dir)
+      return "rebuilt"
+    }
+    val d = SnapshotDiff.diff(prev, cur)
+    val classes = d.select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (classes.isEmpty) "no_change"
+    else if (classes == Set("added")) {
+      val batch = cur.join(d.select("doc_id"), Seq("doc_id"), "left_semi")
+      InvertedIndex.appendPositions(spark, dir, batch, batchId)
+      InvertedIndex.append(spark, dir, batch, batchId)
+      ComponentIndex.merge(spark, dir, batch, batchId)
+      "appended"
+    } else {
+      val outIds = d.filter(col("status").isin("removed", "changed"))
+        .select("doc_id")
+      val inIds = d.filter(col("status").isin("added", "changed"))
+        .select("doc_id")
+      val removed = prev.join(outIds, Seq("doc_id"), "left_semi")
+      val added = cur.join(inIds, Seq("doc_id"), "left_semi")
+      // positions first, edit last (the commit owner) — the
+      // InvertedIndex.append ordering contract
+      InvertedIndex.appendPositions(spark, dir, added, batchId)
+      InvertedIndex.edit(spark, dir, removed, added, batchId)
+      ComponentIndex.rebuild(spark, dir)
+      "edited"
+    }
+  }
 }

@@ -504,6 +504,95 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("edit handles removals and rewrites at churn cost, exactly") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta delta"),
+      (3L, "gamma gamma epsilon")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_edit_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      InvertedIndex.ensure(s, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      // the edit: doc 2 removed, doc 1 REWRITTEN (same id, new text),
+      // doc 6 added — the diff classes that used to force a rebuild
+      val removed = Seq(
+        (1L, "alpha beta gamma alpha"), (2L, "beta delta")
+      ).toDF("doc_id", "text")
+      val added = Seq(
+        (1L, "delta delta alpha"), (6L, "zeta alpha zeta")
+      ).toDF("doc_id", "text")
+      val edited = Seq(
+        (1L, "delta delta alpha"),
+        (3L, "gamma gamma epsilon"),
+        (6L, "zeta alpha zeta")
+      ).toDF("doc_id", "text")
+      // derived ids cannot order a tombstone — must refuse
+      assertThrows[IllegalArgumentException](
+        InvertedIndex.edit(s, dir, removed, added, -5L))
+      // --- KILL BETWEEN WRITES: a torn tombstone partition (only one of
+      // the two removed ids landed), no stamp
+      removed.limit(1).select(col("doc_id"))
+        .withColumn("batch_id", lit(7L))
+        .write.partitionBy("batch_id")
+        .saveAsTable(InvertedIndex.tombTable(dir))
+      assert(!SnapshotMeta.appliedBatch(s, InvertedIndex.metaTable(dir), 7L))
+      // re-run from the top (positions first, edit = commit owner)
+      InvertedIndex.appendPositions(s, dir, added, 7L)
+      InvertedIndex.edit(s, dir, removed, added, 7L)
+      // every serving path equals the from-scratch replay over the
+      // edited corpus — removals gone, rewrites current, adds present
+      val terms = Seq("alpha", "beta", "delta", "zeta", "gamma")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(canon(InvertedIndex.searchBm25(s, dir, terms, k = 10)) ==
+        canon(InvertedIndex.bm25FromPostings(
+          InvertedIndex.postings(edited).filter(col("term").isin(terms: _*)),
+          InvertedIndex.corpusStats(edited), k = 10)))
+      assert(canon(InvertedIndex.search(s, dir, Seq("alpha", "beta"), k = 10)) ==
+        canon(InvertedIndex.rankedFromPostings(
+          InvertedIndex.postings(edited)
+            .filter(col("term").isin("alpha", "beta")),
+          InvertedIndex.corpusStats(edited).select("n"), k = 10)))
+      assert(canon(InvertedIndex.searchPhrase(s, dir, Seq("delta", "delta"), k = 10)) ==
+        canon(InvertedIndex.phraseFromPositions(
+          InvertedIndex.positions(edited)
+            .filter(col("term") === "delta"), Seq("delta", "delta"), k = 10)))
+      // "beta" lives only in removed docs now — zero hits
+      assert(InvertedIndex.search(s, dir, Seq("beta"), k = 10).count() == 0)
+      // the summed stats equal the edited corpus's, exactly
+      val st = InvertedIndex.statsFor(s, dir).head()
+      val ex = InvertedIndex.corpusStats(edited).head()
+      assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)),
+        "net stats row did not keep (n, dltot) exact")
+      // a committed edit replays as a no-op, even with different frames
+      InvertedIndex.edit(s, dir,
+        Seq((3L, "gamma gamma epsilon")).toDF("doc_id", "text"),
+        Seq((9L, "phantom")).toDF("doc_id", "text"), 7L)
+      assert(InvertedIndex.search(s, dir, Seq("gamma"), k = 10).count() > 0)
+      // freshness handshake: stale until the dir holds the edited corpus
+      assert(InvertedIndex.snapshotStale(s, dir))
+      edited.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(!InvertedIndex.snapshotStale(s, dir))
+      // compaction applies tombstones physically and retires them
+      val answers = canon(InvertedIndex.searchBm25(s, dir, terms, k = 10))
+      InvertedIndex.compact(s, dir)
+      assert(!s.catalog.tableExists(InvertedIndex.tombTable(dir)),
+        "compaction must retire the tombstone table")
+      assert(s.table(InvertedIndex.metaTable(dir)).count() == 1)
+      assert(canon(InvertedIndex.searchBm25(s, dir, terms, k = 10)) == answers)
+      // and the folded postings physically exclude the dead rows
+      assert(s.table(InvertedIndex.table(dir))
+        .filter(col("doc_id") === 2L).count() == 0,
+        "doc 2's rows survived the compaction fold")
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
   test("compact folds batch partitions into the base and preserves every answer") {
     val s = spark
     import s.implicits._
@@ -541,12 +630,15 @@ class InvertedIndexSpec extends SparkSpec {
       InvertedIndex.compact(s, dir)
       // one ledger row, one partition per table, identical answers
       assert(s.table(InvertedIndex.metaTable(dir)).count() == 1)
+      // everything folds into ONE partition — the highest committed id,
+      // not the base: tombstones only hide strictly-older rows, so the
+      // max-id fold keeps every crash-intermediate state servable
       Seq(t, InvertedIndex.statsTable(dir), InvertedIndex.posTable(dir))
         .foreach { x =>
           val parts = s.table(x).select("batch_id").distinct()
             .collect().map(_.getLong(0)).toSet
-          assert(parts == Set(InvertedIndex.BaseBatchId),
-            s"$x still holds batch partitions: $parts")
+          assert(parts == Set(5L),
+            s"$x did not fold to the single max-id partition: $parts")
         }
       assert(answers() == before)
       assert(!InvertedIndex.snapshotStale(s, dir),

@@ -117,4 +117,63 @@ class SnapshotMaintenanceSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("maintain with a durable id: removals and rewrites go incremental for the search family") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "s0", 200)
+    val t1 = (1 to 30).map(i => s"one$i")
+    val t2 = (1 to 30).map(i => s"two$i")
+    val base = Seq(doc(1, t1), doc(2, t1), doc(3, t2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("snapmaint-edit").toString
+    try {
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dropAll(dir)
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      val prev = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      // the edit: doc 2 removed, doc 3 rewritten, doc 6 added
+      val t3 = (1 to 30).map(i => s"five$i")
+      val edited = Seq(doc(1, t1), doc(3, t3), doc(6, t3))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(true)
+      edited.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(SnapshotMaintenance.maintain(s, dir, prev, batchId = 3L) == "edited")
+      assert(!InvertedIndex.snapshotStale(s, dir))
+      assert(!ComponentIndex.snapshotStale(s, dir))
+      // the LIVE postings equal a fresh derivation over the edited dir
+      // (tombstones applied — the stored table still holds dead rows)
+      val docsNow = graft.sources.Tables.documents(s, dir)
+      val served = InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf")
+        .collect().map(_.toSeq).toSet
+      val fresh = InvertedIndex.postings(docsNow)
+        .select("term", "doc_id", "tf")
+        .collect().map(_.toSeq).toSet
+      assert(served == fresh && served.nonEmpty,
+        "live postings diverge from the edited corpus")
+      // BM25 stats stay exact through the net row
+      val st = InvertedIndex.statsFor(s, dir).head()
+      val ex = InvertedIndex.corpusStats(docsNow).head()
+      assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)))
+      // the component map was rebuilt (transitive property): the
+      // rewritten doc 3 now clusters with its new twin 6, not with 1
+      val comp = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(comp.get(3L) == comp.get(6L) && comp.get(3L).isDefined)
+      assert(comp.get(1L) != comp.get(3L))
+      // a replayed committed batch no-ops
+      assert(SnapshotMaintenance.maintain(s, dir, prev, batchId = 3L) == "no_change")
+      // and a family that does not cover prev rebuilds instead of
+      // appending into a full build (the cold-start guard)
+      InvertedIndex.drop(s, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev, batchId = 4L) == "rebuilt")
+      assert(!InvertedIndex.snapshotStale(s, dir))
+    } finally {
+      dropAll(dir)
+      rm(dir)
+    }
+  }
 }
