@@ -51,6 +51,69 @@ object DedupQueries {
     fix
   }
 
+  /** The EDITED-index fixture behind q_search_*_edited: a /tmp twin
+    * whose index history is a base build over the FULL corpus followed
+    * by one [[graft.operators.InvertedIndex.edit]] batch — doc_id % 20
+    * == 3 removed, doc_id % 20 == 11 rewritten with its text doubled —
+    * so the correctness gate exercises serving THROUGH TOMBSTONES (the
+    * postingsFor/positionsFor anti-join, the net stats row), the diff
+    * classes appends cannot produce. Every input derives from the
+    * ORIGINAL dir's documents (never from the fixture's own files), so
+    * each step is idempotent under replay. State machine on
+    * (fixture doc count, snapshotStale):
+    *   - (full, fresh)  → base just built; apply the edit (positions
+    *     first, edit last — the commit-owner ordering), then land the
+    *     edited corpus into the fixture dir to close the handshake
+    *   - (full, stale)  → the edit committed but the crash hit before
+    *     the corpus landed; just land it (edit's ledger makes a
+    *     mid-edit crash re-enter the previous arm instead: the stamp is
+    *     last, so an uncommitted edit leaves the ledger == base == dir,
+    *     i.e. NOT stale, and the re-run replays the edit idempotently)
+    *   - (edited, fresh) → complete, or a fresh JVM rebuilt the base
+    *     over the edited corpus — identical answers either way
+    *     (edit == rebuild, spec-pinned)
+    *   - anything else  → unrecognized; wholesale rebuild from scratch
+    * The oracle replays the SAME BM25/phrase SQL with `documents`
+    * shadowed by an edited-corpus CTE — one scoring definition, two
+    * corpus histories. */
+  private def editedSearchDir(s: SparkSession, dir: String): String = {
+    import graft.operators.InvertedIndex
+    val fix = "/tmp/graft_edit_search_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val docsPath = s"$fix/documents.parquet"
+    val docs = Tables.documents(s, dir)
+    val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
+    val isRewritten = pmod(col("doc_id"), lit(20L)) === 11L
+    def editedCorpus = docs.filter(!isRemoved).withColumn("text",
+      when(isRewritten, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")))
+    def applyEdit(): Unit = {
+      val added = docs.filter(isRewritten)
+        .withColumn("text", concat(col("text"), lit(" "), col("text")))
+      InvertedIndex.appendPositions(s, fix, added, 1L)
+      InvertedIndex.edit(s, fix, docs.filter(isRemoved || isRewritten),
+        added, 1L)
+      editedCorpus.write.mode("overwrite").parquet(docsPath)
+    }
+    if (!new java.io.File(docsPath).exists())
+      docs.write.mode("overwrite").parquet(docsPath)
+    InvertedIndex.ensure(s, fix)
+    InvertedIndex.ensurePositions(s, fix)
+    val full = Tables.documents(s, fix).count() == docs.count()
+    val stale = InvertedIndex.snapshotStale(s, fix)
+    if (full && !stale) applyEdit()
+    else if (full && stale)
+      editedCorpus.write.mode("overwrite").parquet(docsPath)
+    else if (stale) { // unrecognized state: rebuild from scratch
+      InvertedIndex.drop(s, fix)
+      docs.write.mode("overwrite").parquet(docsPath)
+      InvertedIndex.ensure(s, fix)
+      InvertedIndex.ensurePositions(s, fix)
+      applyEdit()
+    }
+    fix
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: canonical id + multiplicity per distinct text.
@@ -887,6 +950,21 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchPhrase(s, maintainedSearchDir(s, dir),
         Seq("hash", "join"), k = 10)),
 
+    // EDITED-index serving (round 13): the same lookups against an index
+    // that absorbed a REMOVAL + REWRITE batch through InvertedIndex.edit
+    // — tombstoned postings/positions, a net stats row — so the gate now
+    // covers serving through the tombstone anti-join and the summed
+    // (n, dltot), the one maintenance class appends can't reach. The
+    // oracle replays the identical BM25/phrase SQL over an
+    // edited-corpus CTE: same scoring text, corpus edited in SQL.
+    "q_search_bm25_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchBm25(s, editedSearchDir(s, dir),
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
+
+    "q_search_phrase_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchPhrase(s, editedSearchDir(s, dir),
+        Seq("hash", "join"), k = 10)),
+
     // IVFADC — IVF coarse cells + product-quantization scoring
     // (operators.Pq): candidates cross the probe join as (id, cell,
     // 8 codes) — the 512-byte vector payload never shuffles, the 100 TB
@@ -1195,6 +1273,18 @@ object DedupQueries {
       |SELECT doc_id, n_occ, first_pos,
       |  CAST(row_number() OVER (ORDER BY n_occ DESC, doc_id ASC) AS BIGINT) AS rank
       |FROM agg QUALIFY rank <= 10""".stripMargin
+
+  /** Rebase a raw-corpus search replay onto the EDITED corpus (the
+    * q_search_*_edited fixture's history): prepend a CTE holding the
+    * SQL form of the edit — doc_id % 20 == 3 removed, % 20 == 11 text
+    * doubled — and retarget the scans. The scoring SQL itself is the
+    * untouched shared builder text, so the two oracles cannot drift. */
+  private def overEditedCorpus(rankedSql: String): String =
+    s"""WITH edited AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 20 = 11
+       |    THEN text || ' ' || text ELSE text END AS text
+       |  FROM documents WHERE doc_id % 20 != 3),
+       |${rankedSql.stripPrefix("WITH ").replace("FROM documents", "FROM edited")}""".stripMargin
 
   /** THE BM25 raw-corpus replay (q_search_bm25's oracle) as a function
     * of k, so the hybrid funnel's shortlist subquery is the SAME text —
@@ -2123,6 +2213,8 @@ object DedupQueries {
     // oracles ARE the base-build twins' full-corpus SQL
     "q_search_bm25_maintained" -> bm25RankedSql(10),
     "q_search_phrase_maintained" -> phraseRankedSql,
+    "q_search_bm25_edited" -> overEditedCorpus(bm25RankedSql(10)),
+    "q_search_phrase_edited" -> overEditedCorpus(phraseRankedSql),
     // the oracle states proximity as the RANGE condition the union of
     // equi-joins implements — an independent formulation, same fixpoint
     "q_search_near" ->
