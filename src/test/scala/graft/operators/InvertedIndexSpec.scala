@@ -593,6 +593,63 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 
+  test("three successive appends equal the one-shot rebuild (associativity)") {
+    val s = spark
+    import s.implicits._
+    // the daily-crawl loop: three maintenance cycles, then assert the
+    // index state is path-independent — identical to indexing the final
+    // corpus in one shot, across every serving surface (summed stats
+    // make BM25 the sharpest probe: any per-batch double-count or drop
+    // shifts every score)
+    val base = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta delta")
+    ).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((3L, "gamma gamma epsilon")),
+      Seq((4L, "alpha zeta"), (5L, "delta delta delta")),
+      Seq((6L, "zeta epsilon alpha gamma"))
+    ).map(_.toDF("doc_id", "text"))
+    val dir = "/tmp/graft_inv_chain_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      val t = InvertedIndex.ensure(s, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        InvertedIndex.appendPositions(s, dir, b, i + 1L)
+        InvertedIndex.append(s, dir, b, i + 1L)
+      }
+      val full = batches.foldLeft(base)(_ unionByName _)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      // stored postings rows == one-shot derivation, bit-exact
+      assert(canon(s.table(t).select("term", "doc_id", "tf", "dl")) ==
+        canon(InvertedIndex.postings(full)))
+      // summed stats == one-shot corpus stats
+      val st = InvertedIndex.statsFor(s, dir).head()
+      val ex = InvertedIndex.corpusStats(full).head()
+      assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)))
+      // every serving surface equals the from-scratch replay
+      val terms = Seq("alpha", "delta", "gamma", "zeta")
+      assert(canon(InvertedIndex.searchBm25(s, dir, terms, k = 10)) ==
+        canon(InvertedIndex.bm25FromPostings(
+          InvertedIndex.postings(full).filter(col("term").isin(terms: _*)),
+          InvertedIndex.corpusStats(full), k = 10)))
+      assert(canon(InvertedIndex.search(s, dir, terms, k = 10)) ==
+        canon(InvertedIndex.rankedFromPostings(
+          InvertedIndex.postings(full).filter(col("term").isin(terms: _*)),
+          InvertedIndex.corpusStats(full).select("n"), k = 10)))
+      assert(canon(InvertedIndex.searchPhrase(s, dir, Seq("delta", "delta"), k = 10)) ==
+        canon(InvertedIndex.phraseFromPositions(
+          InvertedIndex.positions(full).filter(col("term") === "delta"),
+          Seq("delta", "delta"), k = 10)))
+      // and the ledger recorded each cycle (base + 3 batches)
+      assert(s.table(InvertedIndex.metaTable(dir)).count() == 4)
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
   test("compact folds batch partitions into the base and preserves every answer") {
     val s = spark
     import s.implicits._

@@ -256,6 +256,145 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch CDC edits maintain the index: streamed deletes and rewrites at churn cost") {
+    // the round-13 tombstone path under a STREAM: micro-batches carry
+    // change events (op = upsert | delete), and foreachBatch routes them
+    // through InvertedIndex.edit with the stream's own monotonic batchId
+    // as the durable ledger id — deletes and rewrites maintained at
+    // churn cost, no rebuild anywhere. The maintained index must serve
+    // answers equal to a from-scratch derivation over the final corpus,
+    // including a doc deleted in a LATER batch than the one that added
+    // it (the cross-batch tombstone-visibility case: the tombstone's
+    // batch id must hide the older rows while the edit's own rewrites
+    // stay live).
+    val s = spark
+    import s.implicits._
+    import graft.operators.InvertedIndex
+    val dir = Files.createTempDirectory("cdcmaint-corpus").toString
+    val src = Files.createTempDirectory("cdcmaint-src").toString
+    val ckpt = Files.createTempDirectory("cdcmaint-ckpt").toString
+    try {
+      def doc(id: Long, text: String) = (id, text, "en", "s0", text.length)
+      val base = Seq(
+        doc(1, "alpha beta alpha"),
+        doc(2, "beta gamma unicorn"),
+        doc(3, "gamma delta"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      InvertedIndex.ensure(s, dir)
+      InvertedIndex.ensurePositions(s, dir)
+
+      // change events: (doc_id, text, op); text is empty for deletes
+      val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, op STRING")
+      def run() = s.readStream.schema(evSchema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val ev = b.persist()
+            // prev snapshot BEFORE this batch lands, pinned so the
+            // corpus overwrite below cannot pull the rug out under the
+            // lazily-evaluated `removed` frame
+            val prev = graft.sources.Tables.documents(s, dir)
+              .localCheckpoint(true)
+            val touched = ev.select("doc_id").distinct()
+            // removed = the outgoing content: every touched id that
+            // exists in prev (a rewrite's old text, a delete's text)
+            val removed = prev.join(touched, Seq("doc_id"), "left_semi")
+            val added = ev.filter(col("op") === "upsert")
+              .select("doc_id", "text")
+            // positions first, edit last — edit owns the commit record
+            InvertedIndex.appendPositions(s, dir,
+              added.withColumn("lang", lit("en")), id)
+            InvertedIndex.edit(s, dir, removed, added, id)
+            // land the post-batch snapshot (the freshness handshake)
+            val next = prev
+              .join(ev.filter(col("op") === "delete").select("doc_id"),
+                Seq("doc_id"), "left_anti")
+              .join(touched, Seq("doc_id"), "left_anti")
+              .unionByName(added
+                .withColumn("lang", lit("en"))
+                .withColumn("source", lit("s0"))
+                .withColumn("n_chars", length(col("text")))
+                .select("doc_id", "text", "lang", "source", "n_chars"))
+              .localCheckpoint(true)
+            next.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+            ev.unpersist()
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      // batch 0: rewrite doc 1, delete doc 2, add doc 4
+      Seq((1L, "delta delta epsilon", "upsert"),
+          (2L, "", "delete"),
+          (4L, "zeta alpha zeta", "upsert"))
+        .toDF("doc_id", "text", "op").coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      // batch 1: delete doc 4 (added one batch earlier — cross-batch
+      // tombstone), rewrite doc 3
+      Seq((4L, "", "delete"),
+          (3L, "gamma gamma eta", "upsert"))
+        .toDF("doc_id", "text", "op").coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val finalDocs = Seq(
+        (1L, "delta delta epsilon"),
+        (3L, "gamma gamma eta")
+      ).toDF("doc_id", "text")
+      // the live postings view equals the final-corpus derivation
+      val live = InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf", "dl")
+        .collect().map(_.toSeq).toSet
+      val fresh = InvertedIndex.postings(finalDocs)
+        .collect().map(_.toSeq).toSet
+      assert(live == fresh && live.nonEmpty,
+        "live postings diverge from the final-corpus derivation")
+      // summed stats are exact after two edit batches
+      val st = InvertedIndex.statsFor(s, dir).head()
+      val ex = InvertedIndex.corpusStats(finalDocs).head()
+      assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)),
+        "net stats rows drifted from the final corpus")
+      // serving: BM25 and phrase equal the replay; deleted content dark
+      val terms = Seq("alpha", "delta", "gamma", "zeta")
+      assert(InvertedIndex.searchBm25(s, dir, terms, k = 10)
+        .collect().map(_.toSeq).toSet ==
+        InvertedIndex.bm25FromPostings(
+          InvertedIndex.postings(finalDocs)
+            .filter(col("term").isin(terms: _*)),
+          InvertedIndex.corpusStats(finalDocs), k = 10)
+          .collect().map(_.toSeq).toSet)
+      assert(InvertedIndex.searchPhrase(s, dir, Seq("gamma", "gamma"), k = 10)
+        .collect().map(_.toSeq).toSet ==
+        InvertedIndex.phraseFromPositions(
+          InvertedIndex.positions(finalDocs)
+            .filter(col("term") === "gamma"), Seq("gamma", "gamma"), k = 10)
+          .collect().map(_.toSeq).toSet)
+      // doc 2's unique term and doc 4's content are gone from serving
+      assert(InvertedIndex.search(s, dir, Seq("unicorn"), k = 10).count() == 0,
+        "a deleted doc's term still serves")
+      assert(InvertedIndex.search(s, dir, Seq("zeta"), k = 10).count() == 0,
+        "a doc deleted in a later batch than its add still serves")
+      // freshness handshake tracked the streamed snapshot rewrites
+      assert(!InvertedIndex.snapshotStale(s, dir),
+        "the net ledger stamps must track the edited corpus")
+      // an idle re-run (no new files) changes nothing
+      val before = InvertedIndex.searchBm25(s, dir, terms, k = 10)
+        .collect().map(_.toSeq).toSet
+      val q3 = run()
+      try q3.processAllAvailable() finally q3.stop()
+      assert(InvertedIndex.searchBm25(s, dir, terms, k = 10)
+        .collect().map(_.toSeq).toSet == before)
+    } finally {
+      graft.operators.InvertedIndex.drop(s, dir)
+      Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch merge maintains the index across streamed crawl appends") {
     val s = spark
     import s.implicits._
