@@ -533,6 +533,37 @@ object DedupQueries {
       operators.ComponentIndex.mergedComponentMap(baseMap, baseBanded, batch)
     }),
 
+    // Component-map maintenance under an EDIT (round-13, the merge
+    // query's removals/rewrites twin): the corpus is edited in the
+    // standard classes (doc_id % 20 == 3 removed, % 20 == 11 text
+    // doubled), and the new map derives INCREMENTALLY — only components
+    // containing an edited doc re-cluster from their survivors' live
+    // signatures; every other component keeps its stored star edges; the
+    // rewrites' new signatures join through the same cross-candidate
+    // path as a merge batch. No candidate edge can cross two stored
+    // components (a banded collision would have merged them), so the
+    // edited map equals the FULL rebuild over the edited corpus exactly
+    // — the oracle replays the whole-corpus clustering SQL over an
+    // edited-corpus CTE. In production the inputs are the persisted
+    // index tables + tombstones (ComponentIndex.edit); here both sides
+    // derive live, the q_corpus_dedup_merged convention.
+    "q_corpus_dedup_edited" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
+      val isRewritten = pmod(col("doc_id"), lit(20L)) === 11L
+      val baseBanded = operators.CacheScope.track(
+        operators.ComponentIndex.bandedSignatures(docs).localCheckpoint(true))
+      val baseMap = operators.ConnectedComponents.components(
+          MinHashLSH.candidatesFromBanded(baseBanded), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component_id"))
+      val removedIds = docs.filter(isRemoved || isRewritten).select("doc_id")
+      val added = docs.filter(isRewritten)
+        .withColumn("text", concat(col("text"), lit(" "), col("text")))
+      operators.ComponentIndex.editedComponentMap(baseMap,
+        baseBanded.join(removedIds, Seq("doc_id"), "left_anti"),
+        added, removedIds)
+    }),
+
     // Leakage-safe train/val/test split: the assignment unit is the
     // near-dup CLUSTER, not the document — a naive per-doc hash split
     // puts one near-duplicate in train and its twin in test, and the
@@ -1567,6 +1598,22 @@ object DedupQueries {
        |${closureCtes()}
        |SELECT doc_id, component_id FROM comp""".stripMargin
 
+  /** [[componentsSql]] over the standard edited-corpus CTE (the
+    * overEditedCorpus classes, plus `lang` — the clustering's block
+    * column — which the search variant doesn't carry): the incremental
+    * edit path must reproduce the whole-corpus clustering over the
+    * edited snapshot, so the oracle IS that clustering, retargeted. */
+  private val componentsEditedSql: String =
+    s"""WITH RECURSIVE edited AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 20 = 11
+       |    THEN text || ' ' || text ELSE text END AS text, lang
+       |  FROM documents WHERE doc_id % 20 != 3),
+       |${minhashCtes("edited",
+                      numBands = MinHashLSH.BandedBands,
+                      rowsPerBand = MinHashLSH.BandedRows)},
+       |${closureCtes()}
+       |SELECT doc_id, component_id FROM comp""".stripMargin
+
   /** Same transitive closure as [[componentsSql]], then the split is a
     * portable hash of the cluster-or-singleton group id — the oracle
     * twin of q_split_leakage_safe. */
@@ -2149,6 +2196,9 @@ object DedupQueries {
     // the merge path must reproduce the full map exactly — one oracle,
     // two derivation strategies (the q_pack_bins_scalable device)
     "q_corpus_dedup_merged" -> componentsSql,
+    // the edit path must reproduce the rebuild over the edited corpus —
+    // same clustering SQL, edited-corpus CTE
+    "q_corpus_dedup_edited" -> componentsEditedSql,
     "q_split_leakage_safe" -> splitLeakageSafeSql,
     "q_corpus_report" -> corpusReportSql,
     // the `_indexed` serving twins are graded against the SAME oracles —

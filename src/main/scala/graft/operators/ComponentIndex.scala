@@ -66,6 +66,7 @@ object ComponentIndex {
   private[operators] def table(dir: String): String = stem(dir) + "_components"
   private[operators] def bandedTable(dir: String): String = stem(dir) + "_banded"
   private[operators] def metaTable(dir: String): String = stem(dir) + "_meta"
+  private[operators] def tombTable(dir: String): String = stem(dir) + "_tombstones"
 
   private def fingerprint(docs: DataFrame): (Long, Long) =
     SnapshotMeta.fingerprint(docs, "doc_id")
@@ -233,11 +234,31 @@ object ComponentIndex {
   def componentsFor(spark: SparkSession, dir: String): DataFrame =
     spark.table(ensure(spark, dir))
 
-  /** The stored banded signatures — the LOGICAL relation (the ledger's
-    * `batch_id` partition column projected away; the projection keeps
-    * the bucketed distribution, so join consumers still co-partition). */
+  /** The stored banded signatures — the LIVE logical relation: stored
+    * rows minus tombstoned docs (a row dies when some tombstone for its
+    * doc sits in a LATER batch — strict `<`, so an [[edit]]'s own
+    * rewrite rows stay live; the [[InvertedIndex.postingsFor]] rule),
+    * with the ledger's `batch_id` partition column projected away. The
+    * tombstone side is churn-sized and broadcast — a broadcast
+    * anti-join preserves the store scan's bucketed distribution, so
+    * join consumers still co-partition — and with no tombstone table
+    * the read is the bare scan. Every maintenance derivation reads
+    * through here: a [[merge]] after an [[edit]] must not resurrect a
+    * removed doc through its leftover stored signatures. */
   def bandedFor(spark: SparkSession, dir: String): DataFrame =
-    spark.table(ensureBanded(spark, dir)).drop("batch_id")
+    withoutTombstones(spark, dir,
+      spark.table(ensureBanded(spark, dir))).drop("batch_id")
+
+  private def withoutTombstones(spark: SparkSession, dir: String,
+                                rows: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(tombTable(dir))) rows
+    else {
+      val t = broadcast(spark.table(tombTable(dir))
+        .select(col("doc_id").as("t_doc"), col("batch_id").as("t_batch")))
+      rows.join(t,
+        rows("doc_id") === t("t_doc") && rows("batch_id") < t("t_batch"),
+        "left_anti")
+    }
 
   /** INCREMENTAL index maintenance (the crawl-append path): advance the
     * snapshot's component map and signature store to cover the existing
@@ -287,7 +308,7 @@ object ComponentIndex {
       // is localCheckpoint-backed (truncated lineage) — so by write time
       // nothing reads the tables being updated
       val newMap = mergedFromBanded(spark.table(t),
-        spark.table(bt).drop("batch_id"), bb)
+        withoutTombstones(spark, dir, spark.table(bt)).drop("batch_id"), bb)
       newMap.write.mode("overwrite")
         .bucketBy(Buckets, "doc_id").sortBy("doc_id").saveAsTable(t)
       SnapshotMeta.overwritePartition(spark, bt, batchId, bb)
@@ -314,6 +335,122 @@ object ComponentIndex {
     merge(spark, dir, batch,
       SnapshotMeta.derivedBatchId(SnapshotMeta.contentFingerprint(batch)))
 
+  /** THE edited-map derivation — the incremental recompute under
+    * removals/rewrites, one definition shared by [[edit]] and the live
+    * declared replay (q_corpus_dedup_edited). Components are transitive,
+    * but a vertex removal can only affect the components that CONTAIN a
+    * removed vertex — and no candidate edge can cross two stored
+    * components (a banded collision would have merged them), so the
+    * exact new partition decomposes:
+    *
+    *   - UNAFFECTED components (no removed member): their stored star
+    *     edges stand — no vertex left, same connected partition
+    *   - AFFECTED components: stars are UNSOUND under vertex removal
+    *     (a removed hub falsely shatters; a surviving hub falsely
+    *     bridges a removed articulation vertex), so candidate pairs
+    *     among the SURVIVING members re-derive from their live stored
+    *     signatures — identical banding, so identical pairs to what a
+    *     rebuild would find among exactly those docs
+    *   - the batch (`batchBanded`): internal pairs + cross pairs
+    *     against the live store (which covers added↔survivor edges —
+    *     including a rewrite that leaves one cluster and joins another)
+    *
+    * Connected components over that union equals the full rebuild over
+    * the edited corpus EXACTLY (spec-pinned). Cost: O(churn + affected
+    * members + batch candidates), never a corpus re-cluster.
+    * `liveStore` must already exclude the removed docs' signatures. */
+  def editedComponentMap(baseMap: DataFrame, liveStore: DataFrame,
+                         added: DataFrame, removedIds: DataFrame): DataFrame =
+    editedFromBanded(baseMap, liveStore, bandedSignatures(added), removedIds)
+
+  private[operators] def editedFromBanded(oldMap: DataFrame, liveStore: DataFrame,
+      batchBanded: DataFrame, removedIds: DataFrame): DataFrame = {
+    val affComps = oldMap.join(removedIds, Seq("doc_id"), "left_semi")
+      .select("component_id").distinct()
+    val affMembers = oldMap.join(affComps, Seq("component_id"), "left_semi")
+    val affPairs = MinHashLSH.candidatesFromBanded(
+      liveStore.join(affMembers.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val unaffEdges = oldMap.join(affComps, Seq("component_id"), "left_anti")
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("id_a"), col("component_id").as("id_b"))
+    val internal = MinHashLSH.candidatesFromBanded(batchBanded)
+    val cross = crossCandidates(liveStore, batchBanded)
+    ConnectedComponents.components(
+        affPairs.unionByName(unaffEdges).unionByName(internal)
+          .unionByName(cross), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component_id"))
+  }
+
+  /** Incremental maintenance for an EDITED snapshot — removals and
+    * rewrites at churn cost, completing the index family's edit story
+    * ([[InvertedIndex.edit]]'s component twin): `removed` is the
+    * outgoing content (previous snapshot rows being dropped or
+    * rewritten), `added` the incoming (new docs + rewrites' new text,
+    * ids new or among `removed`). Four idempotent writes keyed on
+    * `batchId`, stamp last:
+    *
+    *   1. tombstones → partition overwrite with the removed ids — FIRST,
+    *      so every later derivation (this run or a torn re-run) reads
+    *      the live store without the outgoing signatures
+    *   2. map → full overwrite with [[editedFromBanded]] (idempotent:
+    *      a re-run over the already-new map finds no affected
+    *      components and converges on the same partition — the
+    *      [[merge]] fixpoint argument)
+    *   3. store → partition overwrite with the batch's signatures (the
+    *      tombstone rule's strict `<` keeps this batch's own rows live)
+    *   4. ledger stamp with the NET fingerprint (added − removed) — the
+    *      COMMIT POINT; the summed ledger still equals the edited dir
+    *
+    * `batchId` must be explicit, non-negative, and greater than every
+    * batch id previously applied at this dir (tombstone visibility
+    * orders on batch id — content-derived ids sit below the base
+    * partition and cannot order an edit). At 100 TB the cost is
+    * O(churn + affected-component members): tombstones are id-rows, no
+    * resident store partition is read beyond the affected semi-join,
+    * and the map rewrite is the same cluster-members-only relation
+    * [[merge]] already pays. */
+  def edit(spark: SparkSession, dir: String, removed: DataFrame,
+           added: DataFrame, batchId: Long): String = {
+    require(batchId >= 0,
+      "edit/delete need an explicit non-negative batch id: tombstone " +
+        "visibility orders on batch id, and derived ids sit below the " +
+        "base partition")
+    val t = ensure(spark, dir)
+    val bt = ensureBanded(spark, dir)
+    if (SnapshotMeta.appliedBatch(spark, metaTable(dir), batchId)) return t
+    CacheScope.withOperatorCaches {
+      val tombs = CacheScope.track(
+        removed.select(col("doc_id")).distinct().localCheckpoint(true))
+      val tt = tombTable(dir)
+      if (!spark.catalog.tableExists(tt)) {
+        IvfIndex.dropOrphanLocation(spark, tt)
+        tombs.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id").saveAsTable(tt)
+      } else SnapshotMeta.overwritePartition(spark, tt, batchId, tombs)
+      val bb = CacheScope.track(bandedSignatures(added).localCheckpoint(true))
+      // eager (components() clusters inside, localCheckpoint-backed), so
+      // by write time nothing reads the tables being overwritten
+      val newMap = editedFromBanded(spark.table(t),
+        withoutTombstones(spark, dir, spark.table(bt)).drop("batch_id"),
+        bb, tombs)
+      newMap.write.mode("overwrite")
+        .bucketBy(Buckets, "doc_id").sortBy("doc_id").saveAsTable(t)
+      SnapshotMeta.overwritePartition(spark, bt, batchId, bb)
+      spark.catalog.refreshTable(t)
+      spark.catalog.refreshTable(bt)
+      val fa = SnapshotMeta.fingerprint(added.select(col("doc_id")), "doc_id")
+      val fr = SnapshotMeta.fingerprint(tombs, "doc_id")
+      SnapshotMeta.stampBatch(spark, metaTable(dir), batchId,
+        (fa._1 - fr._1, fa._2 - fr._2))
+    }
+    t
+  }
+
+  /** Pure removal — [[edit]] with no incoming content. */
+  def delete(spark: SparkSession, dir: String, removed: DataFrame,
+             batchId: Long): String =
+    edit(spark, dir, removed, removed.limit(0), batchId)
+
   /** COMPACTION ([[InvertedIndex.compact]]'s component twin): folds the
     * banded signature store's batch partitions into the base partition
     * and resets the ledger to one summed stamp. The component map is
@@ -330,25 +467,39 @@ object ComponentIndex {
         "merge or rebuild first.")
     val bt = ensureBanded(spark, dir)
     val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
-    val rows = spark.table(bt).drop("batch_id").localCheckpoint(true)
-    rows.withColumn("batch_id", lit(BaseBatchId))
+    // fold INTO the highest committed batch id (the InvertedIndex rule):
+    // tombstones hide rows strictly BELOW their own id, so rows folded to
+    // the maximum id stay live through every crash-intermediate state
+    // (store folded, tombstones not yet dropped) — folding to the base
+    // partition would let a surviving tombstone hide an edit's rewrites
+    val foldId = spark.table(metaTable(dir))
+      .agg(max("batch_id")).head().getLong(0)
+    // tombstones apply PHYSICALLY at the fold (dead rows dropped), so
+    // the tombstone table retires with the batch partitions
+    val rows = withoutTombstones(spark, dir, spark.table(bt))
+      .drop("batch_id").localCheckpoint(true)
+    rows.withColumn("batch_id", lit(foldId))
       .write.mode("overwrite").partitionBy("batch_id")
       .bucketBy(Buckets, "band", "key", "block")
       .sortBy("band", "key", "block")
       .saveAsTable(bt)
+    spark.sql(s"DROP TABLE IF EXISTS ${tombTable(dir)}")
+    IvfIndex.dropOrphanLocation(spark, tombTable(dir))
     import spark.implicits._
-    Seq((fp._1, fp._2, BaseBatchId)).toDF("n_rows", "id_sum", "batch_id")
+    Seq((fp._1, fp._2, foldId)).toDF("n_rows", "id_sum", "batch_id")
       .write.mode("overwrite").partitionBy("batch_id")
       .saveAsTable(metaTable(dir))
     spark.catalog.refreshTable(bt)
   }
 
   /** Drop and re-derive — full re-clustering for a REPLACED corpus
-    * snapshot (content rewrites, deletions). Appends take [[merge]]. */
+    * snapshot. Appends take [[merge]]; removals/rewrites with a durable
+    * monotonic batch id take [[edit]]; rebuild remains the repair for
+    * everything else (unrecognized layouts, callers without durable
+    * ids). A leftover tombstone must drop with the family — it would
+    * wrongly hide rebuilt rows of a re-added doc. */
   def rebuild(spark: SparkSession, dir: String): String = {
-    spark.sql(s"DROP TABLE IF EXISTS ${table(dir)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${bandedTable(dir)}")
-    spark.sql(s"DROP TABLE IF EXISTS ${metaTable(dir)}")
+    drop(spark, dir)
     ensure(spark, dir)
   }
 
@@ -359,5 +510,7 @@ object ComponentIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${table(dir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${bandedTable(dir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${metaTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tombTable(dir)}")
+    IvfIndex.dropOrphanLocation(spark, tombTable(dir))
   }
 }

@@ -79,28 +79,41 @@ object SnapshotMaintenance {
 
   /** [[maintain]] with a DURABLE batch id — unlocks the incremental
     * path for removals and rewrites (round-13): with an explicit
-    * monotonic id the inverted-index family handles `removed`/`changed`
-    * at churn cost through [[InvertedIndex.edit]]'s tombstones (old
-    * rows die by visibility, the net stats row keeps BM25 exact, no
-    * resident partition is rewritten), so only the COMPONENT map — a
-    * transitive property a removal can genuinely split — still pays its
-    * rebuild. The content-derived ids of the 3-arg overload cannot
-    * order a tombstone (they sit below the base partition), which is
-    * why that overload keeps the full-family rebuild for these
-    * classes. Returns "no_change" / "appended" / "edited". */
+    * monotonic id the WHOLE family handles `removed`/`changed` at churn
+    * cost — [[InvertedIndex.edit]]'s tombstones for the search side
+    * (old rows die by visibility, the net stats row keeps BM25 exact)
+    * and [[ComponentIndex.edit]]'s affected-component recompute for the
+    * dedup side (only components containing a removed doc re-cluster;
+    * everything else keeps its stored stars). The content-derived ids
+    * of the 3-arg overload cannot order a tombstone (they sit below the
+    * base partition), which is why that overload keeps the full-family
+    * rebuild for these classes. Returns "no_change" / "appended" /
+    * "edited". */
   def maintain(spark: SparkSession, dir: String, prev: DataFrame,
                batchId: Long): String = {
     val cur = graft.sources.Tables.documents(spark, dir)
-    // a committed batch replays as a no-op (the restarted-caller case)
-    if (spark.catalog.tableExists(InvertedIndex.metaTable(dir)) &&
-        SnapshotMeta.appliedBatch(spark, InvertedIndex.metaTable(dir), batchId))
-      return "no_change"
+    // a committed batch replays as a no-op (the restarted-caller case) —
+    // committed in BOTH family ledgers: the two families commit
+    // independently, so a crash between the inverted-index commit and
+    // the component commit must fall through to the action paths, where
+    // the already-committed family's ops self-no-op and the torn
+    // family's apply (convergence, not desync)
+    def done(meta: String): Boolean =
+      spark.catalog.tableExists(meta) &&
+        SnapshotMeta.appliedBatch(spark, meta, batchId)
+    val invDone = done(InvertedIndex.metaTable(dir))
+    val compDone = done(ComponentIndex.metaTable(dir))
+    if (invDone && compDone) return "no_change"
     // the incremental actions assume the family's state IS `prev`: a
-    // family that doesn't cover it (cold start — ensure() inside the
-    // append path would then build over the FULL dir and the append
-    // would double the batch — or divergence) must rebuild instead
-    if (SnapshotMeta.staleBatched(spark, InvertedIndex.metaTable(dir),
-        SnapshotMeta.fingerprint(prev, "doc_id"))) {
+    // family that neither covers it nor has this batch committed past it
+    // (cold start — ensure() inside the append path would then build
+    // over the FULL dir and the append would double the batch — or
+    // divergence) must rebuild instead
+    val prevFp = SnapshotMeta.fingerprint(prev, "doc_id")
+    def covers(meta: String, committed: Boolean): Boolean =
+      committed || !SnapshotMeta.staleBatched(spark, meta, prevFp)
+    if (!covers(InvertedIndex.metaTable(dir), invDone) ||
+        !covers(ComponentIndex.metaTable(dir), compDone)) {
       InvertedIndex.drop(spark, dir)
       InvertedIndex.ensurePositions(spark, dir)
       ComponentIndex.rebuild(spark, dir)
@@ -124,10 +137,11 @@ object SnapshotMaintenance {
       val removed = prev.join(outIds, Seq("doc_id"), "left_semi")
       val added = cur.join(inIds, Seq("doc_id"), "left_semi")
       // positions first, edit last (the commit owner) — the
-      // InvertedIndex.append ordering contract
+      // InvertedIndex.append ordering contract; the component family
+      // commits through its own ledger
       InvertedIndex.appendPositions(spark, dir, added, batchId)
       InvertedIndex.edit(spark, dir, removed, added, batchId)
-      ComponentIndex.rebuild(spark, dir)
+      ComponentIndex.edit(spark, dir, removed, added, batchId)
       "edited"
     }
   }

@@ -374,6 +374,213 @@ class ComponentIndexSpec extends SparkSpec {
     assert(collectSet("q_corpus_dedup_merged") == collectSet("q_dedup_components"))
   }
 
+  test("edit handles removals and rewrites at churn cost, exactly") {
+    // the round-13 edit path: deletes shrink or DISSOLVE clusters, a
+    // rewrite LEAVES one cluster and JOINS another, an added doc pulls a
+    // base singleton into a pair — all in one batch, and the resulting
+    // map must equal the full rebuild over the edited corpus bit-exactly
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compidx-edit").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    try {
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      val t1 = (1 to 30).map(i => s"one$i")
+      val t2 = (1 to 30).map(i => s"two$i")
+      val t3 = (1 to 30).map(i => s"three$i")
+      // base: cluster {1, 2, 4} (t1), cluster {3, 5} (t2), singleton 6
+      val base = Seq(doc(1, t1), doc(2, t1), doc(4, t1),
+          doc(3, t2), doc(5, t2), doc(6, t3))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ComponentIndex.ensure(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      // the edit: delete 2 ({1,2,4} shrinks), delete 5 ({3,5} DISSOLVES
+      // — 3 must drop from the map as a new singleton), REWRITE 4 from
+      // t1 to t2 (leaves cluster 1, joins 3), add 7 = t3 (pairs the
+      // base singleton 6 through the live store)
+      val removed = Seq(doc(2, t1), doc(5, t2), doc(4, t1))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val added = Seq(doc(4, t2), doc(7, t3))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val edited = Seq(doc(1, t1), doc(3, t2), doc(4, t2),
+          doc(6, t3), doc(7, t3))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // a derived (negative) id cannot order a tombstone — must refuse
+      assertThrows[IllegalArgumentException](
+        ComponentIndex.edit(s, dir, removed, added, -5L))
+      ComponentIndex.edit(s, dir, removed, added, 7L)
+      val editedMap = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(editedMap == Set((3L, 3L), (4L, 3L), (6L, 6L), (7L, 6L)),
+        s"unexpected edited map $editedMap")
+      val full = CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(edited)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(editedMap == full,
+        s"edit diverges from the rebuild over the edited corpus: $full")
+      // the LIVE store equals a fresh derivation over the edited corpus
+      val storedBanded = ComponentIndex.bandedFor(s, dir)
+        .collect().map(_.toSeq).toSet
+      val freshBanded = ComponentIndex.bandedSignatures(edited)
+        .collect().map(_.toSeq).toSet
+      assert(storedBanded == freshBanded,
+        "live signature store out of step after edit")
+      // freshness handshake: stale until the dir holds the edited corpus
+      assert(ComponentIndex.snapshotStale(s, dir))
+      edited.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(!ComponentIndex.snapshotStale(s, dir),
+        "the net ledger stamp must track the edited corpus")
+      // a later merge must NOT resurrect a removed doc through leftover
+      // store rows: doc 8 duplicates the DELETED doc 2's text — it must
+      // pair with the surviving 1, and 2 must stay gone
+      val b8 = Seq(doc(8, t1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      b8.write.mode("append").parquet(s"$dir/documents.parquet")
+      ComponentIndex.merge(s, dir, b8, 8L)
+      val afterMerge = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterMerge == Set((1L, 1L), (8L, 1L),
+          (3L, 3L), (4L, 3L), (6L, 6L), (7L, 6L)),
+        s"merge after edit resurrected a removed doc or dropped a pair: $afterMerge")
+      // compaction applies tombstones physically and retires them; the
+      // family keeps serving and keeps accepting maintenance
+      ComponentIndex.compact(s, dir)
+      assert(!s.catalog.tableExists(ComponentIndex.tombTable(dir)),
+        "compaction must retire the tombstone table")
+      assert(ComponentIndex.bandedFor(s, dir).collect().map(_.toSeq).toSet ==
+        ComponentIndex.bandedSignatures(
+            graft.sources.Tables.documents(s, dir))
+          .collect().map(_.toSeq).toSet,
+        "compacted store diverges from the fresh derivation")
+      val b9 = Seq(doc(9, t3)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      b9.write.mode("append").parquet(s"$dir/documents.parquet")
+      ComponentIndex.merge(s, dir, b9, 9L)
+      val comp = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(comp(9L) == comp(6L) && comp(9L) == comp(7L),
+        "post-compaction merge must still reach the t3 cluster")
+    } finally {
+      ComponentIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("edit is crash-idempotent: kill between writes replays clean; committed batch no-ops") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compidx-editcrash").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    try {
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      val t1 = (1 to 30).map(i => s"one$i")
+      val t2 = (1 to 30).map(i => s"two$i")
+      // base: {1, 2} cluster (t1), singleton 3 (t2)
+      val base = Seq(doc(1, t1), doc(2, t1), doc(3, t2))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      ComponentIndex.ensure(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      val batchId = 7L
+      // the edit: delete 2, rewrite 3 from t2 to t1 (joins 1)
+      val removed = Seq(doc(2, t1), doc(3, t2))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val added = Seq(doc(3, t1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val edited = Seq(doc(1, t1), doc(3, t1))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // --- KILL BETWEEN WRITES: a torn tombstone partition (only one of
+      // the two removed ids landed), no map update, no stamp
+      removed.limit(1).select(col("doc_id"))
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .saveAsTable(ComponentIndex.tombTable(dir))
+      assert(!SnapshotMeta.appliedBatch(s, ComponentIndex.metaTable(dir), batchId),
+        "a torn edit must leave NO commit record")
+      // replay from the top: the tombstone partition is REPLACED with the
+      // full id set and the sequence converges on the clean application
+      ComponentIndex.edit(s, dir, removed, added, batchId)
+      val editedMap = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(editedMap == Set((1L, 1L), (3L, 1L)),
+        s"replay after a torn tombstone write diverged: $editedMap")
+      assert(ComponentIndex.bandedFor(s, dir).collect().map(_.toSeq).toSet ==
+        ComponentIndex.bandedSignatures(edited).collect().map(_.toSeq).toSet,
+        "live store after torn-write replay diverges from the clean application")
+      assert(SnapshotMeta.appliedBatch(s, ComponentIndex.metaTable(dir), batchId))
+      // --- KILL AFTER THE MAP OVERWRITE: a second batch's map landed,
+      // tombstones and store partition landed, stamp missing — the re-run
+      // must no-op the derivation onto the same state (the fixpoint) and
+      // commit. Batch: add 4 = t1 (pure append through the edit path).
+      val added2 = Seq(doc(4, t1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val none = added2.limit(0)
+      val batchId2 = 12L
+      CacheScope.withOperatorCaches {
+        val bb = CacheScope.track(
+          ComponentIndex.bandedSignatures(added2).localCheckpoint(true))
+        val newMap = ComponentIndex.editedFromBanded(
+          s.table(ComponentIndex.table(dir)),
+          ComponentIndex.bandedFor(s, dir), bb,
+          none.select(col("doc_id")))
+        newMap.write.mode("overwrite")
+          .bucketBy(ComponentIndex.Buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(ComponentIndex.table(dir))
+        SnapshotMeta.overwritePartition(s, ComponentIndex.bandedTable(dir),
+          batchId2, bb)
+      }
+      assert(!SnapshotMeta.appliedBatch(s, ComponentIndex.metaTable(dir), batchId2))
+      ComponentIndex.edit(s, dir, none, added2, batchId2)
+      val after2 = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after2 == Set((1L, 1L), (3L, 1L), (4L, 1L)),
+        s"replay after a torn map write diverged: $after2")
+      val edited2 = edited.unionByName(added2)
+      assert(ComponentIndex.bandedFor(s, dir).collect().map(_.toSeq).toSet ==
+        ComponentIndex.bandedSignatures(edited2).collect().map(_.toSeq).toSet,
+        "torn store partition must be replaced (no double rows) on replay")
+      // --- COMMITTED BATCH REPLAYS AS A NO-OP, even with phantom frames
+      ConnectedComponents.lastRounds = -1
+      ComponentIndex.edit(s, dir,
+        Seq(doc(1, t1)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+        Seq(doc(99, t2)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+        batchId)
+      assert(ConnectedComponents.lastRounds == -1,
+        "a committed batch id must not re-run the clustering")
+      assert(ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == after2)
+    } finally {
+      ComponentIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("the declared edited map equals the rebuild over the edited corpus on the fixture") {
+    // q_corpus_dedup_edited (live pre-edit state + incremental edit
+    // composition) against the whole-corpus clustering over the edited
+    // frame — the same equality its DuckDB oracle asserts, checked
+    // in-engine on the sf fixture
+    val s = spark
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val edited = docs
+      .filter(pmod(col("doc_id"), lit(20L)) =!= 3L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(20L)) === 11L,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+    val full = CacheScope.withOperatorCaches {
+      ComponentIndex.bandedComponentMap(edited)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(collectSet("q_corpus_dedup_edited") == full && full.nonEmpty)
+  }
+
   test("rebuild re-derives the snapshot") {
     val s = spark
     ComponentIndex.ensure(s, sfDir)
@@ -472,10 +679,14 @@ class ComponentIndexSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       ComponentIndex.compact(s, dir)
       assert(s.table(ComponentIndex.metaTable(dir)).count() == 1)
+      // everything folds into ONE partition — the highest committed id,
+      // not the base (the InvertedIndex rule): tombstones hide only
+      // strictly-older rows, so the max-id fold keeps every
+      // crash-intermediate state servable after an edit
       val parts = s.table(ComponentIndex.bandedTable(dir))
         .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
-      assert(parts == Set(ComponentIndex.BaseBatchId),
-        s"store still holds batch partitions: $parts")
+      assert(parts == Set(2L),
+        s"store did not fold to the single max-id partition: $parts")
       assert(ComponentIndex.componentsFor(s, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == mapBefore)
       assert(ComponentIndex.bandedFor(s, dir)

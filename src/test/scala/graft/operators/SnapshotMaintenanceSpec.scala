@@ -158,14 +158,40 @@ class SnapshotMaintenanceSpec extends SparkSpec {
       val st = InvertedIndex.statsFor(s, dir).head()
       val ex = InvertedIndex.corpusStats(docsNow).head()
       assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)))
-      // the component map was rebuilt (transitive property): the
-      // rewritten doc 3 now clusters with its new twin 6, not with 1
+      // the component map advanced INCREMENTALLY (ComponentIndex.edit —
+      // only the affected component re-clustered): the rewritten doc 3
+      // now clusters with its new twin 6, not with 1, and equals the
+      // rebuild over the edited corpus
       val comp = ComponentIndex.componentsFor(s, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(comp.get(3L) == comp.get(6L) && comp.get(3L).isDefined)
       assert(comp.get(1L) != comp.get(3L))
+      assert(comp.toSet == CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(docsNow)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }, "maintained component map diverges from the edited-corpus rebuild")
       // a replayed committed batch no-ops
       assert(SnapshotMaintenance.maintain(s, dir, prev, batchId = 3L) == "no_change")
+      // TORN BETWEEN FAMILIES: a second edit whose inverted-index side
+      // committed but whose component side did not (the crash window
+      // between the two ledgers) — the re-run must complete the
+      // component side instead of reporting no_change
+      val prev2 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val edited2 = Seq(doc(1, t1), doc(3, t3), doc(6, t3), doc(7, t1))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(true)
+      edited2.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val add7 = Seq(doc(7, t1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      InvertedIndex.appendPositions(s, dir, add7, 5L)
+      InvertedIndex.append(s, dir, add7, 5L)   // inverted side committed
+      assert(SnapshotMaintenance.maintain(s, dir, prev2, batchId = 5L) == "appended",
+        "a family-torn batch must fall through to the action path")
+      assert(!ComponentIndex.snapshotStale(s, dir))
+      val comp2 = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(comp2.get(7L) == comp2.get(1L) && comp2.get(7L).isDefined,
+        "the component side must catch up after the family-torn commit")
+      assert(SnapshotMaintenance.maintain(s, dir, prev2, batchId = 5L) == "no_change")
       // and a family that does not cover prev rebuilds instead of
       // appending into a full build (the cold-start guard)
       InvertedIndex.drop(s, dir)
