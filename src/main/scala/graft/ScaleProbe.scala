@@ -450,6 +450,131 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_PROBE_COMP_EDIT=<pct> (round-13): the component-map
+    // edit path's economics. Full base build (map + banded store); an
+    // edit batch removes pct/2% of docs and rewrites pct/2% (text
+    // doubled) through ComponentIndex.edit — tombstoned store +
+    // affected-component-only recompute — timed against the full live
+    // re-clustering over the edited corpus (what rebuild pays, the
+    // component_merge probe device); the stored map is verified against
+    // that rebuild DISTRIBUTED (anti-join both ways).
+    sys.env.get("SPARK_GRAFT_PROBE_COMP_EDIT").map(_.toInt).foreach { pct =>
+      import graft.operators.ComponentIndex
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val n = BaseDocs * mult
+        val slot = pmod(col("doc_id"), lit(100L))
+        val isRemoved = slot < pct / 2
+        val isRewritten = slot >= pct / 2 && slot < pct
+        val baseDir = s"/tmp/graft_probe/comp_edit_${mult}_$pct"
+        docs.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+        ComponentIndex.drop(spark, baseDir)
+        val t0 = System.nanoTime()
+        ComponentIndex.ensure(spark, baseDir)
+        ComponentIndex.ensureBanded(spark, baseDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val added = docs.filter(isRewritten)
+          .withColumn("text", concat(col("text"), lit(" "), col("text")))
+        val removed = docs.filter(isRemoved || isRewritten)
+        val t1 = System.nanoTime()
+        ComponentIndex.edit(spark, baseDir, removed, added, 1L)
+        val tEdit = (System.nanoTime() - t1) / 1e9
+        val edited = docs.filter(!isRemoved).withColumn("text",
+          when(isRewritten, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text"))).localCheckpoint(true)
+        val t2 = System.nanoTime()
+        val full = graft.operators.CacheScope.withOperatorCaches {
+          val m = ComponentIndex.bandedComponentMap(edited)
+            .localCheckpoint(true)
+          m.write.mode("overwrite").format("noop").save()
+          m
+        }
+        val tRecluster = (System.nanoTime() - t2) / 1e9
+        val stored = spark.table(ComponentIndex.ensure(spark, baseDir))
+        val diff =
+          stored.join(full, Seq("doc_id", "component_id"), "left_anti").count() +
+          full.join(stored, Seq("doc_id", "component_id"), "left_anti").count()
+        val rows = stored.count()
+        val nTomb = removed.select("doc_id").distinct().count()
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        ComponentIndex.drop(spark, baseDir)
+        println(s"""{"probe":"component_edit","mult":$mult,"n_docs":$n,"edit_pct":$pct,"n_tombstoned":$nTomb,"map_rows":$rows,"mismatches":$diff,"t_base_build":$tBuild,"t_edit":$tEdit,"t_recluster":$tRecluster}""")
+      }
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_PROBE_EDIT=<pct> (round-13): the tombstone edit
+    // path's economics. Each probe corpus gets a full base build of the
+    // inverted + positional index; an edit batch then removes pct/2% of
+    // docs and rewrites pct/2% (text doubled) through
+    // InvertedIndex.edit — tombstone partition + net stats row + new
+    // postings partition, no resident partition read or rewritten —
+    // timed against the derivation a wholesale rebuild pays (postings +
+    // positions + stats over the edited corpus, noop-written: the
+    // component-merge probe device, measuring computation not disk).
+    // The LIVE postings (tombstone anti-join applied) are verified
+    // against a fresh derivation over the edited corpus DISTRIBUTED
+    // (anti-join both ways); a post-edit BM25 lookup and the compaction
+    // fold are timed as well.
+    sys.env.get("SPARK_GRAFT_PROBE_EDIT").map(_.toInt).foreach { pct =>
+      import graft.operators.InvertedIndex
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val n = BaseDocs * mult
+        val slot = pmod(col("doc_id"), lit(100L))
+        val isRemoved = slot < pct / 2
+        val isRewritten = slot >= pct / 2 && slot < pct
+        val baseDir = s"/tmp/graft_probe/edit_${mult}_$pct"
+        docs.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+        InvertedIndex.drop(spark, baseDir)
+        val t0 = System.nanoTime()
+        InvertedIndex.ensure(spark, baseDir)
+        InvertedIndex.ensurePositions(spark, baseDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val added = docs.filter(isRewritten)
+          .withColumn("text", concat(col("text"), lit(" "), col("text")))
+        val removed = docs.filter(isRemoved || isRewritten)
+        val t1 = System.nanoTime()
+        InvertedIndex.appendPositions(spark, baseDir, added, 1L)
+        InvertedIndex.edit(spark, baseDir, removed, added, 1L)
+        val tEdit = (System.nanoTime() - t1) / 1e9
+        val edited = docs.filter(!isRemoved).withColumn("text",
+          when(isRewritten, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text"))).localCheckpoint(true)
+        val t2 = System.nanoTime()
+        val freshP = InvertedIndex.postings(edited).localCheckpoint(true)
+        freshP.write.mode("overwrite").format("noop").save()
+        InvertedIndex.positions(edited)
+          .write.mode("overwrite").format("noop").save()
+        InvertedIndex.corpusStats(edited)
+          .write.mode("overwrite").format("noop").save()
+        val tRebuild = (System.nanoTime() - t2) / 1e9
+        val live = InvertedIndex.postingsFor(spark, baseDir)
+          .select("term", "doc_id", "tf")
+        val fp = freshP.select("term", "doc_id", "tf")
+        val diff =
+          live.join(fp, Seq("term", "doc_id", "tf"), "left_anti").count() +
+          fp.join(live, Seq("term", "doc_id", "tf"), "left_anti").count()
+        val t3 = System.nanoTime()
+        InvertedIndex.searchBm25(spark, baseDir,
+          Seq("join", "hash", "scan"), k = 10).collect()
+        val tSearch = (System.nanoTime() - t3) / 1e9
+        // land the edited corpus (the caller's snapshot-promotion step)
+        // so compact's freshness precondition holds
+        edited.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+        val t4 = System.nanoTime()
+        InvertedIndex.compact(spark, baseDir)
+        val tCompact = (System.nanoTime() - t4) / 1e9
+        val nTomb = removed.select("doc_id").distinct().count()
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        InvertedIndex.drop(spark, baseDir)
+        println(s"""{"probe":"index_edit","mult":$mult,"n_docs":$n,"edit_pct":$pct,"n_tombstoned":$nTomb,"mismatches":$diff,"t_base_build":$tBuild,"t_edit":$tEdit,"t_rebuild_derive":$tRebuild,"t_search_post_edit":$tSearch,"t_compact":$tCompact}""")
+      }
+      spark.stop()
+      return
+    }
     // Hard-negative mining recall probe (round-11, verdict item 5): the
     // contrastive-mining scale path gets the same measured-guardrail
     // treatment as dedup — at each probe scale, recall@5 of the
