@@ -395,6 +395,102 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch snapshot maintenance drives the whole family from streamed versions") {
+    // the composition end-to-end under a stream: snapshot VERSIONS
+    // arrive as micro-batches (the promotion cadence — each batch is
+    // the full next snapshot), and foreachBatch pins prev, lands cur,
+    // and calls SnapshotMaintenance.maintain with the stream's
+    // monotonic batchId. The diff CLASSIFICATION picks the action:
+    // the added-only version takes the append path, the
+    // removal+rewrite version the edit path — and afterwards every
+    // family member (postings, positions, stats, component map,
+    // signature store) serves the final snapshot exactly.
+    val s = spark
+    import s.implicits._
+    import graft.operators.{ComponentIndex, InvertedIndex, SnapshotMaintenance}
+    val dir = Files.createTempDirectory("snapstream-corpus").toString
+    val src = Files.createTempDirectory("snapstream-src").toString
+    val ckpt = Files.createTempDirectory("snapstream-ckpt").toString
+    try {
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      val t1 = (1 to 30).map(i => s"one$i")
+      val t2 = (1 to 30).map(i => s"two$i")
+      val t3 = (1 to 30).map(i => s"three$i")
+      val base = Seq(doc(1, t1), doc(2, t1), doc(3, t2))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+
+      val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+      val schema = graft.sources.Tables.documents(s, dir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val prev = graft.sources.Tables.documents(s, dir)
+              .localCheckpoint(true)
+            val cur = b.localCheckpoint(true)
+            cur.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+            actions += SnapshotMaintenance.maintain(s, dir, prev, id)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      // version 1 (batch 0): base + new doc 4 (t2 twin) — append path
+      val v1 = Seq(doc(1, t1), doc(2, t1), doc(3, t2), doc(4, t2))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      v1.coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      // version 2 (batch 1): doc 2 removed, doc 3 REWRITTEN to t3,
+      // doc 5 added (t3 twin) — edit path
+      val v2 = Seq(doc(1, t1), doc(3, t3), doc(4, t2), doc(5, t3))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      v2.coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      assert(actions.toSeq == Seq("appended", "edited"),
+        s"diff classification picked the wrong actions: $actions")
+      val finalDocs = graft.sources.Tables.documents(s, dir)
+      // search family serves the final snapshot exactly
+      assert(!InvertedIndex.snapshotStale(s, dir))
+      assert(InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet ==
+        InvertedIndex.postings(finalDocs)
+          .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet,
+        "live postings diverge from the final streamed snapshot")
+      val st = InvertedIndex.statsFor(s, dir).head()
+      val ex = InvertedIndex.corpusStats(finalDocs).head()
+      assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)))
+      // dedup family serves the final snapshot exactly: {3, 5} via the
+      // rewrite, {1} a singleton again after 2's removal, {4} singleton
+      // (its t2 twin 3 was rewritten away — the cross-version case)
+      assert(!ComponentIndex.snapshotStale(s, dir))
+      val comp = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = graft.operators.CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(finalDocs)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(comp == full && comp == Set((3L, 3L), (5L, 3L)),
+        s"maintained component map diverges: stored=$comp rebuild=$full")
+      // an idle re-run (no new files) leaves everything untouched
+      val q3 = run()
+      try q3.processAllAvailable() finally q3.stop()
+      assert(actions.toSeq == Seq("appended", "edited"))
+    } finally {
+      graft.operators.InvertedIndex.drop(s, dir)
+      graft.operators.ComponentIndex.drop(s, dir)
+      Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch merge maintains the index across streamed crawl appends") {
     val s = spark
     import s.implicits._
