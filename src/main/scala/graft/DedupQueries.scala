@@ -952,6 +952,16 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchAll(s, dir,
         Seq("join", "hash", "scan"), k = 10)),
 
+    // Boolean-NOT search (round 13): BM25 over the query terms, docs
+    // containing the excluded term removed BEFORE scoring (df = the
+    // eligible-document frequency; N/dltot stay corpus-global). The
+    // exclusion side is a bucket-pruned point read of the same postings
+    // table — ≤ df(excluded) bare doc_ids, broadcast anti-joined — so
+    // the NOT costs one tiny build-side, never a second corpus pass.
+    "q_search_not" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchExcluding(s, dir,
+        Seq("join", "hash"), Seq("scan"), k = 10)),
+
     // ORDERED-PROXIMITY search (round 11): "join" within 3 tokens after
     // "hash" — the NEAR operator, formulated inequality-free: the slop
     // window is the UNION over d = 1..slop of exact equi-joins on
@@ -2254,6 +2264,42 @@ object DedupQueries {
         |SELECT doc_id, tf_total,
         |  CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM agg WHERE n_terms = 3 QUALIFY rank <= 10""".stripMargin,
+    // replays the boolean-NOT from the raw corpus: banned = docs with
+    // the excluded term; tfq keeps only admissible docs, so dfq (over
+    // tfq) is the post-exclusion document frequency — the same df the
+    // Spark side computes from the anti-joined postings. The scored
+    // expression is byte-identical to bm25RankedSql's (same IEEE
+    // association, same ×2^20 floor), so scores are bit-portable.
+    "q_search_not" ->
+      s"""WITH banned AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
+        |  WHERE term = 'scan'),
+        |tfq AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
+        |  WHERE term IN ('join','hash')
+        |    AND doc_id NOT IN (SELECT doc_id FROM banned)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+        |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
+        |        FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(len($canonToksSql)) AS BIGINT) AS dltot
+        |          FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(1048576.0 *
+        |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
+        |      ((2.0 * df_ + 1.0) *
+        |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
+        |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |               CAST(sum(s) AS BIGINT) AS score
+        |        FROM scored GROUP BY 1)
+        |SELECT doc_id, n_terms, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM agg QUALIFY rank <= 10""".stripMargin,
     // replays the phrase match from the raw corpus: 1-based positions by
     // zip-unnest, per-term (doc_id, pos−i) projections intersected on
     // (doc_id, start) — the same pure-equi-join shape as the Spark tail

@@ -569,6 +569,32 @@ object InvertedIndex {
       .select("doc_id", "tf_total", "rank")
   }
 
+  /** Top-k BM25 over `terms` EXCLUDING documents that contain any of
+    * `not` (boolean NOT — completes the boolean surface next to
+    * [[searchAll]]'s AND, [[searchBm25]]'s ranked OR, phrase and NEAR).
+    * Both sides are bucket-pruned point reads of the SAME postings
+    * table: the exclusion list's postings are a per-term slice of
+    * ≤ df(t) bare doc_ids — broadcast anti-joined against the scored
+    * rows BEFORE scoring, so df is the eligible-document frequency and
+    * ranks are exactly BM25 over the admissible sub-corpus's hits
+    * (corpus constants N/dltot stay global via [[statsFor]]). Never a
+    * corpus scan, never a join against the full postings relation. */
+  def searchExcluding(spark: SparkSession, dir: String, terms: Seq[String],
+                      not: Seq[String], k: Int = 10): DataFrame = {
+    val canon = terms.map(canonicalTerm).filter(_.nonEmpty).distinct
+    val canonNot = not.map(canonicalTerm).filter(_.nonEmpty).distinct
+    require(canon.nonEmpty, "searchExcluding needs at least one query term")
+    require(canonNot.nonEmpty,
+      "searchExcluding needs at least one excluded term (use searchBm25)")
+    val post = postingsFor(spark, dir)
+    val banned = broadcast(
+      post.filter(col("term").isin(canonNot: _*)).select("doc_id").distinct())
+    bm25FromPostings(
+      post.filter(col("term").isin(canon: _*))
+        .join(banned, Seq("doc_id"), "left_anti"),
+      statsFor(spark, dir), k)
+  }
+
   /** Top-k documents containing an exact PHRASE (consecutive tokens),
     * served from the pruned positional scan. The occurrence join is pure
     * equi-joins: an occurrence starts at `s` iff term_i sits at `s + i`

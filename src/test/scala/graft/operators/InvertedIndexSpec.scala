@@ -466,6 +466,73 @@ class InvertedIndexSpec extends SparkSpec {
       "a conjunctive hit must contain every query term")
   }
 
+  test("NOT search excludes the banned docs and scores over the eligible df") {
+    val s = spark
+    import s.implicits._
+    // synthetic: doc 2 would outrank doc 1 on 'a' but contains the
+    // banned 'x'; exclusion must drop it BEFORE df, so 'a' scores with
+    // df=2 (docs 1 and 3), not 3
+    val syn = Seq(
+      (1L, "a b a"),
+      (2L, "a a a a x"),
+      (3L, "a c"),
+      (4L, "x b")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_not_fixture"
+    rm(dir)
+    syn.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      val out = InvertedIndex.searchExcluding(s, dir, Seq("a"), Seq("x"), k = 10)
+        .collect().map(r => r.getLong(0))
+      assert(out.toSeq == Seq(1L, 3L), s"got ${out.toSeq}")
+      // the replay over the hand-filtered corpus (docs without 'x')
+      // agrees bit-for-bit: same df, same corpus-global stats
+      val docs = graft.sources.Tables.documents(s, dir)
+      val banned = docs.filter(array_contains(split(col("text"), " "), "x"))
+        .select("doc_id")
+      val live = InvertedIndex.bm25FromPostings(
+        InvertedIndex.postings(docs).filter(col("term") === "a")
+          .join(banned, Seq("doc_id"), "left_anti"),
+        InvertedIndex.corpusStats(docs), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val servedFull = InvertedIndex.searchExcluding(s, dir, Seq("a"), Seq("x"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(servedFull == live)
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+    // the declared query: no hit contains the excluded term, and the
+    // result equals the index-free replay from the raw corpus
+    val served = graft.SparkEntry.queries("q_search_not")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val post = InvertedIndex.postings(docs)
+    val banned = post.filter(col("term") === "scan").select("doc_id").distinct()
+    val replay = InvertedIndex.bm25FromPostings(
+      post.filter(col("term").isin("join", "hash"))
+        .join(banned, Seq("doc_id"), "left_anti"),
+      InvertedIndex.corpusStats(docs), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(served == replay && served.nonEmpty)
+    val ids = served.map(_._1)
+    val clean = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(!array_contains(split(col("text"), " "), "scan")).count()
+    assert(clean == ids.size, "a NOT hit must not contain the excluded term")
+  }
+
+  test("NOT search broadcasts the exclusion side and prunes the bucketed scan") {
+    val s = spark
+    val plan = InvertedIndex.searchExcluding(s, sfDir,
+      Seq("join", "hash"), Seq("scan"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined ||
+      plan.contains("LeftAnti, BuildRight"),
+      s"the exclusion must be a broadcast anti-join, not a shuffle:\n$plan")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"NOT lookup must prune the bucketed postings scan:\n$plan")
+  }
+
   test("conjunctive search prunes the bucketed scan and plans TakeOrderedAndProject") {
     val s = spark
     val plan = InvertedIndex.searchAll(s, sfDir, Seq("join", "hash", "scan"), k = 10)
