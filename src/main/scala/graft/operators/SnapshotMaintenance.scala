@@ -88,7 +88,9 @@ object SnapshotMaintenance {
     * of the 3-arg overload cannot order a tombstone (they sit below the
     * base partition), which is why that overload keeps the full-family
     * rebuild for these classes. Returns "no_change" / "appended" /
-    * "edited". */
+    * "edited", with "+compacted" appended when the post-commit
+    * [[autoCompact]] housekeeping folded a family whose ledger reached
+    * [[compactAfter]] stamps. */
   def maintain(spark: SparkSession, dir: String, prev: DataFrame,
                batchId: Long): String = {
     val cur = graft.sources.Tables.documents(spark, dir)
@@ -128,7 +130,7 @@ object SnapshotMaintenance {
       InvertedIndex.appendPositions(spark, dir, batch, batchId)
       InvertedIndex.append(spark, dir, batch, batchId)
       ComponentIndex.merge(spark, dir, batch, batchId)
-      "appended"
+      if (autoCompact(spark, dir)) "appended+compacted" else "appended"
     } else {
       val outIds = d.filter(col("status").isin("removed", "changed"))
         .select("doc_id")
@@ -142,7 +144,47 @@ object SnapshotMaintenance {
       InvertedIndex.appendPositions(spark, dir, added, batchId)
       InvertedIndex.edit(spark, dir, removed, added, batchId)
       ComponentIndex.edit(spark, dir, removed, added, batchId)
-      "edited"
+      if (autoCompact(spark, dir)) "edited+compacted" else "edited"
     }
+  }
+
+  /** Ledger-growth housekeeping: a family whose ledger holds at least
+    * this many batch stamps is compacted right after [[maintain]]
+    * commits a batch. `-Dgraft.index.compactAfter=N`; 0 disables.
+    * Sizing: each uncompacted batch is one partition per table plus one
+    * ledger row, and every tombstoned edit keeps its dead rows resident
+    * until the next fold — N bounds both, so a daily-batch loop pays
+    * one index-IO-only fold every N days instead of accreting partitions
+    * forever. The default 32 keeps per-table file counts in the
+    * hundreds at [[InvertedIndex.Buckets]]-sized builds. */
+  private[operators] def compactAfter: Int = {
+    val raw = sys.props.getOrElse("graft.index.compactAfter", "32")
+    val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"-Dgraft.index.compactAfter must be an integer, got '$raw'"))
+    require(n >= 0, s"-Dgraft.index.compactAfter must be >= 0, got $n")
+    n
+  }
+
+  /** Compact each family whose ledger reached [[compactAfter]] stamps.
+    * Runs only from the DURABLE-id overload, and only after the batch
+    * committed: folding into the MAX committed id preserves the one
+    * replay the streaming model can produce — the latest batch's re-run
+    * still reads as applied, because its stamp IS the fold row — while
+    * the tombstone-visibility rule (rows hide strictly below their own
+    * id) keeps every crash-intermediate state serving exactly; a crash
+    * mid-fold re-folds idempotently on the next trigger. The
+    * content-derived-id overload must NOT compact: derived ids live
+    * below the base partition, so max() folds to the base id and a
+    * replayed content batch would lose its no-op guard and double. */
+  private def autoCompact(spark: SparkSession, dir: String): Boolean = {
+    val lim = compactAfter
+    if (lim == 0) return false
+    def over(meta: String): Boolean =
+      spark.catalog.tableExists(meta) && spark.table(meta).count() >= lim
+    val inv = over(InvertedIndex.metaTable(dir))
+    val comp = over(ComponentIndex.metaTable(dir))
+    if (inv) InvertedIndex.compact(spark, dir)
+    if (comp) ComponentIndex.compact(spark, dir)
+    inv || comp
   }
 }

@@ -202,4 +202,89 @@ class SnapshotMaintenanceSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("auto-compaction folds the family at the ledger threshold, " +
+       "preserving answers and the latest batch's replay guard") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "s0", 200)
+    def land(rows: Seq[(Long, String, String, String, Int)], dir: String) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t1 = (1 to 30).map(i => s"one$i")
+    val t2 = (1 to 30).map(i => s"two$i")
+    val t3 = (1 to 30).map(i => s"three$i")
+    val dir = java.nio.file.Files.createTempDirectory("snapmaint-compact").toString
+    val saved = sys.props.get("graft.index.compactAfter")
+    sys.props("graft.index.compactAfter") = "3"
+    try {
+      val v0 = Seq(doc(1, t1), doc(2, t1), doc(3, t2))
+      land(v0, dir)
+      dropAll(dir)
+      InvertedIndex.ensurePositions(s, dir)  // ledger stamp 1 (base)
+      ComponentIndex.ensureBanded(s, dir)
+      // batch 1 → 2 stamps, below the threshold of 3: no fold
+      val prev1 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v1 = v0 :+ doc(4, t2)
+      land(v1, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev1, batchId = 1L) == "appended")
+      assert(s.table(InvertedIndex.metaTable(dir)).count() == 2)
+      // batch 2 → 3 stamps: the post-commit housekeeping folds BOTH families
+      val prev2 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v2 = v1 :+ doc(5, t1)
+      land(v2, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev2, batchId = 2L)
+        == "appended+compacted")
+      assert(s.table(InvertedIndex.metaTable(dir)).count() == 1,
+        "the inverted ledger must fold to one stamp")
+      assert(s.table(ComponentIndex.metaTable(dir)).count() == 1,
+        "the component ledger must fold to one stamp")
+      // answers survive the fold exactly
+      val docsNow = graft.sources.Tables.documents(s, dir)
+      assert(InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet ==
+        InvertedIndex.postings(docsNow)
+          .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet)
+      val st = InvertedIndex.statsFor(s, dir).head()
+      val ex = InvertedIndex.corpusStats(docsNow).head()
+      assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)))
+      assert(ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        CacheScope.withOperatorCaches {
+          ComponentIndex.bandedComponentMap(docsNow)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        })
+      // the one replay the streaming model can produce — the just-folded
+      // batch re-running after a crash before the offset commit — still
+      // reads as applied, because its stamp IS the fold row
+      assert(SnapshotMaintenance.maintain(s, dir, prev2, batchId = 2L)
+        == "no_change")
+      // and the loop continues past the fold: a tombstoned EDIT lands
+      // exactly (its id sits above the fold id, so visibility holds)
+      val prev3 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v3 = Seq(doc(1, t1), doc(3, t3), doc(4, t2), doc(5, t1))
+      land(v3, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev3, batchId = 3L) == "edited")
+      val docsEdited = graft.sources.Tables.documents(s, dir)
+      assert(InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet ==
+        InvertedIndex.postings(docsEdited)
+          .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet,
+        "a post-fold edit must serve the edited corpus exactly")
+      // compactAfter=0 disables the housekeeping
+      sys.props("graft.index.compactAfter") = "0"
+      val prev4 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      land(v3 :+ doc(6, t3), dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev4, batchId = 4L) == "appended")
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.index.compactAfter") = v
+        case None => sys.props.remove("graft.index.compactAfter")
+      }
+      dropAll(dir)
+      rm(dir)
+    }
+  }
 }
