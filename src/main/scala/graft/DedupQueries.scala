@@ -76,6 +76,27 @@ object DedupQueries {
     * The oracle replays the SAME BM25/phrase SQL with `documents`
     * shadowed by an edited-corpus CTE — one scoring definition, two
     * corpus histories. */
+  /** The DELETED-index fixture ([[maintainedSearchDir]]'s ANN twin): a
+    * copy of the fixture embeddings whose persisted IVF index absorbed a
+    * TOMBSTONE batch — vec_id % 20 == 3 removed via
+    * [[graft.operators.IvfIndex.delete]]. The embeddings parquet stays
+    * FULL, so a fresh session rebuilds with the SAME
+    * full-corpus-trained centroids (what the oracle's unrolled-Lloyd's
+    * CTEs train on) and re-applies the delete, which self-no-ops once
+    * its batch is committed. */
+  private def deletedAnnDir(s: SparkSession, dir: String): String = {
+    val fix = "/tmp/graft_del_ann_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val path = s"$fix/embeddings.parquet"
+    if (!new java.io.File(path).exists())
+      Tables.embeddings(s, dir).write.mode("overwrite").parquet(path)
+    graft.operators.IvfIndex.delete(s, fix,
+      Tables.embeddings(s, fix)
+        .filter(pmod(col("vec_id"), lit(20L)) === 3L).select("vec_id"),
+      batchId = 1L)
+    fix
+  }
+
   private def editedSearchDir(s: SparkSession, dir: String): String = {
     import graft.operators.InvertedIndex
     val fix = "/tmp/graft_edit_search_" +
@@ -388,8 +409,7 @@ object DedupQueries {
     // exchange (the BucketedJoinSpec economics applied to dedup). Same
     // oracle as the live twin: one semantics, two physical strategies.
     "q_dedup_semantic_indexed" -> ((s, dir) => {
-      val (cellsT, _) = graft.operators.IvfIndex.ensureIndex(s, dir)
-      Dedup.embeddingNearDups(s.table(cellsT),
+      Dedup.embeddingNearDups(graft.operators.IvfIndex.cellsFor(s, dir),
           "vec_id", "embedding", "cell", threshold = 0.3)
         .select("id_a", "id_b")
     }),
@@ -797,10 +817,9 @@ object DedupQueries {
     // Same oracle as the live twin: one semantics, two physical
     // strategies.
     "q_sample_cluster_balanced_indexed" -> ((s, dir) => {
-      val (cellsT, _) = graft.operators.IvfIndex.ensureIndex(s, dir)
       val h = pmod(graft.functions.PortableHash.hash60(
         col("vec_id").cast("string")), lit(1125899906842624L)) // 2^50
-      s.table(cellsT)
+      graft.operators.IvfIndex.cellsFor(s, dir)
         .select(col("cell").cast("long").as("cell"), col("vec_id"), h.as("h"))
         .groupBy("cell")
         .agg(graft.functions.expressions.TopKAggregate
@@ -856,6 +875,21 @@ object DedupQueries {
         k = 5, candidatePred = col("vec_id") >= 10)
     }),
 
+    // DELETED-index serving (round 13): the same probe against an index
+    // that absorbed a TOMBSTONE batch (IvfIndex.delete — the
+    // right-to-be-forgotten path): vec_id % 20 == 3 removed at churn
+    // cost, centroids frozen, serving anti-joins O(removed) broadcast
+    // ids. Scoring is per-row, so the correctness gate can hold the
+    // result to the exact frozen-centroid replay minus the tombstoned
+    // candidates — the same oracle CTEs as the indexed twin with the id
+    // filter on the candidate set.
+    "q_sim_ivf_deleted" -> ((s, dir) => {
+      val fix = deletedAnnDir(s, dir)
+      graft.operators.IvfIndex.probe(s, fix,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10),
+        k = 5, candidatePred = col("vec_id") >= 10)
+    }),
+
     // Index HEALTH — the monitoring half of the serving story (round-5
     // verdict item 3): per-cell occupancy of the persisted cells table
     // plus the global skew ratio (hottest cell / mean occupancy) that is
@@ -866,10 +900,10 @@ object DedupQueries {
     // window math over the <= K aggregate rows. The oracle replays the
     // same trained assignment via the unrolled-Lloyd's CTEs.
     "q_ann_index_stats" -> ((s, dir) => {
-      val (cellsT, _) = graft.operators.IvfIndex.ensureIndex(s, dir)
       // no orderBy -> frame = whole (single) partition of <= K agg rows
       val w = org.apache.spark.sql.expressions.Window.partitionBy()
-      s.table(cellsT).groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      graft.operators.IvfIndex.cellsFor(s, dir)
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
         .select(col("cell"), col("n_vecs"),
           (col("n_vecs").cast("double") /
             sum("n_vecs").over(w).cast("double")).as("share"),
@@ -1957,7 +1991,11 @@ object DedupQueries {
     s"$c0,\n${(0 until KMeans.MaxIters).map(round).mkString(",\n")}"
   }
 
-  private val kmeansIvfSql: String = {
+  /** The trained-IVF probe replay. `candExtra` narrows the candidate
+    * set (the deleted twin's tombstone filter); the k-means CTEs always
+    * train on the FULL embeddings — frozen centroids are exactly what
+    * the persisted index serves after a delete. */
+  private def kmeansIvfSql(candExtra: String = ""): String = {
     val cT = s"c${KMeans.MaxIters}"
     s"""WITH $kmeansCtes,
        |scoredf AS (
@@ -1967,7 +2005,8 @@ object DedupQueries {
        |    SELECT e.vec_id, e.embedding, cc.cell,
        |      ${sqlDot("e.embedding", "cc.cvec")} AS dot
        |    FROM embeddings e, $cT cc)),
-       |cand AS (SELECT vec_id, embedding, cell FROM scoredf WHERE rn = 1 AND vec_id >= 10),
+       |cand AS (SELECT vec_id, embedding, cell FROM scoredf
+       |         WHERE rn = 1 AND vec_id >= 10$candExtra),
        |qry  AS (SELECT vec_id, embedding, cell FROM scoredf WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10)
        |SELECT query_id, neighbor_id, rank FROM (
        |  SELECT qry.vec_id AS query_id, cand.vec_id AS neighbor_id,
@@ -2220,7 +2259,7 @@ object DedupQueries {
     "q_dedup_source_overlap" -> sourceOverlapSql,
     "q_dedup_source_overlap_indexed" -> sourceOverlapSql,
     "q_sim_ivf" -> ivfSql,
-    "q_sim_ivf_kmeans" -> kmeansIvfSql,
+    "q_sim_ivf_kmeans" -> kmeansIvfSql(),
     // the same unrolled-Lloyd's assignment feeding the portable bottom-k
     // qualification — heap top-k by (-h, id) == window bottom-k by (h, id)
     "q_sample_cluster_balanced" -> clusterBalancedSql,
@@ -2229,7 +2268,13 @@ object DedupQueries {
     "q_sample_cluster_balanced_indexed" -> clusterBalancedSql,
     // the persisted index serves the SAME trained-centroid result, so the
     // same unrolled-training replay is its oracle
-    "q_sim_ivf_indexed" -> kmeansIvfSql,
+    "q_sim_ivf_indexed" -> kmeansIvfSql(),
+    // the DELETED twin serves an index that absorbed a tombstone batch
+    // (IvfIndex.delete): centroids stay frozen (trained on the FULL
+    // embeddings, exactly what the store holds), candidates lose the
+    // tombstoned ids — scoring is per-row, so the replay is the same
+    // trained-probe SQL with the id filter on the candidate CTE
+    "q_sim_ivf_deleted" -> kmeansIvfSql(" AND vec_id % 20 != 3"),
     "q_ann_index_stats" -> annIndexStatsSql,
     // replays the search from the raw corpus: per-(term, doc) tf over the
     // probed term set, df from the same rows, the shared integer-exact

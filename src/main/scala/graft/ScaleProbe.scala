@@ -450,6 +450,64 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_PROBE_ANN_DEL=<pct> (round-13): the ANN removal
+    // path's economics. Full IVF+PQ build over each probe corpus, then
+    // pct% of the vectors are removed through PqIndex.delete (one
+    // shared tombstone partition + commit stamp — O(removed) writes)
+    // and timed against the one-pass re-assignment of the SURVIVING
+    // corpus a rebuild's assignment stage pays (frozen centroids). The
+    // live cells view is verified against that filtered assignment
+    // distributed, anti-join both ways; a probe is timed before and
+    // after the delete to expose the broadcast-anti-join serving tax.
+    sys.env.get("SPARK_GRAFT_PROBE_ANN_DEL").map(_.toInt).foreach { pct =>
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        val e = graft.sources.Tables.embeddings(spark, dir)
+        val n = BaseVecs * mult
+        val baseDir = s"/tmp/graft_probe/anndel_${mult}_$pct"
+        e.write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+        graft.operators.IvfIndex.drop(spark, baseDir)
+        graft.operators.PqIndex.drop(spark, baseDir)
+        val t0 = System.nanoTime()
+        val (_, cellsT, cents, _) =
+          graft.operators.PqIndex.ensure(spark, baseDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val isGone = pmod(col("vec_id"), lit(100L)) < pct
+        def timeProbe(): Double = {
+          val q = e.filter(col("vec_id") < 10)
+          val t = System.nanoTime()
+          graft.operators.IvfIndex.probe(spark, baseDir, q, k = 5,
+              candidatePred = col("vec_id") >= 10)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        val tProbeBefore = timeProbe()
+        val t1 = System.nanoTime()
+        graft.operators.PqIndex.delete(spark, baseDir,
+          e.filter(isGone).select("vec_id"), batchId = 1L)
+        val tDelete = (System.nanoTime() - t1) / 1e9
+        val tProbeAfter = timeProbe()
+        val t2 = System.nanoTime()
+        val surv = e.filter(!isGone).select(col("vec_id"),
+            graft.operators.SimilarityIVF.cell(col("embedding"), cents)
+              .as("cell"))
+          .localCheckpoint(true)
+        surv.write.mode("overwrite").format("noop").save()
+        val tAssignSurvivors = (System.nanoTime() - t2) / 1e9
+        val live = graft.operators.IvfIndex.cellsFor(spark, baseDir)
+          .select("vec_id", "cell")
+        val diff =
+          live.join(surv, Seq("vec_id", "cell"), "left_anti").count() +
+          surv.join(live, Seq("vec_id", "cell"), "left_anti").count()
+        val nTomb = e.filter(isGone).count()
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        graft.operators.IvfIndex.drop(spark, baseDir)
+        graft.operators.PqIndex.drop(spark, baseDir)
+        println(s"""{"probe":"ann_del","mult":$mult,"n_vecs":$n,"del_pct":$pct,"n_tombstoned":$nTomb,"mismatches":$diff,"t_base_build":$tBuild,"t_delete":$tDelete,"t_assign_survivors":$tAssignSurvivors,"t_probe_before":$tProbeBefore,"t_probe_after":$tProbeAfter}""")
+      }
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_PROBE_COMP_EDIT=<pct> (round-13): the component-map
     // edit path's economics. Full base build (map + banded store); an
     // edit batch removes pct/2% of docs and rewrites pct/2% (text

@@ -59,6 +59,7 @@ object IvfIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${stem}_cells")
     spark.sql(s"DROP TABLE IF EXISTS ${stem}_centroids")
     spark.sql(s"DROP TABLE IF EXISTS ${stem}_meta")
+    spark.sql(s"DROP TABLE IF EXISTS ${stem}_tomb")
   }
 
   /** The batched maintenance ledger ([[SnapshotMeta]]'s contract) for the
@@ -110,7 +111,7 @@ object IvfIndex {
         spark.table(x).columns.contains("batch_id")
     if (!(ledgered(cellsT) && spark.catalog.tableExists(centsT) &&
           ledgered(metaT))) {
-      Seq(cellsT, centsT, metaT).foreach { x =>
+      Seq(cellsT, centsT, metaT, tombTable(dir)).foreach { x =>
         spark.sql(s"DROP TABLE IF EXISTS $x")
         dropOrphanLocation(spark, x)
       }
@@ -195,14 +196,109 @@ object IvfIndex {
       SnapshotMeta.fingerprint(
         graft.sources.Tables.embeddings(spark, dir), "vec_id"))
 
+  /** The family's removal tombstones — (vec_id, batch_id), shared by the
+    * cells AND codes serving paths (codes derive from cells, so one list
+    * of dead vectors covers both). */
+  private[operators] def tombTable(dir: String): String =
+    tableStem(dir) + "_tomb"
+
+  /** Apply tombstone visibility to index rows carrying (vec_id,
+    * batch_id): a row is dead iff some tombstone with a STRICTLY higher
+    * batch id names its vec_id — the [[InvertedIndex]] rule, so a
+    * re-added vector's newer rows stay live. The tombstone side is
+    * O(removed) bare ids, broadcast. */
+  private[operators] def liveRows(spark: SparkSession, dir: String,
+                                  rows: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(tombTable(dir))) rows
+    else {
+      val t = broadcast(spark.table(tombTable(dir))
+        .select(col("vec_id").as("t_vec"), col("batch_id").as("t_batch")))
+      rows.join(t,
+        rows("vec_id") === t("t_vec") && rows("batch_id") < t("t_batch"),
+        "left_anti")
+    }
+
+  /** The LIVE cells relation — the serving view every reader outside the
+    * maintenance internals must use ([[InvertedIndex.postingsFor]]'s ANN
+    * twin): stored rows minus tombstoned vectors. */
+  def cellsFor(spark: SparkSession, dir: String): DataFrame = {
+    val (cellsT, _) = ensureIndex(spark, dir)
+    liveRows(spark, dir, spark.table(cellsT))
+  }
+
+  /** Removals and re-embeddings at CHURN cost ([[InvertedIndex.edit]]'s
+    * ANN twin — the path a right-to-be-forgotten delete or an embedding
+    * refresh takes): `removed` ids land as a tombstone partition (old
+    * rows die by visibility, never rewritten in place), `added` vectors
+    * are assigned to the FROZEN centroids and land as a normal batch
+    * partition. Cost is O(batch) writes — the resident corpus is never
+    * read, moved, or re-assigned; the serving-side price is one
+    * broadcast anti-join against O(removed) bare ids until [[compact]]
+    * applies the tombstones physically. Scoring is per-row, so a
+    * tombstoned candidate's absence is EXACT: probes equal the same
+    * probes over an index built without those vectors (frozen
+    * centroids), spec-pinned. Crash-idempotent under the batched
+    * ledger: tombstones, then the adds partition, then the commit
+    * stamp; every pre-stamp state replays convergently and a committed
+    * batch no-ops. Requires a DURABLE non-negative id — tombstone
+    * visibility orders on batch id ([[InvertedIndex.edit]]'s rule). */
+  def edit(spark: SparkSession, dir: String, removed: DataFrame,
+           added: DataFrame, batchId: Long,
+           idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(batchId >= 0,
+      "edit/delete need an explicit non-negative batch id: tombstone " +
+        "visibility orders on batch id, and derived ids sit below the " +
+        "base partition")
+    val (cellsT, cents) = ensureIndex(spark, dir)
+    if (SnapshotMeta.appliedBatch(spark, metaTable(dir), batchId)) return
+    val tombs = removed.select(col(idCol).as("vec_id")).distinct()
+    val tt = tombTable(dir)
+    if (!spark.catalog.tableExists(tt)) {
+      dropOrphanLocation(spark, tt)
+      tombs.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id").saveAsTable(tt)
+    } else SnapshotMeta.overwritePartition(spark, tt, batchId, tombs)
+    SnapshotMeta.overwritePartition(spark, cellsT, batchId,
+      added.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        SimilarityIVF.cell(col(vecCol), cents).as("cell")))
+    val fa = SnapshotMeta.fingerprint(
+      added.select(col(idCol).as("vec_id")), "vec_id")
+    val fr = SnapshotMeta.fingerprint(tombs, "vec_id")
+    SnapshotMeta.stampBatch(spark, metaTable(dir), batchId,
+      (fa._1 - fr._1, fa._2 - fr._2))
+  }
+
+  /** Pure removal — [[edit]] with an empty add side (schema-only: the
+    * empty frame must carry NO lineage on the cells table, which the
+    * edit overwrites). */
+  private[operators] def emptyAdds(spark: SparkSession, dir: String): DataFrame = {
+    val (cellsT, _) = ensureIndex(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.table(cellsT).schema.filter(f =>
+        f.name == "vec_id" || f.name == "embedding"))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  def delete(spark: SparkSession, dir: String, removed: DataFrame,
+             batchId: Long, idCol: String = "vec_id"): Unit =
+    edit(spark, dir, removed.select(col(idCol).as("vec_id")),
+      emptyAdds(spark, dir), batchId)
+
   /** CENTROID-PRESERVING compaction ([[InvertedIndex.compact]]'s ANN
-    * twin): folds every batch partition of the cells table into the base
-    * partition and resets the ledger to one summed stamp. Assignments are
-    * untouched — centroids stay frozen — so probes are BIT-IDENTICAL
-    * before and after (spec-pinned); only the file layout changes (one
-    * file per bucket again, instead of one per bucket per batch). This is
-    * NOT the retrain: centroid drift repair is `drop` + `ensureIndex`, a
-    * different operation with different (better-recall) results.
+    * twin): folds every batch partition of the cells table into the
+    * HIGHEST committed batch id, applies tombstones physically (dead
+    * rows dropped, the tombstone table retired), and resets the ledger
+    * to one summed stamp. Assignments are untouched — centroids stay
+    * frozen — so probes are BIT-IDENTICAL before and after
+    * (spec-pinned); only the file layout changes (one file per bucket
+    * again, instead of one per bucket per batch). Folding to the max id
+    * — not the base — is the tombstone-visibility rule: rows at the max
+    * id can never be hidden by a leftover tombstone from a torn run,
+    * and the latest batch's replay guard survives (its stamp IS the
+    * fold row). This is NOT the retrain: centroid drift repair is
+    * `drop` + `ensureIndex`, a different operation with different
+    * (better-recall) results.
     *
     * Crash contract, one honest difference from the inverted index's: a
     * kill mid-fold can leave the cells table absent, and the recovery
@@ -217,13 +313,18 @@ object IvfIndex {
         "or rebuild first.")
     val (cellsT, _) = ensureIndex(spark, dir)
     val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
-    val rows = spark.table(cellsT).drop("batch_id").localCheckpoint(true)
-    rows.withColumn("batch_id", lit(BaseBatchId))
+    val foldId = spark.table(metaTable(dir))
+      .agg(max("batch_id")).head().getLong(0)
+    val rows = liveRows(spark, dir, spark.table(cellsT))
+      .drop("batch_id").localCheckpoint(true)
+    rows.withColumn("batch_id", lit(foldId))
       .write.mode("overwrite").partitionBy("batch_id")
       .bucketBy(Buckets, "cell").sortBy("cell")
       .saveAsTable(cellsT)
+    spark.sql(s"DROP TABLE IF EXISTS ${tombTable(dir)}")
+    dropOrphanLocation(spark, tombTable(dir))
     import spark.implicits._
-    Seq((fp._1, fp._2, BaseBatchId)).toDF("n_rows", "id_sum", "batch_id")
+    Seq((fp._1, fp._2, foldId)).toDF("n_rows", "id_sum", "batch_id")
       .write.mode("overwrite").partitionBy("batch_id")
       .saveAsTable(metaTable(dir))
     spark.catalog.refreshTable(cellsT)
@@ -247,7 +348,7 @@ object IvfIndex {
     val q = broadcast(queries
       .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
               explode(SimilarityIVF.probeCells(col(vecCol), cents)).as("cell")))
-    val c = spark.table(cellsT).filter(candidatePred)
+    val c = liveRows(spark, dir, spark.table(cellsT)).filter(candidatePred)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
               col("cell"))
     SimilarityIVF.rankProbed(q, c, k)

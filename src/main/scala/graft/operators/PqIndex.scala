@@ -44,14 +44,22 @@ object PqIndex {
   /** Spec hook: force the next [[ensure]] to re-run the parity check. */
   private[operators] def resetSyncCheck(): Unit = synced.clear()
 
-  /** Fold the codes table's batch partitions into the base partition —
-    * run alongside [[IvfIndex.compact]] (codes carry no ledger of their
-    * own; model state and code values are untouched, so ADC probes are
-    * bit-identical before and after). */
+  /** Fold the codes table's batch partitions into the family's HIGHEST
+    * committed batch id, dropping tombstoned rows physically — run
+    * BEFORE [[IvfIndex.compact]] (which retires the shared tombstone
+    * table; codes carry no ledger of their own). Model state and code
+    * values are untouched, so ADC probes are bit-identical before and
+    * after. Running the two compacts in the other order still
+    * converges: the codes keep their dead rows until [[ensure]]'s
+    * parity signature catches the drift and re-encodes from the clean
+    * cells table. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val (codesT, _, _, _) = ensure(spark, dir)
-    val rows = spark.table(codesT).drop("batch_id").localCheckpoint(true)
-    rows.withColumn("batch_id", lit(IvfIndex.BaseBatchId))
+    val foldId = spark.table(IvfIndex.metaTable(dir))
+      .agg(max("batch_id")).head().getLong(0)
+    val rows = IvfIndex.liveRows(spark, dir, spark.table(codesT))
+      .drop("batch_id").localCheckpoint(true)
+    rows.withColumn("batch_id", lit(foldId))
       .write.mode("overwrite").partitionBy("batch_id")
       .bucketBy(IvfIndex.Buckets, "cell").sortBy("cell")
       .saveAsTable(codesT)
@@ -200,6 +208,41 @@ object PqIndex {
         SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol))),
       idCol, vecCol)
 
+  /** Removals and re-embeddings for the WHOLE PQ family, paired with
+    * [[IvfIndex.edit]] the way [[append]] pairs with the coarse append:
+    * tombstones + the adds' cells partition land through the coarse
+    * edit (one ledger, one commit point), then the adds' CODES land in
+    * the codes table's matching partition. The shared tombstone list
+    * covers both tables — probes anti-join it until compaction — so no
+    * second removal structure exists to desync. Crash windows repair
+    * exactly as [[append]]'s: per-batch parity re-lands a torn codes
+    * partition, the session parity signature is the backstop. */
+  def edit(spark: SparkSession, dir: String, removed: DataFrame,
+           added: DataFrame, batchId: Long,
+           idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (codesT, cellsT, cents, cb) = ensure(spark, dir)
+    val committed =
+      SnapshotMeta.appliedBatch(spark, IvfIndex.metaTable(dir), batchId)
+    IvfIndex.edit(spark, dir, removed, added, batchId, idCol, vecCol)
+    def partCount(t: String): Long =
+      spark.table(t).filter(col("batch_id") === batchId).count()
+    if (!committed || partCount(codesT) != partCount(cellsT))
+      SnapshotMeta.overwritePartition(spark, codesT, batchId, added
+        .select(col(idCol).as("vec_id"),
+          SimilarityIVF.cell(col(vecCol), cents).as("cell"), col(vecCol).as("v"))
+        .select(col("vec_id"), col("cell"),
+          PqExpressions.pq_encode(
+            graft.functions.expressions.VectorExpressions
+              .centroid_residual(col("v"), col("cell"), cents),
+            cb).as("codes")))
+  }
+
+  /** Pure removal — [[edit]] with an empty add side. */
+  def delete(spark: SparkSession, dir: String, removed: DataFrame,
+             batchId: Long, idCol: String = "vec_id"): Unit =
+    edit(spark, dir, removed.select(col(idCol).as("vec_id")),
+      IvfIndex.emptyAdds(spark, dir), batchId)
+
   /** ADC top-k from the STORED codes: the candidate side is a scan of the
     * bucketed codes table — no residual, no encode, no vector anywhere on
     * the candidate path. Same result as
@@ -208,11 +251,12 @@ object PqIndex {
   def probe(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
             idColQ: String = "vec_id", vecCol: String = "embedding",
             candidatePred: Column = lit(true)): DataFrame =
-    probeFrom(ensure(spark, dir), spark, queries, k, idColQ, vecCol, candidatePred)
+    probeFrom(ensure(spark, dir), dir, spark, queries, k, idColQ, vecCol,
+      candidatePred)
 
-  private def probeFrom(ix: Ensured, spark: SparkSession, queries: DataFrame,
-                        k: Int, idColQ: String, vecCol: String,
-                        candidatePred: Column): DataFrame = {
+  private def probeFrom(ix: Ensured, dir0: String, spark: SparkSession,
+                        queries: DataFrame, k: Int, idColQ: String,
+                        vecCol: String, candidatePred: Column): DataFrame = {
     val (codesT, _, cents, cb) = ix
     val q = broadcast(queries
       .select(col(idColQ).as("query_id"),
@@ -220,7 +264,8 @@ object PqIndex {
               explode(SimilarityIVF.probeCellsWithDot(col(vecCol), cents)).as("pc"))
       .select(col("query_id"), col("lut"),
               col("pc.cell").as("cell"), col("pc.cdot").as("cdot")))
-    val c = spark.table(codesT).filter(candidatePred)
+    val c = IvfIndex.liveRows(spark, dir0, spark.table(codesT))
+      .filter(candidatePred)
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     Pq.topKTail(c.join(q, Seq("cell"))
       .withColumn("score",
@@ -236,9 +281,11 @@ object PqIndex {
                   idColQ: String = "vec_id", vecCol: String = "embedding",
                   candidatePred: Column = lit(true)): DataFrame = {
     val ix = ensure(spark, dir)
-    val shortlist = probeFrom(ix, spark, queries, r, idColQ, vecCol, candidatePred)
+    val shortlist = probeFrom(ix, dir, spark, queries, r, idColQ, vecCol,
+      candidatePred)
     Pq.exactRerank(queries,
-      spark.table(ix._2).filter(candidatePred), shortlist, k,
+      IvfIndex.liveRows(spark, dir, spark.table(ix._2))
+        .filter(candidatePred), shortlist, k,
       idColQ, "vec_id", vecCol, "embedding")
   }
 }

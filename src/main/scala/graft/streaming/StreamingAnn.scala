@@ -39,11 +39,11 @@ object StreamingAnn {
   def scoredCandidates(spark: SparkSession, dir: String, queryStream: DataFrame,
                        idColQ: String = "vec_id", vecCol: String = "embedding",
                        candidatePred: Column = lit(true)): DataFrame = {
-    val (cellsT, cents) = IvfIndex.ensureIndex(spark, dir)
+    val (_, cents) = IvfIndex.ensureIndex(spark, dir)
     val q = queryStream
       .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
               explode(SimilarityIVF.probeCells(col(vecCol), cents)).as("cell"))
-    val c = spark.table(cellsT).filter(candidatePred)
+    val c = IvfIndex.cellsFor(spark, dir).filter(candidatePred)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
               col("cell"))
     q.join(c, Seq("cell"))

@@ -232,6 +232,103 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("delete tombstones vectors exactly: probes exclude them, replay no-ops, " +
+       "compact applies them physically") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel-fixture").toString
+    def vec(id: Long) = (id,
+      Array.tabulate(64)(d => (((id * 37 + d * 11) % 23) - 11) / 11.0f), id % 10)
+    def frame(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "embedding", "label")
+    try {
+      frame(0L until 50L).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val (cellsT, _) = IvfIndex.ensureIndex(s, dir)
+      val gone = Seq(15L, 25L, 35L)
+      def probes() = IvfIndex.probe(s, dir, frame(0L until 5L), k = 5,
+        candidatePred = col("vec_id") >= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the expected result is the SAME probe with the candidates
+      // filtered — scoring is per-row, so exclusion is exact
+      val expected = IvfIndex.probe(s, dir, frame(0L until 5L), k = 5,
+        candidatePred = col("vec_id") >= 5 && !col("vec_id").isin(gone: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expected != probes(), "fixture too small: deletes must matter")
+      // KILL BETWEEN WRITES: a torn tombstone partition with no stamp —
+      // the re-run must replace it and converge
+      frame(Seq(15L)).select("vec_id").withColumn("batch_id", lit(2L))
+        .write.partitionBy("batch_id")
+        .saveAsTable("ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_tomb")
+      IvfIndex.delete(s, dir, gone.toDF("vec_id"), batchId = 2L)
+      assert(probes() == expected,
+        "probes after delete must equal the candidate-filtered probe")
+      val neigh = probes().map(_._2)
+      assert(gone.forall(g => !neigh.contains(g)))
+      // a committed batch replays as a NO-OP, even with different ids
+      IvfIndex.delete(s, dir, Seq(40L).toDF("vec_id"), batchId = 2L)
+      assert(probes() == expected, "a committed delete batch must no-op")
+      // staleness contract: ledger sum = base − removed, so the index
+      // reads STALE until the dir drops the removed vectors
+      assert(IvfIndex.snapshotStale(s, dir))
+      frame((0L until 50L).filterNot(gone.contains))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      assert(!IvfIndex.snapshotStale(s, dir))
+      // compact: tombstones apply physically, the table retires, the
+      // fold lands at the max committed id, probes are bit-identical
+      IvfIndex.compact(s, dir)
+      assert(!s.catalog.tableExists(
+        "ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_tomb"),
+        "compact must retire the tombstone table")
+      val stored = s.table(cellsT).select("vec_id", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(stored.map(_._2).toSet == Set(2L),
+        "compact must fold into the max committed id")
+      assert(!stored.map(_._1).exists(gone.contains),
+        "dead rows must be physically gone after compact")
+      assert(probes() == expected, "compaction changed probe answers")
+    } finally {
+      IvfIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("edit re-embeds a vector at churn cost: the live view serves the new assignment") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfedit-fixture").toString
+    def vec(id: Long, salt: Long) = (id,
+      Array.tabulate(64)(d => (((id * 37 + salt + d * 11) % 23) - 11) / 11.0f))
+    try {
+      (0L until 50L).map(vec(_, 0L)).toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val (_, cents) = IvfIndex.ensureIndex(s, dir)
+      // vector 10 gets a NEW embedding (a refreshed encoder, say)
+      val v10 = Seq(vec(10L, 999L)).toDF("vec_id", "embedding")
+      IvfIndex.edit(s, dir, Seq(10L).toDF("vec_id"), v10, batchId = 4L)
+      // the live view = old corpus minus 10, plus 10 assigned FROZEN
+      val got = IvfIndex.cellsFor(s, dir).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = ((0L until 50L).filterNot(_ == 10L).map(vec(_, 0L))
+        :+ vec(10L, 999L)).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.operators.SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected && got.size == 50,
+        "the live view must hold the re-embedded assignment exactly")
+    } finally {
+      IvfIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("compact folds batch partitions, keeps centroids, preserves probes bit-exactly") {
     val s = spark
     import s.implicits._
@@ -260,8 +357,8 @@ class IvfIndexSpec extends SparkSpec {
       assert(s.table(IvfIndex.metaTable(dir)).count() == 1)
       val parts = s.table(cellsT).select("batch_id").distinct()
         .collect().map(_.getLong(0)).toSet
-      assert(parts == Set(IvfIndex.BaseBatchId),
-        s"cells table still holds batch partitions: $parts")
+      assert(parts == Set(3L),
+        s"compact must fold into the max committed id (3), got: $parts")
       assert(probes() == before && before.nonEmpty,
         "compaction changed probe answers")
       assert(!IvfIndex.snapshotStale(s, dir))

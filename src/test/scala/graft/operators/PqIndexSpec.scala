@@ -200,14 +200,62 @@ class PqIndexSpec extends SparkSpec {
       def probes() = PqIndex.probeRerank(s, dir, frame(0L until 5L), k = 5, r = 20)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val before = probes()
-      IvfIndex.compact(s, dir)
-      PqIndex.compact(s, dir)
+      PqIndex.compact(s, dir)  // codes first: the coarse compact retires
+      IvfIndex.compact(s, dir) // the shared tombstone table
       val parts = s.table(codesT).select("batch_id").distinct()
         .collect().map(_.getLong(0)).toSet
-      assert(parts == Set(IvfIndex.BaseBatchId),
-        s"codes table still holds batch partitions: $parts")
+      assert(parts == Set(4L),
+        s"compact must fold the codes into the max committed id (4), got: $parts")
       assert(probes() == before && before.nonEmpty,
         "compaction changed ADC probe answers")
     } finally { dropTemp(); rm(new java.io.File(dir)) }
+  }
+
+  test("family delete excludes vectors from ADC and reranked probes") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pqdel-fixture").toString
+    def vec(id: Long) = (id,
+      Array.tabulate(64)(d => (((id * 47 + d * 13) % 31) - 15) / 15.0f), id % 10)
+    def frame(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "embedding", "label")
+    try {
+      frame(0L until 60L).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      PqIndex.ensure(s, dir)
+      val gone = Seq(12L, 22L, 32L)
+      val keep = col("vec_id") >= 5 && !col("vec_id").isin(gone: _*)
+      // per-row scoring: the post-delete probe must equal the
+      // candidate-filtered pre-delete probe, for BOTH serving paths
+      val expAdc = PqIndex.probe(s, dir, frame(0L until 5L), k = 5,
+        candidatePred = keep)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expRr = PqIndex.probeRerank(s, dir, frame(0L until 5L), k = 5, r = 20,
+        candidatePred = keep)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      PqIndex.delete(s, dir, gone.toDF("vec_id"), batchId = 2L)
+      def adc() = PqIndex.probe(s, dir, frame(0L until 5L), k = 5,
+        candidatePred = col("vec_id") >= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def rr() = PqIndex.probeRerank(s, dir, frame(0L until 5L), k = 5, r = 20,
+        candidatePred = col("vec_id") >= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(adc() == expAdc, "ADC probes must exclude tombstoned vectors")
+      assert(rr() == expRr, "reranked probes must exclude tombstoned vectors")
+      // re-embedding through the family edit: vector 7 moves, both
+      // stores stay in sync at batch cost
+      val v7 = Seq((7L, Array.tabulate(64)(d =>
+        (((7L * 47 + 999 + d * 13) % 31) - 15) / 15.0f))).toDF("vec_id", "embedding")
+      PqIndex.edit(s, dir, Seq(7L).toDF("vec_id"), v7, batchId = 3L)
+      val cells = IvfIndex.cellsFor(s, dir).filter(col("vec_id") === 7L).count()
+      assert(cells == 1L, "the re-embedded vector must be live exactly once")
+      assert(adc().nonEmpty && rr().nonEmpty)
+    } finally {
+      IvfIndex.drop(s, dir); PqIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
   }
 }
