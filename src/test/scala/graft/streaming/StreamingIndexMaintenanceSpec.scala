@@ -78,6 +78,97 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch CDC deletes maintain the ANN family: streamed removals at churn cost") {
+    // the ANN twin of the inverted-index CDC test: vector change events
+    // (op = upsert | delete) arrive as micro-batches, foreachBatch
+    // routes them through PqIndex.edit with the stream's monotonic
+    // batchId. The live view must equal the frozen-centroid assignment
+    // of the surviving vectors — including a vector ADDED in batch 0
+    // and DELETED in batch 1 (cross-batch tombstone visibility), and a
+    // vector deleted then RE-ADDED (its newer rows must stay live).
+    val s = spark
+    import s.implicits._
+    import graft.operators.{IvfIndex, PqIndex}
+    val idxDir = Files.createTempDirectory("anncdc-fixture").toString
+    val src = Files.createTempDirectory("anncdc-src").toString
+    val ckpt = Files.createTempDirectory("anncdc-ckpt").toString
+    try {
+      def emb(id: Long, salt: Long) =
+        Array.tabulate(64)(d => (((id * 31 + salt + d * 7) % 19) - 9) / 9.0f)
+      def vec(id: Long) = (id, emb(id, 0L), id % 10)
+      (0L until 50L).map(vec)
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$idxDir/embeddings.parquet")
+      val (_, _, cents, _) = PqIndex.ensure(s, idxDir)
+
+      val evSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType)))
+      def run() = s.readStream.schema(evSchema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val ev = b.persist()
+            PqIndex.edit(s, idxDir,
+              ev.select("vec_id"),
+              ev.filter(col("op") === "upsert").select("vec_id", "embedding"),
+              id)
+            ev.unpersist()
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      // batch 0: delete 15, re-embed 20, add 100
+      Seq((15L, Array.empty[Float], "delete"),
+          (20L, emb(20L, 500L), "upsert"),
+          (100L, emb(100L, 0L), "upsert"))
+        .toDF("vec_id", "embedding", "op").coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      // batch 1: delete 100 (added one batch earlier — cross-batch
+      // tombstone) and RE-ADD 15 (deleted one batch earlier — its new
+      // row must out-live the old tombstone)
+      Seq((100L, Array.empty[Float], "delete"),
+          (15L, emb(15L, 900L), "upsert"))
+        .toDF("vec_id", "embedding", "op").coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      // expected live corpus: 0..49 with 20 and 15 re-embedded; 100 gone
+      val expected = ((0L until 50L).filterNot(i => i == 20L || i == 15L)
+        .map(i => (i, emb(i, 0L))) ++ Seq((20L, emb(20L, 500L)), (15L, emb(15L, 900L))))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.operators.SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val got = IvfIndex.cellsFor(s, idxDir).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected && got.size == 50,
+        "the live ANN view must serve the post-CDC corpus exactly")
+      // ADC probes agree with the candidate-filtered expectation: no
+      // tombstoned vector appears as a neighbor
+      val qv = (0L until 3L).map(vec).toDF("vec_id", "embedding", "label")
+      val neigh = PqIndex.probe(s, idxDir, qv, k = 5,
+        candidatePred = col("vec_id") >= 3)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(!neigh.contains(100L), "a deleted vector served as a neighbor")
+      assert(neigh.nonEmpty)
+    } finally {
+      graft.operators.IvfIndex.drop(s, idxDir)
+      graft.operators.PqIndex.drop(s, idxDir)
+      graft.operators.KMeans.clearModels()
+      Seq(idxDir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch PQ maintenance with the durable batch id keeps cells and codes in sync") {
     // the production ingest shape: foreachBatch's batchId IS the ledger
     // slot (no content-derived ids), so a restarted stream replaying its
