@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [[SnapshotMaintenance]] for the EMBEDDINGS snapshot: the diff between
+  * the embeddings the ANN family covers and the current dir picks the
+  * maintenance action for the whole IVF+PQ family (cells, codes, shared
+  * tombstones, one coarse ledger). Content identity is the portable hash
+  * of the vector rendered as a string — a re-embedded vec_id classifies
+  * as `changed` exactly like a rewritten document.
+  *
+  *   - delta empty                → nothing to do
+  *   - pure `added`               → [[PqIndex.append]]: assign to frozen
+  *     centroids, land cells + codes partitions at batch cost
+  *   - any `removed` or `changed` → [[PqIndex.edit]]: tombstones + the
+  *     re-embedded/new vectors as a normal batch — churn cost, never a
+  *     corpus re-assignment
+  *
+  * Same contracts as the document-side composition: requires a DURABLE
+  * monotonic batch id (tombstone visibility orders on it), a committed
+  * batch replays as a no-op, a family that neither covers `prev` nor has
+  * the batch committed rebuilds instead of appending into a full build,
+  * and after a committed batch the [[SnapshotMaintenance.compactAfter]]
+  * housekeeping folds the family once the ledger reaches the threshold
+  * (codes first — the coarse compact retires the shared tombstones).
+  */
+object AnnMaintenance {
+
+  private def content(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding").cast("string").as("content"))
+
+  /** Classify `cur` (the dir's embeddings) against `prev` and apply the
+    * cheapest sound maintenance to the whole ANN family. Returns
+    * "no_change" / "appended" / "edited" / "rebuilt", with "+compacted"
+    * appended when the post-commit housekeeping folded the family. */
+  def maintain(spark: SparkSession, dir: String, prev: DataFrame,
+               batchId: Long): String = {
+    val cur = graft.sources.Tables.embeddings(spark, dir)
+    val meta = IvfIndex.metaTable(dir)
+    def committed: Boolean =
+      spark.catalog.tableExists(meta) &&
+        SnapshotMeta.appliedBatch(spark, meta, batchId)
+    if (committed) return "no_change"
+    // the incremental paths assume the family's state IS `prev` — a
+    // family that does not cover it must rebuild (the cold-start guard:
+    // ensure() inside the append path would otherwise build over the
+    // FULL dir and the append would double the batch)
+    val prevFp = SnapshotMeta.fingerprint(prev, "vec_id")
+    if (SnapshotMeta.staleBatched(spark, meta, prevFp)) {
+      IvfIndex.drop(spark, dir)
+      PqIndex.drop(spark, dir)
+      PqIndex.ensure(spark, dir)
+      return "rebuilt"
+    }
+    val d = SnapshotDiff.diff(content(prev), content(cur),
+      idCol = "vec_id", contentCol = "content")
+      .withColumnRenamed("doc_id", "vec_id")
+    val classes = d.select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    val act =
+      if (classes.isEmpty) return "no_change"
+      else if (classes == Set("added")) {
+        val batch = cur.join(d.select("vec_id"), Seq("vec_id"), "left_semi")
+        PqIndex.append(spark, dir, batch, batchId, "vec_id", "embedding")
+        "appended"
+      } else {
+        val outIds = d.filter(col("status").isin("removed", "changed"))
+          .select("vec_id")
+        val inIds = d.filter(col("status").isin("added", "changed"))
+          .select("vec_id")
+        PqIndex.edit(spark, dir,
+          prev.join(outIds, Seq("vec_id"), "left_semi"),
+          cur.join(inIds, Seq("vec_id"), "left_semi"), batchId)
+        "edited"
+      }
+    val lim = SnapshotMaintenance.compactAfter
+    val fold = lim > 0 && spark.catalog.tableExists(meta) &&
+      spark.table(meta).count() >= lim
+    if (fold) {
+      PqIndex.compact(spark, dir)  // codes first: the coarse compact
+      IvfIndex.compact(spark, dir) // retires the shared tombstone table
+    }
+    if (fold) act + "+compacted" else act
+  }
+}
