@@ -1101,6 +1101,18 @@ object DedupQueries {
         k = 5, candidatePred = col("vec_id") >= 10)
     }),
 
+    // the PQ DELETED twin (round 13): stored-code ADC serving from the
+    // family that absorbed the tombstone batch — model state (coarse
+    // centroids + residual codebook) is frozen and full-corpus-trained,
+    // exactly what the store holds, so the oracle is the trained replay
+    // with the tombstoned ids filtered from the candidate CTE only.
+    "q_sim_ivf_pq_deleted" -> ((s, dir) => {
+      val fix = deletedAnnDir(s, dir)
+      graft.operators.PqIndex.probe(s, fix,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10),
+        k = 5, candidatePred = col("vec_id") >= 10)
+    }),
+
     // Text-metadata x vector join — the alignment step of a multimodal /
     // embedding pipeline: BOTH sides are corpus-sized facts, so this is
     // an id-keyed sort-merge join at scale (no broadcast hint; AQE
@@ -1851,7 +1863,14 @@ object DedupQueries {
     * exact order: the per-subspace LUT terms are list'd ORDER BY m and
     * left-folded from 0.0, then added to cdot in one final add. */
   // lazy: composes kmeansCtes/sqlDot declared later in this object
-  private lazy val pqTrainedSql: String = {
+  private lazy val pqTrainedSql: String = pqTrainedSqlFor("")
+
+  /** The trained-PQ ADC replay, with an optional extra candidate filter
+    * (the deleted twin's tombstone exclusion). Training CTEs — coarse
+    * k-means AND the residual codebook — always run on the FULL
+    * embeddings: frozen model state is exactly what the persisted index
+    * serves after a delete; only the candidate set narrows. */
+  private def pqTrainedSqlFor(candExtra: String): String = {
     import graft.operators.Pq.{M, C, SubDim, TrainIters}
     val scale = graft.operators.KMeans.Scale
     def subDistVs(cbRel: String) =
@@ -1922,7 +1941,7 @@ object DedupQueries {
        |  FROM (
        |    SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id, q.cdot AS cdot, en.m, lu.l
        |    FROM qry q
-       |    JOIN (SELECT vec_id, cell FROM resid WHERE vec_id >= 10) cc USING (cell)
+       |    JOIN (SELECT vec_id, cell FROM resid WHERE vec_id >= 10$candExtra) cc USING (cell)
        |    JOIN enc en ON en.vec_id = cc.vec_id
        |    JOIN lut lu ON lu.vec_id = q.vec_id AND lu.m = en.m AND lu.c = en.code)
        |  GROUP BY query_id, neighbor_id)
@@ -2402,6 +2421,7 @@ object DedupQueries {
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_sim_ivf_pq_trained" -> pqTrainedSql,
     "q_sim_ivf_pq_indexed" -> pqTrainedSql,
+    "q_sim_ivf_pq_deleted" -> pqTrainedSqlFor(" AND vec_id % 20 != 3"),
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,
