@@ -660,6 +660,90 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 
+  test("random maintenance histories equal the rebuild (model-based)") {
+    // the strongest pin on the tombstone-visibility rule: an ARBITRARY
+    // interleaving of appends, deletes, and rewrites — including
+    // delete-then-re-add and rewrite-of-a-rewrite across batches — must
+    // leave the live index equal to a from-scratch derivation over the
+    // final model corpus, for postings, positions, stats, and BM25.
+    val s = spark
+    import s.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 7919)
+      def text() = Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      val model = scala.collection.mutable.Map[Long, String](
+        (1L to 12L).map(i => i -> text()): _*)
+      var nextId = 13L
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"invrand$seed").toString
+      def corpus() = model.toSeq.map { case (id, t) => (id, t) }
+        .toDF("doc_id", "text")
+      try {
+        corpus().write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        InvertedIndex.ensure(s, dir)
+        InvertedIndex.ensurePositions(s, dir)
+        for (batch <- 1 to 5) {
+          val ids = model.keys.toVector.sorted
+          val nRem = rnd.nextInt(3)
+          val nRew = rnd.nextInt(3)
+          val removedIds = rnd.shuffle(ids).take(nRem)
+          val rewriteIds = rnd.shuffle(ids.diff(removedIds)).take(nRew)
+          val addedIds = (0 until rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1; id
+          }
+          val rewrites = rewriteIds.map(id => (id, text()))
+          val adds = addedIds.map(id => (id, text()))
+          val removedDocs = (removedIds ++ rewriteIds)
+            .map(id => (id, model(id))).toDF("doc_id", "text")
+          val addedDocs = (rewrites ++ adds).toDF("doc_id", "text")
+          if (removedIds.isEmpty && rewriteIds.isEmpty && adds.nonEmpty) {
+            InvertedIndex.appendPositions(s, dir, addedDocs, batch.toLong)
+            InvertedIndex.append(s, dir, addedDocs, batch.toLong)
+          } else if (removedDocs.count() + addedDocs.count() > 0) {
+            InvertedIndex.appendPositions(s, dir, addedDocs, batch.toLong)
+            InvertedIndex.edit(s, dir, removedDocs, addedDocs, batch.toLong)
+          }
+          removedIds.foreach(model.remove)
+          (rewrites ++ adds).foreach { case (id, t) => model(id) = t }
+        }
+        val fin = corpus().localCheckpoint(true)
+        val live = InvertedIndex.postingsFor(s, dir)
+          .select("term", "doc_id", "tf", "dl")
+          .collect().map(_.toSeq).toSet
+        val fresh = InvertedIndex.postings(fin)
+          .select("term", "doc_id", "tf", "dl")
+          .collect().map(_.toSeq).toSet
+        assert(live == fresh, s"seed $seed: live postings != rebuild")
+        val livePos = InvertedIndex.positionsFor(s, dir)
+          .select("term", "doc_id", "pos")
+          .collect().map(_.toSeq).toSet
+        val freshPos = InvertedIndex.positions(fin)
+          .select("term", "doc_id", "pos")
+          .collect().map(_.toSeq).toSet
+        assert(livePos == freshPos, s"seed $seed: live positions != rebuild")
+        val st = InvertedIndex.statsFor(s, dir).head()
+        val ex = InvertedIndex.corpusStats(fin).head()
+        assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)),
+          s"seed $seed: summed stats != corpus stats")
+        val served = InvertedIndex.searchBm25(s, dir,
+          Seq("alpha", "gamma"), k = 10)
+          .collect().map(_.toSeq).toSet
+        val replay = InvertedIndex.bm25FromPostings(
+          InvertedIndex.postings(fin)
+            .filter(col("term").isin("alpha", "gamma")),
+          InvertedIndex.corpusStats(fin), k = 10)
+          .collect().map(_.toSeq).toSet
+        assert(served == replay, s"seed $seed: BM25 != rebuild replay")
+      } finally {
+        InvertedIndex.drop(s, dir)
+        rm(dir)
+      }
+    }
+  }
+
   test("three successive appends equal the one-shot rebuild (associativity)") {
     val s = spark
     import s.implicits._

@@ -329,6 +329,68 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("random ANN maintenance histories equal the frozen-centroid assignment (model-based)") {
+    // the tombstone-visibility pin for the ANN family: an arbitrary
+    // interleaving of vector adds, deletes, and re-embeddings — incl.
+    // delete-then-re-add — must leave the live cells view equal to the
+    // frozen-centroid assignment of the final model state.
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    def emb(id: Long, salt: Long) =
+      Array.tabulate(64)(d => (((id * 53 + salt + d * 19) % 37) - 18) / 18.0f)
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val model = scala.collection.mutable.Map[Long, Long](
+        (0L until 30L).map(_ -> 0L): _*)
+      var nextId = 100L
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivfrand$seed").toString
+      def frame(rows: Seq[(Long, Long)]) =
+        rows.map { case (id, salt) => (id, emb(id, salt)) }
+          .toDF("vec_id", "embedding")
+      try {
+        frame(model.toSeq).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+        val (_, cents) = IvfIndex.ensureIndex(s, dir)
+        for (batch <- 1 to 4) {
+          val ids = model.keys.toVector.sorted
+          val removedIds = rnd.shuffle(ids).take(rnd.nextInt(3))
+          val reembedIds = rnd.shuffle(ids.diff(removedIds)).take(rnd.nextInt(3))
+          val addedIds = (0 until rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1; id
+          }
+          val reembeds = reembedIds.map(id => (id, model(id) + 1000L))
+          val adds = addedIds.map(id => (id, 0L))
+          val removed = (removedIds ++ reembedIds).map((_, 0L))
+          if (removed.isEmpty && adds.nonEmpty)
+            IvfIndex.append(s, dir, frame(adds), batch.toLong,
+              "vec_id", "embedding")
+          else if (removed.nonEmpty || adds.nonEmpty)
+            IvfIndex.edit(s, dir, frame(removed).select("vec_id"),
+              frame(reembeds ++ adds), batch.toLong)
+          removedIds.foreach(model.remove)
+          (reembeds ++ adds).foreach { case (id, salt) => model(id) = salt }
+        }
+        val live = IvfIndex.cellsFor(s, dir).select("vec_id", "cell")
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        val expected = frame(model.toSeq)
+          .select(col("vec_id"),
+            SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(live == expected && live.size == model.size,
+          s"seed $seed: live cells view != frozen-centroid model assignment")
+      } finally {
+        IvfIndex.drop(s, dir)
+        KMeans.clearModels()
+        rm(new java.io.File(dir))
+      }
+    }
+  }
+
   test("compact folds batch partitions, keeps centroids, preserves probes bit-exactly") {
     val s = spark
     import s.implicits._
