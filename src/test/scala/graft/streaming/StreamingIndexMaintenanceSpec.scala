@@ -582,6 +582,85 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch embeddings-snapshot maintenance drives the ANN family from streamed versions") {
+    // AnnMaintenance under a stream: embeddings snapshot VERSIONS arrive
+    // as micro-batches, foreachBatch pins prev, lands cur, and calls
+    // AnnMaintenance.maintain with the stream's monotonic batchId — the
+    // added-only version takes the append path, the removal+re-embed
+    // version the edit path, and afterwards the live cells view serves
+    // the final streamed snapshot under frozen centroids exactly.
+    val s = spark
+    import s.implicits._
+    import graft.operators.{AnnMaintenance, IvfIndex, PqIndex}
+    val dir = Files.createTempDirectory("annsnap-fixture").toString
+    val src = Files.createTempDirectory("annsnap-src").toString
+    val ckpt = Files.createTempDirectory("annsnap-ckpt").toString
+    try {
+      def emb(id: Long, salt: Long) =
+        Array.tabulate(64)(d => (((id * 41 + salt + d * 13) % 23) - 11) / 11.0f)
+      def frame(rows: Seq[(Long, Long)]) =
+        rows.map { case (id, salt) => (id, emb(id, salt), id % 10) }
+          .toDF("vec_id", "embedding", "label")
+      val v0 = (0L until 40L).map((_, 0L))
+      frame(v0).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      PqIndex.ensure(s, dir)
+      val (_, cents) = IvfIndex.ensureIndex(s, dir)
+
+      val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+      val schema = graft.sources.Tables.embeddings(s, dir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val prev = graft.sources.Tables.embeddings(s, dir)
+              .localCheckpoint(true)
+            val cur = b.localCheckpoint(true)
+            cur.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+            actions += AnnMaintenance.maintain(s, dir, prev, id)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      // version 1 (batch 0): +5 new vectors — append path
+      val v1 = v0 ++ (100L until 105L).map((_, 0L))
+      frame(v1).coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      // version 2 (batch 1): vec 7 removed, vec 8 re-embedded — edit path
+      val v2 = v1.filterNot(_._1 == 7L).map {
+        case (8L, _) => (8L, 800L)
+        case other   => other
+      }
+      frame(v2).coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      assert(actions.toSeq == Seq("appended", "edited"),
+        s"diff classification picked the wrong actions: $actions")
+      val live = IvfIndex.cellsFor(s, dir).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = frame(v2)
+        .select(col("vec_id"),
+          graft.operators.SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(live == expected,
+        "the live ANN view must serve the final streamed snapshot exactly")
+      assert(!IvfIndex.snapshotStale(s, dir))
+      // an idle re-run (no new files) leaves everything untouched
+      val q3 = run()
+      try q3.processAllAvailable() finally q3.stop()
+      assert(actions.toSeq == Seq("appended", "edited"))
+    } finally {
+      graft.operators.IvfIndex.drop(s, dir)
+      graft.operators.PqIndex.drop(s, dir)
+      graft.operators.KMeans.clearModels()
+      Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("foreachBatch merge maintains the index across streamed crawl appends") {
     val s = spark
     import s.implicits._
