@@ -508,6 +508,78 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_PROBE_COMPACT=<nBatches> (round-13): what the
+    // compactAfter housekeeping buys. Build the inverted index over
+    // each probe corpus, land nBatches 1%-sized ledgered appends (each
+    // adds one file per bucket per table and one tombstoned edit every
+    // 4th batch, the realistic mixed diet), then measure BM25+phrase
+    // serving latency at 1 partition (fresh build), at nBatches+1
+    // partitions (the accreted state auto-compaction bounds), the fold
+    // cost itself, and the post-fold latency (min of 3 runs each).
+    sys.env.get("SPARK_GRAFT_PROBE_COMPACT").map(_.toInt).foreach { nb =>
+      import graft.operators.InvertedIndex
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val n = BaseDocs * mult
+        val baseDir = s"/tmp/graft_probe/compact_${mult}_$nb"
+        docs.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+        InvertedIndex.drop(spark, baseDir)
+        val t0 = System.nanoTime()
+        InvertedIndex.ensurePositions(spark, baseDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        def lat(): Double = (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          InvertedIndex.searchBm25(spark, baseDir,
+              Seq("join", "hash", "scan"), k = 10)
+            .write.mode("overwrite").format("noop").save()
+          InvertedIndex.searchPhrase(spark, baseDir,
+              Seq("hash", "join"), k = 10)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t) / 1e9
+        }.min
+        val latFresh = lat()
+        val per = math.max(1L, n / 100)
+        val t1 = System.nanoTime()
+        (1 to nb).foreach { b =>
+          val lo = n + (b - 1) * per
+          val batch = spark.range(lo, lo + per)
+            .selectExpr("id AS doc_id",
+              "concat('join hash scan doc ', CAST(id AS STRING)) AS text")
+          InvertedIndex.appendPositions(spark, baseDir, batch, b.toLong)
+          if (b % 4 == 0)
+            InvertedIndex.edit(spark, baseDir,
+              spark.range(lo - per, lo - per + per / 10)
+                .selectExpr("id AS doc_id",
+                  "concat('join hash scan doc ', CAST(id AS STRING)) AS text"),
+              batch, b.toLong)
+          else
+            InvertedIndex.append(spark, baseDir, batch, b.toLong)
+        }
+        val tAppends = (System.nanoTime() - t1) / 1e9
+        val latAccreted = lat()
+        // compact requires freshness: land the corpus the ledger covers
+        // (base ∪ appended, minus the tombstoned ids — exactly the live
+        // postings' id set) into the dir first
+        val live = InvertedIndex.postingsFor(spark, baseDir)
+        val covered = docs.select("doc_id", "text")
+          .unionByName(spark.range(n, n + nb * per)
+            .selectExpr("id AS doc_id",
+              "concat('join hash scan doc ', CAST(id AS STRING)) AS text"))
+          .join(live.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        covered.write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+        val t3 = System.nanoTime()
+        InvertedIndex.compact(spark, baseDir)
+        val tCompact = (System.nanoTime() - t3) / 1e9
+        val latFolded = lat()
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        InvertedIndex.drop(spark, baseDir)
+        println(s"""{"probe":"compact","mult":$mult,"n_docs":$n,"n_batches":$nb,"t_base_build":$tBuild,"t_appends_total":$tAppends,"t_compact":$tCompact,"lat_fresh":$latFresh,"lat_accreted":$latAccreted,"lat_folded":$latFolded}""")
+      }
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_PROBE_COMP_EDIT=<pct> (round-13): the component-map
     // edit path's economics. Full base build (map + banded store); an
     // edit batch removes pct/2% of docs and rewrites pct/2% (text
