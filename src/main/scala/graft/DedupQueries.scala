@@ -1113,6 +1113,33 @@ object DedupQueries {
         k = 5, candidatePred = col("vec_id") >= 10)
     }),
 
+    // ANN RECALL@5 (round 13) — the evaluation op a production ANN
+    // deployment runs on a sampled query set: per-query overlap between
+    // the served IVF top-5 and the exact brute-force top-5. The exact
+    // side is the q_sim_topk pass (broadcast queries, one candidate
+    // scan, bounded heap); the approximate side reads the persisted
+    // index; the overlap is a semi join on 16-byte id pairs. recall =
+    // n_hits/5.0 — both engines divide the same small integers, so the
+    // doubles are bit-equal. THE retrain trigger beside cell-skew
+    // (q_ann_index_stats): skew says the index drifted, recall says by
+    // how much it matters.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.topK(q, e.filter(col("vec_id") >= 10), k = 5)
+        .select("query_id", "neighbor_id")
+      val approx = graft.operators.IvfIndex.probe(s, dir, q, k = 5,
+        candidatePred = col("vec_id") >= 10)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).cast("long").as("n_hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+    }),
+
     // Text-metadata x vector join — the alignment step of a multimodal /
     // embedding pipeline: BOTH sides are corpus-sized facts, so this is
     // an id-keyed sort-merge join at scale (no broadcast hint; AQE
@@ -2010,13 +2037,15 @@ object DedupQueries {
     s"$c0,\n${(0 until KMeans.MaxIters).map(round).mkString(",\n")}"
   }
 
-  /** The trained-IVF probe replay. `candExtra` narrows the candidate
+  /** The trained-IVF replay's CTE body (WITH-clause content up to the
+    * ranked probe relation `ivfranked`) — shared by [[kmeansIvfSql]] and
+    * the recall-evaluation oracle. `candExtra` narrows the candidate
     * set (the deleted twin's tombstone filter); the k-means CTEs always
     * train on the FULL embeddings — frozen centroids are exactly what
     * the persisted index serves after a delete. */
-  private def kmeansIvfSql(candExtra: String = ""): String = {
+  private def ivfCtes(candExtra: String = ""): String = {
     val cT = s"c${KMeans.MaxIters}"
-    s"""WITH $kmeansCtes,
+    s"""$kmeansCtes,
        |scoredf AS (
        |  SELECT vec_id, embedding, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
@@ -2026,15 +2055,19 @@ object DedupQueries {
        |    FROM embeddings e, $cT cc)),
        |cand AS (SELECT vec_id, embedding, cell FROM scoredf
        |         WHERE rn = 1 AND vec_id >= 10$candExtra),
-       |qry  AS (SELECT vec_id, embedding, cell FROM scoredf WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10)
-       |SELECT query_id, neighbor_id, rank FROM (
+       |qry  AS (SELECT vec_id, embedding, cell FROM scoredf WHERE rn <= ${SimilarityIVF.NProbe} AND vec_id < 10),
+       |ivfranked AS (
        |  SELECT qry.vec_id AS query_id, cand.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY qry.vec_id
        |      ORDER BY ${sqlCosine("qry.embedding", "cand.embedding")} DESC,
        |               cand.vec_id ASC) AS rank
-       |  FROM qry JOIN cand USING (cell))
-       |WHERE rank <= 5""".stripMargin
+       |  FROM qry JOIN cand USING (cell))""".stripMargin
   }
+
+  private def kmeansIvfSql(candExtra: String = ""): String =
+    s"""WITH ${ivfCtes(candExtra)}
+       |SELECT query_id, neighbor_id, rank FROM ivfranked
+       |WHERE rank <= 5""".stripMargin
 
   /** Index-health stats: the persisted cells table is the trained
     * assignment of the fixture embeddings, so per-cell occupancy replays
@@ -2422,6 +2455,31 @@ object DedupQueries {
     "q_sim_ivf_pq_trained" -> pqTrainedSql,
     "q_sim_ivf_pq_indexed" -> pqTrainedSql,
     "q_sim_ivf_pq_deleted" -> pqTrainedSqlFor(" AND vec_id % 20 != 3"),
+    // recall@5: the trained-probe CTEs (the q_sim_ivf_indexed replay)
+    // against the exact brute-force top-5 (the q_sim_topk replay),
+    // overlap counted per query, zero-overlap queries kept via the
+    // left join; n/5.0 divides the same integers on both engines
+    "q_ann_recall" ->
+      s"""WITH ${ivfCtes()},
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC,
+         |                 c.vec_id ASC) AS rank
+         |    FROM embeddings q CROSS JOIN embeddings c
+         |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+         |  WHERE rank <= 5),
+         |ivf AS (SELECT query_id, neighbor_id FROM ivfranked WHERE rank <= 5),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS h
+         |  FROM exact e JOIN ivf USING (query_id, neighbor_id)
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM embeddings q LEFT JOIN hits ON hits.query_id = q.vec_id
+         |WHERE q.vec_id < 10""".stripMargin,
     "q_dedup_pipeline" -> pipelineSql,
     "q_dedup_simhash" -> simhashSql,
     "q_sim_ann_lsh" -> annLshSql,
