@@ -996,6 +996,15 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchExcluding(s, dir,
         Seq("join", "hash"), Seq("scan"), k = 10)),
 
+    // FACETED search (round 13): BM25 restricted to a metadata facet
+    // (here lang='de') — the filtered-retrieval shape. The facet is
+    // decided by the documents table (postings stay metadata-free):
+    // one narrow (doc_id, lang) scan semi-joins the pruned postings
+    // BEFORE scoring, so df is the facet-eligible document frequency.
+    "q_search_filtered" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchFiltered(s, dir,
+        Seq("join", "hash", "scan"), col("lang") === "de", k = 10)),
+
     // ORDERED-PROXIMITY search (round 11): "join" within 3 tokens after
     // "hash" — the NEAR operator, formulated inequality-free: the slop
     // window is the UNION over d = 1..slop of exact equi-joins on
@@ -2377,6 +2386,35 @@ object DedupQueries {
         |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
         |  WHERE term IN ('join','hash')
         |    AND doc_id NOT IN (SELECT doc_id FROM banned)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+        |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
+        |        FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(len($canonToksSql)) AS BIGINT) AS dltot
+        |          FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(1048576.0 *
+        |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
+        |      ((2.0 * df_ + 1.0) *
+        |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
+        |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |               CAST(sum(s) AS BIGINT) AS score
+        |        FROM scored GROUP BY 1)
+        |SELECT doc_id, n_terms, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM agg QUALIFY rank <= 10""".stripMargin,
+    // replays the faceted search: tfq restricted to the facet's docs
+    // (df = the facet-eligible document frequency, the q_search_not
+    // discipline), stats stay corpus-global, same bit-portable scoring
+    "q_search_filtered" ->
+      s"""WITH tfq AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents
+        |        WHERE lang = 'de')
+        |  WHERE term IN ('join','hash','scan')
         |  GROUP BY 1, 2),
         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
         |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl

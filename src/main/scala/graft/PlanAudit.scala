@@ -36,7 +36,15 @@ object PlanAudit {
       // over the bucket-pruned postings scan (pins in InvertedIndexSpec);
       // cluster-balanced sampling must show the heap aggregate (partial
       // per map partition), never a rank window over K tiny partitions
-      "q_search_bm25", "q_sample_cluster_balanced")
+      "q_search_bm25", "q_sample_cluster_balanced",
+      // round-13: the boolean-NOT's exclusion must be a broadcast
+      // anti-join over the pruned postings point read; the faceted
+      // search's facet side one narrow column scan semi-joined before
+      // scoring; the deleted ANN twin's tombstone filter a broadcast
+      // anti-join on the index side; recall@5's overlap a semi join on
+      // 16-byte id pairs
+      "q_search_not", "q_search_filtered", "q_sim_ivf_deleted",
+      "q_ann_recall")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")

@@ -569,6 +569,29 @@ object InvertedIndex {
       .select("doc_id", "tf_total", "rank")
   }
 
+  /** FACETED search: top-k BM25 over `terms`, restricted to documents
+    * matching a metadata predicate (lang, source, …) — the filtered-
+    * retrieval shape every corpus browser serves. The facet is decided
+    * by the DOCUMENTS table, not the index (postings stay metadata-free
+    * and facet-agnostic): eligible ids arrive as one narrow
+    * (doc_id + facet columns) scan, semi-joined against the PRUNED
+    * postings rows BEFORE scoring, so df is the facet-eligible document
+    * frequency ([[searchExcluding]]'s discipline) and the facet scan is
+    * the only corpus-wide read — one projected column pass, no text.
+    * Corpus constants N/dltot stay global via [[statsFor]]. */
+  def searchFiltered(spark: SparkSession, dir: String, terms: Seq[String],
+                     facet: org.apache.spark.sql.Column,
+                     k: Int = 10): DataFrame = {
+    val canon = terms.map(canonicalTerm).filter(_.nonEmpty)
+    require(canon.nonEmpty, "searchFiltered needs at least one query term")
+    val eligible = graft.sources.Tables.documents(spark, dir)
+      .filter(facet).select("doc_id")
+    bm25FromPostings(
+      postingsFor(spark, dir).filter(col("term").isin(canon: _*))
+        .join(eligible, Seq("doc_id"), "left_semi"),
+      statsFor(spark, dir), k)
+  }
+
   /** Top-k BM25 over `terms` EXCLUDING documents that contain any of
     * `not` (boolean NOT — completes the boolean surface next to
     * [[searchAll]]'s AND, [[searchBm25]]'s ranked OR, phrase and NEAR).

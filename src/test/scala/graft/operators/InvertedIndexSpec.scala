@@ -519,6 +519,34 @@ class InvertedIndexSpec extends SparkSpec {
     assert(clean == ids.size, "a NOT hit must not contain the excluded term")
   }
 
+  test("faceted search restricts to the facet's docs and scores over the eligible df") {
+    val s = spark
+    // declared query: every hit has the facet, result equals the
+    // index-free replay with the facet filter applied before df
+    val served = graft.SparkEntry.queries("q_search_filtered")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val eligible = docs.filter(col("lang") === "de").select("doc_id")
+    val replay = InvertedIndex.bm25FromPostings(
+      InvertedIndex.postings(docs)
+        .filter(col("term").isin("join", "hash", "scan"))
+        .join(eligible, Seq("doc_id"), "left_semi"),
+      InvertedIndex.corpusStats(docs), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(served == replay && served.nonEmpty)
+    val ids = served.map(_._1)
+    val inFacet = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(col("lang") === "de").count()
+    assert(inFacet == ids.size, "a faceted hit must match the facet")
+    // the plan keeps the pruned bucketed read on the postings side
+    val plan = InvertedIndex.searchFiltered(s, sfDir,
+      Seq("join", "hash"), col("lang") === "de", k = 10)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"faceted lookup must prune the bucketed postings scan:\n$plan")
+  }
+
   test("NOT search broadcasts the exclusion side and prunes the bucketed scan") {
     val s = spark
     val plan = InvertedIndex.searchExcluding(s, sfDir,
