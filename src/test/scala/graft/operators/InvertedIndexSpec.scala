@@ -772,6 +772,71 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact is crash-safe mid-fold: every intermediate state serves exactly, " +
+       "and the re-run converges") {
+    // the claim in compact's scaladoc, pinned: the fold lands at the MAX
+    // committed id, so a state where ONE table has folded but the
+    // tombstones and ledger have not (the kill window between writes)
+    // still serves correct answers — folded rows can never be hidden by
+    // a leftover tombstone — and re-running compact converges to the
+    // clean fold.
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta delta alpha"),
+      (3L, "gamma epsilon")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_compact_crash"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      val t = InvertedIndex.ensure(s, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      // an edit batch: doc 2 removed, doc 4 added — leaves a tombstone
+      val add4 = Seq((4L, "alpha zeta alpha")).toDF("doc_id", "text")
+      InvertedIndex.appendPositions(s, dir, add4, 3L)
+      InvertedIndex.edit(s, dir, base.filter(col("doc_id") === 2L), add4, 3L)
+      Seq((1L, "alpha beta gamma"), (3L, "gamma epsilon"),
+          (4L, "alpha zeta alpha")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def answers() = (
+        InvertedIndex.searchBm25(s, dir, Seq("alpha", "gamma"), k = 10)
+          .collect().map(_.toSeq).toSet,
+        InvertedIndex.searchPhrase(s, dir, Seq("alpha", "zeta"), k = 10)
+          .collect().map(_.toSeq).toSet,
+        InvertedIndex.statsFor(s, dir).collect().map(_.toSeq).toSet)
+      val before = answers()
+      // SIMULATED KILL MID-FOLD: replicate compact's first write only —
+      // the postings table folds to the max committed id (tombstones
+      // applied physically, compact's live fold), then the "crash":
+      // stats, positions, tombstones, and the ledger are all untouched
+      val foldId = s.table(InvertedIndex.metaTable(dir))
+        .agg(max("batch_id")).head().getLong(0)
+      val rows = InvertedIndex.postingsFor(s, dir)
+        .drop("batch_id").localCheckpoint(true)
+      rows.withColumn("batch_id", lit(foldId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .bucketBy(InvertedIndex.Buckets, "term").sortBy("term", "doc_id")
+        .saveAsTable(t)
+      s.catalog.refreshTable(t)
+      // the torn state still serves every answer exactly: folded rows
+      // sit AT the max id, the leftover tombstone (batch 3) only hides
+      // rows strictly below 3, stats still sum additively
+      assert(answers() == before,
+        "a mid-fold crash state must keep serving exact answers")
+      assert(s.catalog.tableExists(InvertedIndex.tombTable(dir)),
+        "fixture error: the tombstone must still be present mid-fold")
+      // recovery: the re-run converges to the clean fold
+      InvertedIndex.compact(s, dir)
+      assert(answers() == before, "the re-run fold changed answers")
+      assert(!s.catalog.tableExists(InvertedIndex.tombTable(dir)))
+      assert(s.table(InvertedIndex.metaTable(dir)).count() == 1)
+      assert(!InvertedIndex.snapshotStale(s, dir))
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
   test("three successive appends equal the one-shot rebuild (associativity)") {
     val s = spark
     import s.implicits._
