@@ -211,6 +211,60 @@ class PqIndexSpec extends SparkSpec {
     } finally { dropTemp(); rm(new java.io.File(dir)) }
   }
 
+  test("wrong-order family compaction converges: the codes parity self-heal " +
+       "re-encodes the dead rows away") {
+    // the scaladoc claim, pinned: running IvfIndex.compact FIRST retires
+    // the shared tombstone table, so the later PqIndex.compact folds the
+    // codes WITH their dead rows — and the session parity signature
+    // (codes vs cells id-sum) catches the drift and re-encodes from the
+    // clean cells table. Probes are correct at every point.
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pqorder-fixture").toString
+    def vec(id: Long) = (id,
+      Array.tabulate(64)(d => (((id * 59 + d * 23) % 41) - 20) / 20.0f), id % 10)
+    def frame(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "embedding", "label")
+    try {
+      frame(0L until 60L).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val (codesT, _, _, _) = PqIndex.ensure(s, dir)
+      val gone = Seq(14L, 24L)
+      PqIndex.delete(s, dir, gone.toDF("vec_id"), batchId = 2L)
+      def probes() = PqIndex.probe(s, dir, frame(0L until 5L), k = 5,
+        candidatePred = col("vec_id") >= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val before = probes()
+      assert(!before.map(_._2).exists(gone.contains))
+      // land the post-delete corpus (compact's freshness precondition)
+      frame((0L until 60L).filterNot(gone.contains))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // WRONG ORDER: the coarse compact first — tombstones retired
+      IvfIndex.compact(s, dir)
+      assert(probes() == before, "coarse-only compact changed answers")
+      // the codes fold now has no tombstones to apply: dead rows ride
+      // into the folded partition
+      PqIndex.compact(s, dir)
+      val deadInCodes = s.table(codesT)
+        .filter(col("vec_id").isin(gone: _*)).count()
+      assert(deadInCodes == gone.size,
+        "fixture error: the wrong-order fold must strand the dead codes")
+      // a fresh session's parity check catches the drift and re-encodes
+      PqIndex.resetSyncCheck()
+      PqIndex.ensure(s, dir)
+      assert(s.table(codesT)
+        .filter(col("vec_id").isin(gone: _*)).count() == 0,
+        "the parity self-heal must re-encode the dead rows away")
+      assert(probes() == before, "the self-heal changed probe answers")
+    } finally {
+      IvfIndex.drop(s, dir); PqIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("family delete excludes vectors from ADC and reranked probes") {
     val s = spark
     import s.implicits._
