@@ -435,6 +435,32 @@ class CrossQueryConsistencySpec extends SparkSpec {
     assert(rows("q_search_phrase_maintained") == rows("q_search_phrase"))
   }
 
+  test("recall@5 equals the overlap of the two declared retrieval queries") {
+    // q_ann_recall must be DERIVABLE from the declared surface: its
+    // n_hits per query is exactly |q_sim_ivf_indexed's top-5 ∩
+    // q_sim_topk's top-5| — three independent query paths, one fixpoint
+    val ivf = q("q_sim_ivf_indexed").filter("rank <= 5").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = q("q_sim_topk").filter("rank <= 5").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val derived = ivf.intersect(exact).groupBy(_._1)
+      .map { case (qid, hits) => (qid, hits.size.toLong) }
+    val declared = q("q_ann_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(declared.nonEmpty)
+    declared.foreach { case (qid, n) =>
+      assert(n == derived.getOrElse(qid, 0L),
+        s"query $qid: declared n_hits=$n, derived=${derived.getOrElse(qid, 0L)}")
+    }
+    // the exclusion and facet searches are sub-surfaces of BM25's doc
+    // universe: no NOT hit contains the excluded term's docs, no faceted
+    // hit leaves the facet — both already spec-pinned; here pin the
+    // CROSS-query containment that every hit set is drawn from docs the
+    // corpus-wide BM25 scorer could see (n_terms >= 1)
+    assert(q("q_search_not").filter("n_terms < 1").count() == 0)
+    assert(q("q_search_filtered").filter("n_terms < 1").count() == 0)
+  }
+
   test("per-doc dup-span mass equals the per-span transpose's mass") {
     // q_dedup_substring counts, per DOC, its spans that occur in >= 2
     // docs; summing that over docs must equal summing nd over every span
