@@ -88,8 +88,21 @@ object DedupQueries {
     val fix = "/tmp/graft_del_ann_" +
       Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val path = s"$fix/embeddings.parquet"
-    if (!new java.io.File(path).exists())
+    def idSig(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("vec_id"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // a fixture left by an EARLIER testdata generation would silently
+    // diverge from the oracle's embeddings — verify identity by id
+    // signature and rebuild the whole family on mismatch
+    val stale = new java.io.File(path).exists() &&
+      idSig(Tables.embeddings(s, fix)) != idSig(Tables.embeddings(s, dir))
+    if (stale || !new java.io.File(path).exists()) {
+      graft.operators.IvfIndex.drop(s, fix)
+      graft.operators.PqIndex.drop(s, fix)
+      if (stale) graft.operators.KMeans.clearModels() // fixture-memoized
       Tables.embeddings(s, dir).write.mode("overwrite").parquet(path)
+    }
     graft.operators.IvfIndex.delete(s, fix,
       Tables.embeddings(s, fix)
         .filter(pmod(col("vec_id"), lit(20L)) === 3L).select("vec_id"),
