@@ -100,7 +100,10 @@ object DedupQueries {
     if (stale || !new java.io.File(path).exists()) {
       graft.operators.IvfIndex.drop(s, fix)
       graft.operators.PqIndex.drop(s, fix)
-      if (stale) graft.operators.KMeans.clearModels() // fixture-memoized
+      if (stale) { // fixture-memoized models trained on the old content
+        graft.operators.KMeans.clearModel(fix)
+        graft.operators.Pq.clearModel(fix)
+      }
       Tables.embeddings(s, dir).write.mode("overwrite").parquet(path)
     }
     graft.operators.IvfIndex.delete(s, fix,

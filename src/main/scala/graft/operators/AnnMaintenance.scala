@@ -50,6 +50,11 @@ object AnnMaintenance {
     if (SnapshotMeta.staleBatched(spark, meta, prevFp)) {
       IvfIndex.drop(spark, dir)
       PqIndex.drop(spark, dir)
+      // the rebuild RETRAINS: the fixture memos key on the dir, not the
+      // data, and this path exists precisely because the dir's content
+      // replaced what the family covered
+      KMeans.clearModel(dir)
+      Pq.clearModel(dir)
       PqIndex.ensure(spark, dir)
       return "rebuilt"
     }

@@ -58,6 +58,12 @@ object KMeans {
 
   def clearModels(): Unit = models.clear()
 
+  /** Evict ONE fixture's memoized model — the retrain hook: a rebuild
+    * over replaced corpus content must not reuse centroids trained on
+    * the old content (the memo keys on the dir, not the data). */
+  def clearModel(sfDir: String): Unit =
+    models.keySet.removeIf(_._1 == sfDir)
+
   /** [[train]] memoized by fixture directory — callers whose vectors come
     * straight from `Tables.embeddings(s, sfDir)` use this. */
   def trainForFixture(vectors: DataFrame, sfDir: String,

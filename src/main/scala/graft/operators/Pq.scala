@@ -127,6 +127,11 @@ object Pq {
 
   def clearModels(): Unit = models.clear()
 
+  /** Evict ONE fixture's memoized codebook ([[KMeans.clearModel]]'s
+    * twin — the retrain hook for content-replacing rebuilds). */
+  def clearModel(sfDir: String): Unit =
+    models.keySet.removeIf(_._1 == sfDir)
+
   def trainResidualForFixture(vectors: DataFrame, sfDir: String,
                               vecCol: String = "embedding",
                               maxIters: Int = TrainIters): Array[Array[Array[Double]]] =

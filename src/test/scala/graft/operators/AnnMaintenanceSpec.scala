@@ -71,6 +71,14 @@ class AnnMaintenanceSpec extends SparkSpec {
       PqIndex.drop(s, dir)
       assert(AnnMaintenance.maintain(s, dir, prev3, batchId = 4L) == "rebuilt")
       assert(!IvfIndex.snapshotStale(s, dir))
+      // the rebuild RETRAINED on the current (edited) content — the
+      // fixture memo keys on the dir and would otherwise hand back the
+      // centroids trained on v0 at the original build
+      val persisted = IvfIndex.ensureIndex(s, dir)._2
+      val fresh = KMeans.train(frame(v2), "embedding")
+      assert(persisted.length == fresh.length &&
+        persisted.zip(fresh).forall { case (a, b) => a.sameElements(b) },
+        "a content-replacing rebuild must retrain, not reuse the memo")
       // auto-compaction: with the threshold at 2, the next committed
       // batch folds the family — ledger to one stamp, tombstones retired
       sys.props("graft.index.compactAfter") = "2"
