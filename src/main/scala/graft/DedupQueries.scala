@@ -113,6 +113,29 @@ object DedupQueries {
     fix
   }
 
+  /** The hybrid BM25→cosine funnel: shortlist of 20 from the persisted
+    * index at `idxDir`, exact cosine re-rank against the top hit's
+    * embedding, top-10. `dir` supplies the embeddings (the corpus's
+    * vector table — index maintenance never touches it). */
+  private def hybridSearch(s: SparkSession, dir: String,
+                           idxDir: String): org.apache.spark.sql.DataFrame = {
+    val short = graft.operators.InvertedIndex.searchBm25(s, idxDir,
+      Seq("join", "hash", "scan", "graftabsentterm"), k = 20)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val e = Tables.embeddings(s, dir)
+    val sv = short.join(e, short("doc_id") === e("vec_id"))
+      .select(col("doc_id"), col("bm25_rank"), col("embedding"))
+    val qv = sv.orderBy(col("bm25_rank").asc).limit(1)
+      .select(col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    sv.crossJoin(qv)
+      .select(col("doc_id"), col("bm25_rank"),
+        Similarity.cosine(col("embedding"), col("qvec")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   private def editedSearchDir(s: SparkSession, dir: String): String = {
     import graft.operators.InvertedIndex
     val fix = "/tmp/graft_edit_search_" +
@@ -963,23 +986,14 @@ object DedupQueries {
     // 1-row query vector crossJoins as a scalar (the whitelisted
     // pattern). The q_sim_ivf_pq_rerank funnel shape applied to
     // lexical-first retrieval.
-    "q_search_hybrid" -> ((s, dir) => {
-      val short = graft.operators.InvertedIndex.searchBm25(s, dir,
-        Seq("join", "hash", "scan", "graftabsentterm"), k = 20)
-        .select(col("doc_id"), col("rank").as("bm25_rank"))
-      val e = Tables.embeddings(s, dir)
-      val sv = short.join(e, short("doc_id") === e("vec_id"))
-        .select(col("doc_id"), col("bm25_rank"), col("embedding"))
-      val qv = sv.orderBy(col("bm25_rank").asc).limit(1)
-        .select(col("embedding").as("qvec"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cos").desc, col("doc_id").asc)
-      sv.crossJoin(qv)
-        .select(col("doc_id"), col("bm25_rank"),
-          Similarity.cosine(col("embedding"), col("qvec")).as("cos"))
-        .orderBy(col("cos").desc, col("doc_id").asc).limit(10)
-        .withColumn("rank", row_number().over(w).cast("long"))
-    }),
+    "q_search_hybrid" -> ((s, dir) => hybridSearch(s, dir, dir)),
+
+    // the MAINTAINED hybrid twin (round 13): the BM25 shortlist comes
+    // from the base-then-append index; append == rebuild is exact for
+    // the search family, so the whole funnel shares the base oracle —
+    // the gate now exercises the funnel's serving AFTER maintenance too
+    "q_search_hybrid_maintained" -> ((s, dir) =>
+      hybridSearch(s, dir, maintainedSearchDir(s, dir))),
 
     // EXACT-PHRASE search (round 11) from the positional index: the
     // occurrence join is pure equi-joins — term_i's pruned rows project
@@ -1453,6 +1467,23 @@ object DedupQueries {
        |SELECT doc_id, n_terms, score,
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM agg QUALIFY rank <= $k""".stripMargin
+
+  /** The hybrid BM25→cosine funnel replay — shared by the base and
+    * maintained twins (one semantics, two index histories). */
+  private lazy val hybridRankedSql: String =
+    s"""WITH short AS (
+       |  SELECT doc_id, rank AS bm25_rank FROM (${bm25RankedSql(20)})),
+       |sv AS (
+       |  SELECT s.doc_id, s.bm25_rank, e.embedding
+       |  FROM short s JOIN embeddings e ON e.vec_id = s.doc_id),
+       |qv AS (SELECT embedding AS qvec FROM sv ORDER BY bm25_rank ASC LIMIT 1),
+       |scored AS (
+       |  SELECT doc_id, bm25_rank,
+       |    ${sqlCosine("sv.embedding", "qv.qvec")} AS cos
+       |  FROM sv CROSS JOIN qv)
+       |SELECT doc_id, bm25_rank, cos,
+       |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM scored QUALIFY rank <= 10""".stripMargin
 
   private def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2490,20 +2521,10 @@ object DedupQueries {
     // the hybrid funnel: the SAME BM25 replay at k=20 as a subquery (one
     // definition — the shortlist oracle cannot drift from q_search_bm25),
     // then the exact-cosine re-rank against the best embedded hit
-    "q_search_hybrid" ->
-      s"""WITH short AS (
-         |  SELECT doc_id, rank AS bm25_rank FROM (${bm25RankedSql(20)})),
-         |sv AS (
-         |  SELECT s.doc_id, s.bm25_rank, e.embedding
-         |  FROM short s JOIN embeddings e ON e.vec_id = s.doc_id),
-         |qv AS (SELECT embedding AS qvec FROM sv ORDER BY bm25_rank ASC LIMIT 1),
-         |scored AS (
-         |  SELECT doc_id, bm25_rank,
-         |    ${sqlCosine("sv.embedding", "qv.qvec")} AS cos
-         |  FROM sv CROSS JOIN qv)
-         |SELECT doc_id, bm25_rank, cos,
-         |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
-         |FROM scored QUALIFY rank <= 10""".stripMargin,
+    "q_search_hybrid" -> hybridRankedSql,
+    // append == rebuild is exact for the search family, so the
+    // maintained funnel shares the base hybrid oracle verbatim
+    "q_search_hybrid_maintained" -> hybridRankedSql,
     "q_sim_ivf_pq" -> pqIvfSql,
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_sim_ivf_pq_trained" -> pqTrainedSql,

@@ -433,6 +433,7 @@ class CrossQueryConsistencySpec extends SparkSpec {
       .map(r => (0 until r.length).map(r.get).toList).toSet
     assert(rows("q_search_bm25_maintained") == rows("q_search_bm25"))
     assert(rows("q_search_phrase_maintained") == rows("q_search_phrase"))
+    assert(rows("q_search_hybrid_maintained") == rows("q_search_hybrid"))
   }
 
   test("recall@5 equals the overlap of the two declared retrieval queries") {
