@@ -41,7 +41,16 @@ object AnnMaintenance {
     def committed: Boolean =
       spark.catalog.tableExists(meta) &&
         SnapshotMeta.appliedBatch(spark, meta, batchId)
-    if (committed) return "no_change"
+    if (committed) {
+      // the coarse stamp alone cannot prove the CODES side landed: a
+      // crash between the coarse commit and the codes partition write
+      // leaves a torn partition this replay is the only chance to fix
+      // (ensure()'s session-wide parity check may have memoized before
+      // the torn batch existed) — verify per-batch parity and repair
+      // from the cells table before declaring the replay a no-op
+      PqIndex.repairBatch(spark, dir, batchId)
+      return "no_change"
+    }
     // the incremental paths assume the family's state IS `prev` — a
     // family that does not cover it must rebuild (the cold-start guard:
     // ensure() inside the append path would otherwise build over the
@@ -56,6 +65,12 @@ object AnnMaintenance {
       KMeans.clearModel(dir)
       Pq.clearModel(dir)
       PqIndex.ensure(spark, dir)
+      // stamp the triggering batch with a (0,0) NET fingerprint: the
+      // rebuild's base stamp already covers the full dir (the summed
+      // fingerprint stays exact), and the stamp makes a foreachBatch
+      // replay of this batch no-op via appliedBatch instead of paying
+      // another drop + rebuild + RETRAIN per retry
+      SnapshotMeta.stampBatch(spark, meta, batchId, (0L, 0L))
       return "rebuilt"
     }
     val d = SnapshotDiff.diff(content(prev), content(cur),

@@ -465,6 +465,7 @@ object ComponentIndex {
       "compact requires a fresh index (ledger == corpus dir): a crash " +
         "mid-compact recovers by wholesale rebuild from the dir. Run " +
         "merge or rebuild first.")
+    SnapshotMeta.requireNoDerivedBatches(spark, metaTable(dir))
     val bt = ensureBanded(spark, dir)
     val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
     // fold INTO the highest committed batch id (the InvertedIndex rule):

@@ -251,9 +251,19 @@ object InvertedIndex {
   }
 
   /** [[append]] with a content-derived batch id — for callers without a
-    * durable external batch identity. */
-  def append(spark: SparkSession, dir: String, batch: DataFrame): Unit =
+    * durable external batch identity. Refused once the family has
+    * absorbed an edit: derived ids land at `<= -2`, strictly below every
+    * tombstone, so re-adding a previously deleted doc through this
+    * overload would leave its rows permanently hidden from
+    * [[postingsFor]]/[[positionsFor]] despite a "successful" append —
+    * an edited family needs durable non-negative ids from then on. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    require(!spark.catalog.tableExists(tombTable(dir)),
+      "content-derived batch ids sit below every tombstone, so this " +
+        "append's rows could be permanently hidden; a family that has " +
+        "absorbed an edit requires a durable non-negative batch id")
     append(spark, dir, batch, derivedBatchId(contentFingerprint(batch)))
+  }
 
   /** Incremental maintenance for an EDITED snapshot — the diff classes
     * that previously forced a full rebuild (removals and rewrites),
@@ -368,9 +378,16 @@ object InvertedIndex {
   }
 
   /** [[appendPositions]] with the content-derived batch id (matches the
-    * 3-arg [[append]]'s slot for the same batch). */
-  def appendPositions(spark: SparkSession, dir: String, batch: DataFrame): Unit =
+    * 3-arg [[append]]'s slot for the same batch — and the same
+    * edited-family refusal, so the torn state where positions land but
+    * the paired [[append]] refuses cannot arise). */
+  def appendPositions(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    require(!spark.catalog.tableExists(tombTable(dir)),
+      "content-derived batch ids sit below every tombstone, so this " +
+        "append's rows could be permanently hidden; a family that has " +
+        "absorbed an edit requires a durable non-negative batch id")
     appendPositions(spark, dir, batch, derivedBatchId(contentFingerprint(batch)))
+  }
 
   def drop(spark: SparkSession, dir: String): Unit =
     Seq(table(dir), metaTable(dir), statsTable(dir), posTable(dir),
@@ -404,6 +421,7 @@ object InvertedIndex {
       "compact requires a fresh index (ledger == corpus dir): a crash " +
         "mid-compact recovers by wholesale rebuild from the dir, which " +
         "must reproduce the same index. Run append or rebuild first.")
+    SnapshotMeta.requireNoDerivedBatches(spark, metaTable(dir))
     val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
     // fold INTO the highest committed batch id, not the base partition:
     // tombstones hide rows with batch_id strictly BELOW their own, so

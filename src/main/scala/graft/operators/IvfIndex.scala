@@ -311,6 +311,7 @@ object IvfIndex {
       "compact requires a fresh index (ledger == embeddings dir): a " +
         "crash mid-compact recovers by rebuild from the dir. Run append " +
         "or rebuild first.")
+    SnapshotMeta.requireNoDerivedBatches(spark, metaTable(dir))
     val (cellsT, _) = ensureIndex(spark, dir)
     val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
     val foldId = spark.table(metaTable(dir))

@@ -55,6 +55,11 @@ object PqIndex {
     * cells table. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val (codesT, _, _, _) = ensure(spark, dir)
+    // fail fast BEFORE the codes fold: this runs first in the
+    // (PqIndex, IvfIndex) compact pair, and the coarse compact would
+    // refuse the same derived-id ledger after the codes were already
+    // rewritten
+    SnapshotMeta.requireNoDerivedBatches(spark, IvfIndex.metaTable(dir))
     val foldId = spark.table(IvfIndex.metaTable(dir))
       .agg(max("batch_id")).head().getLong(0)
     val rows = IvfIndex.liveRows(spark, dir, spark.table(codesT))
@@ -155,6 +160,33 @@ object PqIndex {
     val cb = Array.ofDim[Array[Double]](m, c)
     rows.foreach { case (mi, ci, v) => cb(mi)(ci) = v }
     cb
+  }
+
+  /** Per-batch parity repair for a batch the COARSE ledger already has
+    * committed: a crash between the coarse commit stamp and the codes
+    * partition write (the tail of [[append]]/[[edit]]) leaves the codes
+    * partition torn or missing, and a replaying caller that trusts the
+    * stamp alone would never re-reach those methods' repair — while
+    * [[ensure]]'s session-wide parity signature is memoized in `synced`
+    * and so may already have run BEFORE the torn batch landed. The stamp
+    * guarantees the CELLS partition is complete, so the repair re-encodes
+    * the codes partition from it with the stored model (bit-identical to
+    * what the torn write would have produced — same assignments, same
+    * codebook). Returns true when a repair ran. */
+  def repairBatch(spark: SparkSession, dir: String, batchId: Long): Boolean = {
+    val (codesT, cellsT, cents, cb) = ensure(spark, dir)
+    def partCount(t: String): Long =
+      spark.table(t).filter(col("batch_id") === batchId).count()
+    val torn = partCount(codesT) != partCount(cellsT)
+    if (torn)
+      SnapshotMeta.overwritePartition(spark, codesT, batchId,
+        spark.table(cellsT).filter(col("batch_id") === batchId)
+          .select(col("vec_id"), col("cell"),
+            PqExpressions.pq_encode(
+              graft.functions.expressions.VectorExpressions
+                .centroid_residual(col("embedding"), col("cell"), cents),
+              cb).as("codes")))
+    torn
   }
 
   /** Incremental ingest, paired with [[IvfIndex.append]]: the batch is

@@ -119,6 +119,13 @@ object SnapshotMaintenance {
       InvertedIndex.drop(spark, dir)
       InvertedIndex.ensurePositions(spark, dir)
       ComponentIndex.rebuild(spark, dir)
+      // stamp the triggering batch into BOTH ledgers with a (0,0) NET
+      // fingerprint: each rebuild's base stamp already covers the full
+      // dir (summed fingerprints stay exact), and the stamps make a
+      // foreachBatch replay of this batch no-op via the committed check
+      // instead of paying another full-family rebuild per retry
+      SnapshotMeta.stampBatch(spark, InvertedIndex.metaTable(dir), batchId, (0L, 0L))
+      SnapshotMeta.stampBatch(spark, ComponentIndex.metaTable(dir), batchId, (0L, 0L))
       return "rebuilt"
     }
     val d = SnapshotDiff.diff(prev, cur)

@@ -143,6 +143,26 @@ object SnapshotMeta {
       Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
+  /** Guard shared by every family's public `compact()`: refuse to fold a
+    * ledger holding content-derived batch ids (strictly below
+    * [[BaseBatchId]]). The fold rewrites every table into
+    * `max(batch_id)` and resets the ledger to one stamp there — erasing
+    * the derived batches' ledger slots — so a replayed content batch
+    * would lose its no-op guard and re-apply BESIDE the folded rows,
+    * duplicating them. (With only derived-id appends, max is even the
+    * base id itself.) `autoCompact` enforces the same rule structurally
+    * by running only from the durable-id maintain overload; this makes
+    * the direct call equally safe. */
+  private[operators] def requireNoDerivedBatches(spark: SparkSession,
+                                                 metaTable: String): Unit = {
+    val minId = spark.table(metaTable).agg(min("batch_id")).head().getLong(0)
+    require(minId >= BaseBatchId,
+      s"compact cannot fold content-derived batch ids (min ledger id " +
+        s"$minId < base $BaseBatchId): the fold would erase their ledger " +
+        "slots and a replayed content batch would re-apply beside the " +
+        "folded rows. Re-ingest via durable non-negative batch ids first.")
+  }
+
   /** [[stale]] against the batched ledger's summed fingerprint. */
   def staleBatched(spark: SparkSession, metaTable: String,
                    current: (Long, Long)): Boolean =

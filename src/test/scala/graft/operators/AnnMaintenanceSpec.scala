@@ -71,6 +71,10 @@ class AnnMaintenanceSpec extends SparkSpec {
       PqIndex.drop(s, dir)
       assert(AnnMaintenance.maintain(s, dir, prev3, batchId = 4L) == "rebuilt")
       assert(!IvfIndex.snapshotStale(s, dir))
+      // the rebuild stamped its triggering batch: a foreachBatch retry
+      // no-ops instead of paying another drop + rebuild + retrain
+      assert(AnnMaintenance.maintain(s, dir, prev3, batchId = 4L) == "no_change",
+        "a rebuilt batch must replay as a no-op")
       // the rebuild RETRAINED on the current (edited) content — the
       // fixture memo keys on the dir and would otherwise hand back the
       // centroids trained on v0 at the original build
@@ -110,6 +114,55 @@ class AnnMaintenanceSpec extends SparkSpec {
       IvfIndex.drop(s, dir)
       PqIndex.drop(s, dir)
       KMeans.clearModels()
+      rm(dir)
+    }
+  }
+
+  test("a committed replay repairs a torn codes partition (crash after the " +
+       "coarse stamp, parity memo already warm)") {
+    val s = spark
+    import s.implicits._
+    def emb(id: Long) =
+      Array.tabulate(64)(d => (((id * 29 + d * 5) % 17) - 8) / 8.0f)
+    def frame(ids: Seq[Long]) = ids.map(id => (id, emb(id), id % 10))
+      .toDF("vec_id", "embedding", "label")
+    def land(ids: Seq[Long], dir: String) =
+      frame(ids).localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("annmaint-torn").toString
+    try {
+      land(0L until 40L, dir)
+      PqIndex.ensure(s, dir)
+      val prev = graft.sources.Tables.embeddings(s, dir).localCheckpoint(true)
+      land(0L until 45L, dir)
+      assert(AnnMaintenance.maintain(s, dir, prev, batchId = 1L) == "appended")
+      val codesT = IvfIndex.tableStem(dir) + "_pq_codes"
+      def partCount(t: String) =
+        s.table(t).filter(col("batch_id") === 1L).count()
+      // simulate the crash window AFTER the coarse commit stamp: the
+      // batch's codes partition is torn (emptied), while the session's
+      // parity-signature memo stays warm — exactly the state ensure()
+      // cannot see and the stamp alone would wave through
+      val codesSchema = org.apache.spark.sql.types.StructType(
+        s.table(codesT).schema.filterNot(_.name == "batch_id"))
+      SnapshotMeta.overwritePartition(s, codesT, 1L, s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema))
+      assert(partCount(codesT) == 0L, "the tear must have taken")
+      // the replay must detect the per-batch parity break and re-encode
+      // the partition from the cells table, then report no_change
+      assert(AnnMaintenance.maintain(s, dir, prev, batchId = 1L) == "no_change")
+      assert(partCount(codesT) == 5L,
+        "the committed replay must repair the torn codes partition")
+      // and the repaired codes serve: an appended vector is probeable
+      val hits = PqIndex.probe(s, dir, frame(Seq(42L)), k = 1,
+        candidatePred = col("vec_id") >= 40L)
+        .collect().map(_.getLong(1)).toSet
+      assert(hits == Set(42L))
+    } finally {
+      IvfIndex.drop(s, dir)
+      PqIndex.drop(s, dir)
+      KMeans.clearModel(dir)
+      Pq.clearModel(dir)
       rm(dir)
     }
   }

@@ -964,4 +964,50 @@ class InvertedIndexSpec extends SparkSpec {
       assert(served == replay && served.nonEmpty)
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
+
+  test("guards: compact refuses derived-id ledgers; derived-id appends are " +
+       "refused once the family has absorbed an edit") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_guard_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      InvertedIndex.ensure(s, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      // a derived-id append on an edit-free family is the legal ingest
+      // path — land the extended snapshot first so the ledger sum equals
+      // the dir (compact's freshness precondition)
+      val b1 = Seq((3L, "delta epsilon")).toDF("doc_id", "text")
+      base.unionByName(b1).localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      InvertedIndex.appendPositions(s, dir, b1)
+      InvertedIndex.append(s, dir, b1)
+      assert(!InvertedIndex.snapshotStale(s, dir))
+      // the derived stamp sits below the base id, so compact must refuse:
+      // the fold would erase its ledger slot and a replayed content batch
+      // would re-apply beside the folded rows
+      val ex = intercept[IllegalArgumentException](InvertedIndex.compact(s, dir))
+      assert(ex.getMessage.contains("content-derived"))
+      // an edit (durable id) brings the tombstone table into existence...
+      val removed = Seq((2L, "beta gamma")).toDF("doc_id", "text")
+      val added = Seq((4L, "zeta eta")).toDF("doc_id", "text")
+      InvertedIndex.appendPositions(s, dir, added, 1L)
+      InvertedIndex.edit(s, dir, removed, added, 1L)
+      // ...after which derived-id appends are refused: their rows would
+      // land strictly below every tombstone and be permanently hidden
+      val b2 = Seq((5L, "theta iota")).toDF("doc_id", "text")
+      assertThrows[IllegalArgumentException](InvertedIndex.append(s, dir, b2))
+      assertThrows[IllegalArgumentException](
+        InvertedIndex.appendPositions(s, dir, b2))
+      // the durable-id overloads remain the sanctioned path
+      InvertedIndex.appendPositions(s, dir, b2, 2L)
+      InvertedIndex.append(s, dir, b2, 2L)
+      val hits = InvertedIndex.search(s, dir, Seq("theta"), k = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hits == Set(5L))
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
 }

@@ -197,6 +197,10 @@ class SnapshotMaintenanceSpec extends SparkSpec {
       InvertedIndex.drop(s, dir)
       assert(SnapshotMaintenance.maintain(s, dir, prev, batchId = 4L) == "rebuilt")
       assert(!InvertedIndex.snapshotStale(s, dir))
+      // the rebuild stamped its triggering batch into BOTH ledgers: a
+      // foreachBatch retry no-ops instead of paying another full rebuild
+      assert(SnapshotMaintenance.maintain(s, dir, prev, batchId = 4L) == "no_change",
+        "a rebuilt batch must replay as a no-op")
     } finally {
       dropAll(dir)
       rm(dir)
