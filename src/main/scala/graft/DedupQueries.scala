@@ -1179,6 +1179,35 @@ object DedupQueries {
           (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
     }),
 
+    // MAINTAINED-family recall@5 (round 14): the same evaluation against
+    // the index that ABSORBED a tombstone batch (deletedAnnDir — the
+    // q_sim_ivf_deleted fixture), scored against the exact top-5 over the
+    // SURVIVING vectors. This turns SCALE.md's derivability invariant
+    // (maintained index == rebuild-without-the-deleted) into a
+    // hash-checked recall fact: the probe reads the tombstoned store,
+    // the exact side filters the same survival predicate, and the oracle
+    // replays the IVF ranking over the post-maintenance candidate set
+    // (frozen full-corpus centroids — exactly what the store serves).
+    "q_ann_recall_maintained" -> ((s, dir) => {
+      val fix = deletedAnnDir(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val surviving =
+        col("vec_id") >= 10 && pmod(col("vec_id"), lit(20L)) =!= 3L
+      val exact = Similarity.topK(q, e.filter(surviving), k = 5)
+        .select("query_id", "neighbor_id")
+      val approx = graft.operators.IvfIndex.probe(s, fix, q, k = 5,
+        candidatePred = col("vec_id") >= 10)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h"), lit(0L)).cast("long").as("n_hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+    }),
+
     // Text-metadata x vector join — the alignment step of a multimodal /
     // embedding pipeline: BOTH sides are corpus-sized facts, so this is
     // an id-keyed sort-merge join at scale (no broadcast hint; AQE
@@ -2544,6 +2573,31 @@ object DedupQueries {
          |                 c.vec_id ASC) AS rank
          |    FROM embeddings q CROSS JOIN embeddings c
          |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+         |  WHERE rank <= 5),
+         |ivf AS (SELECT query_id, neighbor_id FROM ivfranked WHERE rank <= 5),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS h
+         |  FROM exact e JOIN ivf USING (query_id, neighbor_id)
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM embeddings q LEFT JOIN hits ON hits.query_id = q.vec_id
+         |WHERE q.vec_id < 10""".stripMargin,
+    // the maintained twin: identical recall arithmetic, but the IVF side
+    // replays the POST-MAINTENANCE candidate set (the tombstone filter in
+    // the cand CTE — frozen full-corpus centroids, like the store) and
+    // the exact side ranks over the same surviving vectors
+    "q_ann_recall_maintained" ->
+      s"""WITH ${ivfCtes(" AND vec_id % 20 != 3")},
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC,
+         |                 c.vec_id ASC) AS rank
+         |    FROM embeddings q CROSS JOIN embeddings c
+         |    WHERE q.vec_id < 10 AND c.vec_id >= 10 AND c.vec_id % 20 != 3)
          |  WHERE rank <= 5),
          |ivf AS (SELECT query_id, neighbor_id FROM ivfranked WHERE rank <= 5),
          |hits AS (

@@ -1,0 +1,14 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Test-only bridge for specs outside `graft.operators` that need the
+  * families' package-private ledger tables as observables (e.g. the
+  * streaming auto-compaction specs asserting the post-fold stamp
+  * count). Logic-free by design. */
+object IndexTestAccess {
+  def invLedgerCount(s: SparkSession, dir: String): Long =
+    s.table(InvertedIndex.metaTable(dir)).count()
+  def ivfLedgerCount(s: SparkSession, dir: String): Long =
+    s.table(IvfIndex.metaTable(dir)).count()
+}

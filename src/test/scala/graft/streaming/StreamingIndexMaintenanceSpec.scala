@@ -740,4 +740,179 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
       Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
     }
   }
+
+  test("streamed document maintenance crosses the auto-compaction threshold: " +
+       "fold fires exactly once, serving unchanged, replay guard survives") {
+    // the production loop's housekeeping end-to-end: snapshot versions
+    // stream in, maintain() commits each batch, and the batch whose
+    // commit pushes the ledger to compactAfter folds the family INSIDE
+    // the loop — afterwards the ledger is back to one stamp, every
+    // serving path still equals the raw-corpus replay bit-for-bit, and
+    // the folded batch's replay guard (its stamp IS the fold row) still
+    // no-ops a retry.
+    val s = spark
+    import s.implicits._
+    import graft.operators.{InvertedIndex, SnapshotMaintenance}
+    val dir = Files.createTempDirectory("snapfold-corpus").toString
+    val src = Files.createTempDirectory("snapfold-src").toString
+    val ckpt = Files.createTempDirectory("snapfold-ckpt").toString
+    val saved = sys.props.get("graft.index.compactAfter")
+    try {
+      sys.props("graft.index.compactAfter") = "3"
+      def doc(id: Long, words: Seq[String]) =
+        (id, words.mkString(" "), "en", "s0", 200)
+      def words(stem: String) = (1 to 30).map(i => s"$stem$i")
+      val base = Seq(doc(1, words("one")), doc(2, words("two")))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+
+      val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+      val schema = graft.sources.Tables.documents(s, dir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val prev = graft.sources.Tables.documents(s, dir)
+              .localCheckpoint(true)
+            val cur = b.localCheckpoint(true)
+            cur.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+            actions += SnapshotMaintenance.maintain(s, dir, prev, id)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      // three append versions: ledger 1→2 (batch 0), 2→3 = threshold →
+      // fold (batch 1), then 1→2 again (batch 2) — exactly one crossing
+      var docsSoFar = Seq(doc(1, words("one")), doc(2, words("two")))
+      for ((stem, sub) <- Seq(("three", "a"), ("four", "b"), ("five", "c"))) {
+        docsSoFar = docsSoFar :+ doc(docsSoFar.length + 1L, words(stem))
+        docsSoFar.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.parquet(s"$src/$sub")
+        val q = run()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(actions.toSeq == Seq("appended", "appended+compacted", "appended"),
+        s"the fold must fire exactly once, at the threshold crossing: $actions")
+      assert(graft.operators.IndexTestAccess.invLedgerCount(s, dir) == 2L,
+        "post-fold ledger: the fold row plus the one batch after it")
+      // serving equals the raw-corpus replay bit-for-bit after the fold
+      val finalDocs = graft.sources.Tables.documents(s, dir)
+      val terms = Seq("one1", "three1", "five1")
+      val served = InvertedIndex.searchBm25(s, dir, terms, k = 10)
+        .collect().map(_.toSeq).toSet
+      val replay = InvertedIndex.bm25FromPostings(
+        InvertedIndex.postings(finalDocs).filter(col("term").isin(terms: _*)),
+        InvertedIndex.corpusStats(finalDocs), k = 10)
+        .collect().map(_.toSeq).toSet
+      assert(served == replay && served.nonEmpty,
+        "BM25 serving diverged from the raw-corpus replay after the fold")
+      // the crash window between the fold and the next batch: a retry of
+      // the last committed batch must no-op (its stamp survived the fold
+      // chain), not re-apply
+      val prevNow = finalDocs.localCheckpoint(true)
+      assert(SnapshotMaintenance.maintain(s, dir, prevNow, 2L) == "no_change",
+        "the latest batch's replay guard must survive the fold")
+      // an idle checkpointed re-run also leaves everything untouched
+      val q4 = run()
+      try q4.processAllAvailable() finally q4.stop()
+      assert(actions.toSeq == Seq("appended", "appended+compacted", "appended"))
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.index.compactAfter") = v
+        case None => sys.props.remove("graft.index.compactAfter")
+      }
+      graft.operators.InvertedIndex.drop(s, dir)
+      graft.operators.ComponentIndex.drop(s, dir)
+      Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
+  test("streamed ANN maintenance crosses the auto-compaction threshold: " +
+       "fold fires exactly once and probes serve the final snapshot") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{AnnMaintenance, IvfIndex, PqIndex, SimilarityIVF}
+    val dir = Files.createTempDirectory("annfold-fixture").toString
+    val src = Files.createTempDirectory("annfold-src").toString
+    val ckpt = Files.createTempDirectory("annfold-ckpt").toString
+    val saved = sys.props.get("graft.index.compactAfter")
+    try {
+      sys.props("graft.index.compactAfter") = "3"
+      def emb(id: Long) =
+        Array.tabulate(64)(d => (((id * 41 + d * 13) % 23) - 11) / 11.0f)
+      def frame(ids: Seq[Long]) = ids.map(id => (id, emb(id), id % 10))
+        .toDF("vec_id", "embedding", "label")
+      val v0 = 0L until 40L
+      frame(v0).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      PqIndex.ensure(s, dir)
+      val (_, cents) = IvfIndex.ensureIndex(s, dir)
+
+      val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+      val schema = graft.sources.Tables.embeddings(s, dir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val prev = graft.sources.Tables.embeddings(s, dir)
+              .localCheckpoint(true)
+            val cur = b.localCheckpoint(true)
+            cur.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+            actions += AnnMaintenance.maintain(s, dir, prev, id)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      // three streamed append versions — coarse ledger 1→2, 2→3 = fold,
+      // 1→2; the family fold runs codes-first inside the loop
+      var ids: Seq[Long] = v0
+      for ((lo, sub) <- Seq((100L, "a"), (110L, "b"), (120L, "c"))) {
+        ids = ids ++ (lo until lo + 5L)
+        frame(ids).coalesce(1).write.parquet(s"$src/$sub")
+        val q = run()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(actions.toSeq ==
+        Seq("appended", "appended+compacted", "appended"),
+        s"the ANN fold must fire exactly once: $actions")
+      assert(graft.operators.IndexTestAccess.ivfLedgerCount(s, dir) == 2L,
+        "post-fold coarse ledger: the fold row plus the batch after it")
+      // the live view serves the final streamed snapshot under frozen
+      // centroids, and the stored-code probe sees a post-fold vector
+      val live = IvfIndex.cellsFor(s, dir).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = frame(ids)
+        .select(col("vec_id"),
+          SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(live == expected,
+        "the live ANN view must serve the final snapshot after the fold")
+      val hits = PqIndex.probe(s, dir, frame(Seq(122L)), k = 1,
+        candidatePred = col("vec_id") >= 100L)
+        .collect().map(_.getLong(1)).toSet
+      assert(hits == Set(122L),
+        "stored-code probes must serve the post-fold snapshot")
+      // the folded batch's replay guard survives: a retry of the last
+      // committed batch no-ops instead of re-applying
+      val prevNow = graft.sources.Tables.embeddings(s, dir).localCheckpoint(true)
+      assert(AnnMaintenance.maintain(s, dir, prevNow, 2L) == "no_change",
+        "the latest batch's replay guard must survive the fold")
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.index.compactAfter") = v
+        case None => sys.props.remove("graft.index.compactAfter")
+      }
+      graft.operators.IvfIndex.drop(s, dir)
+      graft.operators.PqIndex.drop(s, dir)
+      graft.operators.KMeans.clearModels()
+      Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
 }
