@@ -207,7 +207,32 @@ object Bench {
     val normJson =
       if (hostmarkRun.isNaN || hostmarkRun < 1e-4) "null"
       else f"${total * (Round9ReferenceHostmark / hostmarkRun)}%.3f"
-    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson"""
+    // SELF-DISQUALIFYING verdict (round-13 item 4): round 13 benched
+    // through a host contention storm (53/160 steal-suspects, mt-mark
+    // 0.163→0.217, one untouched query 13.8x) and the narrative had to
+    // reconstruct non-comparability by forensics. The artifact now rules
+    // on itself from evidence it already records: it is `comparable`
+    // (fit for cross-round per-query conclusions) only when suspected
+    // runs stay rare (<=10% of queries) AND the parallel hostmark held
+    // within 15% of the quiet-host reference (r12's 0.163 s — the
+    // all-cores mark, the one co-tenant load actually moves). A false
+    // verdict means: use the artifact for errors/regressions-in-kind
+    // only; requalify before comparing numbers.
+    val ReferenceHostmarkMt = 0.163
+    val suspectShare =
+      if (results.nonEmpty) suspects.size.toDouble / results.size else 0.0
+    val mtRegressed = hostmarkMt > ReferenceHostmarkMt * 1.15
+    val comparable = suspectShare <= 0.10 && !mtRegressed
+    val whyNot =
+      (if (suspectShare > 0.10)
+        List(s""""steal_suspects ${suspects.size}/${results.size} > 10%"""")
+      else Nil) ++
+      (if (mtRegressed)
+        List(f""""hostmark_mt $hostmarkMt%.3f > 1.15x quiet ref $ReferenceHostmarkMt%.3f"""")
+      else Nil)
+    val compJson =
+      s""""comparable":$comparable,"comparable_why_not":${whyNot.mkString("[", ",", "]")}"""
+    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson,$compJson"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
