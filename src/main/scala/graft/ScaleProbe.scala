@@ -508,6 +508,78 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_PROBE_NPROBE=1 (round-14, verdict item 6): the served
+    // probe-width dial's recall/cost trade. One persisted IVF+PQ build
+    // per probe corpus (training included, timed once), then the SAME
+    // 10-query probe set runs at nprobe in {1,2,4,8} against the stored
+    // index — both serving paths: the exact-within-cells IVF probe and
+    // the stored-code ADC probe. Each width records wall time and
+    // recall@5 vs the exact brute-force top-5 (computed once per
+    // corpus). Candidate volume is linear in nprobe, so the row shows
+    // what a deployment buys per probed cell; the dial is a session
+    // property — it never reindexes.
+    sys.env.get("SPARK_GRAFT_PROBE_NPROBE").foreach { _ =>
+      val savedNp = sys.props.get("graft.ivf.nprobe")
+      try {
+        mults.foreach { mult =>
+          val dir = ensureData(spark, mult)
+          val e = graft.sources.Tables.embeddings(spark, dir)
+          val n = BaseVecs * mult
+          val baseDir = s"/tmp/graft_probe/nprobe_$mult"
+          e.write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+          graft.operators.IvfIndex.drop(spark, baseDir)
+          graft.operators.PqIndex.drop(spark, baseDir)
+          val t0 = System.nanoTime()
+          graft.operators.PqIndex.ensure(spark, baseDir)
+          val tBuild = (System.nanoTime() - t0) / 1e9
+          val q = e.filter(col("vec_id") < 10)
+          val exact = graft.operators.Similarity
+            .topK(q, e.filter(col("vec_id") >= 10), k = 5)
+            .select("query_id", "neighbor_id").localCheckpoint(true)
+          val denom = exact.count().toDouble
+          for (np <- Seq(1, 2, 4, 8)) {
+            sys.props("graft.ivf.nprobe") = np.toString
+            def served(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+              val t = System.nanoTime()
+              val out = df.select("query_id", "neighbor_id")
+                .localCheckpoint(true)
+              val dt = (System.nanoTime() - t) / 1e9
+              val hits = exact
+                .join(out, Seq("query_id", "neighbor_id"), "left_semi")
+                .count()
+              (dt, hits)
+            }
+            val (tIvf, hitsIvf) = served(graft.operators.IvfIndex
+              .probe(spark, baseDir, q, k = 5,
+                candidatePred = col("vec_id") >= 10))
+            // the PQ side measures the FULL serving funnel (stored-code
+            // ADC shortlist -> exact rerank to 5) with the rerank width
+            // SCALED with the probe width (r = 50*nprobe): raw ADC top-5
+            // is quantization-noise-bound at this cell occupancy
+            // (measured flat ~0.02 at every width), and a FIXED r stays
+            // flat too (~0.10 at r=50) — the shortlist must widen with
+            // the candidate pool for the funnel to convert probed cells
+            // into recall. That coupling is the deployment rule the row
+            // documents.
+            val r = 50 * np
+            val (tFun, hitsFun) = served(graft.operators.PqIndex
+              .probeRerank(spark, baseDir, q, k = 5, r = r,
+                candidatePred = col("vec_id") >= 10))
+            println(s"""{"probe":"nprobe","mult":$mult,"n_vecs":$n,"nprobe":$np,"recall_ivf":${hitsIvf / denom},"t_probe_ivf":$tIvf,"rerank_r":$r,"recall_funnel":${hitsFun / denom},"t_probe_funnel":$tFun,"t_base_build":$tBuild}""")
+          }
+          spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+          graft.operators.IvfIndex.drop(spark, baseDir)
+          graft.operators.PqIndex.drop(spark, baseDir)
+        }
+      } finally {
+        savedNp match {
+          case Some(v) => sys.props("graft.ivf.nprobe") = v
+          case None => sys.props.remove("graft.ivf.nprobe")
+        }
+      }
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_PROBE_COMPACT=<nBatches> (round-13): what the
     // compactAfter housekeeping buys. Build the inverted index over
     // each probe corpus, land nBatches 1%-sized ledgered appends (each

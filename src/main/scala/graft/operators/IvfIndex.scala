@@ -338,17 +338,21 @@ object IvfIndex {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
 
-  /** Probe the persisted index: rank candidates in each query's NProbe
+  /** Probe the persisted index: rank candidates in each query's nprobe
     * nearest cells by exact cosine — [[SimilarityIVF.ivfTopK]]'s tail, but
     * candidate cells READ from the index instead of recomputed, and no
-    * training in the query path. */
+    * training in the query path. Probe width comes from the
+    * [[SimilarityIVF.nProbeServed]] knob (`-Dgraft.ivf.nprobe`): the
+    * recall/cost dial that needs no reindex — candidate volume, and so
+    * probe cost, is linear in it. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
             idColQ: String = "vec_id", vecCol: String = "embedding",
             candidatePred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val (cellsT, cents) = ensureIndex(spark, dir)
     val q = broadcast(queries
       .select(col(idColQ).as("query_id"), col(vecCol).as("q_vec"),
-              explode(SimilarityIVF.probeCells(col(vecCol), cents)).as("cell")))
+              explode(SimilarityIVF.probeCells(col(vecCol), cents,
+                SimilarityIVF.nProbeServed)).as("cell")))
     val c = liveRows(spark, dir, spark.table(cellsT)).filter(candidatePred)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
               col("cell"))

@@ -293,7 +293,8 @@ object PqIndex {
     val q = broadcast(queries
       .select(col(idColQ).as("query_id"),
               PqExpressions.pq_lut(col(vecCol), cb).as("lut"),
-              explode(SimilarityIVF.probeCellsWithDot(col(vecCol), cents)).as("pc"))
+              explode(SimilarityIVF.probeCellsWithDot(col(vecCol), cents,
+                SimilarityIVF.nProbeServed)).as("pc"))
       .select(col("query_id"), col("lut"),
               col("pc.cell").as("cell"), col("pc.cdot").as("cdot")))
     val c = IvfIndex.liveRows(spark, dir0, spark.table(codesT))

@@ -25,7 +25,24 @@ object SimilarityIVF {
 
   val Dim = 64
   val K = 16       // coarse cells
-  val NProbe = 2   // cells probed per query
+  val NProbe = 2   // cells probed per query (the compiled default)
+
+  /** The SERVED paths' probe width ([[IvfIndex.probe]],
+    * [[PqIndex.probe]]/`probeRerank`) — the recall/cost dial a production
+    * deployment turns without reindexing (probe cost is linear in it;
+    * SCALE.md measures the trade at 1/2/4/8). `-Dgraft.ivf.nprobe`,
+    * default [[NProbe]], validated into [1, K]. Like the `Buckets` knobs:
+    * the declared queries and their DuckDB oracles are generated at the
+    * DEFAULT — setting the property changes served rankings, so the
+    * correctness gate must run with it unset. */
+  def nProbeServed: Int = {
+    val raw = sys.props.getOrElse("graft.ivf.nprobe", NProbe.toString)
+    val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"-Dgraft.ivf.nprobe must be an integer, got '$raw'"))
+    require(n >= 1 && n <= K,
+      s"-Dgraft.ivf.nprobe must be in [1, $K], got $n")
+    n
+  }
 
   /** Centroid `c`, dimension `d` weight in [-1, 1] — same portable
     * md5-derived device as [[SimilarityLSH.planeWeight]], different label
@@ -63,10 +80,11 @@ object SimilarityIVF {
   def cell(vec: Column, cents: Array[Array[Double]] = hashCentroids): Column =
     -array_max(scoredCells(vec, cents)).getField("negc")
 
-  /** The `NProbe` nearest cell ids for a query vector. */
-  def probeCells(vec: Column, cents: Array[Array[Double]] = hashCentroids): Column = {
+  /** The `nprobe` nearest cell ids for a query vector. */
+  def probeCells(vec: Column, cents: Array[Array[Double]] = hashCentroids,
+                 nprobe: Int = NProbe): Column = {
     val sorted = reverse(array_sort(scoredCells(vec, cents)))
-    array((0 until NProbe).map(i =>
+    array((0 until nprobe).map(i =>
       -element_at(sorted, i + 1).getField("negc")): _*)
   }
 
@@ -74,9 +92,10 @@ object SimilarityIVF {
     * array<struct<cell:int, cdot:double>>. Residual-PQ ADC needs the dot:
     * dot(q, v) ~ dot(q, centroid[cell]) + dot(q, quantized residual), and
     * the first term falls out of the probe ranking already computed here. */
-  def probeCellsWithDot(vec: Column, cents: Array[Array[Double]] = hashCentroids): Column = {
+  def probeCellsWithDot(vec: Column, cents: Array[Array[Double]] = hashCentroids,
+                        nprobe: Int = NProbe): Column = {
     val sorted = reverse(array_sort(scoredCells(vec, cents)))
-    array((0 until NProbe).map { i =>
+    array((0 until nprobe).map { i =>
       val e = element_at(sorted, i + 1)
       struct((-e.getField("negc")).as("cell"), e.getField("dot").as("cdot"))
     }: _*)

@@ -429,4 +429,44 @@ class IvfIndexSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("nprobe knob widens the served probe: at K the probe equals exact " +
+       "top-k; invalid values are refused") {
+    val s = spark
+    val saved = sys.props.get("graft.ivf.nprobe")
+    def setProp(v: Option[String]): Unit = v match {
+      case Some(x) => sys.props("graft.ivf.nprobe") = x
+      case None => sys.props.remove("graft.ivf.nprobe")
+    }
+    try {
+      val e = Tables.embeddings(s, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      def probed() = IvfIndex.probe(s, sfDir, q, k = 5,
+          candidatePred = col("vec_id") >= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the boundary case that PROVES the knob reaches the plan: probing
+      // every cell degenerates IVF to the exact scan, so the served
+      // ranking must equal brute-force cosine top-k bit-for-bit
+      setProp(Some(SimilarityIVF.K.toString))
+      val allCells = probed()
+      val exact = Similarity.topK(q, e.filter(col("vec_id") >= 10), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(allCells == exact && exact.nonEmpty,
+        "nprobe = K must degenerate to the exact top-k")
+      // width 1 is the cheap end: still k results per query (cells hold
+      // >= k candidates at this fixture), possibly lower recall
+      setProp(Some("1"))
+      val narrow = probed()
+      assert(narrow.map(_._1) == exact.map(_._1),
+        "every query must still return results at nprobe = 1")
+      // validation: out-of-range and garbage are refused loudly
+      for (bad <- Seq("0", (SimilarityIVF.K + 1).toString, "abc")) {
+        setProp(Some(bad))
+        assertThrows[IllegalArgumentException](probed())
+      }
+    } finally {
+      setProp(saved)
+      dropIndexTables()
+    }
+  }
 }
