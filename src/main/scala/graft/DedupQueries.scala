@@ -951,6 +951,20 @@ object DedupQueries {
             / sum("n_vecs").over(w).cast("double")).as("skew"))
     }),
 
+    // Tombstone HYGIENE (round 14): resident vs live vs tombstoned row
+    // counts per ANN store on the maintained (deleted) fixture — the
+    // compaction-scheduling signal beside q_ann_index_stats' skew
+    // (stats says the geometry drifted; hygiene says how much of the
+    // store is dead weight a fold would reclaim). Cells and codes rows
+    // hash-matching the same oracle also pins their parity. The oracle
+    // replays the counts from the delete predicate: resident = the full
+    // build, tombstoned = the vec_id % 20 == 3 batch, live = the rest.
+    "q_ann_index_hygiene" -> ((s, dir) => {
+      val fix = deletedAnnDir(s, dir)
+      graft.operators.PqIndex.ensure(s, fix) // codes store present
+      graft.operators.IvfIndex.hygiene(s, fix)
+    }),
+
     // CORPUS SEARCH from the persisted inverted index (round 11): top-10
     // documents per query term by the integer-exact tf-idf proxy
     // (q_text_tfidf's currency), served from the term-bucketed postings
@@ -2413,6 +2427,17 @@ object DedupQueries {
     // trained-probe SQL with the id filter on the candidate CTE
     "q_sim_ivf_deleted" -> kmeansIvfSql(" AND vec_id % 20 != 3"),
     "q_ann_index_stats" -> annIndexStatsSql,
+    // hygiene: pure counting — resident is the full base build (one row
+    // per vector in BOTH stores), tombstoned is the delete batch, and
+    // the division uses the same integers as the Spark side
+    "q_ann_index_hygiene" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS resident FROM embeddings),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tomb FROM embeddings
+        |      WHERE vec_id % 20 = 3)
+        |SELECT s.store, n.resident AS resident_rows,
+        |  n.resident - t.tomb AS live_rows, t.tomb AS tombstoned_rows,
+        |  CAST(t.tomb AS DOUBLE) / CAST(n.resident AS DOUBLE) AS dead_frac
+        |FROM (SELECT 'ivf_cells' AS store UNION ALL SELECT 'pq_codes') s, n, t""".stripMargin,
     // replays the search from the raw corpus: per-(term, doc) tf over the
     // probed term set, df from the same rows, the shared integer-exact
     // idf proxy, row_number ties on doc_id — the index is a physical

@@ -209,6 +209,28 @@ object InvertedIndex {
         "left_anti")
     }
 
+  /** Tombstone HYGIENE for the search family's stored tables
+    * ([[IvfIndex.hygiene]]'s search twin): one row per store (postings,
+    * positions) with resident/live/tombstoned counts and the dead
+    * fraction — the signal that schedules compaction in production
+    * beside the fixed ledger-count trigger. Two narrow aggregates per
+    * store, nothing collected. */
+  def hygiene(spark: SparkSession, dir: String): DataFrame = {
+    def stats(store: String, t: String): DataFrame = {
+      val all = spark.table(t)
+      all.agg(count(lit(1)).as("resident_rows"))
+        .crossJoin(withoutTombstones(spark, dir, all)
+          .agg(count(lit(1)).as("live_rows")))
+        .select(lit(store).as("store"),
+          col("resident_rows"), col("live_rows"),
+          (col("resident_rows") - col("live_rows")).as("tombstoned_rows"),
+          ((col("resident_rows") - col("live_rows")).cast("double") /
+            col("resident_rows").cast("double")).as("dead_frac"))
+    }
+    stats("postings", ensure(spark, dir))
+      .unionByName(stats("positions", ensurePositions(spark, dir)))
+  }
+
   /** See [[SnapshotMeta.derivedBatchId]] — the id space for the no-arg
     * [[append]] overload (callers without a durable batch identity). */
   private[operators] def derivedBatchId(fp: (Long, Long)): Long =

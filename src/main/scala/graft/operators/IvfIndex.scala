@@ -226,6 +226,36 @@ object IvfIndex {
     liveRows(spark, dir, spark.table(cellsT))
   }
 
+  /** Tombstone HYGIENE for the ANN family's stored tables — one row per
+    * store with resident (physical), live (served), and tombstoned row
+    * counts plus the dead fraction. THE compaction-scheduling signal in
+    * production, complementing the fixed ledger-count trigger
+    * ([[SnapshotMaintenance.compactAfter]]): dead_frac is the serving
+    * tax tombstones levy (dead bytes scanned + anti-join width) that a
+    * fold reclaims — a scheduler folds on EITHER signal, stamp count or
+    * dead share. Includes the codes store when the PQ family is present
+    * (its parity with the cells row is itself a health check). Counts
+    * are two narrow aggregates per store; nothing is collected. */
+  def hygiene(spark: SparkSession, dir: String): DataFrame = {
+    val (cellsT, _) = ensureIndex(spark, dir)
+    def stats(store: String, t: String): DataFrame = {
+      val all = spark.table(t)
+      all.agg(count(lit(1)).as("resident_rows"))
+        .crossJoin(liveRows(spark, dir, all)
+          .agg(count(lit(1)).as("live_rows")))
+        .select(lit(store).as("store"),
+          col("resident_rows"), col("live_rows"),
+          (col("resident_rows") - col("live_rows")).as("tombstoned_rows"),
+          ((col("resident_rows") - col("live_rows")).cast("double") /
+            col("resident_rows").cast("double")).as("dead_frac"))
+    }
+    val codesT = tableStem(dir) + "_pq_codes"
+    val base = stats("ivf_cells", cellsT)
+    if (spark.catalog.tableExists(codesT))
+      base.unionByName(stats("pq_codes", codesT))
+    else base
+  }
+
   /** Removals and re-embeddings at CHURN cost ([[InvertedIndex.edit]]'s
     * ANN twin — the path a right-to-be-forgotten delete or an embedding
     * refresh takes): `removed` ids land as a tombstone partition (old

@@ -665,6 +665,23 @@ class InvertedIndexSpec extends SparkSpec {
       val ex = InvertedIndex.corpusStats(edited).head()
       assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)),
         "net stats row did not keep (n, dltot) exact")
+      // hygiene reports the edit's dead weight exactly: resident = base
+      // rows + the edit batch's added rows, tombstoned = the removed
+      // docs' base rows (strictly below the tombstone batch), live the
+      // rest — for BOTH stores, from the single postings/positions
+      // definitions
+      val hyg = InvertedIndex.hygiene(s, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      def expHyg(rel: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+        val resident = rel(base).count() + rel(added).count()
+        val dead = rel(base).filter(col("doc_id").isin(1L, 2L)).count()
+        (resident, resident - dead, dead)
+      }
+      assert(hyg("postings") == expHyg(InvertedIndex.postings),
+        s"postings hygiene diverged: ${hyg("postings")}")
+      assert(hyg("positions") == expHyg(InvertedIndex.positions),
+        s"positions hygiene diverged: ${hyg("positions")}")
       // a committed edit replays as a no-op, even with different frames
       InvertedIndex.edit(s, dir,
         Seq((3L, "gamma gamma epsilon")).toDF("doc_id", "text"),
