@@ -207,6 +207,97 @@ class SnapshotMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("one-call promotion advances BOTH corpus tables' families to the " +
+       "rebuild answer, under one batch id, and replays as a no-op") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "s0", 200)
+    def words(stem: String) = (1 to 30).map(i => s"$stem$i")
+    def landDocs(rows: Seq[(Long, String, String, String, Int)], dir: String) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def emb(id: Long, salt: Long) =
+      Array.tabulate(64)(d => (((id * 37 + salt + d * 11) % 19) - 9) / 9.0f)
+    def eframe(rows: Seq[(Long, Long)]) =
+      rows.map { case (id, salt) => (id, emb(id, salt), id % 10) }
+        .toDF("vec_id", "embedding", "label")
+    def landEmb(rows: Seq[(Long, Long)], dir: String) =
+      eframe(rows).localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("promo-fixture").toString
+    try {
+      // v0 of BOTH tables, all families built over it
+      val docs0 = Seq(doc(1, words("one")), doc(2, words("two")),
+        doc(3, words("three")))
+      landDocs(docs0, dir)
+      val emb0 = (0L until 40L).map((_, 0L))
+      landEmb(emb0, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      PqIndex.ensure(s, dir)
+      val (_, cents) = IvfIndex.ensureIndex(s, dir)
+      // pin prev, land v1: the document side loses doc 2, rewrites doc 3
+      // (now doc 6's twin) and adds doc 6; the embeddings side loses
+      // vec 7, re-embeds vec 8, adds vec 200 — BOTH sides churn
+      // independently, as a real crawl promotion does
+      val prevDocs = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val prevEmb = graft.sources.Tables.embeddings(s, dir).localCheckpoint(true)
+      val docs1 = Seq(doc(1, words("one")), doc(3, words("four")),
+        doc(6, words("four")))
+      landDocs(docs1, dir)
+      val emb1 = emb0.filterNot(_._1 == 7L).map {
+        case (8L, _) => (8L, 555L)
+        case other   => other
+      } :+ (200L, 0L)
+      landEmb(emb1, dir)
+      assert(SnapshotPromotion.promote(s, dir, prevDocs, prevEmb, 1L)
+        == "docs=edited ann=edited")
+      // EVERY family equals its rebuild over the promoted snapshot
+      val cur = graft.sources.Tables.documents(s, dir)
+      assert(InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet ==
+        InvertedIndex.postings(cur)
+          .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet,
+        "postings diverge from the promoted snapshot's rebuild")
+      val st = InvertedIndex.statsFor(s, dir).head()
+      val ex = InvertedIndex.corpusStats(cur).head()
+      assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)),
+        "BM25 stats diverge from the promoted snapshot's rebuild")
+      val comp = ComponentIndex.componentsFor(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val compRebuild = CacheScope.withOperatorCaches {
+        ComponentIndex.bandedComponentMap(cur)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(comp == compRebuild,
+        "component map diverges from the promoted snapshot's rebuild")
+      assert(comp.contains((3L, 3L)) && comp.contains((6L, 3L)),
+        "the rewritten doc must cluster with its new twin")
+      val live = IvfIndex.cellsFor(s, dir).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expLive = eframe(emb1)
+        .select(col("vec_id"), SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(live == expLive,
+        "ANN live view diverges from the frozen-centroid assignment")
+      assert(!InvertedIndex.snapshotStale(s, dir) &&
+        !ComponentIndex.snapshotStale(s, dir) && !IvfIndex.snapshotStale(s, dir))
+      // the whole promotion replays as a no-op under the same batch id
+      assert(SnapshotPromotion.promote(s, dir, prevDocs, prevEmb, 1L)
+        == "docs=no_change ann=no_change")
+    } finally {
+      InvertedIndex.drop(s, dir)
+      ComponentIndex.drop(s, dir)
+      IvfIndex.drop(s, dir)
+      PqIndex.drop(s, dir)
+      KMeans.clearModel(dir)
+      Pq.clearModel(dir)
+      rm(dir)
+    }
+  }
+
   test("auto-compaction folds the family at the ledger threshold, " +
        "preserving answers and the latest batch's replay guard") {
     val s = spark
