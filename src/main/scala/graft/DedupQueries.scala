@@ -113,6 +113,51 @@ object DedupQueries {
     fix
   }
 
+  /** [[editedSearchDir]] with a FORCED tombstoned layout. Serving
+    * answers are layout-invariant across that fixture's legal histories
+    * (edit == rebuild-over-edited, spec-pinned), but HYGIENE measures
+    * the physical layout itself — a fixture that a fresh JVM rebuilt
+    * over the edited corpus carries no tombstones and reports zero dead
+    * rows, a different (equally true) answer. So the hygiene query gets
+    * its own fixture that is valid ONLY in the complete tombstoned
+    * state (edited corpus landed, handshake fresh, both stores showing
+    * dead rows); anything else — first use, crash debris, a wrong-
+    * history rebuild — is discarded and rebuilt from the original dir
+    * with the canonical history: base build, edit batch 1, edited
+    * corpus landed. Idempotent and convergent under replay at any
+    * crash point. */
+  private def hygieneSearchDir(s: SparkSession, dir: String): String = {
+    import graft.operators.InvertedIndex
+    val fix = "/tmp/graft_hyg_search_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val docsPath = s"$fix/documents.parquet"
+    val docs = Tables.documents(s, dir)
+    val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
+    val isRewritten = pmod(col("doc_id"), lit(20L)) === 11L
+    def editedCorpus = docs.filter(!isRemoved).withColumn("text",
+      when(isRewritten, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")))
+    def valid: Boolean =
+      new java.io.File(docsPath).exists() &&
+        Tables.documents(s, fix).count() == editedCorpus.count() &&
+        !InvertedIndex.snapshotStale(s, fix) &&
+        InvertedIndex.hygiene(s, fix)
+          .filter(col("tombstoned_rows") > 0).count() == 2
+    if (!valid) {
+      InvertedIndex.drop(s, fix)
+      docs.write.mode("overwrite").parquet(docsPath)
+      InvertedIndex.ensure(s, fix)
+      InvertedIndex.ensurePositions(s, fix)
+      val added = docs.filter(isRewritten)
+        .withColumn("text", concat(col("text"), lit(" "), col("text")))
+      InvertedIndex.appendPositions(s, fix, added, 1L)
+      InvertedIndex.edit(s, fix, docs.filter(isRemoved || isRewritten),
+        added, 1L)
+      editedCorpus.write.mode("overwrite").parquet(docsPath)
+    }
+    fix
+  }
+
   /** The hybrid BM25→cosine funnel: shortlist of 20 from the persisted
     * index at `idxDir`, exact cosine re-rank against the top hit's
     * embedding, top-10. `dir` supplies the embeddings (the corpus's
@@ -963,6 +1008,18 @@ object DedupQueries {
       val fix = deletedAnnDir(s, dir)
       graft.operators.PqIndex.ensure(s, fix) // codes store present
       graft.operators.IvfIndex.hygiene(s, fix)
+    }),
+
+    // the search family's hygiene twin on the EDITED fixture: resident =
+    // base rows + the edit batch's rows, tombstoned = the removed and
+    // rewritten docs' base rows. The oracle counts both stores from the
+    // token stream: postings rows are per-doc distinct canonical terms
+    // (doubling text changes no doc's distinct-term set, so the edit
+    // batch re-adds exactly the rewritten docs' counts), positional rows
+    // are per-doc token counts (the doubled text re-adds 2x).
+    "q_search_index_hygiene" -> ((s, dir) => {
+      val fix = hygieneSearchDir(s, dir)
+      graft.operators.InvertedIndex.hygiene(s, fix)
     }),
 
     // CORPUS SEARCH from the persisted inverted index (round 11): top-10
@@ -2438,6 +2495,32 @@ object DedupQueries {
         |  n.resident - t.tomb AS live_rows, t.tomb AS tombstoned_rows,
         |  CAST(t.tomb AS DOUBLE) / CAST(n.resident AS DOUBLE) AS dead_frac
         |FROM (SELECT 'ivf_cells' AS store UNION ALL SELECT 'pq_codes') s, n, t""".stripMargin,
+    // search-family hygiene: per-doc distinct-term counts (postings rows)
+    // and token counts (positional rows) over the ORIGINAL corpus, split
+    // by the edit classes — the edit history replays as pure arithmetic
+    "q_search_index_hygiene" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($canonToksSql) AS term FROM documents),
+         |pc AS (SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS np,
+         |              CAST(count(*) AS BIGINT) AS nt
+         |       FROM tok GROUP BY 1),
+         |agg AS (SELECT
+         |  CAST(sum(np) AS BIGINT) AS p_base,
+         |  CAST(sum(nt) AS BIGINT) AS t_base,
+         |  CAST(sum(CASE WHEN doc_id % 20 = 11 THEN np ELSE 0 END) AS BIGINT) AS p_rew,
+         |  CAST(sum(CASE WHEN doc_id % 20 = 11 THEN nt ELSE 0 END) AS BIGINT) AS t_rew,
+         |  CAST(sum(CASE WHEN doc_id % 20 IN (3, 11) THEN np ELSE 0 END) AS BIGINT) AS p_dead,
+         |  CAST(sum(CASE WHEN doc_id % 20 IN (3, 11) THEN nt ELSE 0 END) AS BIGINT) AS t_dead
+         |  FROM pc)
+         |SELECT 'postings' AS store, p_base + p_rew AS resident_rows,
+         |  p_base + p_rew - p_dead AS live_rows, p_dead AS tombstoned_rows,
+         |  CAST(p_dead AS DOUBLE) / CAST(p_base + p_rew AS DOUBLE) AS dead_frac
+         |FROM agg
+         |UNION ALL
+         |SELECT 'positions', t_base + 2 * t_rew,
+         |  t_base + 2 * t_rew - t_dead, t_dead,
+         |  CAST(t_dead AS DOUBLE) / CAST(t_base + 2 * t_rew AS DOUBLE)
+         |FROM agg""".stripMargin,
     // replays the search from the raw corpus: per-(term, doc) tf over the
     // probed term set, df from the same rows, the shared integer-exact
     // idf proxy, row_number ties on doc_id — the index is a physical
