@@ -95,8 +95,10 @@ object AnnMaintenance {
         "edited"
       }
     val lim = SnapshotMaintenance.compactAfter
-    val fold = lim > 0 && spark.catalog.tableExists(meta) &&
-      spark.table(meta).count() >= lim
+    val fold = (lim > 0 && spark.catalog.tableExists(meta) &&
+      spark.table(meta).count() >= lim) ||
+      SnapshotMaintenance.deadShareTrigger(spark, meta,
+        IvfIndex.tombTable(dir))
     if (fold) {
       PqIndex.compact(spark, dir)  // codes first: the coarse compact
       IvfIndex.compact(spark, dir) // retires the shared tombstone table

@@ -172,6 +172,38 @@ object SnapshotMaintenance {
     n
   }
 
+  /** The SECOND compaction trigger, from the hygiene signal:
+    * `-Dgraft.index.compactDeadShare` (a fraction in [0, 1]; 0 disables
+    * — the default, opt-in like a deployment knob). A family folds when
+    * tombstoned ids reach this share of the ids it has absorbed
+    * (dead / (dead + live)). Computed from O(churn)-sized state only —
+    * the tombstone table's row count over the ledger's summed doc count
+    * — never a store scan: `hygiene()`'s exact per-row counts are the
+    * MONITORING view; this is the cheap per-batch SCHEDULING view. The
+    * two triggers complement: stamp count bounds file accretion
+    * (partition/file explosion), dead share bounds the tombstone
+    * serving tax (dead bytes scanned + anti-join width). */
+  private[operators] def compactDeadShare: Double = {
+    val raw = sys.props.getOrElse("graft.index.compactDeadShare", "0")
+    val v = raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+      s"-Dgraft.index.compactDeadShare must be a number, got '$raw'"))
+    require(v >= 0.0 && v <= 1.0,
+      s"-Dgraft.index.compactDeadShare must be in [0, 1], got $v")
+    v
+  }
+
+  /** True when the dead-share trigger fires for a family's (ledger,
+    * tombstone) pair. Both inputs are tiny tables. */
+  private[operators] def deadShareTrigger(spark: SparkSession, meta: String,
+                                          tomb: String): Boolean = {
+    val thr = compactDeadShare
+    if (thr == 0.0 || !spark.catalog.tableExists(tomb) ||
+        !spark.catalog.tableExists(meta)) return false
+    val dead = spark.table(tomb).count().toDouble
+    val live = SnapshotMeta.summedFingerprint(spark, meta)._1.toDouble
+    dead > 0 && dead / (dead + live) >= thr
+  }
+
   /** Compact each family whose ledger reached [[compactAfter]] stamps.
     * Runs only from the DURABLE-id overload, and only after the batch
     * committed: folding into the MAX committed id preserves the one
@@ -185,11 +217,15 @@ object SnapshotMaintenance {
     * replayed content batch would lose its no-op guard and double. */
   private def autoCompact(spark: SparkSession, dir: String): Boolean = {
     val lim = compactAfter
-    if (lim == 0) return false
     def over(meta: String): Boolean =
-      spark.catalog.tableExists(meta) && spark.table(meta).count() >= lim
-    val inv = over(InvertedIndex.metaTable(dir))
-    val comp = over(ComponentIndex.metaTable(dir))
+      lim > 0 && spark.catalog.tableExists(meta) &&
+        spark.table(meta).count() >= lim
+    val inv = over(InvertedIndex.metaTable(dir)) ||
+      deadShareTrigger(spark, InvertedIndex.metaTable(dir),
+        InvertedIndex.tombTable(dir))
+    val comp = over(ComponentIndex.metaTable(dir)) ||
+      deadShareTrigger(spark, ComponentIndex.metaTable(dir),
+        ComponentIndex.tombTable(dir))
     if (inv) InvertedIndex.compact(spark, dir)
     if (comp) ComponentIndex.compact(spark, dir)
     inv || comp

@@ -118,6 +118,62 @@ class AnnMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("ANN dead-share trigger folds the family when tombstoned vectors " +
+       "reach the threshold") {
+    val s = spark
+    import s.implicits._
+    def emb(id: Long) =
+      Array.tabulate(64)(d => (((id * 43 + d * 7) % 29) - 14) / 14.0f)
+    def frame(ids: Seq[Long]) = ids.map(id => (id, emb(id), id % 10))
+      .toDF("vec_id", "embedding", "label")
+    def land(ids: Seq[Long], dir: String) =
+      frame(ids).localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ann-deadshare").toString
+    val savedAfter = sys.props.get("graft.index.compactAfter")
+    val savedShare = sys.props.get("graft.index.compactDeadShare")
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => sys.props(k) = x
+      case None => sys.props.remove(k)
+    }
+    try {
+      sys.props("graft.index.compactAfter") = "0"
+      sys.props("graft.index.compactDeadShare") = "0.2"
+      val v0 = 0L until 40L
+      land(v0, dir)
+      PqIndex.ensure(s, dir)
+      val (_, cents) = IvfIndex.ensureIndex(s, dir)
+      // edit 1: 4 removals — 4/40 = 10% < 20%, no fold
+      val prev1 = graft.sources.Tables.embeddings(s, dir).localCheckpoint(true)
+      val v1 = v0.filterNot(id => id >= 36L)
+      land(v1, dir)
+      assert(AnnMaintenance.maintain(s, dir, prev1, batchId = 1L) == "edited")
+      // edit 2: 8 more — 12/40 = 30% >= 20%, fold
+      val prev2 = graft.sources.Tables.embeddings(s, dir).localCheckpoint(true)
+      val v2 = v1.filterNot(id => id >= 28L)
+      land(v2, dir)
+      assert(AnnMaintenance.maintain(s, dir, prev2, batchId = 2L)
+        == "edited+compacted", "at the threshold the ANN family must fold")
+      val hyg = IvfIndex.hygiene(s, dir)
+        .agg(sum("tombstoned_rows")).head().getLong(0)
+      assert(hyg == 0L, "the fold must leave zero dead rows in both stores")
+      val live = IvfIndex.cellsFor(s, dir).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = frame(v2)
+        .select(col("vec_id"), SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(live == expected, "answers must survive the dead-share fold")
+    } finally {
+      restore("graft.index.compactAfter", savedAfter)
+      restore("graft.index.compactDeadShare", savedShare)
+      IvfIndex.drop(s, dir)
+      PqIndex.drop(s, dir)
+      KMeans.clearModel(dir)
+      Pq.clearModel(dir)
+      rm(dir)
+    }
+  }
+
   test("a committed replay repairs a torn codes partition (crash after the " +
        "coarse stamp, parity memo already warm)") {
     val s = spark

@@ -207,6 +207,61 @@ class SnapshotMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("dead-share trigger folds the family when tombstones reach the " +
+       "threshold, independent of the stamp count") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "s0", 200)
+    def words(stem: String) = (1 to 30).map(i => s"$stem$i")
+    def land(rows: Seq[(Long, String, String, String, Int)], dir: String) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("deadshare").toString
+    val savedAfter = sys.props.get("graft.index.compactAfter")
+    val savedShare = sys.props.get("graft.index.compactDeadShare")
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => sys.props(k) = x
+      case None => sys.props.remove(k)
+    }
+    try {
+      // fixed-count trigger OFF — only the dead share can fold
+      sys.props("graft.index.compactAfter") = "0"
+      sys.props("graft.index.compactDeadShare") = "0.2"
+      val v0 = (1L to 10L).map(i => doc(i, words(s"w$i")))
+      land(v0, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      // edit 1: one removal — dead share 1/10 < 0.2, no fold
+      val prev1 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v1 = v0.filterNot(_._1 == 10L)
+      land(v1, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev1, batchId = 1L)
+        == "edited", "below the threshold the family must not fold")
+      // edit 2: two more removals — dead share 3/10 >= 0.2, fold
+      val prev2 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v2 = v1.filterNot(r => r._1 == 8L || r._1 == 9L)
+      land(v2, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev2, batchId = 2L)
+        == "edited+compacted", "at the threshold the family must fold")
+      // the fold retired the tombstones and serving equals the replay
+      val hyg = InvertedIndex.hygiene(s, dir)
+        .agg(sum("tombstoned_rows")).head().getLong(0)
+      assert(hyg == 0L, "the fold must leave zero dead rows")
+      val cur = graft.sources.Tables.documents(s, dir)
+      assert(InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet ==
+        InvertedIndex.postings(cur)
+          .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet)
+    } finally {
+      restore("graft.index.compactAfter", savedAfter)
+      restore("graft.index.compactDeadShare", savedShare)
+      dropAll(dir)
+      rm(dir)
+    }
+  }
+
   test("one-call promotion advances BOTH corpus tables' families to the " +
        "rebuild answer, under one batch id, and replays as a no-op") {
     val s = spark
