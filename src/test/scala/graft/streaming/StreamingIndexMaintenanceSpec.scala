@@ -741,6 +741,114 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch snapshot PROMOTION advances both corpus tables' families " +
+       "from streamed versions under one batch id") {
+    // SnapshotPromotion under a stream — the full production loop: each
+    // micro-batch is the next crawl snapshot (documents + their
+    // embeddings, the embedding a function of the text so a rewrite
+    // re-embeds), the handler pins both prevs, lands both tables, and
+    // promotes under the stream's batchId. Afterwards every family
+    // serves the final snapshot exactly, and an idle re-run no-ops.
+    val s = spark
+    import s.implicits._
+    import graft.operators.{ComponentIndex, InvertedIndex, IvfIndex, PqIndex,
+      SnapshotPromotion}
+    val dir = Files.createTempDirectory("promo-stream").toString
+    val src = Files.createTempDirectory("promo-src").toString
+    val ckpt = Files.createTempDirectory("promo-ckpt").toString
+    try {
+      def words(stem: String) = (1 to 30).map(i => s"$stem$i").mkString(" ")
+      def emb(id: Long, salt: Long) =
+        Array.tabulate(64)(d => (((id * 31 + salt * 17 + d * 7) % 23) - 11) / 11.0f)
+      def docFrame(rows: Seq[(Long, String)]) =
+        rows.map { case (id, t) => (id, t, "en", "s0", 200) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def embFrame(rows: Seq[(Long, String)]) =
+        rows.map { case (id, t) => (id, emb(id, t.hashCode.toLong), id % 10) }
+          .toDF("vec_id", "embedding", "label")
+      def landBoth(rows: Seq[(Long, String)]): Unit = {
+        docFrame(rows).localCheckpoint(true)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        embFrame(rows).localCheckpoint(true)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      val v0 = (1L to 40L).map(i => (i, words(s"w$i")))
+      landBoth(v0)
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      PqIndex.ensure(s, dir)
+      val (_, cents) = IvfIndex.ensureIndex(s, dir)
+
+      val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+      val schema = graft.sources.Tables.documents(s, dir).schema
+      def run() = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            val prevDocs = graft.sources.Tables.documents(s, dir)
+              .localCheckpoint(true)
+            val prevEmb = graft.sources.Tables.embeddings(s, dir)
+              .localCheckpoint(true)
+            val rows = b.select("doc_id", "text").collect()
+              .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+            landBoth(rows)
+            actions += SnapshotPromotion.promote(s, dir, prevDocs, prevEmb, id)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+
+      // version 1 (batch 0): +2 new docs (and their vectors) — appends
+      val v1 = v0 ++ Seq((100L, words("x")), (101L, words("y")))
+      docFrame(v1).coalesce(1).write.parquet(s"$src/a")
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      // version 2 (batch 1): doc 5 removed, doc 7 REWRITTEN (its vector
+      // re-embeds through the text hash), doc 102 added — edits
+      val v2 = v1.filterNot(_._1 == 5L).map {
+        case (7L, _) => (7L, words("rewritten"))
+        case other   => other
+      } :+ (102L, words("z"))
+      docFrame(v2).coalesce(1).write.parquet(s"$src/b")
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      assert(actions.toSeq ==
+        Seq("docs=appended ann=appended", "docs=edited ann=edited"),
+        s"promotion picked the wrong actions: $actions")
+      // every family serves the final streamed snapshot exactly
+      val cur = graft.sources.Tables.documents(s, dir)
+      assert(InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet ==
+        InvertedIndex.postings(cur)
+          .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet,
+        "postings diverge from the final promoted snapshot")
+      assert(!InvertedIndex.snapshotStale(s, dir) &&
+        !ComponentIndex.snapshotStale(s, dir) && !IvfIndex.snapshotStale(s, dir))
+      val live = IvfIndex.cellsFor(s, dir).select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = embFrame(v2)
+        .select(col("vec_id"),
+          graft.operators.SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(live == expected,
+        "ANN live view diverges from the final promoted snapshot")
+      // an idle checkpointed re-run leaves everything untouched
+      val q3 = run()
+      try q3.processAllAvailable() finally q3.stop()
+      assert(actions.size == 2)
+    } finally {
+      graft.operators.InvertedIndex.drop(s, dir)
+      graft.operators.ComponentIndex.drop(s, dir)
+      graft.operators.IvfIndex.drop(s, dir)
+      graft.operators.PqIndex.drop(s, dir)
+      graft.operators.KMeans.clearModels()
+      Seq(dir, src, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("streamed document maintenance crosses the auto-compaction threshold: " +
        "fold fires exactly once, serving unchanged, replay guard survives") {
     // the production loop's housekeeping end-to-end: snapshot versions
