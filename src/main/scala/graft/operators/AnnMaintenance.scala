@@ -94,11 +94,8 @@ object AnnMaintenance {
           cur.join(inIds, Seq("vec_id"), "left_semi"), batchId)
         "edited"
       }
-    val lim = SnapshotMaintenance.compactAfter
-    val fold = (lim > 0 && spark.catalog.tableExists(meta) &&
-      spark.table(meta).count() >= lim) ||
-      SnapshotMaintenance.deadShareTrigger(spark, meta,
-        IvfIndex.tombTable(dir))
+    val fold =
+      SnapshotMaintenance.foldDue(spark, meta, IvfIndex.tombTable(dir))
     if (fold) {
       PqIndex.compact(spark, dir)  // codes first: the coarse compact
       IvfIndex.compact(spark, dir) // retires the shared tombstone table

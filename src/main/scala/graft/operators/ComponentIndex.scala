@@ -330,10 +330,15 @@ object ComponentIndex {
   }
 
   /** [[merge]] with a content-derived batch id — for callers without a
-    * durable external batch identity ([[SnapshotMeta.derivedBatchId]]). */
-  def merge(spark: SparkSession, dir: String, batch: DataFrame): String =
+    * durable external batch identity ([[SnapshotMeta.derivedBatchId]]).
+    * Tombstoned ids refused ([[SnapshotMeta.requireNoTombstonedIds]]):
+    * a re-added doc's signature rows would land below its tombstone and
+    * never serve. */
+  def merge(spark: SparkSession, dir: String, batch: DataFrame): String = {
+    SnapshotMeta.requireNoTombstonedIds(spark, tombTable(dir), batch, "doc_id")
     merge(spark, dir, batch,
       SnapshotMeta.derivedBatchId(SnapshotMeta.contentFingerprint(batch)))
+  }
 
   /** THE edited-map derivation — the incremental recompute under
     * removals/rewrites, one definition shared by [[edit]] and the live

@@ -216,19 +216,11 @@ object InvertedIndex {
     * beside the fixed ledger-count trigger. Two narrow aggregates per
     * store, nothing collected. */
   def hygiene(spark: SparkSession, dir: String): DataFrame = {
-    def stats(store: String, t: String): DataFrame = {
-      val all = spark.table(t)
-      all.agg(count(lit(1)).as("resident_rows"))
-        .crossJoin(withoutTombstones(spark, dir, all)
-          .agg(count(lit(1)).as("live_rows")))
-        .select(lit(store).as("store"),
-          col("resident_rows"), col("live_rows"),
-          (col("resident_rows") - col("live_rows")).as("tombstoned_rows"),
-          ((col("resident_rows") - col("live_rows")).cast("double") /
-            col("resident_rows").cast("double")).as("dead_frac"))
-    }
-    stats("postings", ensure(spark, dir))
-      .unionByName(stats("positions", ensurePositions(spark, dir)))
+    def row(store: String, t: String): DataFrame =
+      SnapshotMeta.hygieneRow(store, spark.table(t),
+        withoutTombstones(spark, dir, spark.table(t)))
+    row("postings", ensure(spark, dir))
+      .unionByName(row("positions", ensurePositions(spark, dir)))
   }
 
   /** See [[SnapshotMeta.derivedBatchId]] — the id space for the no-arg
@@ -273,17 +265,15 @@ object InvertedIndex {
   }
 
   /** [[append]] with a content-derived batch id — for callers without a
-    * durable external batch identity. Refused once the family has
-    * absorbed an edit: derived ids land at `<= -2`, strictly below every
-    * tombstone, so re-adding a previously deleted doc through this
-    * overload would leave its rows permanently hidden from
+    * durable external batch identity. Derived ids land at `<= -2`,
+    * strictly below every tombstone, so a batch id a tombstone names
+    * would leave its rows permanently hidden from
     * [[postingsFor]]/[[positionsFor]] despite a "successful" append —
-    * an edited family needs durable non-negative ids from then on. */
+    * refused precisely ([[SnapshotMeta.requireNoTombstonedIds]]): only
+    * tombstoned ids are unsafe, brand-new ids append fine on an edited
+    * family. */
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    require(!spark.catalog.tableExists(tombTable(dir)),
-      "content-derived batch ids sit below every tombstone, so this " +
-        "append's rows could be permanently hidden; a family that has " +
-        "absorbed an edit requires a durable non-negative batch id")
+    SnapshotMeta.requireNoTombstonedIds(spark, tombTable(dir), batch, "doc_id")
     append(spark, dir, batch, derivedBatchId(contentFingerprint(batch)))
   }
 
@@ -401,13 +391,10 @@ object InvertedIndex {
 
   /** [[appendPositions]] with the content-derived batch id (matches the
     * 3-arg [[append]]'s slot for the same batch — and the same
-    * edited-family refusal, so the torn state where positions land but
+    * tombstoned-id refusal, so the torn state where positions land but
     * the paired [[append]] refuses cannot arise). */
   def appendPositions(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    require(!spark.catalog.tableExists(tombTable(dir)),
-      "content-derived batch ids sit below every tombstone, so this " +
-        "append's rows could be permanently hidden; a family that has " +
-        "absorbed an edit requires a durable non-negative batch id")
+    SnapshotMeta.requireNoTombstonedIds(spark, tombTable(dir), batch, "doc_id")
     appendPositions(spark, dir, batch, derivedBatchId(contentFingerprint(batch)))
   }
 

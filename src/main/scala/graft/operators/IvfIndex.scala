@@ -179,13 +179,19 @@ object IvfIndex {
     * durable external batch identity (foreachBatch callers should pass
     * their batchId instead). The id keys on (id, vector) content
     * ([[SnapshotMeta.contentFingerprintCols]]), so replaying the same
-    * batch reuses the same ledger slot. */
+    * batch reuses the same ledger slot. Tombstoned ids are refused —
+    * their rows would land below the tombstone and never serve
+    * ([[SnapshotMeta.requireNoTombstonedIds]]); brand-new ids are
+    * safe. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    SnapshotMeta.requireNoTombstonedIds(spark, tombTable(dir),
+      batch.select(col(idCol).as("vec_id")), "vec_id")
     append(spark, dir, batch,
       SnapshotMeta.derivedBatchId(
         SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol))),
       idCol, vecCol)
+  }
 
   /** Staleness check vs the CURRENT fixture content (explicit, on the
     * pipeline's snapshot-promotion cadence — the ComponentIndex rule):
@@ -238,22 +244,18 @@ object IvfIndex {
     * are two narrow aggregates per store; nothing is collected. */
   def hygiene(spark: SparkSession, dir: String): DataFrame = {
     val (cellsT, _) = ensureIndex(spark, dir)
-    def stats(store: String, t: String): DataFrame = {
-      val all = spark.table(t)
-      all.agg(count(lit(1)).as("resident_rows"))
-        .crossJoin(liveRows(spark, dir, all)
-          .agg(count(lit(1)).as("live_rows")))
-        .select(lit(store).as("store"),
-          col("resident_rows"), col("live_rows"),
-          (col("resident_rows") - col("live_rows")).as("tombstoned_rows"),
-          ((col("resident_rows") - col("live_rows")).cast("double") /
-            col("resident_rows").cast("double")).as("dead_frac"))
-    }
-    val codesT = tableStem(dir) + "_pq_codes"
-    val base = stats("ivf_cells", cellsT)
-    if (spark.catalog.tableExists(codesT))
-      base.unionByName(stats("pq_codes", codesT))
-    else base
+    def row(store: String, t: String): DataFrame =
+      SnapshotMeta.hygieneRow(store, spark.table(t),
+        liveRows(spark, dir, spark.table(t)))
+    val codesT = PqIndex.codesTable(dir)
+    // a pre-ledger codes table (no batch_id column) cannot apply the
+    // visibility rule — skip its row rather than crash; PqIndex.ensure
+    // heals that layout on its next serving call, after which the row
+    // appears
+    val withCodes = spark.catalog.tableExists(codesT) &&
+      spark.table(codesT).columns.contains("batch_id")
+    val base = row("ivf_cells", cellsT)
+    if (withCodes) base.unionByName(row("pq_codes", codesT)) else base
   }
 
   /** Removals and re-embeddings at CHURN cost ([[InvertedIndex.edit]]'s

@@ -34,6 +34,11 @@ object PqIndex {
     * chain: (codes table, cells table, coarse centroids, codebook). */
   private type Ensured = (String, String, Array[Array[Double]], Array[Array[Array[Double]]])
 
+  /** THE codes-table naming rule — single owner for [[ensure]]/[[drop]]
+    * and [[IvfIndex.hygiene]]'s codes row. */
+  private[operators] def codesTable(dir: String): String =
+    IvfIndex.tableStem(dir) + "_pq_codes"
+
   /** Fixture dirs whose cells/codes row parity has been checked this
     * session — [[IvfIndex.append]] is a legal ingest path that does not
     * know about the codes table, so an existing codes table may lag the
@@ -74,9 +79,8 @@ object PqIndex {
   /** Drop the fixture's code tables ([[IvfIndex.drop]]'s twin — callers
     * retiring the whole family run both). */
   def drop(spark: SparkSession, dir: String): Unit = {
-    val stem = IvfIndex.tableStem(dir)
-    spark.sql(s"DROP TABLE IF EXISTS ${stem}_pq_codes")
-    spark.sql(s"DROP TABLE IF EXISTS ${stem}_pq_codebook")
+    spark.sql(s"DROP TABLE IF EXISTS ${codesTable(dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${IvfIndex.tableStem(dir)}_pq_codebook")
     synced.remove(dir)
   }
 
@@ -89,9 +93,8 @@ object PqIndex {
     * dropping the missing vectors from every probe. */
   def ensure(spark: SparkSession, dir: String): Ensured = {
     val (cellsT, cents) = IvfIndex.ensureIndex(spark, dir)
-    val stem = IvfIndex.tableStem(dir)
-    val codesT = s"${stem}_pq_codes"
-    val cbT = s"${stem}_pq_codebook"
+    val codesT = codesTable(dir)
+    val cbT = s"${IvfIndex.tableStem(dir)}_pq_codebook"
     // codes must be present IN THE LEDGERED LAYOUT (batch_id partition
     // column, mirroring the cells table) — a pre-ledger codes table
     // would fail the first partition-overwrite append, so rebuild it
@@ -232,13 +235,17 @@ object PqIndex {
   /** [[append]] with a content-derived batch id (the [[IvfIndex.append]]
     * convention — foreachBatch callers should pass their batchId). The
     * SAME derivation as the coarse index's, so both tables share one
-    * ledger slot per batch. */
+    * ledger slot per batch. Tombstoned ids refused, like the coarse
+    * overload's guard (the tombstone table is shared). */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    SnapshotMeta.requireNoTombstonedIds(spark, IvfIndex.tombTable(dir),
+      batch.select(col(idCol).as("vec_id")), "vec_id")
     append(spark, dir, batch,
       SnapshotMeta.derivedBatchId(
         SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol))),
       idCol, vecCol)
+  }
 
   /** Removals and re-embeddings for the WHOLE PQ family, paired with
     * [[IvfIndex.edit]] the way [[append]] pairs with the coarse append:

@@ -204,6 +204,25 @@ object SnapshotMaintenance {
     dead > 0 && dead / (dead + live) >= thr
   }
 
+  /** THE one definition of "this family's fold is due", shared by the
+    * document-side [[autoCompact]] and the ANN-side housekeeping
+    * ([[AnnMaintenance.maintain]]). The family must be ELIGIBLE — no
+    * content-derived stamp in its ledger (folding one erases its replay
+    * guard; `compact()` refuses it loudly, and throwing AFTER the batch
+    * committed would wedge the loop: every later batch re-triggers the
+    * fold and dies on the same ledger, so housekeeping SKIPS instead) —
+    * and either trigger fires: the stamp count ([[compactAfter]],
+    * bounds file accretion) or the dead share ([[compactDeadShare]],
+    * bounds the tombstone serving tax). */
+  private[operators] def foldDue(spark: SparkSession, meta: String,
+                                 tomb: String): Boolean = {
+    if (SnapshotMeta.hasDerivedBatches(spark, meta)) return false
+    val lim = compactAfter
+    val overCount = lim > 0 && spark.catalog.tableExists(meta) &&
+      spark.table(meta).count() >= lim
+    overCount || deadShareTrigger(spark, meta, tomb)
+  }
+
   /** Compact each family whose ledger reached [[compactAfter]] stamps.
     * Runs only from the DURABLE-id overload, and only after the batch
     * committed: folding into the MAX committed id preserves the one
@@ -216,16 +235,10 @@ object SnapshotMaintenance {
     * below the base partition, so max() folds to the base id and a
     * replayed content batch would lose its no-op guard and double. */
   private def autoCompact(spark: SparkSession, dir: String): Boolean = {
-    val lim = compactAfter
-    def over(meta: String): Boolean =
-      lim > 0 && spark.catalog.tableExists(meta) &&
-        spark.table(meta).count() >= lim
-    val inv = over(InvertedIndex.metaTable(dir)) ||
-      deadShareTrigger(spark, InvertedIndex.metaTable(dir),
-        InvertedIndex.tombTable(dir))
-    val comp = over(ComponentIndex.metaTable(dir)) ||
-      deadShareTrigger(spark, ComponentIndex.metaTable(dir),
-        ComponentIndex.tombTable(dir))
+    val inv = foldDue(spark, InvertedIndex.metaTable(dir),
+      InvertedIndex.tombTable(dir))
+    val comp = foldDue(spark, ComponentIndex.metaTable(dir),
+      ComponentIndex.tombTable(dir))
     if (inv) InvertedIndex.compact(spark, dir)
     if (comp) ComponentIndex.compact(spark, dir)
     inv || comp

@@ -150,9 +150,9 @@ object SnapshotMeta {
     * the derived batches' ledger slots — so a replayed content batch
     * would lose its no-op guard and re-apply BESIDE the folded rows,
     * duplicating them. (With only derived-id appends, max is even the
-    * base id itself.) `autoCompact` enforces the same rule structurally
-    * by running only from the durable-id maintain overload; this makes
-    * the direct call equally safe. */
+    * base id itself.) The maintain() housekeeping paths pre-check
+    * [[hasDerivedBatches]] and SKIP an ineligible family — this throw is
+    * the DIRECT caller's loud refusal, never reached post-commit. */
   private[operators] def requireNoDerivedBatches(spark: SparkSession,
                                                  metaTable: String): Unit = {
     val minId = spark.table(metaTable).agg(min("batch_id")).head().getLong(0)
@@ -163,11 +163,59 @@ object SnapshotMeta {
         "folded rows. Re-ingest via durable non-negative batch ids first.")
   }
 
+  /** True when the ledger holds any content-derived stamp (id strictly
+    * below [[BaseBatchId]]) — the [[requireNoDerivedBatches]] predicate,
+    * exposed so HOUSEKEEPING can skip an ineligible family gracefully
+    * instead of throwing after a batch already committed (a post-commit
+    * throw would wedge a maintenance loop: every later batch re-triggers
+    * the fold and dies on the same ledger). */
+  private[operators] def hasDerivedBatches(spark: SparkSession,
+                                           metaTable: String): Boolean =
+    spark.catalog.tableExists(metaTable) &&
+      spark.table(metaTable).agg(min("batch_id")).head().getLong(0) < BaseBatchId
+
+  /** Guard for content-derived-id APPENDS on a family that has absorbed
+    * edits: derived ids sit strictly below every tombstone, so a batch
+    * row whose id a tombstone names would land permanently hidden from
+    * serving despite a "successful" append. Only the actually-unsafe
+    * case is refused — batch ids the tombstone table names; brand-new
+    * ids are safe (no tombstone can hide them). Cost: one broadcast
+    * semi-join over the batch, only when a tombstone table exists. */
+  private[operators] def requireNoTombstonedIds(spark: SparkSession,
+                                                tomb: String, batch: DataFrame,
+                                                idCol: String): Unit = {
+    if (!spark.catalog.tableExists(tomb)) return
+    val hidden = batch.select(col(idCol))
+      .join(broadcast(spark.table(tomb).select(col(idCol))),
+        Seq(idCol), "left_semi")
+      .count()
+    require(hidden == 0L,
+      s"$hidden batch ids are tombstoned in this family: a content-derived " +
+        "batch id sits below every tombstone, so their rows would land " +
+        "permanently hidden from serving. Re-add them with a durable " +
+        "non-negative batch id (above the tombstones) instead.")
+  }
+
   /** [[stale]] against the batched ledger's summed fingerprint. */
   def staleBatched(spark: SparkSession, metaTable: String,
                    current: (Long, Long)): Boolean =
     !spark.catalog.tableExists(metaTable) ||
       summedFingerprint(spark, metaTable) != current
+
+  /** Shared builder for the families' hygiene rows ([[graft.operators
+    * .InvertedIndex.hygiene]] / [[graft.operators.IvfIndex.hygiene]]):
+    * resident (physical) vs live (served) vs tombstoned row counts and
+    * the dead fraction for one store. Two narrow aggregates, nothing
+    * collected. */
+  private[operators] def hygieneRow(store: String, all: DataFrame,
+                                    live: DataFrame): DataFrame =
+    all.agg(count(lit(1)).as("resident_rows"))
+      .crossJoin(live.agg(count(lit(1)).as("live_rows")))
+      .select(lit(store).as("store"),
+        col("resident_rows"), col("live_rows"),
+        (col("resident_rows") - col("live_rows")).as("tombstoned_rows"),
+        ((col("resident_rows") - col("live_rows")).cast("double") /
+          col("resident_rows").cast("double")).as("dead_frac"))
 
   /** Idempotently (re)write exactly the `batch_id = batchId` partition of
     * `table` with `df`'s rows — `INSERT OVERWRITE ... PARTITION` on a

@@ -1013,18 +1013,27 @@ class InvertedIndexSpec extends SparkSpec {
       val added = Seq((4L, "zeta eta")).toDF("doc_id", "text")
       InvertedIndex.appendPositions(s, dir, added, 1L)
       InvertedIndex.edit(s, dir, removed, added, 1L)
-      // ...after which derived-id appends are refused: their rows would
-      // land strictly below every tombstone and be permanently hidden
+      // ...after which the derived-id guard is PRECISE: a brand-new id
+      // is safe (no tombstone can name it) and still appends fine...
       val b2 = Seq((5L, "theta iota")).toDF("doc_id", "text")
-      assertThrows[IllegalArgumentException](InvertedIndex.append(s, dir, b2))
-      assertThrows[IllegalArgumentException](
-        InvertedIndex.appendPositions(s, dir, b2))
-      // the durable-id overloads remain the sanctioned path
-      InvertedIndex.appendPositions(s, dir, b2, 2L)
-      InvertedIndex.append(s, dir, b2, 2L)
+      InvertedIndex.appendPositions(s, dir, b2)
+      InvertedIndex.append(s, dir, b2)
       val hits = InvertedIndex.search(s, dir, Seq("theta"), k = 5)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(hits == Set(5L))
+      assert(hits == Set(5L),
+        "a new-id derived append on an edited family must serve")
+      // ...but RE-ADDING a tombstoned id is refused: its rows would land
+      // strictly below the tombstone and be permanently hidden
+      val readd = Seq((2L, "beta reborn")).toDF("doc_id", "text")
+      assertThrows[IllegalArgumentException](InvertedIndex.append(s, dir, readd))
+      assertThrows[IllegalArgumentException](
+        InvertedIndex.appendPositions(s, dir, readd))
+      // the durable-id overloads remain the sanctioned re-add path
+      InvertedIndex.appendPositions(s, dir, readd, 2L)
+      InvertedIndex.append(s, dir, readd, 2L)
+      val reborn = InvertedIndex.search(s, dir, Seq("reborn"), k = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(reborn == Set(2L), "the durable-id re-add must serve")
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 }

@@ -207,6 +207,64 @@ class SnapshotMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("housekeeping skips a derived-stamp ledger instead of throwing " +
+       "after the batch committed") {
+    // a family whose ledger holds content-derived stamps cannot fold
+    // (the fold would erase their replay guards) — but a post-commit
+    // throw would wedge the loop: every later durable batch re-triggers
+    // the fold and dies on the same ledger. The housekeeping must SKIP;
+    // only the direct compact() call stays a loud refusal.
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "s0", 200)
+    def words(stem: String) = (1 to 30).map(i => s"$stem$i")
+    def land(rows: Seq[(Long, String, String, String, Int)], dir: String) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("derivedskip").toString
+    val saved = sys.props.get("graft.index.compactAfter")
+    try {
+      sys.props("graft.index.compactAfter") = "2"
+      val v0 = Seq(doc(1, words("one")), doc(2, words("two")))
+      land(v0, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      // a legal content-derived append (the 3-arg maintain) puts a
+      // derived stamp in both ledgers
+      val prev0 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v1 = v0 :+ doc(3, words("three"))
+      land(v1, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev0) == "appended")
+      // the durable batch crosses the stamp-count threshold, but the
+      // family is ineligible — the fold is SKIPPED, the batch commits,
+      // nothing throws
+      val prev1 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v2 = v1 :+ doc(4, words("four"))
+      land(v2, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev1, batchId = 1L)
+        == "appended",
+        "an ineligible family must commit without folding (and without throwing)")
+      // the direct call remains the loud refusal
+      val ex = intercept[IllegalArgumentException](InvertedIndex.compact(s, dir))
+      assert(ex.getMessage.contains("content-derived"))
+      // and everything still serves the landed corpus
+      val cur = graft.sources.Tables.documents(s, dir)
+      assert(InvertedIndex.postingsFor(s, dir)
+        .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet ==
+        InvertedIndex.postings(cur)
+          .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet)
+    } finally {
+      saved match {
+        case Some(v) => sys.props("graft.index.compactAfter") = v
+        case None => sys.props.remove("graft.index.compactAfter")
+      }
+      dropAll(dir)
+      rm(dir)
+    }
+  }
+
   test("dead-share trigger folds the family when tombstones reach the " +
        "threshold, independent of the stamp count") {
     val s = spark
