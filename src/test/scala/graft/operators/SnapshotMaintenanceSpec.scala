@@ -411,6 +411,130 @@ class SnapshotMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("random promotion histories leave every family equal to the rebuild " +
+       "(model-based)") {
+    // the promotion-level generalization of the per-family random-history
+    // pins: arbitrary sequences of BOTH-table snapshot versions — doc
+    // churn and embedding churn drawn independently, including doc-only,
+    // embedding-only, and empty versions, with random mid-history
+    // REPLAYS of a committed batch — must leave postings, stats, the
+    // component map, and the ANN live view equal to rebuilds over the
+    // final snapshot, with both hygiene views showing exactly the
+    // accumulated tombstones.
+    val s = spark
+    import s.implicits._
+    val stems = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed * 104729)
+      def freshText() =
+        (1 to 30).map(_ => stems(rnd.nextInt(stems.size)) + rnd.nextInt(9))
+          .mkString(" ")
+      val docModel = scala.collection.mutable.Map[Long, String](
+        (1L to 10L).map(i => i -> freshText()): _*)
+      var nextDoc = 11L
+      val embModel = scala.collection.mutable.Map[Long, Long](
+        (0L until 40L).map(i => i -> 0L): _*)
+      var nextVec = 100L
+      def emb(id: Long, salt: Long) =
+        Array.tabulate(64)(d => (((id * 53 + salt * 19 + d * 3) % 31) - 15) / 15.0f)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"promorand$seed").toString
+      def docFrame() = docModel.toSeq.map { case (id, t) =>
+        (id, t, "en", "s0", 200)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      def embFrame() = embModel.toSeq.map { case (id, salt) =>
+        (id, emb(id, salt), id % 10)
+      }.toDF("vec_id", "embedding", "label")
+      def landBoth(): Unit = {
+        docFrame().localCheckpoint(true)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        embFrame().localCheckpoint(true)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      try {
+        landBoth()
+        InvertedIndex.ensurePositions(s, dir)
+        ComponentIndex.ensureBanded(s, dir)
+        PqIndex.ensure(s, dir)
+        val (_, cents) = IvfIndex.ensureIndex(s, dir)
+        for (batch <- 1 to 4) {
+          val prevDocs = graft.sources.Tables.documents(s, dir)
+            .localCheckpoint(true)
+          val prevEmb = graft.sources.Tables.embeddings(s, dir)
+            .localCheckpoint(true)
+          // independent churn on each table (either may be empty)
+          val dIds = docModel.keys.toVector.sorted
+          rnd.shuffle(dIds).take(rnd.nextInt(2)).foreach(docModel.remove)
+          rnd.shuffle(docModel.keys.toVector).take(rnd.nextInt(3))
+            .foreach { id =>
+              // a rewrite is sometimes a DUPLICATE of a surviving doc —
+              // the case that reshapes the component map
+              docModel(id) =
+                if (rnd.nextBoolean() && docModel.nonEmpty)
+                  docModel(docModel.keys.toVector(rnd.nextInt(docModel.size)))
+                else freshText()
+            }
+          (0 until rnd.nextInt(3)).foreach { _ =>
+            docModel(nextDoc) = freshText(); nextDoc += 1
+          }
+          val vIds = embModel.keys.toVector.sorted
+          rnd.shuffle(vIds).take(rnd.nextInt(3)).foreach(embModel.remove)
+          rnd.shuffle(embModel.keys.toVector).take(rnd.nextInt(3))
+            .foreach(id => embModel(id) = embModel(id) + 1000L)
+          (0 until rnd.nextInt(4)).foreach { _ =>
+            embModel(nextVec) = 0L; nextVec += 1
+          }
+          landBoth()
+          SnapshotPromotion.promote(s, dir, prevDocs, prevEmb, batch.toLong)
+          if (rnd.nextBoolean())
+            assert(SnapshotPromotion
+              .promote(s, dir, prevDocs, prevEmb, batch.toLong)
+              == "docs=no_change ann=no_change",
+              s"seed $seed batch $batch: replay must no-op")
+        }
+        val finDocs = docFrame().localCheckpoint(true)
+        assert(InvertedIndex.postingsFor(s, dir)
+          .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet ==
+          InvertedIndex.postings(finDocs)
+            .select("term", "doc_id", "tf").collect().map(_.toSeq).toSet,
+          s"seed $seed: postings != rebuild")
+        val st = InvertedIndex.statsFor(s, dir).head()
+        val ex = InvertedIndex.corpusStats(finDocs).head()
+        assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)),
+          s"seed $seed: stats != rebuild")
+        val comp = ComponentIndex.componentsFor(s, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val compRebuild = CacheScope.withOperatorCaches {
+          ComponentIndex.bandedComponentMap(finDocs)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        assert(comp == compRebuild, s"seed $seed: components != rebuild")
+        val live = IvfIndex.cellsFor(s, dir).select("vec_id", "cell")
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        val expLive = embFrame()
+          .select(col("vec_id"),
+            SimilarityIVF.cell(col("embedding"), cents).as("cell"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(live == expLive, s"seed $seed: ANN live view != rebuild")
+        // both hygiene views serve exactly the model-sized live sets
+        val annLive = IvfIndex.hygiene(s, dir)
+          .select("store", "live_rows").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(annLive("ivf_cells") == embModel.size &&
+          annLive("pq_codes") == embModel.size,
+          s"seed $seed: ANN hygiene live counts diverge: $annLive")
+      } finally {
+        InvertedIndex.drop(s, dir)
+        ComponentIndex.drop(s, dir)
+        IvfIndex.drop(s, dir)
+        PqIndex.drop(s, dir)
+        KMeans.clearModel(dir)
+        Pq.clearModel(dir)
+        rm(dir)
+      }
+    }
+  }
+
   test("auto-compaction folds the family at the ledger threshold, " +
        "preserving answers and the latest batch's replay guard") {
     val s = spark
