@@ -1048,6 +1048,15 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchBm25(s, dir,
         Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
 
+    // PREFIX search (round 14): `s*` rewritten multi-term style — the
+    // pruned index scan expands the prefix to the top-4 terms by df
+    // (the bounded expansion cap; the corpus has 6 s-terms, so the cap
+    // is exercised), then the standard disjunctive BM25 funnel serves
+    // the expansion. Uppercase probe exercises query canonicalization.
+    "q_search_prefix" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchPrefix(s, dir, "S",
+        k = 10, maxExpansions = 4)),
+
     // HYBRID RETRIEVAL (round 11): the lexical-recall → semantic-
     // precision funnel — BM25 shortlists 20 docs from the index (mass
     // pruning at postings cost), then the shortlist re-ranks by exact
@@ -1548,6 +1557,40 @@ object DedupQueries {
        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
        |  WHERE term IN ('join','hash','scan','graftabsentterm')
        |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+       |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
+       |        FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                 CAST(sum(len($canonToksSql)) AS BIGINT) AS dltot
+       |          FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(1048576.0 *
+       |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
+       |      ((2.0 * df_ + 1.0) *
+       |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
+       |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |               CAST(sum(s) AS BIGINT) AS score
+       |        FROM scored GROUP BY 1)
+       |SELECT doc_id, n_terms, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM agg QUALIFY rank <= $k""".stripMargin
+
+  /** The prefix-search replay: expansion (top-`m` prefix-matching terms
+    * by df DESC, term ASC — the same deterministic cap the served path
+    * applies) feeding the [[bm25RankedSql]] scoring shape. */
+  private def bm25PrefixSql(prefix: String, m: Int, k: Int): String =
+    s"""WITH tfq0 AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
+       |  WHERE term LIKE '$prefix%'
+       |  GROUP BY 1, 2),
+       |expq AS (
+       |  SELECT term FROM (
+       |    SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq0 GROUP BY 1)
+       |  ORDER BY df_ DESC, term ASC LIMIT $m),
+       |tfq AS (SELECT tfq0.* FROM tfq0 JOIN expq USING (term)),
        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
        |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
        |        FROM documents),
@@ -2655,6 +2698,7 @@ object DedupQueries {
     // Column tree in InvertedIndex.bm25FromPostings — IEEE ×,/ are
     // exactly rounded, so the fixed-point floor is bit-equal)
     "q_search_bm25" -> bm25RankedSql(10),
+    "q_search_prefix" -> bm25PrefixSql("s", 4, 10),
     // the hybrid funnel: the SAME BM25 replay at k=20 as a subquery (one
     // definition — the shortlist oracle cannot drift from q_search_bm25),
     // then the exact-cosine re-rank against the best embedded hit

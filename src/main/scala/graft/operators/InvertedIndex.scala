@@ -532,6 +532,41 @@ object InvertedIndex {
       statsFor(spark, dir), k)
   }
 
+  /** Top-k documents for a PREFIX query (`pre*`), served from the
+    * persisted index in two bounded phases — the standard multi-term
+    * rewrite shape (cap the expansion, then run the boolean query):
+    *
+    *   1. EXPAND: live postings rows matching the prefix aggregate to
+    *      per-term df. The StartsWith predicate pushes to the parquet
+    *      scan and the postings files are term-sorted within buckets,
+    *      so row-group min/max stats prune the read; the aggregate
+    *      groups on the bucketing key, so it is scan-local. The top
+    *      `maxExpansions` terms by (df DESC, term ASC) are collected —
+    *      a bounded driver-side list (the expansion cap every
+    *      production engine applies; ≤ m tiny rows).
+    *   2. SERVE: the expanded terms run the standard disjunctive BM25
+    *      funnel ([[searchBm25]]) — pruned bucket reads, doc score =
+    *      the sum over matched expansion terms, TakeOrderedAndProject
+    *      top-k.
+    *
+    * An empty expansion yields an empty frame of the served schema. */
+  def searchPrefix(spark: SparkSession, dir: String, prefix: String,
+                   k: Int = 10, maxExpansions: Int = 16): DataFrame = {
+    require(maxExpansions > 0, "maxExpansions must be positive")
+    val canon = canonicalTerm(prefix)
+    require(canon.nonEmpty, "searchPrefix needs a non-empty prefix")
+    val expanded = postingsFor(spark, dir)
+      .filter(col("term").startsWith(canon))
+      .groupBy("term").agg(count(lit(1)).as("df_"))
+      .orderBy(col("df_").desc, col("term").asc)
+      .limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+    if (expanded.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").as("score"), col("id").as("rank"))
+    else searchBm25(spark, dir, expanded, k)
+  }
+
   /** THE BM25 scoring/ranking tail — shared by [[searchBm25]] and the
     * index-free replay. `stats` is a 1-row (n, dltot) frame
     * ([[corpusStats]] shape). Per-(term, doc) score, ×2^20 fixed point,

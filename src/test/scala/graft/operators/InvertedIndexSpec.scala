@@ -982,6 +982,54 @@ class InvertedIndexSpec extends SparkSpec {
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
 
+  test("prefix search: capped expansion by df, equals the replay over the " +
+       "expanded terms, pruned plan, absent prefix empty") {
+    val s = spark
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    // the expansion the served path must pick: top-4 s-terms by
+    // (df DESC, term ASC), from the single postings definition
+    val expected = InvertedIndex.postings(docs)
+      .filter(col("term").startsWith("s"))
+      .groupBy("term").agg(count(lit(1)).as("df_"))
+      .orderBy(col("df_").desc, col("term").asc).limit(4)
+      .collect().map(_.getString(0)).toSeq
+    assert(expected.size == 4, s"fixture must have >4 s-terms: $expected")
+    val served = InvertedIndex.searchPrefix(s, sfDir, "S", k = 10,
+      maxExpansions = 4)
+      .collect().map(_.toSeq).toSet
+    val replay = InvertedIndex.bm25FromPostings(
+      InvertedIndex.postings(docs).filter(col("term").isin(expected: _*)),
+      InvertedIndex.corpusStats(docs), k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == replay && served.nonEmpty,
+      "prefix search must equal the BM25 replay over the capped expansion")
+    // uncapped: all matching terms participate (6 s-terms here) — the
+    // result differs from the capped run because more terms score
+    val uncapped = InvertedIndex.searchPrefix(s, sfDir, "S", k = 10)
+      .collect().map(_.toSeq).toSet
+    val allS = InvertedIndex.postings(docs)
+      .filter(col("term").startsWith("s"))
+      .select("term").distinct().collect().map(_.getString(0)).toSeq
+    val replayAll = InvertedIndex.bm25FromPostings(
+      InvertedIndex.postings(docs).filter(col("term").isin(allS: _*)),
+      InvertedIndex.corpusStats(docs), k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(uncapped == replayAll)
+    // the expansion scan pushes the prefix predicate into the parquet read
+    val plan = InvertedIndex.postingsFor(s, sfDir)
+      .filter(col("term").startsWith("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith"),
+      s"the prefix predicate must reach the scan:\n$plan")
+    // the serving tail stays TakeOrderedAndProject (no global sort)
+    val servePlan = InvertedIndex.searchPrefix(s, sfDir, "S", k = 10,
+      maxExpansions = 4).queryExecution.executedPlan.toString
+    assert(servePlan.contains("TakeOrderedAndProject"),
+      s"doc top-k must be TakeOrderedAndProject:\n$servePlan")
+    // an absent prefix expands to nothing and serves an empty frame
+    assert(InvertedIndex.searchPrefix(s, sfDir, "zzzzz", k = 10).count() == 0)
+  }
+
   test("guards: compact refuses derived-id ledgers; derived-id appends are " +
        "refused once the family has absorbed an edit") {
     val s = spark
