@@ -1144,6 +1144,14 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchPhrase(s, maintainedSearchDir(s, dir),
         Seq("hash", "join"), k = 10)),
 
+    // the prefix funnel on the MAINTAINED store: the expansion scans
+    // multi-partition postings and the scoring reads the SUMMED stats
+    // rows — the two places append-maintenance could drift, both
+    // hash-checked against the same full-corpus replay
+    "q_search_prefix_maintained" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchPrefix(s, maintainedSearchDir(s, dir),
+        "S", k = 10, maxExpansions = 4)),
+
     // EDITED-index serving (round 13): the same lookups against an index
     // that absorbed a REMOVAL + REWRITE batch through InvertedIndex.edit
     // — tombstoned postings/positions, a net stats row — so the gate now
@@ -2699,6 +2707,9 @@ object DedupQueries {
     // exactly rounded, so the fixed-point floor is bit-equal)
     "q_search_bm25" -> bm25RankedSql(10),
     "q_search_prefix" -> bm25PrefixSql("s", 4, 10),
+    // append == rebuild is exact for the search family, so the
+    // maintained prefix funnel shares the base oracle verbatim
+    "q_search_prefix_maintained" -> bm25PrefixSql("s", 4, 10),
     // the hybrid funnel: the SAME BM25 replay at k=20 as a subquery (one
     // definition — the shortlist oracle cannot drift from q_search_bm25),
     // then the exact-cosine re-rank against the best embedded hit
