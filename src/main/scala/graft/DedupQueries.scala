@@ -1057,6 +1057,13 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchPrefix(s, dir, "S",
         k = 10, maxExpansions = 4)),
 
+    // FUZZY search (round 14): the misspelled probe "sow" is distance 1
+    // from TWO vocabulary terms ("slow" insert, "row" substitute) and
+    // in the vocabulary of none — the typo path end-to-end: vocabulary
+    // expansion under codegen levenshtein, then the shared BM25 funnel
+    "q_search_fuzzy" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchFuzzy(s, dir, "sow", k = 10)),
+
     // HYBRID RETRIEVAL (round 11): the lexical-recall → semantic-
     // precision funnel — BM25 shortlists 20 docs from the index (mass
     // pruning at postings cost), then the shortlist re-ranks by exact
@@ -1585,14 +1592,16 @@ object DedupQueries {
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM agg QUALIFY rank <= $k""".stripMargin
 
-  /** The prefix-search replay: expansion (top-`m` prefix-matching terms
-    * by df DESC, term ASC — the same deterministic cap the served path
-    * applies) feeding the [[bm25RankedSql]] scoring shape. */
-  private def bm25PrefixSql(prefix: String, m: Int, k: Int): String =
+  /** The EXPANDED-query replay shared by prefix and fuzzy search:
+    * `where` selects the candidate terms, the expansion keeps the top
+    * `m` by (df DESC, term ASC) — the same deterministic cap the served
+    * paths apply — and the tail is the [[bm25RankedSql]] scoring
+    * shape. */
+  private def bm25ExpandedSql(where: String, m: Int, k: Int): String =
     s"""WITH tfq0 AS (
        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
-       |  WHERE term LIKE '$prefix%'
+       |  WHERE $where
        |  GROUP BY 1, 2),
        |expq AS (
        |  SELECT term FROM (
@@ -2706,10 +2715,14 @@ object DedupQueries {
     // Column tree in InvertedIndex.bm25FromPostings — IEEE ×,/ are
     // exactly rounded, so the fixed-point floor is bit-equal)
     "q_search_bm25" -> bm25RankedSql(10),
-    "q_search_prefix" -> bm25PrefixSql("s", 4, 10),
+    "q_search_prefix" -> bm25ExpandedSql("term LIKE 's%'", 4, 10),
     // append == rebuild is exact for the search family, so the
     // maintained prefix funnel shares the base oracle verbatim
-    "q_search_prefix_maintained" -> bm25PrefixSql("s", 4, 10),
+    "q_search_prefix_maintained" -> bm25ExpandedSql("term LIKE 's%'", 4, 10),
+    // fuzzy: DuckDB's levenshtein IS the expansion predicate (the Spark
+    // side's length prefilter never changes the set — a length gap
+    // beyond the distance bound implies the distance exceeds it)
+    "q_search_fuzzy" -> bm25ExpandedSql("levenshtein(term, 'sow') <= 1", 16, 10),
     // the hybrid funnel: the SAME BM25 replay at k=20 as a subquery (one
     // definition — the shortlist oracle cannot drift from q_search_bm25),
     // then the exact-cosine re-rank against the best embedded hit

@@ -567,6 +567,42 @@ object InvertedIndex {
     else searchBm25(spark, dir, expanded, k)
   }
 
+  /** Top-k documents for a FUZZY term query (edit distance ≤
+    * `maxDistance`) — the typo-tolerant lookup every corpus browser
+    * grows: the query term expands against the index VOCABULARY (the
+    * per-term df aggregate of the live postings — scan-local on the
+    * bucketing key, vocabulary-sized, never corpus-sized), keeping
+    * terms within the distance bound under the codegen `levenshtein`,
+    * with a length prefilter (|len(term) − len(q)| ≤ d implies nothing
+    * is lost: a larger gap already exceeds the bound) so most terms
+    * skip the DP entirely. The expansion caps at `maxExpansions` by
+    * (df DESC, term ASC) like [[searchPrefix]] and serves through the
+    * same disjunctive BM25 funnel. A single query term makes the
+    * vocabulary scan the scale-right plan; BATCHED fuzzy queries would
+    * move to a deletion-neighborhood join (SymSpell) — same contract,
+    * different expansion, noted here deliberately. */
+  def searchFuzzy(spark: SparkSession, dir: String, term: String,
+                  maxDistance: Int = 1, k: Int = 10,
+                  maxExpansions: Int = 16): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 2,
+      s"maxDistance must be in [0, 2], got $maxDistance (wider bounds " +
+        "match most of the vocabulary and stop meaning 'typo')")
+    require(maxExpansions > 0, "maxExpansions must be positive")
+    val canon = canonicalTerm(term)
+    require(canon.nonEmpty, "searchFuzzy needs a non-empty term")
+    val expanded = postingsFor(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("df_"))
+      .filter(abs(length(col("term")) - lit(canon.length)) <= maxDistance &&
+        levenshtein(col("term"), lit(canon)) <= maxDistance)
+      .orderBy(col("df_").desc, col("term").asc)
+      .limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+    if (expanded.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").as("score"), col("id").as("rank"))
+    else searchBm25(spark, dir, expanded, k)
+  }
+
   /** THE BM25 scoring/ranking tail — shared by [[searchBm25]] and the
     * index-free replay. `stats` is a 1-row (n, dltot) frame
     * ([[corpusStats]] shape). Per-(term, doc) score, ×2^20 fixed point,

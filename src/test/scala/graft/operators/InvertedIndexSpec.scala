@@ -1030,6 +1030,33 @@ class InvertedIndexSpec extends SparkSpec {
     assert(InvertedIndex.searchPrefix(s, sfDir, "zzzzz", k = 10).count() == 0)
   }
 
+  test("fuzzy search: edit-distance expansion over the vocabulary equals the " +
+       "replay; exact term at distance 0; absent term empty; bounds refused") {
+    val s = spark
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    // "sow" is in the vocabulary of nothing and distance 1 from exactly
+    // {row, slow} — the typo path with a MULTI-term expansion
+    val served = InvertedIndex.searchFuzzy(s, sfDir, "sow", k = 10)
+      .collect().map(_.toSeq).toSet
+    val replay = InvertedIndex.bm25FromPostings(
+      InvertedIndex.postings(docs).filter(col("term").isin("row", "slow")),
+      InvertedIndex.corpusStats(docs), k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == replay && served.nonEmpty,
+      "fuzzy search must equal the BM25 replay over the distance-1 terms")
+    // distance 0 degenerates to the exact single-term search
+    val exact = InvertedIndex.searchFuzzy(s, sfDir, "hash", maxDistance = 0,
+      k = 10).collect().map(_.toSeq).toSet
+    val exactReplay = InvertedIndex.searchBm25(s, sfDir, Seq("hash"), k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(exact == exactReplay && exact.nonEmpty)
+    // nothing within distance 1 of a far-off probe
+    assert(InvertedIndex.searchFuzzy(s, sfDir, "qqqqqqq", k = 10).count() == 0)
+    // bounds: distances beyond 2 stop meaning "typo" and are refused
+    assertThrows[IllegalArgumentException](
+      InvertedIndex.searchFuzzy(s, sfDir, "sow", maxDistance = 3))
+  }
+
   test("guards: compact refuses derived-id ledgers; derived-id appends are " +
        "refused once the family has absorbed an edit") {
     val s = spark
