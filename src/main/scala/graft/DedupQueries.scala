@@ -1174,6 +1174,18 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchPhrase(s, editedSearchDir(s, dir),
         Seq("hash", "join"), k = 10)),
 
+    // the EXPANSION funnels on the edited store: prefix/fuzzy df ranks
+    // over LIVE postings — under tombstones the per-term dfs themselves
+    // shift (removed docs' rows hide), so the expansion order is a
+    // maintenance-sensitive computation the gate now hash-checks
+    "q_search_prefix_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchPrefix(s, editedSearchDir(s, dir),
+        "S", k = 10, maxExpansions = 4)),
+
+    "q_search_fuzzy_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchFuzzy(s, editedSearchDir(s, dir),
+        "sow", k = 10)),
+
     // IVFADC — IVF coarse cells + product-quantization scoring
     // (operators.Pq): candidates cross the probe join as (id, cell,
     // 8 codes) — the 512-byte vector payload never shuffles, the 100 TB
@@ -2723,6 +2735,12 @@ object DedupQueries {
     // side's length prefilter never changes the set — a length gap
     // beyond the distance bound implies the distance exceeds it)
     "q_search_fuzzy" -> bm25ExpandedSql("levenshtein(term, 'sow') <= 1", 16, 10),
+    // the edited twins rebase the same expansion replays onto the
+    // edited-corpus CTE — expansion dfs shift with the tombstones
+    "q_search_prefix_edited" ->
+      overEditedCorpus(bm25ExpandedSql("term LIKE 's%'", 4, 10)),
+    "q_search_fuzzy_edited" ->
+      overEditedCorpus(bm25ExpandedSql("levenshtein(term, 'sow') <= 1", 16, 10)),
     // the hybrid funnel: the SAME BM25 replay at k=20 as a subquery (one
     // definition — the shortlist oracle cannot drift from q_search_bm25),
     // then the exact-cosine re-rank against the best embedded hit
