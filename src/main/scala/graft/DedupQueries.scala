@@ -219,6 +219,59 @@ object DedupQueries {
     fix
   }
 
+  /** Per-JVM memo of the promotion fixture's action string — the
+    * declared q_snapshot_promote must report what promote() ACTUALLY
+    * returned, so the fixture rebuilds once per session (bench re-runs
+    * within the JVM reuse the memo; a fresh JVM re-promotes). */
+  private val promoteActions =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The PROMOTION fixture behind q_snapshot_promote: a /tmp twin
+    * holding BOTH corpus tables whose canonical per-JVM history is —
+    * full `documents`/`embeddings` landed, every persisted family built
+    * over them (inverted index + positions + component map; IVF cells +
+    * PQ codes), then the EDITED snapshots landed (documents: doc_id %
+    * 20 == 3 removed, % 20 == 11 text doubled — the editedSearchDir
+    * classes; embeddings: vec_id % 20 == 3 removed) and
+    * [[graft.operators.SnapshotPromotion.promote]] applied under batch
+    * id 1. Any prior state is DISCARDED first: the declared action
+    * strings must come from a real promotion, not a replayed no-op,
+    * and the builder requires both sides to take their edit paths.
+    * Returns (fixture dir, promote()'s combined action string). */
+  private def promoteFixture(s: SparkSession, dir: String): (String, String) = {
+    import graft.operators._
+    val fix = "/tmp/graft_promote_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val action = promoteActions.computeIfAbsent(fix, _ => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      InvertedIndex.drop(s, fix)
+      ComponentIndex.drop(s, fix)
+      IvfIndex.drop(s, fix)
+      PqIndex.drop(s, fix)
+      KMeans.clearModel(fix)
+      graft.operators.Pq.clearModel(fix)
+      docs.write.mode("overwrite").parquet(s"$fix/documents.parquet")
+      emb.write.mode("overwrite").parquet(s"$fix/embeddings.parquet")
+      InvertedIndex.ensurePositions(s, fix)
+      ComponentIndex.rebuild(s, fix)
+      PqIndex.ensure(s, fix)
+      val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
+      val isRewritten = pmod(col("doc_id"), lit(20L)) === 11L
+      docs.filter(!isRemoved).withColumn("text",
+          when(isRewritten, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$fix/documents.parquet")
+      emb.filter(pmod(col("vec_id"), lit(20L)) =!= 3L)
+        .write.mode("overwrite").parquet(s"$fix/embeddings.parquet")
+      val a = SnapshotPromotion.promote(s, fix, docs, emb, batchId = 1L)
+      require(a == "docs=edited ann=edited",
+        s"the promotion fixture must exercise both edit paths, got '$a'")
+      a
+    })
+    (fix, action)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: canonical id + multiplicity per distinct text.
@@ -1059,10 +1112,33 @@ object DedupQueries {
 
     // FUZZY search (round 14): the misspelled probe "sow" is distance 1
     // from TWO vocabulary terms ("slow" insert, "row" substitute) and
-    // in the vocabulary of none — the typo path end-to-end: vocabulary
-    // expansion under codegen levenshtein, then the shared BM25 funnel
+    // in the vocabulary of none — the typo path end-to-end: expansion
+    // over the PERSISTED `_vocab` table (round 15 — vocabulary-sized
+    // read, never the postings store) under codegen levenshtein, then
+    // the shared BM25 funnel
     "q_search_fuzzy" -> ((s, dir) =>
       graft.operators.InvertedIndex.searchFuzzy(s, dir, "sow", k = 10)),
+
+    // the DISTANCE-2 probe (round-14 verdict item 6): the wider bound
+    // doubles the length-prefilter window and admits substantially more
+    // of the vocabulary (every 1-to-5-letter term within two edits of
+    // "sow"), so the d=2 arm of the bounds check is now hash-checked in
+    // the gate, not just spec-pinned
+    "q_search_fuzzy_d2" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchFuzzy(s, dir, "sow",
+        maxDistance = 2, k = 10)),
+
+    // BATCHED fuzzy (round-14 verdict item 3): three typo'd probes —
+    // "sow" (two d-1 vocabulary neighbors), "hask" (substitution
+    // neighbors), "joinn" (trailing-insert typo of "join") — served
+    // through ONE SymSpell deletion-neighborhood equi-join over the
+    // persisted vocabulary + ONE pruned postings read, instead of one
+    // levenshtein vocabulary pass per query. Per-query results equal
+    // searchFuzzy run in a loop (spec-pinned); the oracle replays each
+    // query's expansion arithmetic and unions with the qterm label.
+    "q_search_fuzzy_batch" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchFuzzyBatch(s, dir,
+        Seq("sow", "hask", "joinn"), maxDistance = 1, k = 10)),
 
     // HYBRID RETRIEVAL (round 11): the lexical-recall → semantic-
     // precision funnel — BM25 shortlists 20 docs from the index (mass
@@ -1185,6 +1261,70 @@ object DedupQueries {
     "q_search_fuzzy_edited" -> ((s, dir) =>
       graft.operators.InvertedIndex.searchFuzzy(s, editedSearchDir(s, dir),
         "sow", k = 10)),
+
+    // the remaining search verbs' maintenance twins (round-14 verdict
+    // item 4): conjunctive/NOT/faceted/NEAR each rebased onto the
+    // maintained (base + ledgered append) and edited (tombstones + net
+    // stats) fixtures — every serving verb now proves itself against
+    // both index histories, the q_search_prefix_maintained pattern.
+    // append == rebuild exactly, so the maintained oracles are the base
+    // SQL; the edited oracles rebase the same text onto the edited CTE.
+    "q_search_conjunctive_maintained" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchAll(s, maintainedSearchDir(s, dir),
+        Seq("join", "hash", "scan"), k = 10)),
+
+    "q_search_conjunctive_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchAll(s, editedSearchDir(s, dir),
+        Seq("join", "hash", "scan"), k = 10)),
+
+    "q_search_not_maintained" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchExcluding(s, maintainedSearchDir(s, dir),
+        Seq("join", "hash"), Seq("scan"), k = 10)),
+
+    "q_search_not_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchExcluding(s, editedSearchDir(s, dir),
+        Seq("join", "hash"), Seq("scan"), k = 10)),
+
+    // the facet reads the FIXTURE dir's documents (maintained = the full
+    // landed corpus; edited = the landed edited corpus), so eligibility
+    // itself is maintenance-consistent with what the index serves
+    "q_search_filtered_maintained" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchFiltered(s, maintainedSearchDir(s, dir),
+        Seq("join", "hash", "scan"), col("lang") === "de", k = 10)),
+
+    "q_search_filtered_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchFiltered(s, editedSearchDir(s, dir),
+        Seq("join", "hash", "scan"), col("lang") === "de", k = 10)),
+
+    "q_search_near_maintained" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchNear(s, maintainedSearchDir(s, dir),
+        "hash", "join", slop = 3, k = 10)),
+
+    "q_search_near_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchNear(s, editedSearchDir(s, dir),
+        "hash", "join", slop = 3, k = 10)),
+
+    // SNAPSHOT PROMOTION in the gate (round-14 verdict item 5): the
+    // one-call promotion that advances BOTH corpus tables' families
+    // under one batch id, declared. The fixture rebuilds once per JVM
+    // with the canonical history — full snapshots landed, every family
+    // built, then the edited snapshots landed (documents: %20==3
+    // removed, %20==11 doubled; embeddings: %20==3 removed) and
+    // SnapshotPromotion.promote(batch 1) applied — so the action
+    // strings come from a REAL promote() call each session (and the
+    // builder REQUIRES them to be the edit paths). Output = per-store
+    // action + post-promotion hygiene counts; the oracle replays every
+    // count from the diff classes.
+    "q_snapshot_promote" -> ((s, dir) => {
+      val (fix, action) = promoteFixture(s, dir)
+      val acts = action.split(" ").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+      graft.operators.InvertedIndex.hygiene(s, fix)
+        .withColumn("action", lit(acts("docs")))
+        .unionByName(graft.operators.IvfIndex.hygiene(s, fix)
+          .withColumn("action", lit(acts("ann"))))
+        .select("store", "action", "resident_rows", "live_rows",
+          "tombstoned_rows")
+    }),
 
     // IVFADC — IVF coarse cells + product-quantization scoring
     // (operators.Pq): candidates cross the probe join as (id, cell,
@@ -1570,8 +1710,8 @@ object DedupQueries {
     * untouched shared builder text, so the two oracles cannot drift. */
   private def overEditedCorpus(rankedSql: String): String =
     s"""WITH edited AS (
-       |  SELECT doc_id, CASE WHEN doc_id % 20 = 11
-       |    THEN text || ' ' || text ELSE text END AS text
+       |  SELECT * REPLACE (CASE WHEN doc_id % 20 = 11
+       |    THEN text || ' ' || text ELSE text END AS text)
        |  FROM documents WHERE doc_id % 20 != 3),
        |${rankedSql.stripPrefix("WITH ").replace("FROM documents", "FROM edited")}""".stripMargin
 
@@ -1639,6 +1779,159 @@ object DedupQueries {
        |SELECT doc_id, n_terms, score,
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
        |FROM agg QUALIFY rank <= $k""".stripMargin
+
+  /** The fuzzy-BATCH replay: each query term's [[bm25ExpandedSql]]
+    * expansion arithmetic (same cap, same scoring text), unioned with
+    * the qterm label — exactly the per-query loop the batch path is
+    * spec-pinned to equal. */
+  private def fuzzyBatchSql(qterms: Seq[String], d: Int, m: Int,
+                            k: Int): String =
+    qterms.map { qt =>
+      s"""SELECT '$qt' AS qterm, * FROM (
+         |${bm25ExpandedSql(s"levenshtein(term, '$qt') <= $d", m, k)}
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** The conjunctive-match raw-corpus replay — shared by the base query
+    * and its maintained/edited twins. */
+  private def conjunctiveRankedSql: String =
+    s"""WITH tfq AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
+      |  WHERE term IN ('join','hash','scan')
+      |  GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, count(*) AS n_terms,
+      |               CAST(sum(tf) AS BIGINT) AS tf_total
+      |        FROM tfq GROUP BY 1)
+      |SELECT doc_id, tf_total,
+      |  CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id ASC) AS BIGINT) AS rank
+      |FROM agg WHERE n_terms = 3 QUALIFY rank <= 10""".stripMargin
+
+  /** The boolean-NOT raw-corpus replay — banned = docs with the
+    * excluded term; tfq keeps only admissible docs, so dfq (over tfq)
+    * is the post-exclusion document frequency, the same df the Spark
+    * side computes from the anti-joined postings; scoring text is
+    * byte-identical to [[bm25RankedSql]]'s. Shared by the base query
+    * and its maintained/edited twins. */
+  private def notRankedSql: String =
+    s"""WITH banned AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
+      |  WHERE term = 'scan'),
+      |tfq AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
+      |  WHERE term IN ('join','hash')
+      |    AND doc_id NOT IN (SELECT doc_id FROM banned)
+      |  GROUP BY 1, 2),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+      |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
+      |        FROM documents),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(len($canonToksSql)) AS BIGINT) AS dltot
+      |          FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(floor(1048576.0 *
+      |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
+      |      ((2.0 * df_ + 1.0) *
+      |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
+      |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |               CAST(sum(s) AS BIGINT) AS score
+      |        FROM scored GROUP BY 1)
+      |SELECT doc_id, n_terms, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+      |FROM agg QUALIFY rank <= 10""".stripMargin
+
+  /** The faceted-search raw-corpus replay — tfq restricted to the
+    * facet's docs (df = the facet-eligible document frequency, the
+    * [[notRankedSql]] discipline), stats corpus-global. Shared by the
+    * base query and its maintained/edited twins. */
+  private def filteredRankedSql: String =
+    s"""WITH tfq AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents
+      |        WHERE lang = 'de')
+      |  WHERE term IN ('join','hash','scan')
+      |  GROUP BY 1, 2),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+      |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
+      |        FROM documents),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(len($canonToksSql)) AS BIGINT) AS dltot
+      |          FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(floor(1048576.0 *
+      |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
+      |      ((2.0 * df_ + 1.0) *
+      |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
+      |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |               CAST(sum(s) AS BIGINT) AS score
+      |        FROM scored GROUP BY 1)
+      |SELECT doc_id, n_terms, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+      |FROM agg QUALIFY rank <= 10""".stripMargin
+
+  /** The NEAR raw-corpus replay — proximity stated as the RANGE
+    * condition the union of equi-joins implements (an independent
+    * formulation, same fixpoint). Shared by the base query and its
+    * maintained/edited twins. */
+  private def nearRankedSql: String =
+    s"""WITH pos AS (
+      |  SELECT doc_id, unnest($canonToksSql) AS term,
+      |         unnest(range(1, len($canonToksSql)+1)) AS pos
+      |  FROM documents),
+      |p0 AS (SELECT doc_id, pos FROM pos WHERE term = 'hash'),
+      |p1 AS (SELECT doc_id, pos FROM pos WHERE term = 'join'),
+      |occ AS (
+      |  SELECT DISTINCT p0.doc_id, p0.pos AS apos
+      |  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
+      |   AND p1.pos > p0.pos AND p1.pos <= p0.pos + 3),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+      |               CAST(min(apos) AS BIGINT) AS first_pos
+      |        FROM occ GROUP BY 1)
+      |SELECT doc_id, n_near, first_pos,
+      |  CAST(row_number() OVER (ORDER BY n_near DESC, doc_id ASC) AS BIGINT) AS rank
+      |FROM agg QUALIFY rank <= 10""".stripMargin
+
+  /** The promotion-status replay: every hygiene count derives from the
+    * raw tables and the fixture's diff classes (documents: % 20 == 3
+    * removed / % 20 == 11 doubled — the q_search_index_hygiene
+    * arithmetic; embeddings: % 20 == 3 removed — the
+    * q_ann_index_hygiene arithmetic), and the action literals are the
+    * edit paths the fixture builder REQUIRES promote() to take. */
+  private def promoteStatusSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($canonToksSql) AS term FROM documents),
+       |pc AS (SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS np,
+       |              CAST(count(*) AS BIGINT) AS nt
+       |       FROM tok GROUP BY 1),
+       |agg AS (SELECT
+       |  CAST(sum(np) AS BIGINT) AS p_base,
+       |  CAST(sum(nt) AS BIGINT) AS t_base,
+       |  CAST(sum(CASE WHEN doc_id % 20 = 11 THEN np ELSE 0 END) AS BIGINT) AS p_rew,
+       |  CAST(sum(CASE WHEN doc_id % 20 = 11 THEN nt ELSE 0 END) AS BIGINT) AS t_rew,
+       |  CAST(sum(CASE WHEN doc_id % 20 IN (3, 11) THEN np ELSE 0 END) AS BIGINT) AS p_dead,
+       |  CAST(sum(CASE WHEN doc_id % 20 IN (3, 11) THEN nt ELSE 0 END) AS BIGINT) AS t_dead
+       |  FROM pc),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(CASE WHEN vec_id % 20 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dead
+       |       FROM embeddings)
+       |SELECT 'postings' AS store, 'edited' AS action,
+       |  p_base + p_rew AS resident_rows,
+       |  p_base + p_rew - p_dead AS live_rows, p_dead AS tombstoned_rows
+       |FROM agg
+       |UNION ALL
+       |SELECT 'positions', 'edited', t_base + 2 * t_rew,
+       |  t_base + 2 * t_rew - t_dead, t_dead
+       |FROM agg
+       |UNION ALL
+       |SELECT 'ivf_cells', 'edited', n, n - dead, dead FROM ne
+       |UNION ALL
+       |SELECT 'pq_codes', 'edited', n, n - dead, dead FROM ne""".stripMargin
 
   /** The hybrid BM25→cosine funnel replay — shared by the base and
     * maintained twins (one semantics, two index histories). */
@@ -2613,84 +2906,26 @@ object DedupQueries {
         |FROM tfq JOIN dfq USING (term) CROSS JOIN n
         |QUALIFY rank <= 10""".stripMargin,
     // replays the conjunctive match from the raw corpus: per-(term, doc)
-    // tf over the query terms, docs keeping all 3, ranked by total tf
-    "q_search_conjunctive" ->
-      s"""WITH tfq AS (
-        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
-        |  WHERE term IN ('join','hash','scan')
-        |  GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, count(*) AS n_terms,
-        |               CAST(sum(tf) AS BIGINT) AS tf_total
-        |        FROM tfq GROUP BY 1)
-        |SELECT doc_id, tf_total,
-        |  CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id ASC) AS BIGINT) AS rank
-        |FROM agg WHERE n_terms = 3 QUALIFY rank <= 10""".stripMargin,
+    // tf over the query terms, docs keeping all 3, ranked by total tf.
+    // Shared builder — the maintained/edited twins reuse the same text.
+    "q_search_conjunctive" -> conjunctiveRankedSql,
+    "q_search_conjunctive_maintained" -> conjunctiveRankedSql,
+    "q_search_conjunctive_edited" -> overEditedCorpus(conjunctiveRankedSql),
     // replays the boolean-NOT from the raw corpus: banned = docs with
     // the excluded term; tfq keeps only admissible docs, so dfq (over
     // tfq) is the post-exclusion document frequency — the same df the
     // Spark side computes from the anti-joined postings. The scored
     // expression is byte-identical to bm25RankedSql's (same IEEE
     // association, same ×2^20 floor), so scores are bit-portable.
-    "q_search_not" ->
-      s"""WITH banned AS (
-        |  SELECT DISTINCT doc_id
-        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
-        |  WHERE term = 'scan'),
-        |tfq AS (
-        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
-        |  WHERE term IN ('join','hash')
-        |    AND doc_id NOT IN (SELECT doc_id FROM banned)
-        |  GROUP BY 1, 2),
-        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
-        |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
-        |        FROM documents),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |                 CAST(sum(len($canonToksSql)) AS BIGINT) AS dltot
-        |          FROM documents),
-        |scored AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(1048576.0 *
-        |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
-        |      ((2.0 * df_ + 1.0) *
-        |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
-        |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |               CAST(sum(s) AS BIGINT) AS score
-        |        FROM scored GROUP BY 1)
-        |SELECT doc_id, n_terms, score,
-        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
-        |FROM agg QUALIFY rank <= 10""".stripMargin,
+    "q_search_not" -> notRankedSql,
+    "q_search_not_maintained" -> notRankedSql,
+    "q_search_not_edited" -> overEditedCorpus(notRankedSql),
     // replays the faceted search: tfq restricted to the facet's docs
     // (df = the facet-eligible document frequency, the q_search_not
     // discipline), stats stay corpus-global, same bit-portable scoring
-    "q_search_filtered" ->
-      s"""WITH tfq AS (
-        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents
-        |        WHERE lang = 'de')
-        |  WHERE term IN ('join','hash','scan')
-        |  GROUP BY 1, 2),
-        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
-        |dlq AS (SELECT doc_id, CAST(len($canonToksSql) AS BIGINT) AS dl
-        |        FROM documents),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |                 CAST(sum(len($canonToksSql)) AS BIGINT) AS dltot
-        |          FROM documents),
-        |scored AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(1048576.0 *
-        |      ((2.0 * n - 2.0 * df_ + 1.0) * (22.0 * tf * dltot)) /
-        |      ((2.0 * df_ + 1.0) *
-        |       (10.0 * tf * dltot + 3.0 * dltot + 9.0 * dl * n))) AS BIGINT) AS s
-        |  FROM tfq t JOIN dfq USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |               CAST(sum(s) AS BIGINT) AS score
-        |        FROM scored GROUP BY 1)
-        |SELECT doc_id, n_terms, score,
-        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
-        |FROM agg QUALIFY rank <= 10""".stripMargin,
+    "q_search_filtered" -> filteredRankedSql,
+    "q_search_filtered_maintained" -> filteredRankedSql,
+    "q_search_filtered_edited" -> overEditedCorpus(filteredRankedSql),
     // replays the phrase match from the raw corpus: 1-based positions by
     // zip-unnest, per-term (doc_id, pos−i) projections intersected on
     // (doc_id, start) — the same pure-equi-join shape as the Spark tail
@@ -2704,23 +2939,9 @@ object DedupQueries {
     "q_search_phrase_edited" -> overEditedCorpus(phraseRankedSql),
     // the oracle states proximity as the RANGE condition the union of
     // equi-joins implements — an independent formulation, same fixpoint
-    "q_search_near" ->
-      s"""WITH pos AS (
-        |  SELECT doc_id, unnest($canonToksSql) AS term,
-        |         unnest(range(1, len($canonToksSql)+1)) AS pos
-        |  FROM documents),
-        |p0 AS (SELECT doc_id, pos FROM pos WHERE term = 'hash'),
-        |p1 AS (SELECT doc_id, pos FROM pos WHERE term = 'join'),
-        |occ AS (
-        |  SELECT DISTINCT p0.doc_id, p0.pos AS apos
-        |  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
-        |   AND p1.pos > p0.pos AND p1.pos <= p0.pos + 3),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
-        |               CAST(min(apos) AS BIGINT) AS first_pos
-        |        FROM occ GROUP BY 1)
-        |SELECT doc_id, n_near, first_pos,
-        |  CAST(row_number() OVER (ORDER BY n_near DESC, doc_id ASC) AS BIGINT) AS rank
-        |FROM agg QUALIFY rank <= 10""".stripMargin,
+    "q_search_near" -> nearRankedSql,
+    "q_search_near_maintained" -> nearRankedSql,
+    "q_search_near_edited" -> overEditedCorpus(nearRankedSql),
 
     // replays BM25 from the raw corpus with the IDENTICAL double
     // expression shape (association and promotion points match the
@@ -2735,6 +2956,17 @@ object DedupQueries {
     // side's length prefilter never changes the set — a length gap
     // beyond the distance bound implies the distance exceeds it)
     "q_search_fuzzy" -> bm25ExpandedSql("levenshtein(term, 'sow') <= 1", 16, 10),
+    // the d=2 arm: the same replay with the wider bound — DuckDB's
+    // levenshtein is the expansion predicate on both sides
+    "q_search_fuzzy_d2" ->
+      bm25ExpandedSql("levenshtein(term, 'sow') <= 2", 16, 10),
+    // the batched path must equal the per-query loop, so its oracle IS
+    // the per-query expansion replay unioned under the qterm label
+    "q_search_fuzzy_batch" ->
+      fuzzyBatchSql(Seq("sow", "hask", "joinn"), 1, 16, 10),
+    // promotion status: counts replayed from the diff classes; the
+    // action literals are the edit paths the fixture builder requires
+    "q_snapshot_promote" -> promoteStatusSql,
     // the edited twins rebase the same expansion replays onto the
     // edited-corpus CTE — expansion dfs shift with the tombstones
     "q_search_prefix_edited" ->

@@ -828,6 +828,67 @@ object ScaleProbe {
     // The lookup's cost grows with the probed terms' postings (linear in
     // corpus for common terms) but never pays the full-vocabulary explode
     // + aggregate the live form does — the gap is the index economics.
+    // SPARK_GRAFT_PROBE_EXPAND (round-15, r14 verdict item 7): the
+    // fuzzy/prefix EXPANSION cost A/B — the round-14 plan (per-term df
+    // aggregate over the LIVE POSTINGS store, input corpus-shaped) vs
+    // the round-15 plan (the persisted `_vocab` companion, input
+    // vocabulary-shaped) — plus the served fuzzy query end-to-end and
+    // the SymSpell batch's amortization vs the per-query loop. The
+    // postings:vocab row ratio IS the input-size argument; the timing
+    // ratio is its measured consequence at each multiple.
+    sys.env.get("SPARK_GRAFT_PROBE_EXPAND").foreach { _ =>
+      import graft.operators.InvertedIndex
+      val typos = Seq("scann", "joinn", "hashh", "windoww",
+        "grou", "filtr", "tabl", "quer")
+      mults.foreach { mult =>
+        val dir = ensureData(spark, mult)
+        InvertedIndex.drop(spark, dir)
+        val t = InvertedIndex.ensure(spark, dir)
+        val postRows = spark.table(t).count()
+        val vocabRows = InvertedIndex.vocabFor(spark, dir).count()
+        def time(f: => Unit): Double = (1 to runs).map { _ =>
+          val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
+        }.min
+        val q = "scann"
+        // round-14 plan: expansion df-aggregates the live postings store
+        val tExpandPostings = time {
+          InvertedIndex.postingsFor(spark, dir)
+            .groupBy("term").agg(count(lit(1)).as("df_"))
+            .filter(abs(length(col("term")) - lit(q.length)) <= 1 &&
+              levenshtein(col("term"), lit(q)) <= 1)
+            .orderBy(col("df_").desc, col("term").asc)
+            .limit(16).collect()
+        }
+        // round-15 plan: expansion reads the persisted vocabulary
+        val tExpandVocab = time {
+          InvertedIndex.vocabFor(spark, dir)
+            .filter(abs(length(col("term")) - lit(q.length)) <= 1 &&
+              levenshtein(col("term"), lit(q)) <= 1)
+            .orderBy(col("df_").desc, col("term").asc)
+            .limit(16).collect()
+        }
+        val tServeFuzzy = time {
+          InvertedIndex.searchFuzzy(spark, dir, q, k = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
+        // batch amortization: 8 typo queries, loop vs SymSpell join
+        val tLoop8 = time {
+          typos.foreach { qt =>
+            InvertedIndex.searchFuzzy(spark, dir, qt, k = 10)
+              .write.mode("overwrite").format("noop").save()
+          }
+        }
+        val tBatch8 = time {
+          InvertedIndex.searchFuzzyBatch(spark, dir, typos, k = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
+        InvertedIndex.drop(spark, dir)
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        println(s"""{"probe":"fuzzy_expand","mult":$mult,"n_docs":${BaseDocs * mult},"post_rows":$postRows,"vocab_rows":$vocabRows,"t_expand_postings":$tExpandPostings,"t_expand_vocab":$tExpandVocab,"t_serve_fuzzy":$tServeFuzzy,"t_loop8":$tLoop8,"t_batch8":$tBatch8}""")
+      }
+      spark.stop()
+      return
+    }
     sys.env.get("SPARK_GRAFT_PROBE_SEARCH").foreach { _ =>
       import graft.operators.InvertedIndex
       val terms = Seq("join", "hash", "scan", "window")

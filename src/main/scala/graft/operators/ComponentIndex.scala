@@ -335,9 +335,14 @@ object ComponentIndex {
     * a re-added doc's signature rows would land below its tombstone and
     * never serve. */
   def merge(spark: SparkSession, dir: String, batch: DataFrame): String = {
-    SnapshotMeta.requireNoTombstonedIds(spark, tombTable(dir), batch, "doc_id")
-    merge(spark, dir, batch,
-      SnapshotMeta.derivedBatchId(SnapshotMeta.contentFingerprint(batch)))
+    val id = SnapshotMeta.derivedBatchId(SnapshotMeta.contentFingerprint(batch))
+    // guard only genuinely NEW batches: a replay of an already-committed
+    // content batch whose ids a later edit tombstoned must still no-op
+    // (the documented replay contract) — the inner merge's ledger check
+    // does the no-op
+    if (!SnapshotMeta.appliedBatch(spark, metaTable(dir), id))
+      SnapshotMeta.requireNoTombstonedIds(spark, tombTable(dir), batch, "doc_id")
+    merge(spark, dir, batch, id)
   }
 
   /** THE edited-map derivation — the incremental recompute under

@@ -185,12 +185,15 @@ object IvfIndex {
     * safe. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    SnapshotMeta.requireNoTombstonedIds(spark, tombTable(dir),
-      batch.select(col(idCol).as("vec_id")), "vec_id")
-    append(spark, dir, batch,
-      SnapshotMeta.derivedBatchId(
-        SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol))),
-      idCol, vecCol)
+    val id = SnapshotMeta.derivedBatchId(
+      SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol)))
+    // guard only genuinely NEW batches: a replay of an already-committed
+    // content batch whose ids a later edit tombstoned must still no-op
+    // via the inner ledger check (the documented replay contract)
+    if (!SnapshotMeta.appliedBatch(spark, metaTable(dir), id))
+      SnapshotMeta.requireNoTombstonedIds(spark, tombTable(dir),
+        batch.select(col(idCol).as("vec_id")), "vec_id")
+    append(spark, dir, batch, id, idCol, vecCol)
   }
 
   /** Staleness check vs the CURRENT fixture content (explicit, on the

@@ -239,12 +239,16 @@ object PqIndex {
     * overload's guard (the tombstone table is shared). */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    SnapshotMeta.requireNoTombstonedIds(spark, IvfIndex.tombTable(dir),
-      batch.select(col(idCol).as("vec_id")), "vec_id")
-    append(spark, dir, batch,
-      SnapshotMeta.derivedBatchId(
-        SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol))),
-      idCol, vecCol)
+    val id = SnapshotMeta.derivedBatchId(
+      SnapshotMeta.contentFingerprintCols(batch, Seq(idCol, vecCol)))
+    // guard only genuinely NEW batches: a committed batch's replay must
+    // still reach the inner append (which no-ops the coarse side and
+    // repairs a torn codes partition via the parity check) even when a
+    // later edit tombstoned its ids — the documented replay contract
+    if (!SnapshotMeta.appliedBatch(spark, IvfIndex.metaTable(dir), id))
+      SnapshotMeta.requireNoTombstonedIds(spark, IvfIndex.tombTable(dir),
+        batch.select(col(idCol).as("vec_id")), "vec_id")
+    append(spark, dir, batch, id, idCol, vecCol)
   }
 
   /** Removals and re-embeddings for the WHOLE PQ family, paired with

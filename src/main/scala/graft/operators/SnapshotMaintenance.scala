@@ -199,7 +199,14 @@ object SnapshotMaintenance {
     val thr = compactDeadShare
     if (thr == 0.0 || !spark.catalog.tableExists(tomb) ||
         !spark.catalog.tableExists(meta)) return false
-    val dead = spark.table(tomb).count().toDouble
+    // DISTINCT ids, not raw tombstone rows: the same id can be
+    // tombstoned in multiple edit batches (a doc rewritten twice — one
+    // tombstone row per rewriting batch), and counting rows would
+    // overcount dead vs the ledger's net live count, firing the fold
+    // earlier than the configured share
+    val t = spark.table(tomb)
+    val idCol = t.columns.filterNot(_ == "batch_id").head
+    val dead = t.select(idCol).distinct().count().toDouble
     val live = SnapshotMeta.summedFingerprint(spark, meta)._1.toDouble
     dead > 0 && dead / (dead + live) >= thr
   }

@@ -153,9 +153,18 @@ object SnapshotMeta {
     * base id itself.) The maintain() housekeeping paths pre-check
     * [[hasDerivedBatches]] and SKIP an ineligible family — this throw is
     * the DIRECT caller's loud refusal, never reached post-commit. */
+  /** The ledger's minimum batch id, None on an EMPTY ledger (manually
+    * truncated debris) — min over zero rows is SQL null, and a bare
+    * getLong would NPE with an opaque message instead of the callers'
+    * intended verdicts (an empty ledger holds no derived batches). */
+  private def minBatchId(spark: SparkSession, metaTable: String): Option[Long] = {
+    val r = spark.table(metaTable).agg(min("batch_id")).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   private[operators] def requireNoDerivedBatches(spark: SparkSession,
                                                  metaTable: String): Unit = {
-    val minId = spark.table(metaTable).agg(min("batch_id")).head().getLong(0)
+    val minId = minBatchId(spark, metaTable).getOrElse(BaseBatchId)
     require(minId >= BaseBatchId,
       s"compact cannot fold content-derived batch ids (min ledger id " +
         s"$minId < base $BaseBatchId): the fold would erase their ledger " +
@@ -172,7 +181,7 @@ object SnapshotMeta {
   private[operators] def hasDerivedBatches(spark: SparkSession,
                                            metaTable: String): Boolean =
     spark.catalog.tableExists(metaTable) &&
-      spark.table(metaTable).agg(min("batch_id")).head().getLong(0) < BaseBatchId
+      minBatchId(spark, metaTable).exists(_ < BaseBatchId)
 
   /** Guard for content-derived-id APPENDS on a family that has absorbed
     * edits: derived ids sit strictly below every tombstone, so a batch
@@ -214,8 +223,13 @@ object SnapshotMeta {
       .select(lit(store).as("store"),
         col("resident_rows"), col("live_rows"),
         (col("resident_rows") - col("live_rows")).as("tombstoned_rows"),
-        ((col("resident_rows") - col("live_rows")).cast("double") /
-          col("resident_rows").cast("double")).as("dead_frac"))
+        // zero-guard: an EMPTY store must report 0.0, not SQL-null (a
+        // downstream scheduler comparing null against a threshold would
+        // silently skip the store)
+        when(col("resident_rows") > 0,
+          (col("resident_rows") - col("live_rows")).cast("double") /
+            col("resident_rows").cast("double"))
+          .otherwise(lit(0.0)).as("dead_frac"))
 
   /** Idempotently (re)write exactly the `batch_id = batchId` partition of
     * `table` with `df`'s rows — `INSERT OVERWRITE ... PARTITION` on a

@@ -1111,4 +1111,163 @@ class InvertedIndexSpec extends SparkSpec {
       assert(reborn == Set(2L), "the durable-id re-add must serve")
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
   }
+
+  test("vocab companion: live (term, df) tracks append/edit/compact exactly; " +
+       "torn vocab partition replays clean; expansions read _vocab") {
+    val s = spark
+    import s.implicits._
+    def liveVocab(dir: String): Map[String, Long] =
+      InvertedIndex.vocabFor(s, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expect(docs: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      InvertedIndex.vocab(docs)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta delta"),
+      (3L, "gamma gamma epsilon")).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_vocab_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      InvertedIndex.ensure(s, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      assert(liveVocab(dir) == expect(base) && liveVocab(dir).nonEmpty,
+        "the base build's vocab must equal the corpus dfs")
+      // TORN WRITE: a partial vocab partition lands at batch 7 with no
+      // commit stamp — the append re-run must REPLACE it, not add beside
+      SnapshotMeta.overwritePartition(s, InvertedIndex.vocabTable(dir), 7L,
+        Seq(("bogus", 999L)).toDF("term", "df"))
+      val batch = Seq((4L, "alpha zeta"), (5L, "delta delta")).toDF("doc_id", "text")
+      InvertedIndex.appendPositions(s, dir, batch, 7L)
+      InvertedIndex.append(s, dir, batch, 7L)
+      assert(liveVocab(dir) == expect(base.unionByName(batch)),
+        "append must land the batch's df contributions (replacing the torn rows)")
+      // EDIT: doc 2 removed, doc 1 rewritten (alpha dropped, eta gained) —
+      // net rows must telescope to the edited corpus's dfs
+      val removed = base.filter(col("doc_id").isin(1L, 2L))
+      val added = Seq((1L, "beta eta")).toDF("doc_id", "text")
+      InvertedIndex.appendPositions(s, dir, added, 8L)
+      InvertedIndex.edit(s, dir, removed, added, 8L)
+      val edited = Seq(
+        (1L, "beta eta"),
+        (3L, "gamma gamma epsilon"),
+        (4L, "alpha zeta"),
+        (5L, "delta delta")).toDF("doc_id", "text")
+      assert(liveVocab(dir) == expect(edited),
+        "edit's net vocab rows must telescope to the edited corpus dfs")
+      // the tombstoned term ("delta" lost doc 2, kept doc 5) and the
+      // fully-dead term path: nothing of doc 2's unique contribution stays
+      assert(liveVocab(dir)("beta") == 1L, "doc 2's beta df must be gone")
+      // fuzzy/prefix EXPANSIONS read the vocab table, never postings —
+      // the round-14 weak-plan fix, pinned on the expansion's own plan
+      val expPlan = InvertedIndex.vocabFor(s, dir)
+        .filter(levenshtein(col("term"), lit("bita")) <= 1)
+        .queryExecution.executedPlan.toString
+      assert(expPlan.contains("_vocab"),
+        s"the expansion input must be the persisted vocab:\n$expPlan")
+      assert(!expPlan.contains("_postings"),
+        s"the expansion must NOT read the postings store:\n$expPlan")
+      // and the served fuzzy answer over the maintained family is exact
+      val fuzzy = InvertedIndex.searchFuzzy(s, dir, "bita", k = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val betaDocs = InvertedIndex.postings(edited)
+        .filter(col("term") === "beta")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fuzzy == betaDocs && fuzzy.nonEmpty)
+      // COMPACT: land the edited corpus (freshness), fold, re-check
+      edited.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(!InvertedIndex.snapshotStale(s, dir))
+      InvertedIndex.compact(s, dir)
+      assert(liveVocab(dir) == expect(edited),
+        "compaction must fold vocab to the live per-term sums")
+      assert(s.table(InvertedIndex.vocabTable(dir))
+        .select("batch_id").distinct().count() == 1,
+        "the vocab fold must leave one partition")
+      assert(s.table(InvertedIndex.vocabTable(dir))
+        .filter(col("df") <= 0).count() == 0,
+        "dead terms must drop at the fold")
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
+  test("fuzzy batch (SymSpell) equals the per-query loop at d=1 and d=2; " +
+       "deletion-neighborhood candidates equal the levenshtein filter") {
+    val s = spark
+    val qterms = Seq("sow", "hask", "joinn")
+    // batch == loop, capped (the declared-query configuration)
+    val batch = InvertedIndex.searchFuzzyBatch(s, sfDir, qterms, maxDistance = 1,
+      k = 10).collect().map(_.toSeq).toSet
+    val loop = qterms.flatMap { qt =>
+      InvertedIndex.searchFuzzy(s, sfDir, qt, maxDistance = 1, k = 10)
+        .withColumn("qterm", lit(qt))
+        .select("qterm", "doc_id", "n_terms", "score", "rank")
+        .collect().map(_.toSeq)
+    }.toSet
+    assert(batch == loop && batch.nonEmpty,
+      "the SymSpell batch path must equal searchFuzzy run per query")
+    // d=2, uncapped — the completeness-sensitive configuration: the
+    // deletion-neighborhood join must surface EVERY within-distance term
+    // (a missing candidate would change the result set, not just ranks)
+    val batch2 = InvertedIndex.searchFuzzyBatch(s, sfDir, Seq("sow"),
+      maxDistance = 2, k = 10, maxExpansions = 1000000)
+      .collect().map(_.toSeq).toSet
+    val loop2 = InvertedIndex.searchFuzzy(s, sfDir, "sow", maxDistance = 2,
+      k = 10, maxExpansions = 1000000)
+      .withColumn("qterm", lit("sow"))
+      .select("qterm", "doc_id", "n_terms", "score", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(batch2 == loop2 && batch2.nonEmpty,
+      "uncapped d=2 batch must equal the direct levenshtein expansion")
+    // candidate-set equality, stated directly on the vocabulary: the
+    // SymSpell join's verified candidates == the levenshtein filter
+    for (d <- 1 to 2) {
+      val vocab = InvertedIndex.vocabFor(s, sfDir)
+      val direct = vocab
+        .filter(levenshtein(col("term"), lit("sow")) <= d)
+        .select("term").collect().map(_.getString(0)).toSet
+      val viaJoin = vocab
+        .select(col("term"),
+          explode(InvertedIndex.deletionVariants(col("term"), d)).as("v"))
+        .join(s.createDataFrame(Seq(Tuple1("sow"))).toDF("qterm")
+          .select(col("qterm"),
+            explode(InvertedIndex.deletionVariants(col("qterm"), d)).as("v")),
+          Seq("v"))
+        .filter(levenshtein(col("term"), col("qterm")) <= d)
+        .select("term").distinct().collect().map(_.getString(0)).toSet
+      assert(viaJoin == direct && direct.nonEmpty,
+        s"d=$d deletion-neighborhood candidates must equal the direct filter")
+    }
+  }
+
+  test("a committed derived-id batch whose ids were later tombstoned " +
+       "replays as a no-op (not a refusal)") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val dir = "/tmp/graft_inv_replay_tomb_fixture"
+    rm(dir)
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    InvertedIndex.drop(s, dir)
+    try {
+      InvertedIndex.ensure(s, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      // derived-id ingest of doc 3, then a DURABLE edit tombstones it
+      val b1 = Seq((3L, "delta epsilon")).toDF("doc_id", "text")
+      InvertedIndex.appendPositions(s, dir, b1)
+      InvertedIndex.append(s, dir, b1)
+      InvertedIndex.delete(s, dir, b1, batchId = 1L)
+      assert(InvertedIndex.search(s, dir, Seq("delta"), k = 5).count() == 0)
+      val before = s.table(InvertedIndex.table(dir)).count()
+      // the replay (a restarted caller re-running its landed batch) must
+      // NO-OP via the ledger check — refusing it would regress the
+      // committed-batch replay contract (round-14 ADVICE)
+      InvertedIndex.appendPositions(s, dir, b1)
+      InvertedIndex.append(s, dir, b1)
+      assert(s.table(InvertedIndex.table(dir)).count() == before,
+        "the committed batch's replay must change nothing")
+      assert(InvertedIndex.search(s, dir, Seq("delta"), k = 5).count() == 0,
+        "the tombstone must keep hiding the batch after the replay")
+    } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
 }

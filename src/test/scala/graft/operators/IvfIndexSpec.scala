@@ -469,4 +469,49 @@ class IvfIndexSpec extends SparkSpec {
       dropIndexTables()
     }
   }
+
+  test("a committed derived-id ANN batch whose ids were later tombstoned " +
+       "replays as a no-op for both the coarse and the codes family") {
+    val s = spark
+    import s.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfreplay-fixture").toString
+    def vec(id: Long) = (id,
+      Array.tabulate(64)(d => (((id * 41 + d * 13) % 17) - 8) / 8.0f), id % 10)
+    def frame(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "embedding", "label")
+    try {
+      frame(0L until 50L).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      PqIndex.ensure(s, dir) // builds cells + codes over the base
+      // derived-id ingest of 100..110, then a durable delete tombstones
+      // half of them
+      val batch = frame(100L until 110L)
+      PqIndex.append(s, dir, batch)
+      IvfIndex.delete(s, dir,
+        frame(100L until 105L).select("vec_id"), batchId = 1L)
+      val cellsT = IvfIndex.ensureIndex(s, dir)._1
+      val before = s.table(cellsT).count()
+      // the replay (a restarted caller re-running its landed batch) must
+      // NO-OP via the ledger check — refusing it would regress the
+      // committed-batch replay contract (round-14 ADVICE); covers
+      // IvfIndex.append and PqIndex.append derived overloads at once
+      PqIndex.append(s, dir, batch)
+      IvfIndex.append(s, dir, batch)
+      assert(s.table(cellsT).count() == before,
+        "the committed batch's replay must change nothing")
+      // tombstoned ids stay hidden from probes after the replay
+      val served = IvfIndex.probe(s, dir, frame(Seq(0L)), k = 200,
+        candidatePred = col("vec_id") >= 0)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert((100L until 105L).forall(id => !served.contains(id)),
+        "tombstoned ids must stay hidden after the replay")
+    } finally {
+      IvfIndex.drop(s, dir)
+      PqIndex.drop(s, dir)
+      rm(new java.io.File(dir))
+    }
+  }
 }

@@ -619,4 +619,87 @@ class SnapshotMaintenanceSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("dead-share trigger counts distinct tombstoned ids: a doc rewritten " +
+       "twice is one dead id, not two") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "s0", 200)
+    def words(stem: String) = (1 to 30).map(i => s"$stem$i")
+    def land(rows: Seq[(Long, String, String, String, Int)], dir: String) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("deaddistinct").toString
+    val savedAfter = sys.props.get("graft.index.compactAfter")
+    val savedShare = sys.props.get("graft.index.compactDeadShare")
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => sys.props(k) = x
+      case None => sys.props.remove(k)
+    }
+    try {
+      sys.props("graft.index.compactAfter") = "0"
+      // threshold picked between the RAW-ROW ratio and the DISTINCT-ID
+      // ratio after two rewrites of the same doc: rows 2/(2+10)=0.167
+      // would fire; distinct 1/(1+10)=0.091 must not
+      sys.props("graft.index.compactDeadShare") = "0.12"
+      val v0 = (1L to 10L).map(i => doc(i, words(s"w$i")))
+      land(v0, dir)
+      InvertedIndex.ensurePositions(s, dir)
+      ComponentIndex.ensureBanded(s, dir)
+      // rewrite doc 1 TWICE — two tombstone rows, one dead id
+      val prev1 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v1 = v0.map(r => if (r._1 == 1L) doc(1L, words("x1")) else r)
+      land(v1, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev1, batchId = 1L)
+        == "edited")
+      val prev2 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v2 = v1.map(r => if (r._1 == 1L) doc(1L, words("y1")) else r)
+      land(v2, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev2, batchId = 2L)
+        == "edited",
+        "one doc rewritten twice must count as ONE dead id — below the " +
+          "0.12 share, no fold (raw tombstone rows would have fired it)")
+      // three DISTINCT dead ids push the true share over the threshold
+      val prev3 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
+      val v3 = v2.filterNot(r => r._1 == 2L || r._1 == 3L)
+      land(v3, dir)
+      assert(SnapshotMaintenance.maintain(s, dir, prev3, batchId = 3L)
+        == "edited+compacted",
+        "three distinct dead ids over eight live must fold at 0.12")
+    } finally {
+      restore("graft.index.compactAfter", savedAfter)
+      restore("graft.index.compactDeadShare", savedShare)
+      dropAll(dir)
+      rm(dir)
+    }
+  }
+
+  test("hygieneRow zero guard and empty-ledger guards: no nulls, no NPEs") {
+    val s = spark
+    import s.implicits._
+    // an EMPTY store must report dead_frac 0.0, not SQL-null (a scheduler
+    // comparing null against a threshold would silently skip the store)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = SnapshotMeta.hygieneRow("empty_store", empty, empty).head()
+    assert(!row.isNullAt(row.fieldIndex("dead_frac")),
+      "dead_frac must not be null on an empty store")
+    assert(row.getDouble(row.fieldIndex("dead_frac")) == 0.0)
+    assert(row.getLong(row.fieldIndex("resident_rows")) == 0L)
+    // an EMPTY ledger (manually truncated debris) holds no derived
+    // batches: the guard must say so, not NPE on a null min
+    val meta = "graft_test_empty_ledger_meta"
+    s.sql(s"DROP TABLE IF EXISTS $meta")
+    IvfIndex.dropOrphanLocation(s, meta)
+    try {
+      Seq.empty[(Long, Long, Long)].toDF("n_rows", "id_sum", "batch_id")
+        .write.partitionBy("batch_id").saveAsTable(meta)
+      assert(!SnapshotMeta.hasDerivedBatches(s, meta))
+      SnapshotMeta.requireNoDerivedBatches(s, meta) // must not throw
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $meta")
+      IvfIndex.dropOrphanLocation(s, meta)
+    }
+  }
 }
