@@ -44,7 +44,12 @@ object PlanAudit {
       // anti-join on the index side; recall@5's overlap a semi join on
       // 16-byte id pairs
       "q_search_not", "q_search_filtered", "q_sim_ivf_deleted",
-      "q_ann_recall")
+      "q_ann_recall",
+      // round-15: the batched-fuzzy serve must show the pruned postings
+      // point read (literal IN over the union of expansions) with the
+      // tiny (qterm, term) mapping broadcast — never a postings-side
+      // exchange — and the per-qterm rank window AFTER the aggregate
+      "q_search_fuzzy_batch")
     interesting.foreach { name =>
       println(s"========== $name ==========")
       SparkEntry.queries(name)(s, dir).explain("formatted")
