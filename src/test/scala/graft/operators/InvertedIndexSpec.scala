@@ -1169,6 +1169,14 @@ class InvertedIndexSpec extends SparkSpec {
         s"the expansion input must be the persisted vocab:\n$expPlan")
       assert(!expPlan.contains("_postings"),
         s"the expansion must NOT read the postings store:\n$expPlan")
+      // the PREFIX expansion's StartsWith pushes into the vocab scan
+      // (term-sorted bucket files prune by row-group min/max)
+      val prefixPlan = InvertedIndex.vocabFor(s, dir)
+        .filter(col("term").startsWith("be"))
+        .queryExecution.executedPlan.toString
+      assert(prefixPlan.contains("StringStartsWith") &&
+        prefixPlan.contains("_vocab") && !prefixPlan.contains("_postings"),
+        s"the prefix expansion must push StartsWith into the vocab scan:\n$prefixPlan")
       // and the served fuzzy answer over the maintained family is exact
       val fuzzy = InvertedIndex.searchFuzzy(s, dir, "bita", k = 5)
         .select("doc_id").collect().map(_.getLong(0)).toSet
