@@ -1089,6 +1089,18 @@ object DedupQueries {
       graft.operators.InvertedIndex.search(s, dir,
         Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
 
+    // the tf-idf verb's maintenance twins (round 15 — the one serving
+    // verb still without them): per-term df derives from the pruned
+    // LIVE rows and N from the summed ledger stats, both
+    // maintenance-sensitive
+    "q_search_corpus_maintained" -> ((s, dir) =>
+      graft.operators.InvertedIndex.search(s, maintainedSearchDir(s, dir),
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
+
+    "q_search_corpus_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.search(s, editedSearchDir(s, dir),
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
+
     // BM25-RANKED corpus search (round 11): top-10 DOCUMENTS for a
     // multi-term query under the rational fixed-point BM25 (k1=6/5,
     // b=3/4 exact fractions, idf ratio without ln — bit-portable across
@@ -1140,6 +1152,40 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchFuzzyBatch(s, dir,
         Seq("sow", "hask", "joinn"), maxDistance = 1, k = 10)),
 
+    // the batch path's EDITED twin: the SymSpell expansion's df ranking
+    // reads the vocab net rows — under tombstones the per-term sums
+    // themselves shift, so the batched expansion is maintenance-
+    // sensitive exactly like the single-query funnels
+    "q_search_fuzzy_batch_edited" -> ((s, dir) =>
+      graft.operators.InvertedIndex.searchFuzzyBatch(s, editedSearchDir(s, dir),
+        Seq("sow", "hask", "joinn"), maxDistance = 1, k = 10)),
+
+    // the VOCABULARY itself, declared (round 15): top-20 terms by live
+    // document frequency from the persisted _vocab store — the direct
+    // gate check on the new table (the expansions consume it; this
+    // query exposes it), rank ties on term, rank attached post-limit
+    "q_search_vocab" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("term").asc)
+      graft.operators.InvertedIndex.vocabFor(s, dir)
+        .select(col("term"), col("df_").as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
+    // the vocab store under TOMBSTONES: the edit batch's net rows must
+    // telescope to the edited corpus's dfs — the _vocab lifecycle's own
+    // hash check (the expansions only sample it; this reads the ranking
+    // wholesale)
+    "q_search_vocab_edited" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("term").asc)
+      graft.operators.InvertedIndex.vocabFor(s, editedSearchDir(s, dir))
+        .select(col("term"), col("df_").as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     // HYBRID RETRIEVAL (round 11): the lexical-recall → semantic-
     // precision funnel — BM25 shortlists 20 docs from the index (mass
     // pruning at postings cost), then the shortlist re-ranks by exact
@@ -1157,6 +1203,14 @@ object DedupQueries {
     // the gate now exercises the funnel's serving AFTER maintenance too
     "q_search_hybrid_maintained" -> ((s, dir) =>
       hybridSearch(s, dir, maintainedSearchDir(s, dir))),
+
+    // the EDITED hybrid twin (round 15, completing the funnel's
+    // maintenance matrix): the BM25 shortlist serves through the
+    // tombstone anti-join and the net stats row; embeddings stay the
+    // corpus table (index maintenance never touches them), so the
+    // oracle rebases only the shortlist's corpus CTE
+    "q_search_hybrid_edited" -> ((s, dir) =>
+      hybridSearch(s, dir, editedSearchDir(s, dir))),
 
     // EXACT-PHRASE search (round 11) from the positional index: the
     // occurrence join is pure equi-joins — term_i's pruned rows project
@@ -1784,13 +1838,43 @@ object DedupQueries {
     * expansion arithmetic (same cap, same scoring text), unioned with
     * the qterm label — exactly the per-query loop the batch path is
     * spec-pinned to equal. */
-  private def fuzzyBatchSql(qterms: Seq[String], d: Int, m: Int,
-                            k: Int): String =
+  private def fuzzyBatchSql(qterms: Seq[String], d: Int, m: Int, k: Int,
+                            rebase: String => String = identity): String =
     qterms.map { qt =>
       s"""SELECT '$qt' AS qterm, * FROM (
-         |${bm25ExpandedSql(s"levenshtein(term, '$qt') <= $d", m, k)}
+         |${rebase(bm25ExpandedSql(s"levenshtein(term, '$qt') <= $d", m, k))}
          |)""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** The tf-idf corpus-search replay — shared by q_search_corpus and
+    * its maintained/edited twins. */
+  private def corpusRankedSql: String =
+    s"""WITH tfq AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
+      |  WHERE term IN ('join','hash','scan','graftabsentterm')
+      |  GROUP BY 1, 2),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT term, doc_id, tf,
+      |  CAST(tf * CAST(floor((CAST(n.n AS DOUBLE) * 1048576.0) / df_) AS BIGINT) AS BIGINT) AS score,
+      |  CAST(row_number() OVER (PARTITION BY term
+      |    ORDER BY tf * CAST(floor((CAST(n.n AS DOUBLE) * 1048576.0) / df_) AS BIGINT) DESC,
+      |             doc_id ASC) AS BIGINT) AS rank
+      |FROM tfq JOIN dfq USING (term) CROSS JOIN n
+      |QUALIFY rank <= 10""".stripMargin
+
+  /** The vocabulary replay (q_search_vocab and its edited twin): live
+    * df = the count of documents holding the term — what the `_vocab`
+    * store's per-term net sums must telescope to. */
+  private def vocabRankedSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest($canonToksSql) AS term FROM documents),
+      |v AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |      FROM tok GROUP BY 1)
+      |SELECT term, df,
+      |  CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS rank
+      |FROM v QUALIFY rank <= 20""".stripMargin
 
   /** The conjunctive-match raw-corpus replay — shared by the base query
     * and its maintained/edited twins. */
@@ -2889,22 +2973,16 @@ object DedupQueries {
     // replays the search from the raw corpus: per-(term, doc) tf over the
     // probed term set, df from the same rows, the shared integer-exact
     // idf proxy, row_number ties on doc_id — the index is a physical
-    // strategy, not a semantics change
-    "q_search_corpus" ->
-      s"""WITH tfq AS (
-        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest($canonToksSql) AS term FROM documents)
-        |  WHERE term IN ('join','hash','scan','graftabsentterm')
-        |  GROUP BY 1, 2),
-        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_ FROM tfq GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents)
-        |SELECT term, doc_id, tf,
-        |  CAST(tf * CAST(floor((CAST(n.n AS DOUBLE) * 1048576.0) / df_) AS BIGINT) AS BIGINT) AS score,
-        |  CAST(row_number() OVER (PARTITION BY term
-        |    ORDER BY tf * CAST(floor((CAST(n.n AS DOUBLE) * 1048576.0) / df_) AS BIGINT) DESC,
-        |             doc_id ASC) AS BIGINT) AS rank
-        |FROM tfq JOIN dfq USING (term) CROSS JOIN n
-        |QUALIFY rank <= 10""".stripMargin,
+    // strategy, not a semantics change. Shared builder: the twins reuse
+    // the same text (maintained verbatim — append == rebuild; edited
+    // rebased onto the edited-corpus CTE).
+    "q_search_corpus" -> corpusRankedSql,
+    "q_search_corpus_maintained" -> corpusRankedSql,
+    "q_search_corpus_edited" -> overEditedCorpus(corpusRankedSql),
+    // the persisted vocabulary itself: live df = count of docs holding
+    // the term; the edited twin replays the net-row telescoping
+    "q_search_vocab" -> vocabRankedSql,
+    "q_search_vocab_edited" -> overEditedCorpus(vocabRankedSql),
     // replays the conjunctive match from the raw corpus: per-(term, doc)
     // tf over the query terms, docs keeping all 3, ranked by total tf.
     // Shared builder — the maintained/edited twins reuse the same text.
@@ -2964,6 +3042,11 @@ object DedupQueries {
     // the per-query expansion replay unioned under the qterm label
     "q_search_fuzzy_batch" ->
       fuzzyBatchSql(Seq("sow", "hask", "joinn"), 1, 16, 10),
+    // the batched twin under tombstones: each per-query replay rebases
+    // onto the edited-corpus CTE before the union
+    "q_search_fuzzy_batch_edited" ->
+      fuzzyBatchSql(Seq("sow", "hask", "joinn"), 1, 16, 10,
+        rebase = overEditedCorpus),
     // promotion status: counts replayed from the diff classes; the
     // action literals are the edit paths the fixture builder requires
     "q_snapshot_promote" -> promoteStatusSql,
@@ -2980,6 +3063,9 @@ object DedupQueries {
     // append == rebuild is exact for the search family, so the
     // maintained funnel shares the base hybrid oracle verbatim
     "q_search_hybrid_maintained" -> hybridRankedSql,
+    // the edited funnel rebases the shortlist's corpus CTE only — the
+    // embeddings joins inside the shared text stay on the corpus table
+    "q_search_hybrid_edited" -> overEditedCorpus(hybridRankedSql),
     "q_sim_ivf_pq" -> pqIvfSql,
     "q_sim_ivf_pq_rerank" -> pqRerankSql,
     "q_sim_ivf_pq_trained" -> pqTrainedSql,
