@@ -1248,6 +1248,26 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("batched fuzzy plans pruned bucket reads, a broadcast mapping, and " +
+       "the rank-limit pushdown (WindowGroupLimit)") {
+    val s = spark
+    val plan = InvertedIndex.searchFuzzyBatch(s, sfDir, Seq("sow", "hask"),
+      k = 10).queryExecution.executedPlan.toString
+    // the serve reads only the expanded terms' buckets (literal IN)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"the batched serve must prune the postings buckets:\n$plan")
+    // the (qterm, term) mapping joins as a broadcast, never an exchange
+    // of the postings side against it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query mapping must broadcast:\n$plan")
+    // per-qterm top-k runs through Spark's rank-limit pushdown: a
+    // partial per-partition group-limit BEFORE the exchange, so no
+    // qterm's full hit set ever sorts globally
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-qterm rank must use the group-limit pushdown:\n$plan")
+  }
+
   test("a committed derived-id batch whose ids were later tombstoned " +
        "replays as a no-op (not a refusal)") {
     val s = spark
