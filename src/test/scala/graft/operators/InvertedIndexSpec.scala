@@ -1248,6 +1248,48 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("deletion-neighborhood completeness (randomized): every pair within " +
+       "levenshtein d intersects at d=1 and d=2") {
+    val s = spark
+    import s.implicits._
+    // seeded random words + ≤2 random edits each (insert/delete/
+    // substitute at a random position) — the generator KNOWS the edit
+    // count is an upper bound on the true distance, and the assertion
+    // uses the computed levenshtein, so coincidentally-closer pairs are
+    // classified correctly too
+    val rnd = new scala.util.Random(0xF15E)
+    val alpha = "abcde"
+    def word(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def editOnce(w: String): String = {
+      val p = rnd.nextInt(w.length + 1)
+      rnd.nextInt(3) match {
+        case 0 => w.substring(0, p) + alpha(rnd.nextInt(alpha.length)) + w.substring(p) // insert
+        case 1 if w.nonEmpty =>
+          val q = rnd.nextInt(w.length); w.substring(0, q) + w.substring(q + 1) // delete
+        case _ if w.nonEmpty =>
+          val q = rnd.nextInt(w.length)
+          w.substring(0, q) + alpha(rnd.nextInt(alpha.length)) + w.substring(q + 1) // substitute
+        case _ => w
+      }
+    }
+    val pairs = (1 to 300).map { _ =>
+      val a = word(1 + rnd.nextInt(8))
+      val b = (1 to rnd.nextInt(3)).foldLeft(a)((w, _) => editOnce(w))
+      (a, b)
+    }
+    for (d <- 1 to 2) {
+      val missed = pairs.toDF("a", "b")
+        .filter(levenshtein(col("a"), col("b")) <= d)
+        .filter(!arrays_overlap(
+          InvertedIndex.deletionVariants(col("a"), d),
+          InvertedIndex.deletionVariants(col("b"), d)))
+        .collect()
+      assert(missed.isEmpty,
+        s"d=$d: pairs within distance whose neighborhoods miss: " +
+          missed.take(5).mkString(", "))
+    }
+  }
+
   test("batched fuzzy plans pruned bucket reads, a broadcast mapping, and " +
        "the rank-limit pushdown (WindowGroupLimit)") {
     val s = spark

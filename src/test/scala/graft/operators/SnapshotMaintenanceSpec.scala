@@ -502,6 +502,13 @@ class SnapshotMaintenanceSpec extends SparkSpec {
         val ex = InvertedIndex.corpusStats(finDocs).head()
         assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)),
           s"seed $seed: stats != rebuild")
+        // the vocab store's per-term net sums must telescope to the
+        // final corpus dfs under ANY legal history (round 15)
+        val vocabLive = InvertedIndex.vocabFor(s, dir)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val vocabRebuild = InvertedIndex.vocab(finDocs)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(vocabLive == vocabRebuild, s"seed $seed: vocab != rebuild")
         val comp = ComponentIndex.componentsFor(s, dir)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val compRebuild = CacheScope.withOperatorCaches {
