@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   * per-(term, doc) local — a crawl append whose doc_ids are new cannot
   * change any existing row, so a bucketed APPEND of the batch's postings
   * is exact ([[append]]; spec pins append == rebuild). Per-term document
-  * frequency is deliberately NOT materialized: it changes with every
-  * append, and deriving it from the pruned postings at query time costs
-  * one tiny aggregate over exactly the rows the search already reads.
+  * frequency for a TERM LOOKUP is derived from the pruned postings at
+  * query time (one tiny aggregate over exactly the rows the search
+  * already reads); the corpus-wide df RANKING that prefix/fuzzy
+  * expansion needs is materialized in the `_vocab` companion
+  * ([[vocab]]/[[vocabFor]]) — per-batch additive rows, the `_stats`
+  * lifecycle — because deriving it live would scan the whole postings
+  * store per query (the round-14 weak plan).
   *
   * Scoring: tf × the integer-exact idf proxy floor(N·2^20/df) — the
   * q_text_tfidf currency, bit-portable across engines, so the declared
