@@ -230,10 +230,16 @@ object Bench {
     // run against them would mis-stamp comparability. The defaults stay
     // this host's quiet values; a new host measures its own quiet marks
     // once and exports SPARK_GRAFT_HOSTMARK_MT_REF / _THREADS.
-    val ReferenceHostmarkMt =
-      sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_MT_REF", "0.163").toDouble
-    val ReferenceMtThreads =
-      sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_MT_THREADS", "32").toInt
+    val ReferenceHostmarkMt = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_MT_REF", "0.163")
+      raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_HOSTMARK_MT_REF must be a number (seconds), got '$raw'"))
+    }
+    val ReferenceMtThreads = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_MT_THREADS", "32")
+      raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_HOSTMARK_MT_THREADS must be an integer, got '$raw'"))
+    }
     val suspectShare =
       if (results.nonEmpty) suspects.size.toDouble / results.size else 0.0
     val mtRegressed = cpus.toInt == ReferenceMtThreads &&

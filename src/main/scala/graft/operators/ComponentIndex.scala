@@ -331,9 +331,14 @@ object ComponentIndex {
 
   /** [[merge]] with a content-derived batch id — for callers without a
     * durable external batch identity ([[SnapshotMeta.derivedBatchId]]).
-    * Tombstoned ids refused ([[SnapshotMeta.requireNoTombstonedIds]]):
-    * a re-added doc's signature rows would land below its tombstone and
-    * never serve. */
+    * Tombstoned ids in a GENUINELY NEW batch are refused
+    * ([[SnapshotMeta.requireNoTombstonedIds]]): a re-added doc's
+    * signature rows would land below its tombstone and never serve. A
+    * batch that already committed replays as a no-op even when a later
+    * edit tombstoned its ids (the crash-replay contract wins) — so
+    * re-adding previously deleted content byte-identical to its
+    * original batch silently no-ops; re-ingest deleted content through
+    * the durable non-negative-id overload instead. */
   def merge(spark: SparkSession, dir: String, batch: DataFrame): String = {
     val id = SnapshotMeta.derivedBatchId(SnapshotMeta.contentFingerprint(batch))
     // guard only genuinely NEW batches: a replay of an already-committed

@@ -179,10 +179,14 @@ object IvfIndex {
     * durable external batch identity (foreachBatch callers should pass
     * their batchId instead). The id keys on (id, vector) content
     * ([[SnapshotMeta.contentFingerprintCols]]), so replaying the same
-    * batch reuses the same ledger slot. Tombstoned ids are refused —
-    * their rows would land below the tombstone and never serve
-    * ([[SnapshotMeta.requireNoTombstonedIds]]); brand-new ids are
-    * safe. */
+    * batch reuses the same ledger slot. Tombstoned ids in a GENUINELY
+    * NEW batch are refused — their rows would land below the tombstone
+    * and never serve ([[SnapshotMeta.requireNoTombstonedIds]]);
+    * brand-new ids are safe. A committed batch replays as a no-op even
+    * when a later edit tombstoned its ids, so re-adding previously
+    * deleted (id, vector) content identical to its original batch
+    * silently no-ops — re-ingest deleted vectors through the durable
+    * non-negative-id overload. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val id = SnapshotMeta.derivedBatchId(

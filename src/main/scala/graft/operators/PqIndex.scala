@@ -235,8 +235,11 @@ object PqIndex {
   /** [[append]] with a content-derived batch id (the [[IvfIndex.append]]
     * convention — foreachBatch callers should pass their batchId). The
     * SAME derivation as the coarse index's, so both tables share one
-    * ledger slot per batch. Tombstoned ids refused, like the coarse
-    * overload's guard (the tombstone table is shared). */
+    * ledger slot per batch. Tombstoned ids in a genuinely NEW batch are
+    * refused, like the coarse overload's guard (the tombstone table is
+    * shared); a committed batch replays as a no-op even when later
+    * tombstoned — re-adding deleted content identical to its original
+    * batch needs the durable non-negative-id overload. */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val id = SnapshotMeta.derivedBatchId(

@@ -175,14 +175,14 @@ object SnapshotMaintenance {
   /** The SECOND compaction trigger, from the hygiene signal:
     * `-Dgraft.index.compactDeadShare` (a fraction in [0, 1]; 0 disables
     * — the default, opt-in like a deployment knob). A family folds when
-    * tombstoned ids reach this share of the ids it has absorbed
-    * (dead / (dead + live)). Computed from O(churn)-sized state only —
-    * the tombstone table's row count over the ledger's summed doc count
-    * — never a store scan: `hygiene()`'s exact per-row counts are the
-    * MONITORING view; this is the cheap per-batch SCHEDULING view. The
-    * two triggers complement: stamp count bounds file accretion
-    * (partition/file explosion), dead share bounds the tombstone
-    * serving tax (dead bytes scanned + anti-join width). */
+    * dead doc GENERATIONS reach this share of the doc generations it
+    * holds (dead / (dead + live)). Computed from O(churn)-sized state
+    * only — the tombstone table's row count over the ledger's net live
+    * doc count — never a store scan: `hygiene()`'s exact per-row counts
+    * are the MONITORING view; this is the cheap per-batch SCHEDULING
+    * view. The two triggers complement: stamp count bounds file
+    * accretion (partition/file explosion), dead share bounds the
+    * tombstone serving tax (dead bytes scanned + anti-join width). */
   private[operators] def compactDeadShare: Double = {
     val raw = sys.props.getOrElse("graft.index.compactDeadShare", "0")
     val v = raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
@@ -199,14 +199,16 @@ object SnapshotMaintenance {
     val thr = compactDeadShare
     if (thr == 0.0 || !spark.catalog.tableExists(tomb) ||
         !spark.catalog.tableExists(meta)) return false
-    // DISTINCT ids, not raw tombstone rows: the same id can be
-    // tombstoned in multiple edit batches (a doc rewritten twice — one
-    // tombstone row per rewriting batch), and counting rows would
-    // overcount dead vs the ledger's net live count, firing the fold
-    // earlier than the configured share
-    val t = spark.table(tomb)
-    val idCol = t.columns.filterNot(_ == "batch_id").head
-    val dead = t.select(idCol).distinct().count().toDouble
+    // RAW tombstone rows, not distinct ids: under the disjoint-id
+    // append contract each tombstone row kills exactly one previously
+    // live generation (an edit tombstones the id once per rewrite, and
+    // the id had exactly one live generation each time), so the row
+    // count EQUALS the dead resident generations — the quantity the
+    // serving tax actually scales with. Distinct-id counting would pin
+    // a hot doc rewritten N times at ~1/(1+live) forever, so this
+    // trigger could never fire on that garbage and only the
+    // compactAfter stamp count would bound it.
+    val dead = spark.table(tomb).count().toDouble
     val live = SnapshotMeta.summedFingerprint(spark, meta)._1.toDouble
     dead > 0 && dead / (dead + live) >= thr
   }

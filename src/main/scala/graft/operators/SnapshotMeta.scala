@@ -143,6 +143,15 @@ object SnapshotMeta {
       Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
+  /** The ledger's minimum batch id, None on an EMPTY ledger (manually
+    * truncated debris) — min over zero rows is SQL null, and a bare
+    * getLong would NPE with an opaque message instead of the callers'
+    * intended verdicts (an empty ledger holds no derived batches). */
+  private def minBatchId(spark: SparkSession, metaTable: String): Option[Long] = {
+    val r = spark.table(metaTable).agg(min("batch_id")).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** Guard shared by every family's public `compact()`: refuse to fold a
     * ledger holding content-derived batch ids (strictly below
     * [[BaseBatchId]]). The fold rewrites every table into
@@ -153,15 +162,6 @@ object SnapshotMeta {
     * base id itself.) The maintain() housekeeping paths pre-check
     * [[hasDerivedBatches]] and SKIP an ineligible family — this throw is
     * the DIRECT caller's loud refusal, never reached post-commit. */
-  /** The ledger's minimum batch id, None on an EMPTY ledger (manually
-    * truncated debris) — min over zero rows is SQL null, and a bare
-    * getLong would NPE with an opaque message instead of the callers'
-    * intended verdicts (an empty ledger holds no derived batches). */
-  private def minBatchId(spark: SparkSession, metaTable: String): Option[Long] = {
-    val r = spark.table(metaTable).agg(min("batch_id")).head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
-  }
-
   private[operators] def requireNoDerivedBatches(spark: SparkSession,
                                                  metaTable: String): Unit = {
     val minId = minBatchId(spark, metaTable).getOrElse(BaseBatchId)

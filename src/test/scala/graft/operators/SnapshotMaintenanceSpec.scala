@@ -627,8 +627,8 @@ class SnapshotMaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("dead-share trigger counts distinct tombstoned ids: a doc rewritten " +
-       "twice is one dead id, not two") {
+  test("dead-share trigger counts dead GENERATIONS (tombstone rows): a doc " +
+       "rewritten twice is two dead generations, so the share fires") {
     val s = spark
     import s.implicits._
     def doc(id: Long, words: Seq[String]) =
@@ -647,34 +647,36 @@ class SnapshotMaintenanceSpec extends SparkSpec {
     }
     try {
       sys.props("graft.index.compactAfter") = "0"
-      // threshold picked between the RAW-ROW ratio and the DISTINCT-ID
-      // ratio after two rewrites of the same doc: rows 2/(2+10)=0.167
-      // would fire; distinct 1/(1+10)=0.091 must not
+      // threshold picked between the ratio after ONE rewrite and after
+      // TWO rewrites of the same doc: one dead generation 1/(1+10)=0.091
+      // must not fire; two dead generations 2/(2+10)=0.167 must — even
+      // though both states have exactly ONE distinct dead id (a
+      // distinct-id count would pin the share at 0.091 forever and this
+      // trigger could never fire on a hot rewritten doc's garbage)
       sys.props("graft.index.compactDeadShare") = "0.12"
       val v0 = (1L to 10L).map(i => doc(i, words(s"w$i")))
       land(v0, dir)
       InvertedIndex.ensurePositions(s, dir)
       ComponentIndex.ensureBanded(s, dir)
-      // rewrite doc 1 TWICE — two tombstone rows, one dead id
+      // rewrite doc 1 ONCE — one tombstone row, one dead generation:
+      // 1/(1+10) = 0.091 < 0.12, no fold
       val prev1 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
       val v1 = v0.map(r => if (r._1 == 1L) doc(1L, words("x1")) else r)
       land(v1, dir)
       assert(SnapshotMaintenance.maintain(s, dir, prev1, batchId = 1L)
-        == "edited")
+        == "edited",
+        "one dead generation over ten live is 0.091 — below 0.12, no fold")
+      // rewrite doc 1 AGAIN — still one distinct dead id, but TWO dead
+      // resident generations: 2/(2+10) = 0.167 >= 0.12, fold fires.
+      // This is the hot-rewritten-doc garbage a distinct-id count would
+      // never see.
       val prev2 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
       val v2 = v1.map(r => if (r._1 == 1L) doc(1L, words("y1")) else r)
       land(v2, dir)
       assert(SnapshotMaintenance.maintain(s, dir, prev2, batchId = 2L)
-        == "edited",
-        "one doc rewritten twice must count as ONE dead id — below the " +
-          "0.12 share, no fold (raw tombstone rows would have fired it)")
-      // three DISTINCT dead ids push the true share over the threshold
-      val prev3 = graft.sources.Tables.documents(s, dir).localCheckpoint(true)
-      val v3 = v2.filterNot(r => r._1 == 2L || r._1 == 3L)
-      land(v3, dir)
-      assert(SnapshotMaintenance.maintain(s, dir, prev3, batchId = 3L)
         == "edited+compacted",
-        "three distinct dead ids over eight live must fold at 0.12")
+        "two dead generations of ONE id over ten live is 0.167 — the " +
+          "share must fire on repeated rewrites of the same doc")
     } finally {
       restore("graft.index.compactAfter", savedAfter)
       restore("graft.index.compactDeadShare", savedShare)
