@@ -93,6 +93,59 @@ object Bench {
     // Optional name filter (regex, dev iteration only — the driver runs
     // the full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // SELF-DISQUALIFYING verdict (round-13 item 4): round 13 benched
+    // through a host contention storm (53/160 steal-suspects, mt-mark
+    // 0.163→0.217, one untouched query 13.8x) and the narrative had to
+    // reconstruct non-comparability by forensics. The artifact rules
+    // on itself from evidence it already records: an attempt is
+    // `comparable` (fit for cross-round per-query conclusions) only
+    // when suspected runs stay rare (<=10% of queries) AND the parallel
+    // hostmark held within 15% of the quiet-host reference (r12's
+    // 0.163 s — the all-cores mark, the one co-tenant load actually
+    // moves). A false verdict means: use the artifact for
+    // errors/regressions-in-kind only; requalify before comparing.
+    // The mt reference was measured at the driver's config (32 threads
+    // on this 32-thread host); hostmarkParallel(n) scales with n, so the
+    // mt leg of the verdict only applies at that config — a dev run at
+    // SPARK_GRAFT_CPUS=8 would otherwise stamp every artifact
+    // non-comparable on a quiet host. Off-config runs fall back to the
+    // steal-share leg alone.
+    // Env-overridable (review finding): the quiet-host references are
+    // HOST-SPECIFIC measurements (this machine's 32-thread splitmix mark
+    // and its single-thread twin above); judging a different machine's
+    // run against them would mis-stamp comparability. The defaults stay
+    // this host's quiet values; a new host measures its own quiet marks
+    // once and exports SPARK_GRAFT_HOSTMARK_MT_REF / _THREADS.
+    val ReferenceHostmarkMt = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_MT_REF", "0.163")
+      raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_HOSTMARK_MT_REF must be a number (seconds), got '$raw'"))
+    }
+    val ReferenceMtThreads = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_MT_THREADS", "32")
+      raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_HOSTMARK_MT_THREADS must be an integer, got '$raw'"))
+    }
+    // RETRY ON SELF-FLAG (round-15 verdict item 5): two rounds straight
+    // the driver's final bench ran through a host steal storm and stamped
+    // itself non-comparable while a quiet run existed — so the bench now
+    // re-measures itself (up to SPARK_GRAFT_BENCH_ATTEMPTS passes,
+    // default 2) until an attempt is comparable, and emits the best
+    // attempt (comparable first, then fewest steal suspects). Fixtures
+    // and JIT are warm after pass 1, so a retry costs roughly one
+    // measurement pass, not a cold start.
+    val maxAttempts = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2")
+      val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_ATTEMPTS must be an integer, got '$raw'"))
+      require(n >= 1, s"SPARK_GRAFT_BENCH_ATTEMPTS must be >= 1, got $n")
+      n
+    }
+    final case class Attempt(
+      results: Seq[(String, Seq[Option[(Double, Double)]], Boolean)],
+      hostmarkBefore: Double, hostmarkAfter: Double, hostmarkMt: Double,
+      suspects: Seq[String], comparable: Boolean, whyNot: List[String])
+    def measureOnce(): Attempt = {
     // host-speed reference: min-of-3 before, min-of-3 after the suite
     // (JIT is warm after the first call; min filters transient stalls)
     val hostmarkBefore = (1 to 3).map(_ => hostmark()).min
@@ -138,6 +191,42 @@ object Bench {
       }
       (name, times, failed)
     }
+    val hostmarkAfter = (1 to 3).map(_ => hostmark()).min
+    val hostmarkMt = (1 to 2).map(_ => hostmarkParallel(cpus.toInt)).min
+    val suspects = results.collect {
+      case (k, t, _) if t.flatten.exists { case (el, ss) =>
+        ss > math.max(0.25, 0.05 * el) } => k
+    }
+    val suspectShare =
+      if (results.nonEmpty) suspects.size.toDouble / results.size else 0.0
+    val mtRegressed = cpus.toInt == ReferenceMtThreads &&
+      hostmarkMt > ReferenceHostmarkMt * 1.15
+    val comparable = suspectShare <= 0.10 && !mtRegressed
+    val whyNot =
+      (if (suspectShare > 0.10)
+        List(s""""steal_suspects ${suspects.size}/${results.size} > 10%"""")
+      else Nil) ++
+      (if (mtRegressed)
+        List(f""""hostmark_mt $hostmarkMt%.3f > 1.15x quiet ref $ReferenceHostmarkMt%.3f"""")
+      else Nil)
+    Attempt(results, hostmarkBefore, hostmarkAfter, hostmarkMt,
+      suspects, comparable, whyNot)
+    }
+    var attempts = 0
+    var chosen: Attempt = null
+    while (attempts < maxAttempts && (chosen == null || !chosen.comparable)) {
+      attempts += 1
+      val a = measureOnce()
+      chosen =
+        if (chosen == null || (a.comparable && !chosen.comparable)) a
+        else if (!a.comparable && chosen.comparable) chosen
+        else if (a.suspects.size < chosen.suspects.size) a else chosen
+      if (!chosen.comparable && attempts < maxAttempts)
+        System.err.println(s"[bench] attempt $attempts non-comparable " +
+          s"(${a.whyNot.mkString("; ")}) — re-measuring")
+    }
+    val Attempt(results, hostmarkBefore, hostmarkAfter, hostmarkMt,
+      suspects, comparable, whyNot) = chosen
     // A failed query must be LOUD and must NOT contribute a timing: its
     // time-to-crash would read as a (often phantom-fast) measurement. It is
     // omitted from `queries`/the total and listed in `errors` instead.
@@ -158,10 +247,6 @@ object Bench {
       s"\"" + k + "\":" + t.map(_.map(_._2.toString).getOrElse("null"))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val suspects = results.collect {
-      case (k, t, _) if t.flatten.exists { case (el, ss) =>
-        ss > math.max(0.25, 0.05 * el) } => k
-    }
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total FIRST (and repeated LAST as total_check): round 2's artifact
@@ -180,8 +265,6 @@ object Bench {
     // The full 3-runs-per-query raw/steal arrays move to
     // BENCH_DETAIL.json in-repo — forensic detail no longer rides the
     // pipe at all.
-    val hostmarkAfter = (1 to 3).map(_ => hostmark()).min
-    val hostmarkMt = (1 to 2).map(_ => hostmarkParallel(cpus.toInt)).min
     // Hostmark-NORMALIZED total: SCALE.md's round-9 finding is that
     // cross-round totals must be read relative to host speed (untouched
     // pure-CPU queries inflated ~25% with zero steal recorded), so the
@@ -207,53 +290,8 @@ object Bench {
     val normJson =
       if (hostmarkRun.isNaN || hostmarkRun < 1e-4) "null"
       else f"${total * (Round9ReferenceHostmark / hostmarkRun)}%.3f"
-    // SELF-DISQUALIFYING verdict (round-13 item 4): round 13 benched
-    // through a host contention storm (53/160 steal-suspects, mt-mark
-    // 0.163→0.217, one untouched query 13.8x) and the narrative had to
-    // reconstruct non-comparability by forensics. The artifact now rules
-    // on itself from evidence it already records: it is `comparable`
-    // (fit for cross-round per-query conclusions) only when suspected
-    // runs stay rare (<=10% of queries) AND the parallel hostmark held
-    // within 15% of the quiet-host reference (r12's 0.163 s — the
-    // all-cores mark, the one co-tenant load actually moves). A false
-    // verdict means: use the artifact for errors/regressions-in-kind
-    // only; requalify before comparing numbers.
-    // The mt reference was measured at the driver's config (32 threads
-    // on this 32-thread host); hostmarkParallel(n) scales with n, so the
-    // mt leg of the verdict only applies at that config — a dev run at
-    // SPARK_GRAFT_CPUS=8 would otherwise stamp every artifact
-    // non-comparable on a quiet host. Off-config runs fall back to the
-    // steal-share leg alone.
-    // Env-overridable (review finding): the quiet-host references are
-    // HOST-SPECIFIC measurements (this machine's 32-thread splitmix mark
-    // and its single-thread twin above); judging a different machine's
-    // run against them would mis-stamp comparability. The defaults stay
-    // this host's quiet values; a new host measures its own quiet marks
-    // once and exports SPARK_GRAFT_HOSTMARK_MT_REF / _THREADS.
-    val ReferenceHostmarkMt = {
-      val raw = sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_MT_REF", "0.163")
-      raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
-        s"SPARK_GRAFT_HOSTMARK_MT_REF must be a number (seconds), got '$raw'"))
-    }
-    val ReferenceMtThreads = {
-      val raw = sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_MT_THREADS", "32")
-      raw.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"SPARK_GRAFT_HOSTMARK_MT_THREADS must be an integer, got '$raw'"))
-    }
-    val suspectShare =
-      if (results.nonEmpty) suspects.size.toDouble / results.size else 0.0
-    val mtRegressed = cpus.toInt == ReferenceMtThreads &&
-      hostmarkMt > ReferenceHostmarkMt * 1.15
-    val comparable = suspectShare <= 0.10 && !mtRegressed
-    val whyNot =
-      (if (suspectShare > 0.10)
-        List(s""""steal_suspects ${suspects.size}/${results.size} > 10%"""")
-      else Nil) ++
-      (if (mtRegressed)
-        List(f""""hostmark_mt $hostmarkMt%.3f > 1.15x quiet ref $ReferenceHostmarkMt%.3f"""")
-      else Nil)
     val compJson =
-      s""""comparable":$comparable,"comparable_why_not":${whyNot.mkString("[", ",", "]")}"""
+      s""""comparable":$comparable,"comparable_why_not":${whyNot.mkString("[", ",", "]")},"bench_attempts":$attempts"""
     val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson,$compJson"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
     try java.nio.file.Files.write(

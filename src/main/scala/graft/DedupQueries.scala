@@ -226,18 +226,31 @@ object DedupQueries {
   private val promoteActions =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** New-doc id offset for the promotion fixture's APPEND batch — far
+    * above any testdata id, so the appended twins never collide. */
+  private val PromoteAppendOffset = 100000000L
+
   /** The PROMOTION fixture behind q_snapshot_promote: a /tmp twin
-    * holding BOTH corpus tables whose canonical per-JVM history is —
-    * full `documents`/`embeddings` landed, every persisted family built
-    * over them (inverted index + positions + component map; IVF cells +
-    * PQ codes), then the EDITED snapshots landed (documents: doc_id %
-    * 20 == 3 removed, % 20 == 11 text doubled — the editedSearchDir
-    * classes; embeddings: vec_id % 20 == 3 removed) and
-    * [[graft.operators.SnapshotPromotion.promote]] applied under batch
-    * id 1. Any prior state is DISCARDED first: the declared action
-    * strings must come from a real promotion, not a replayed no-op,
-    * and the builder requires both sides to take their edit paths.
-    * Returns (fixture dir, promote()'s combined action string). */
+    * holding BOTH corpus tables whose canonical per-JVM history is a
+    * MULTI-BATCH promotion sequence (round-15 verdict item 6) —
+    *
+    *   0. full `documents`/`embeddings` landed, every persisted family
+    *      built over them (inverted index + positions + component map;
+    *      IVF cells + PQ codes);
+    *   1. EDIT promotion (batch 1): documents doc_id % 20 == 3 removed,
+    *      % 20 == 11 text doubled (the editedSearchDir classes);
+    *      embeddings vec_id % 20 == 3 removed — must return
+    *      "docs=edited ann=edited";
+    *   2. APPEND promotion (batch 2): the % 20 == 7 class re-landed as
+    *      NEW ids (id + [[PromoteAppendOffset]], same text/vector, and
+    *      the offset is ≡ 0 mod 20 so the twins stay in class 7 — never
+    *      interacting with batch 1's tombstone classes) — must return
+    *      "docs=appended ann=appended".
+    *
+    * Any prior state is DISCARDED first: the declared action strings
+    * must come from real promotions, not replayed no-ops. Returns
+    * (fixture dir, the two actions composed per family:
+    * "docs=edited+appended ann=edited+appended"). */
   private def promoteFixture(s: SparkSession, dir: String): (String, String) = {
     import graft.operators._
     val fix = "/tmp/graft_promote_" +
@@ -264,10 +277,29 @@ object DedupQueries {
         .write.mode("overwrite").parquet(s"$fix/documents.parquet")
       emb.filter(pmod(col("vec_id"), lit(20L)) =!= 3L)
         .write.mode("overwrite").parquet(s"$fix/embeddings.parquet")
-      val a = SnapshotPromotion.promote(s, fix, docs, emb, batchId = 1L)
-      require(a == "docs=edited ann=edited",
-        s"the promotion fixture must exercise both edit paths, got '$a'")
-      a
+      val a1 = SnapshotPromotion.promote(s, fix, docs, emb, batchId = 1L)
+      require(a1 == "docs=edited ann=edited",
+        s"the promotion fixture must exercise both edit paths, got '$a1'")
+      // batch 2: pin the promoted snapshots, land the appended twins
+      val prevDocs2 = Tables.documents(s, fix).localCheckpoint(true)
+      val prevEmb2 = Tables.embeddings(s, fix).localCheckpoint(true)
+      val isApp = pmod(col("doc_id"), lit(20L)) === 7L
+      prevDocs2.unionByName(docs.filter(isApp)
+          .withColumn("doc_id", col("doc_id") + lit(PromoteAppendOffset)))
+        .write.mode("overwrite").parquet(s"$fix/documents.parquet")
+      prevEmb2.unionByName(
+          emb.filter(pmod(col("vec_id"), lit(20L)) === 7L)
+            .withColumn("vec_id", col("vec_id") + lit(PromoteAppendOffset)))
+        .write.mode("overwrite").parquet(s"$fix/embeddings.parquet")
+      val a2 = SnapshotPromotion.promote(s, fix, prevDocs2, prevEmb2,
+        batchId = 2L)
+      require(a2 == "docs=appended ann=appended",
+        s"the promotion fixture must exercise both append paths, got '$a2'")
+      // compose per family: the declared action documents the HISTORY
+      def act(a: String, k: String) =
+        a.split(" ").map(_.split("=")).map(x => x(0) -> x(1)).toMap.apply(k)
+      s"docs=${act(a1, "docs")}+${act(a2, "docs")} " +
+        s"ann=${act(a1, "ann")}+${act(a2, "ann")}"
     })
     (fix, action)
   }
@@ -1186,6 +1218,36 @@ object DedupQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
     }),
 
+    // the DELETION-VARIANT store itself, declared (round 16): top-20
+    // live (variant, term, df) rows from the persisted _deletes
+    // companion — the direct gate check on the new table (the batched
+    // fuzzy expansion consumes it; this query exposes it). The oracle
+    // replays the variant explosion in SQL (each term's ≤1-deletion
+    // neighborhood including the term itself), so a wrong or stale
+    // variant row hash-mismatches.
+    "q_search_deletes" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("variant").asc, col("term").asc)
+      graft.operators.InvertedIndex.deletesFor(s, dir)
+        .select(col("variant"), col("term"), col("df_").as("df"))
+        .orderBy(col("df").desc, col("variant").asc, col("term").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
+    // the deletes store under TOMBSTONES: the edit batch's net variant
+    // rows must telescope to the edited corpus's exploded vocabulary —
+    // the _deletes lifecycle's own hash check
+    "q_search_deletes_edited" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("variant").asc, col("term").asc)
+      graft.operators.InvertedIndex.deletesFor(s, editedSearchDir(s, dir))
+        .select(col("variant"), col("term"), col("df_").as("df"))
+        .orderBy(col("df").desc, col("variant").asc, col("term").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     // HYBRID RETRIEVAL (round 11): the lexical-recall → semantic-
     // precision funnel — BM25 shortlists 20 docs from the index (mass
     // pruning at postings cost), then the shortlist re-ranks by exact
@@ -1358,17 +1420,15 @@ object DedupQueries {
       graft.operators.InvertedIndex.searchNear(s, editedSearchDir(s, dir),
         "hash", "join", slop = 3, k = 10)),
 
-    // SNAPSHOT PROMOTION in the gate (round-14 verdict item 5): the
-    // one-call promotion that advances BOTH corpus tables' families
-    // under one batch id, declared. The fixture rebuilds once per JVM
-    // with the canonical history — full snapshots landed, every family
-    // built, then the edited snapshots landed (documents: %20==3
-    // removed, %20==11 doubled; embeddings: %20==3 removed) and
-    // SnapshotPromotion.promote(batch 1) applied — so the action
-    // strings come from a REAL promote() call each session (and the
-    // builder REQUIRES them to be the edit paths). Output = per-store
-    // action + post-promotion hygiene counts; the oracle replays every
-    // count from the diff classes.
+    // SNAPSHOT PROMOTION in the gate (round-14 verdict item 5; multi-
+    // batch per round-15 item 6): TWO promotions advance both corpus
+    // tables' families — batch 1 an EDIT (documents: %20==3 removed,
+    // %20==11 doubled; embeddings: %20==3 removed), batch 2 an APPEND
+    // (the %20==7 class re-landed as new ids) — so the declared action
+    // is the composed per-family history ("edited+appended"), from REAL
+    // promote() calls each session (the builder REQUIRES each batch's
+    // path). Output = per-store action + post-history hygiene counts;
+    // the oracle replays every count from the composed diff classes.
     "q_snapshot_promote" -> ((s, dir) => {
       val (fix, action) = promoteFixture(s, dir)
       val acts = action.split(" ").map(_.split("=")).map(a => a(0) -> a(1)).toMap
@@ -1876,6 +1936,28 @@ object DedupQueries {
       |  CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS rank
       |FROM v QUALIFY rank <= 20""".stripMargin
 
+  /** The deletion-variant replay (q_search_deletes and its edited
+    * twin): the live vocabulary exploded over each term's ≤1-deletion
+    * neighborhood (the term itself plus each single-character
+    * deletion, distinct) — what the `_deletes` store's per-(variant,
+    * term) net sums must telescope to. */
+  private def deletesRankedSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest($canonToksSql) AS term FROM documents),
+      |v AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |      FROM tok GROUP BY 1),
+      |d AS (SELECT DISTINCT
+      |        unnest(list_distinct(list_prepend(term,
+      |          list_transform(range(1, len(term)+1),
+      |            i -> substr(term, 1, i-1) || substr(term, i+1, len(term))))))
+      |          AS variant,
+      |        term, df
+      |      FROM v)
+      |SELECT variant, term, df,
+      |  CAST(row_number() OVER (ORDER BY df DESC, variant ASC, term ASC)
+      |    AS BIGINT) AS rank
+      |FROM d QUALIFY rank <= 20""".stripMargin
+
   /** The conjunctive-match raw-corpus replay — shared by the base query
     * and its maintained/edited twins. */
   private def conjunctiveRankedSql: String =
@@ -1982,11 +2064,14 @@ object DedupQueries {
       |FROM agg QUALIFY rank <= 10""".stripMargin
 
   /** The promotion-status replay: every hygiene count derives from the
-    * raw tables and the fixture's diff classes (documents: % 20 == 3
-    * removed / % 20 == 11 doubled — the q_search_index_hygiene
-    * arithmetic; embeddings: % 20 == 3 removed — the
-    * q_ann_index_hygiene arithmetic), and the action literals are the
-    * edit paths the fixture builder REQUIRES promote() to take. */
+    * raw tables and the fixture's COMPOSED diff classes — batch 1's
+    * edit (documents: % 20 == 3 removed / % 20 == 11 doubled — the
+    * q_search_index_hygiene arithmetic; embeddings: % 20 == 3 removed —
+    * the q_ann_index_hygiene arithmetic) plus batch 2's append (the
+    * % 20 == 7 class re-landed as new ids with the same text/vector, so
+    * its contribution equals the class's own counts) — and the action
+    * literals are the per-batch paths the fixture builder REQUIRES
+    * promote() to take, composed in order. */
   private def promoteStatusSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($canonToksSql) AS term FROM documents),
@@ -1998,24 +2083,28 @@ object DedupQueries {
        |  CAST(sum(nt) AS BIGINT) AS t_base,
        |  CAST(sum(CASE WHEN doc_id % 20 = 11 THEN np ELSE 0 END) AS BIGINT) AS p_rew,
        |  CAST(sum(CASE WHEN doc_id % 20 = 11 THEN nt ELSE 0 END) AS BIGINT) AS t_rew,
+       |  CAST(sum(CASE WHEN doc_id % 20 = 7 THEN np ELSE 0 END) AS BIGINT) AS p_app,
+       |  CAST(sum(CASE WHEN doc_id % 20 = 7 THEN nt ELSE 0 END) AS BIGINT) AS t_app,
        |  CAST(sum(CASE WHEN doc_id % 20 IN (3, 11) THEN np ELSE 0 END) AS BIGINT) AS p_dead,
        |  CAST(sum(CASE WHEN doc_id % 20 IN (3, 11) THEN nt ELSE 0 END) AS BIGINT) AS t_dead
        |  FROM pc),
        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |              CAST(sum(CASE WHEN vec_id % 20 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dead
+       |              CAST(sum(CASE WHEN vec_id % 20 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dead,
+       |              CAST(sum(CASE WHEN vec_id % 20 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS app
        |       FROM embeddings)
-       |SELECT 'postings' AS store, 'edited' AS action,
-       |  p_base + p_rew AS resident_rows,
-       |  p_base + p_rew - p_dead AS live_rows, p_dead AS tombstoned_rows
+       |SELECT 'postings' AS store, 'edited+appended' AS action,
+       |  p_base + p_rew + p_app AS resident_rows,
+       |  p_base + p_rew + p_app - p_dead AS live_rows,
+       |  p_dead AS tombstoned_rows
        |FROM agg
        |UNION ALL
-       |SELECT 'positions', 'edited', t_base + 2 * t_rew,
-       |  t_base + 2 * t_rew - t_dead, t_dead
+       |SELECT 'positions', 'edited+appended', t_base + 2 * t_rew + t_app,
+       |  t_base + 2 * t_rew + t_app - t_dead, t_dead
        |FROM agg
        |UNION ALL
-       |SELECT 'ivf_cells', 'edited', n, n - dead, dead FROM ne
+       |SELECT 'ivf_cells', 'edited+appended', n + app, n + app - dead, dead FROM ne
        |UNION ALL
-       |SELECT 'pq_codes', 'edited', n, n - dead, dead FROM ne""".stripMargin
+       |SELECT 'pq_codes', 'edited+appended', n + app, n + app - dead, dead FROM ne""".stripMargin
 
   /** The hybrid BM25→cosine funnel replay — shared by the base and
     * maintained twins (one semantics, two index histories). */
@@ -2983,6 +3072,8 @@ object DedupQueries {
     // the term; the edited twin replays the net-row telescoping
     "q_search_vocab" -> vocabRankedSql,
     "q_search_vocab_edited" -> overEditedCorpus(vocabRankedSql),
+    "q_search_deletes" -> deletesRankedSql,
+    "q_search_deletes_edited" -> overEditedCorpus(deletesRankedSql),
     // replays the conjunctive match from the raw corpus: per-(term, doc)
     // tf over the query terms, docs keeping all 3, ranked by total tf.
     // Shared builder — the maintained/edited twins reuse the same text.

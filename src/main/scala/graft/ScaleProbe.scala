@@ -836,6 +836,11 @@ object ScaleProbe {
     // the SymSpell batch's amortization vs the per-query loop. The
     // postings:vocab row ratio IS the input-size argument; the timing
     // ratio is its measured consequence at each multiple.
+    // Round 16 adds the `_deletes` A/B: the batched-fuzzy CANDIDATE
+    // derivation re-exploding the vocabulary's variants inline per call
+    // (the round-15 plan) vs reading the persisted `_deletes` store
+    // (the round-16 plan) — the store converts a per-call
+    // vocabulary-sized explode+join into a pruned bucketed read.
     sys.env.get("SPARK_GRAFT_PROBE_EXPAND").foreach { _ =>
       import graft.operators.InvertedIndex
       val typos = Seq("scann", "joinn", "hashh", "windoww",
@@ -882,9 +887,34 @@ object ScaleProbe {
           InvertedIndex.searchFuzzyBatch(spark, dir, typos, k = 10)
             .write.mode("overwrite").format("noop").save()
         }
+        // candidate-derivation A/B: inline vocabulary explode (r15) vs
+        // the persisted _deletes store (r16) — identical verified output
+        val deleteRows = InvertedIndex.deletesFor(spark, dir).count()
+        import spark.implicits._
+        val qsN = typos.toDF("qterm")
+          .select(col("qterm"),
+            explode(InvertedIndex.deletionVariants(col("qterm"), 1))
+              .as("variant"))
+          .distinct()
+        val lens = typos.map(_.length)
+        val tCandInline = time {
+          InvertedIndex.vocabFor(spark, dir)
+            .select(col("term"), col("df_"),
+              explode(InvertedIndex.deletionVariants(col("term"), 1))
+                .as("variant"))
+            .filter(length(col("term"))
+              .between(lens.min - 1, lens.max + 1))
+            .join(broadcast(qsN), Seq("variant"))
+            .select("qterm", "term", "df_").distinct()
+            .filter(levenshtein(col("term"), col("qterm")) <= 1)
+            .collect()
+        }
+        val tCandStore = time {
+          InvertedIndex.fuzzyCandidates(spark, dir, typos, 1).collect()
+        }
         InvertedIndex.drop(spark, dir)
         spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
-        println(s"""{"probe":"fuzzy_expand","mult":$mult,"n_docs":${BaseDocs * mult},"post_rows":$postRows,"vocab_rows":$vocabRows,"t_expand_postings":$tExpandPostings,"t_expand_vocab":$tExpandVocab,"t_serve_fuzzy":$tServeFuzzy,"t_loop8":$tLoop8,"t_batch8":$tBatch8}""")
+        println(s"""{"probe":"fuzzy_expand","mult":$mult,"n_docs":${BaseDocs * mult},"post_rows":$postRows,"vocab_rows":$vocabRows,"delete_rows":$deleteRows,"t_expand_postings":$tExpandPostings,"t_expand_vocab":$tExpandVocab,"t_cand_inline":$tCandInline,"t_cand_store":$tCandStore,"t_serve_fuzzy":$tServeFuzzy,"t_loop8":$tLoop8,"t_batch8":$tBatch8}""")
       }
       spark.stop()
       return

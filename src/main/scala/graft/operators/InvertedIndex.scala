@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   * expansion needs is materialized in the `_vocab` companion
   * ([[vocab]]/[[vocabFor]]) — per-batch additive rows, the `_stats`
   * lifecycle — because deriving it live would scan the whole postings
-  * store per query (the round-14 weak plan).
+  * store per query (the round-14 weak plan). The `_deletes` companion
+  * ([[deletes]]/[[deletesFor]]) extends the same lifecycle to the
+  * SymSpell deletion-variant vocabulary, so batched fuzzy queries read
+  * a pruned persisted store instead of re-exploding the vocabulary
+  * per call (the round-15 deferred item).
   *
   * Scoring: tf × the integer-exact idf proxy floor(N·2^20/df) — the
   * q_text_tfidf currency, bit-portable across engines, so the declared
@@ -71,6 +75,8 @@ object InvertedIndex {
     SnapshotMeta.indexStem("inv_index_", dir) + "_tombstones"
   private[operators] def vocabTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_vocab"
+  private[operators] def deletesTable(dir: String): String =
+    SnapshotMeta.indexStem("inv_index_", dir) + "_deletes"
 
   /** Index-side file parallelism knob: every pruned lookup reads ~k/Buckets
     * of the postings, and every bucket is one file per table partition —
@@ -147,6 +153,35 @@ object InvertedIndex {
   def vocab(docs: DataFrame): DataFrame =
     postings(docs).groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** The persisted SymSpell neighborhood depth: `_deletes` holds every
+    * ≤[[DeleteDepth]]-deletion variant of every vocabulary term, so a
+    * batched fuzzy query at `maxDistance <= DeleteDepth` reads a pruned
+    * store instead of re-deriving the variant vocabulary inline (the
+    * round-15 deferred item; SCALE.md's declared 100 TB shape). Depth 1
+    * is the SymSpell production default: 1 + len(term) variants per
+    * term (~11× vocab rows at English lengths), serving d ∈ {0, 1} —
+    * the typo case. Depth 2 would square the blowup (O(len²) variants)
+    * for the rare d=2 query, which instead falls back to the inline
+    * depth-2 derivation over `_vocab` ([[searchFuzzyBatch]]). */
+  val DeleteDepth: Int = 1
+
+  /** THE single definition of a batch's DELETION-VARIANT contribution —
+    * (variant, term, df): each `_vocab` row ([[vocab]] shape) exploded
+    * over its ≤[[DeleteDepth]]-deletion neighborhood
+    * ([[deletionVariants]]), CARRYING the row's df. Because the variant
+    * set is a deterministic function of the term alone, every batch's
+    * rows for one term explode to the SAME variants — so the per-batch
+    * net-df discipline of `_vocab` telescopes identically per
+    * (variant, term): additive under [[append]], net rows under
+    * [[edit]] (negatives legal; the live df is the SUM), folded by
+    * [[compact]], torn partitions replayed by the same
+    * partition-overwrite. Liveness needs no join back to `_vocab`:
+    * sum(df) > 0 per (variant, term) IS the live vocabulary test. */
+  def deletes(vocabRows: DataFrame): DataFrame =
+    vocabRows.select(
+      explode(deletionVariants(col("term"), DeleteDepth)).as("variant"),
+      col("term"), col("df"))
+
   /** THE single definition of the corpus-level BM25 constants:
     * (n BIGINT, dltot BIGINT) — document count and total canonical
     * token count — as a 1-row frame. */
@@ -167,7 +202,8 @@ object InvertedIndex {
     * crash anywhere in its sequence. */
   def ensure(spark: SparkSession, dir: String): String = {
     val t = table(dir)
-    val family = Seq(t, statsTable(dir), vocabTable(dir), metaTable(dir))
+    val family = Seq(t, statsTable(dir), vocabTable(dir), deletesTable(dir),
+      metaTable(dir))
     // "present" means present IN THE BATCHED-LEDGER SCHEMA: a complete
     // pre-ledger family (all three tables, no batch_id column) would pass
     // a bare tableExists check and then fail the first append with an
@@ -190,10 +226,18 @@ object InvertedIndex {
         .saveAsTable(t)
       corpusStats(docs).withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id").saveAsTable(statsTable(dir))
-      vocab(docs).withColumn("batch_id", lit(BaseBatchId))
+      val v = vocab(docs).localCheckpoint(true)
+      v.withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id")
         .bucketBy(Buckets, "term").sortBy("term")
         .saveAsTable(vocabTable(dir))
+      // bucketed by VARIANT: the live view groups by (variant, term),
+      // which the variant bucketing satisfies shuffle-free, and the
+      // batched-fuzzy probe joins on the variant string
+      deletes(v).withColumn("batch_id", lit(BaseBatchId))
+        .write.partitionBy("batch_id")
+        .bucketBy(Buckets, "variant").sortBy("variant", "term")
+        .saveAsTable(deletesTable(dir))
       SnapshotMeta.stampBatch(spark, metaTable(dir), BaseBatchId,
         SnapshotMeta.fingerprint(docs, "doc_id"))
     }
@@ -222,6 +266,25 @@ object InvertedIndex {
     ensure(spark, dir)
     spark.table(vocabTable(dir))
       .groupBy("term").agg(sum("df").as("df_"))
+      .filter(col("df_") > 0)
+  }
+
+  /** The LIVE deletion-variant vocabulary — (variant, term, df_) with
+    * df_ the live document frequency of `term`: the per-batch
+    * `_deletes` rows summed per (variant, term). Terms whose docs all
+    * died sum to 0 and drop out — liveness is SELF-CONTAINED (no join
+    * back to `_vocab`), because every batch row of a term carries that
+    * batch's net df on every variant. THE candidate input for
+    * [[searchFuzzyBatch]] at `maxDistance <= DeleteDepth`: the probe is
+    * an equi-join on `variant` against the query terms' neighborhoods,
+    * so the store is read through its variant bucketing instead of the
+    * whole vocabulary exploding its variants per call. The groupBy
+    * runs shuffle-free over the variant-bucketed scan (grouping keys
+    * contain the bucket column). */
+  def deletesFor(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark, dir)
+    spark.table(deletesTable(dir))
+      .groupBy("variant", "term").agg(sum("df").as("df_"))
       .filter(col("df_") > 0)
   }
 
@@ -303,20 +366,28 @@ object InvertedIndex {
       corpusStats(batch))
     // the batch's df contributions — additive over disjoint doc sets,
     // same partition-overwrite idempotence as the other writes
-    SnapshotMeta.overwritePartition(spark, vocabTable(dir), batchId,
-      vocab(batch))
+    val v = vocab(batch).localCheckpoint(true)
+    SnapshotMeta.overwritePartition(spark, vocabTable(dir), batchId, v)
+    SnapshotMeta.overwritePartition(spark, deletesTable(dir), batchId,
+      deletes(v))
     SnapshotMeta.stampBatch(spark, metaTable(dir), batchId,
       SnapshotMeta.fingerprint(batch.select(col("doc_id")).distinct(), "doc_id"))
   }
 
   /** [[append]] with a content-derived batch id — for callers without a
     * durable external batch identity. Derived ids land at `<= -2`,
-    * strictly below every tombstone, so a batch id a tombstone names
-    * would leave its rows permanently hidden from
+    * strictly below every tombstone, so a GENUINELY NEW batch naming a
+    * tombstoned id would leave its rows permanently hidden from
     * [[postingsFor]]/[[positionsFor]] despite a "successful" append —
-    * refused precisely ([[SnapshotMeta.requireNoTombstonedIds]]): only
-    * tombstoned ids are unsafe, brand-new ids append fine on an edited
-    * family. */
+    * refused ([[SnapshotMeta.requireNoTombstonedIds]]); brand-new ids
+    * append fine on an edited family. The committed-batch replay check
+    * runs FIRST, so a batch that already committed replays as a silent
+    * no-op even when a later edit tombstoned its ids (the crash-replay
+    * contract wins over the refusal). Consequence: RE-ADDING previously
+    * deleted content that is byte-identical to the original batch hashes
+    * to the same derived id, reads as applied, and no-ops — the docs
+    * never serve again. Re-ingest deleted content through the durable
+    * non-negative-id overload (a fresh id above the tombstones). */
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     val id = derivedBatchId(contentFingerprint(batch))
     // committed-batch check BEFORE the tombstone guard: a replay of an
@@ -395,7 +466,13 @@ object InvertedIndex {
       .unionByName(vocab(removed).select(col("term"), (-col("df")).as("df")))
       .groupBy("term").agg(sum("df").as("df"))
       .filter(col("df") =!= 0)
+      .localCheckpoint(true)
     SnapshotMeta.overwritePartition(spark, vocabTable(dir), batchId, netVocab)
+    // the same net rows exploded over each term's (deterministic)
+    // variant set — sums per (variant, term) telescope exactly like the
+    // per-term vocab sums
+    SnapshotMeta.overwritePartition(spark, deletesTable(dir), batchId,
+      deletes(netVocab))
     val fa = SnapshotMeta.fingerprint(added.select(col("doc_id")), "doc_id")
     val fr = SnapshotMeta.fingerprint(tombs, "doc_id")
     SnapshotMeta.stampBatch(spark, metaTable(dir), batchId,
@@ -468,7 +545,7 @@ object InvertedIndex {
 
   def drop(spark: SparkSession, dir: String): Unit =
     Seq(table(dir), metaTable(dir), statsTable(dir), vocabTable(dir),
-        posTable(dir), tombTable(dir)).foreach { t =>
+        deletesTable(dir), posTable(dir), tombTable(dir)).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       IvfIndex.dropOrphanLocation(spark, t)
     }
@@ -537,6 +614,11 @@ object InvertedIndex {
     // terms drop) — exactly what vocabFor computes at read time
     fold(vocabTable(dir), Seq("term"), Seq("term"),
       _.groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0))
+    // deletes fold to the live per-(variant, term) sums — the same
+    // telescoping as vocab, one more narrow projection
+    fold(deletesTable(dir), Seq("variant"), Seq("variant", "term"),
+      _.groupBy("variant", "term").agg(sum("df").as("df"))
+        .filter(col("df") > 0))
     if (spark.catalog.tableExists(posTable(dir)))
       fold(posTable(dir), Seq("term"), Seq("term", "doc_id"), live = true)
     spark.sql(s"DROP TABLE IF EXISTS ${tombTable(dir)}")
@@ -683,7 +765,7 @@ object InvertedIndex {
     * equi-join on variants finds every within-distance pair and a
     * `levenshtein` verify removes the false positives. Sizes: 1 + L
     * variants at d = 1, O(L²) at d = 2 — per term, constants. */
-  private[operators] def deletionVariants(term: Column, d: Int): Column = {
+  private[graft] def deletionVariants(term: Column, d: Int): Column = {
     def dels(t: Column): Column =
       when(length(t) > 0,
         transform(sequence(lit(1), length(t)),
@@ -694,6 +776,35 @@ object InvertedIndex {
     else if (d == 1) array_union(array(term), dels(term))
     else array_distinct(concat(array_union(array(term), dels(term)),
       flatten(transform(dels(term), v => dels(v)))))
+  }
+
+  /** The verified (qterm, term, df_) candidate set of a batched fuzzy
+    * query — [[searchFuzzyBatch]]'s expansion input, factored out so the
+    * plan is pinnable on its own: at `maxDistance <= DeleteDepth` the
+    * vocabulary side is the persisted `_deletes` store ([[deletesFor]]);
+    * above it, the inline depth-`maxDistance` derivation over `_vocab`.
+    * Either way the query side broadcasts and the length band prunes
+    * before the levenshtein verify. */
+  private[graft] def fuzzyCandidates(spark: SparkSession, dir: String,
+                                         canon: Seq[String],
+                                         maxDistance: Int): DataFrame = {
+    import spark.implicits._
+    val qs = canon.toDF("qterm")
+      .select(col("qterm"),
+        explode(deletionVariants(col("qterm"), maxDistance)).as("variant"))
+      .distinct()
+    val lens = canon.map(_.length)
+    val vocabSide =
+      if (maxDistance <= DeleteDepth) deletesFor(spark, dir)
+      else vocabFor(spark, dir)
+        .select(col("term"), col("df_"),
+          explode(deletionVariants(col("term"), maxDistance)).as("variant"))
+    vocabSide
+      .filter(length(col("term"))
+        .between(lens.min - maxDistance, lens.max + maxDistance))
+      .join(broadcast(qs), Seq("variant"))
+      .select("qterm", "term", "df_").distinct()
+      .filter(levenshtein(col("term"), col("qterm")) <= maxDistance)
   }
 
   /** Top-k documents PER QUERY TERM for a batch of fuzzy queries — the
@@ -710,9 +821,18 @@ object InvertedIndex {
     * bounded driver-side collect of the single path, ≤ #queries × m
     * rows) serves every query's BM25 tail. Output adds a `qterm`
     * column; per-query results equal [[searchFuzzy]] run in a loop
-    * (spec-pinned). At production batch sizes the variant table of the
-    * vocabulary would persist beside `_vocab`; here it derives inline
-    * — same join, one more narrow projection. */
+    * (spec-pinned).
+    *
+    * At `maxDistance <= DeleteDepth` the vocabulary side is the
+    * PERSISTED `_deletes` companion ([[deletesFor]] — the round-15
+    * deferred item landed): no per-call variant derivation at all; the
+    * probe equi-joins the broadcast query neighborhoods against the
+    * variant-bucketed store. The store's depth-[[DeleteDepth]]
+    * neighborhood is a superset of any shallower query neighborhood
+    * (extra candidates die at the levenshtein verify), so d=0 serves
+    * from the same store. d=2 (> DeleteDepth) falls back to the inline
+    * depth-2 derivation over `_vocab` — the rare completeness-heavy
+    * configuration, not worth the O(len²) storage blowup. */
   def searchFuzzyBatch(spark: SparkSession, dir: String, terms: Seq[String],
                        maxDistance: Int = 1, k: Int = 10,
                        maxExpansions: Int = 16): DataFrame = {
@@ -723,19 +843,7 @@ object InvertedIndex {
     val canon = terms.map(canonicalTerm).filter(_.nonEmpty).distinct
     require(canon.nonEmpty, "searchFuzzyBatch needs at least one non-empty term")
     import spark.implicits._
-    val qs = canon.toDF("qterm")
-      .select(col("qterm"),
-        explode(deletionVariants(col("qterm"), maxDistance)).as("variant"))
-      .distinct()
-    val lens = canon.map(_.length)
-    val cand = vocabFor(spark, dir)
-      .filter(length(col("term"))
-        .between(lens.min - maxDistance, lens.max + maxDistance))
-      .select(col("term"), col("df_"),
-        explode(deletionVariants(col("term"), maxDistance)).as("variant"))
-      .join(broadcast(qs), Seq("variant"))
-      .select("qterm", "term", "df_").distinct()
-      .filter(levenshtein(col("term"), col("qterm")) <= maxDistance)
+    val cand = fuzzyCandidates(spark, dir, canon, maxDistance)
     val wExp = Window.partitionBy("qterm")
       .orderBy(col("df_").desc, col("term").asc)
     val exp = cand.withColumn("r", row_number().over(wExp))

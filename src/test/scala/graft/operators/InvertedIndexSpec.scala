@@ -773,6 +773,11 @@ class InvertedIndexSpec extends SparkSpec {
         val ex = InvertedIndex.corpusStats(fin).head()
         assert((st.getLong(0), st.getLong(1)) == (ex.getLong(0), ex.getLong(1)),
           s"seed $seed: summed stats != corpus stats")
+        val liveDel = InvertedIndex.deletesFor(s, dir)
+          .collect().map(_.toSeq).toSet
+        val freshDel = InvertedIndex.deletes(InvertedIndex.vocab(fin))
+          .collect().map(_.toSeq).toSet
+        assert(liveDel == freshDel, s"seed $seed: live deletes != rebuild")
         val served = InvertedIndex.searchBm25(s, dir,
           Seq("alpha", "gamma"), k = 10)
           .collect().map(_.toSeq).toSet
@@ -1122,6 +1127,18 @@ class InvertedIndexSpec extends SparkSpec {
     def expect(docs: org.apache.spark.sql.DataFrame): Map[String, Long] =
       InvertedIndex.vocab(docs)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the _deletes companion must track the SAME lifecycle: its live
+    // view == the live vocabulary exploded over each term's
+    // deletion-variant neighborhood (checked at every step below)
+    def liveDeletes(dir: String): Set[(String, String, Long)] =
+      InvertedIndex.deletesFor(s, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def expectDeletes(docs: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+      InvertedIndex.deletes(InvertedIndex.vocab(docs))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def checkDeletes(dir: String, docs: org.apache.spark.sql.DataFrame,
+                     msg: String): Unit =
+      assert(liveDeletes(dir) == expectDeletes(docs), msg)
     val base = Seq(
       (1L, "alpha beta gamma alpha"),
       (2L, "beta delta"),
@@ -1135,15 +1152,22 @@ class InvertedIndexSpec extends SparkSpec {
       InvertedIndex.ensurePositions(s, dir)
       assert(liveVocab(dir) == expect(base) && liveVocab(dir).nonEmpty,
         "the base build's vocab must equal the corpus dfs")
+      checkDeletes(dir, base,
+        "the base build's deletes must equal the exploded corpus vocab")
       // TORN WRITE: a partial vocab partition lands at batch 7 with no
       // commit stamp — the append re-run must REPLACE it, not add beside
       SnapshotMeta.overwritePartition(s, InvertedIndex.vocabTable(dir), 7L,
         Seq(("bogus", 999L)).toDF("term", "df"))
+      // ... and a torn DELETES partition for the same uncommitted batch
+      SnapshotMeta.overwritePartition(s, InvertedIndex.deletesTable(dir), 7L,
+        Seq(("ogus", "bogus", 999L)).toDF("variant", "term", "df"))
       val batch = Seq((4L, "alpha zeta"), (5L, "delta delta")).toDF("doc_id", "text")
       InvertedIndex.appendPositions(s, dir, batch, 7L)
       InvertedIndex.append(s, dir, batch, 7L)
       assert(liveVocab(dir) == expect(base.unionByName(batch)),
         "append must land the batch's df contributions (replacing the torn rows)")
+      checkDeletes(dir, base.unionByName(batch),
+        "append must land the batch's variant contributions (replacing the torn rows)")
       // EDIT: doc 2 removed, doc 1 rewritten (alpha dropped, eta gained) —
       // net rows must telescope to the edited corpus's dfs
       val removed = base.filter(col("doc_id").isin(1L, 2L))
@@ -1157,6 +1181,9 @@ class InvertedIndexSpec extends SparkSpec {
         (5L, "delta delta")).toDF("doc_id", "text")
       assert(liveVocab(dir) == expect(edited),
         "edit's net vocab rows must telescope to the edited corpus dfs")
+      checkDeletes(dir, edited,
+        "edit's net deletes rows must telescope to the edited corpus's " +
+          "exploded vocab (dead terms' variants gone)")
       // the tombstoned term ("delta" lost doc 2, kept doc 5) and the
       // fully-dead term path: nothing of doc 2's unique contribution stays
       assert(liveVocab(dir)("beta") == 1L, "doc 2's beta df must be gone")
@@ -1190,6 +1217,13 @@ class InvertedIndexSpec extends SparkSpec {
       InvertedIndex.compact(s, dir)
       assert(liveVocab(dir) == expect(edited),
         "compaction must fold vocab to the live per-term sums")
+      checkDeletes(dir, edited,
+        "compaction must fold deletes to the live per-(variant, term) sums")
+      assert(s.table(InvertedIndex.deletesTable(dir))
+        .select("batch_id").distinct().count() == 1 &&
+        s.table(InvertedIndex.deletesTable(dir))
+          .filter(col("df") <= 0).count() == 0,
+        "the deletes fold must leave one partition with no dead rows")
       assert(s.table(InvertedIndex.vocabTable(dir))
         .select("batch_id").distinct().count() == 1,
         "the vocab fold must leave one partition")
@@ -1308,6 +1342,21 @@ class InvertedIndexSpec extends SparkSpec {
     // qterm's full hit set ever sorts globally
     assert(plan.contains("WindowGroupLimit"),
       s"per-qterm rank must use the group-limit pushdown:\n$plan")
+    // the EXPANSION side: at d <= DeleteDepth the candidates read the
+    // persisted _deletes store — no _vocab explode, no postings read
+    val candPlan = InvertedIndex.fuzzyCandidates(s, sfDir,
+      Seq("sow", "hask"), maxDistance = 1)
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("_deletes"),
+      s"d=1 candidates must read the persisted _deletes store:\n$candPlan")
+    assert(!candPlan.contains("_vocab") && !candPlan.contains("_postings"),
+      s"d=1 candidates must not re-derive from _vocab or read postings:\n$candPlan")
+    // above the stored depth the inline _vocab derivation serves d=2
+    val candPlan2 = InvertedIndex.fuzzyCandidates(s, sfDir,
+      Seq("sow"), maxDistance = 2)
+      .queryExecution.executedPlan.toString
+    assert(candPlan2.contains("_vocab") && !candPlan2.contains("_postings"),
+      s"d=2 candidates derive inline from _vocab (never postings):\n$candPlan2")
   }
 
   test("a committed derived-id batch whose ids were later tombstoned " +
