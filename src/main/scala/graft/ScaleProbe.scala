@@ -919,6 +919,78 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_PROBE_DELETES (round 16): the `_deletes` store A/B on
+    // a VOCABULARY-SCALING corpus. The shared probe corpus holds its
+    // 31-term vocabulary constant by design (that isolates the
+    // postings-vs-vocab input-size argument), which makes it blind to
+    // the axis the _deletes store exists for: the per-call cost of the
+    // batched-fuzzy CANDIDATE derivation as the vocabulary grows. Here
+    // the vocabulary is ~2000 x mult unique terms (6-token docs drawn
+    // uniformly), and the A/B compares (a) the round-15 inline plan —
+    // explode every vocab term's variants per call, full-vocab join —
+    // against (b) the round-16 store read — a literal-IN bucket-pruned
+    // probe of the persisted (variant, term, df) table, whose cost is
+    // O(query), independent of vocabulary size.
+    sys.env.get("SPARK_GRAFT_PROBE_DELETES").foreach { _ =>
+      // optional production-sized bucket count for THIS probe's builds
+      // (must land in sys.props before the InvertedIndex object loads —
+      // Buckets is fixed at first touch; a fresh probe JVM guarantees
+      // that ordering)
+      sys.env.get("SPARK_GRAFT_PROBE_BUCKETS")
+        .foreach(b => sys.props("graft.index.invBuckets") = b)
+      import graft.operators.InvertedIndex
+      import spark.implicits._
+      mults.foreach { mult =>
+        val v = 2000 * mult
+        val dir = s"/tmp/graft_scale_deletes/x$mult"
+        if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+          spark.range(BaseDocs * mult).map { id =>
+            val t = (1 to 6)
+              .map(j => s"w${mix(id, 7000 + j) % v}").mkString(" ")
+            Doc(id, t, langFor(id), s"src${id % 5}", t.length)
+          }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        }
+        InvertedIndex.drop(spark, dir)
+        InvertedIndex.ensure(spark, dir)
+        val vocabRows = InvertedIndex.vocabFor(spark, dir).count()
+        val deleteRows = InvertedIndex.deletesFor(spark, dir).count()
+        def time(f: => Unit): Double = (1 to runs).map { _ =>
+          val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
+        }.min
+        // 8 d=1 typos of REAL vocabulary terms (trailing insert)
+        val typos = (1 to 8).map(j => s"w${mix(j.toLong, 77) % v}x")
+        val qsN = typos.toDF("qterm")
+          .select(col("qterm"),
+            explode(InvertedIndex.deletionVariants(col("qterm"), 1))
+              .as("variant"))
+          .distinct()
+        val lens = typos.map(_.length)
+        val tCandInline = time {
+          InvertedIndex.vocabFor(spark, dir)
+            .select(col("term"), col("df_"),
+              explode(InvertedIndex.deletionVariants(col("term"), 1))
+                .as("variant"))
+            .filter(length(col("term"))
+              .between(lens.min - 1, lens.max + 1))
+            .join(broadcast(qsN), Seq("variant"))
+            .select("qterm", "term", "df_").distinct()
+            .filter(levenshtein(col("term"), col("qterm")) <= 1)
+            .collect()
+        }
+        val tCandStore = time {
+          InvertedIndex.fuzzyCandidates(spark, dir, typos, 1).collect()
+        }
+        val tBatch8 = time {
+          InvertedIndex.searchFuzzyBatch(spark, dir, typos, k = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
+        InvertedIndex.drop(spark, dir)
+        spark.catalog.clearCache(); graft.operators.CacheScope.releaseAll()
+        println(s"""{"probe":"fuzzy_deletes","mult":$mult,"n_docs":${BaseDocs * mult},"vocab_rows":$vocabRows,"delete_rows":$deleteRows,"t_cand_inline":$tCandInline,"t_cand_store":$tCandStore,"t_batch8":$tBatch8}""")
+      }
+      spark.stop()
+      return
+    }
     sys.env.get("SPARK_GRAFT_PROBE_SEARCH").foreach { _ =>
       import graft.operators.InvertedIndex
       val terms = Seq("join", "hash", "scan", "window")

@@ -778,16 +778,38 @@ object InvertedIndex {
       flatten(transform(dels(term), v => dels(v)))))
   }
 
+  /** The driver-side mirror of [[deletionVariants]] — the query terms
+    * are plain Strings, so their neighborhoods are computable as plan
+    * CONSTANTS: that is what turns the `_deletes` probe into a
+    * bucket-pruned literal-IN read ([[fuzzyCandidates]]) instead of a
+    * full-store join. Equality with the Column form is spec-pinned on
+    * random terms. */
+  private[graft] def deletionVariantsLocal(term: String, d: Int): Set[String] = {
+    def dels(t: String): Set[String] =
+      (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1)).toSet
+    if (d <= 0) Set(term)
+    else if (d == 1) dels(term) + term
+    else { val d1 = dels(term); d1 ++ d1.flatMap(dels) + term }
+  }
+
   /** The verified (qterm, term, df_) candidate set of a batched fuzzy
     * query — [[searchFuzzyBatch]]'s expansion input, factored out so the
-    * plan is pinnable on its own: at `maxDistance <= DeleteDepth` the
-    * vocabulary side is the persisted `_deletes` store ([[deletesFor]]);
-    * above it, the inline depth-`maxDistance` derivation over `_vocab`.
-    * Either way the query side broadcasts and the length band prunes
-    * before the levenshtein verify. */
+    * plan is pinnable on its own. At `maxDistance <= DeleteDepth` the
+    * vocabulary side is the persisted `_deletes` store ([[deletesFor]]),
+    * and because the query neighborhoods are driver-side constants
+    * ([[deletionVariantsLocal]] — ≤ #q × (L+1) literals at d=1), the
+    * probe is a literal IN on the store's BUCKET column: the scan reads
+    * only the matching variant buckets (`SelectedBucketsCount`,
+    * spec-pinned), so the candidate read costs O(query), independent of
+    * the vocabulary size — the 100 TB argument for persisting the
+    * table at all. Above the stored depth, the inline
+    * depth-`maxDistance` derivation over `_vocab` (vocabulary-sized by
+    * necessity). Either way the query side broadcasts (it also carries
+    * the qterm label) and the length band prunes before the
+    * levenshtein verify. */
   private[graft] def fuzzyCandidates(spark: SparkSession, dir: String,
-                                         canon: Seq[String],
-                                         maxDistance: Int): DataFrame = {
+                                     canon: Seq[String],
+                                     maxDistance: Int): DataFrame = {
     import spark.implicits._
     val qs = canon.toDF("qterm")
       .select(col("qterm"),
@@ -795,8 +817,13 @@ object InvertedIndex {
       .distinct()
     val lens = canon.map(_.length)
     val vocabSide =
-      if (maxDistance <= DeleteDepth) deletesFor(spark, dir)
-      else vocabFor(spark, dir)
+      if (maxDistance <= DeleteDepth) {
+        val lits = canon.flatMap(deletionVariantsLocal(_, maxDistance)).distinct
+        // the IN is semantically implied by the equi-join below, but as
+        // a LITERAL predicate on the bucket column it statically prunes
+        // the bucketed scan — the join alone cannot
+        deletesFor(spark, dir).filter(col("variant").isin(lits: _*))
+      } else vocabFor(spark, dir)
         .select(col("term"), col("df_"),
           explode(deletionVariants(col("term"), maxDistance)).as("variant"))
     vocabSide

@@ -1322,6 +1322,21 @@ class InvertedIndexSpec extends SparkSpec {
         s"d=$d: pairs within distance whose neighborhoods miss: " +
           missed.take(5).mkString(", "))
     }
+    // the driver-side mirror must generate EXACTLY the Column form's
+    // neighborhoods (it feeds the bucket-pruning literal IN — a missing
+    // variant there silently loses candidates)
+    for (d <- 0 to 2) {
+      val words = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val viaCol = words.toDF("w")
+        .select(col("w"), InvertedIndex.deletionVariants(col("w"), d).as("v"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[String](1).toSet).toMap
+      words.foreach { w =>
+        assert(InvertedIndex.deletionVariantsLocal(w, d) == viaCol(w),
+          s"d=$d: local neighborhood of '$w' != Column neighborhood")
+      }
+    }
   }
 
   test("batched fuzzy plans pruned bucket reads, a broadcast mapping, and " +
@@ -1351,6 +1366,13 @@ class InvertedIndexSpec extends SparkSpec {
       s"d=1 candidates must read the persisted _deletes store:\n$candPlan")
     assert(!candPlan.contains("_vocab") && !candPlan.contains("_postings"),
       s"d=1 candidates must not re-derive from _vocab or read postings:\n$candPlan")
+    // the query neighborhoods are driver-side literals, so the probe
+    // prunes the variant-bucketed store scan — candidate read cost is
+    // O(query), independent of the vocabulary size
+    val cm = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(candPlan)
+    assert(cm.isDefined && cm.get.group(1).toInt < cm.get.group(2).toInt,
+      s"the d=1 candidate probe must bucket-prune the _deletes scan:\n$candPlan")
     // above the stored depth the inline _vocab derivation serves d=2
     val candPlan2 = InvertedIndex.fuzzyCandidates(s, sfDir,
       Seq("sow"), maxDistance = 2)
