@@ -12,8 +12,10 @@ import graft.sources.Tables
   * the `url` analog of `Pageview.scala:8-11`).
   *
   * Streaming forms of the same pipelines (min-of-inputs watermark, append
-  * emission) live in [[graft.streaming.WatermarkPipeline]] and are validated
-  * by ScalaTest, not the SQL oracle (SURVEY.md §5.3).
+  * emission) live in [[graft.streaming.WatermarkPipeline]], validated by
+  * ScalaTest (SURVEY.md §5.3) — and, since round 16, the live streaming
+  * dataflow itself also runs inside the oracle gate as bounded
+  * AvailableNow replays ([[StreamQueries]]: q_stream_*).
   */
 object CoreQueries {
 

@@ -11,11 +11,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ WindowQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ WindowQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ WindowQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++ WindowQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+import graft.streaming.StreamGate
+
+/** The reference's STREAMING pipeline inside the oracle gate.
+  *
+  * Every prior round verified the streaming surface (O1–O9) by ScalaTest
+  * equivalence specs; these queries put the live Structured Streaming
+  * dataflow itself — file source → per-input watermark → keyed
+  * event-time window → fold → fire-once append emission — through the
+  * driver's DuckDB hash compare. Each runs bounded (Trigger.AvailableNow
+  * over a single staged file: one micro-batch, zero late drops — see
+  * [[graft.streaming.StreamGate]] for the determinism contract) and its
+  * oracle replays the firing rule in SQL: the batch aggregate restricted
+  * to windows whose end ≤ the final watermark (the ms-truncated
+  * min-of-inputs max event time; Spark tracks event time in
+  * milliseconds, so the oracle truncates the same way).
+  *
+  * The reference never fires its last windows — an unbounded stream
+  * never emits the end-of-stream watermark (`README.md:54-58`) — and
+  * neither do these: rows of the final pending window(s) are absent from
+  * the output AND from the oracle, which is exactly the semantics under
+  * test (q_window_count_hourly, by contrast, is the full batch replay).
+  */
+object StreamQueries {
+
+  /** The events fixture as a bounded file stream (schema + event-time
+    * normalization shared with the batch surface via Tables). */
+  private def streamedEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.streamEvents(s, dir, StreamGate.stagedEventsDir(dir))
+
+  private def evenUsers = pmod(col("user_id"), lit(2L)) === 0L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // THE reference pipeline, streaming, two-input: the events stream
+    // split into two independently-watermarked inputs (the reference's
+    // skewed two-partition shape, Main.scala:13-16), unioned under the
+    // default min-of-inputs policy (O3b), counted per event_type per 1h
+    // tumbling window (O4-O7), emitted fire-once in append mode (O8).
+    // The slower input's max ts gates every window — the README's thesis.
+    "q_stream_window_hourly" -> ((s, dir) => {
+      val src = streamedEvents(s, dir)
+      val even = src.filter(evenUsers).withWatermark("ts", "0 seconds")
+      val odd = src.filter(!evenUsers).withWatermark("ts", "0 seconds")
+      StreamGate.runBounded(s,
+        even.unionByName(odd)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").as("window_start"),
+                  col("window.end").as("window_end"),
+                  col("event_type"), col("cnt")))
+    }),
+
+    // O6 with a non-count fold, streaming: exact-decimal sum per window —
+    // the same deterministic-summation contract as the batch surface
+    // (partial aggregates in the state store stay exact at any
+    // partitioning, which is what makes a streaming float oracle possible).
+    "q_stream_agg_sum" -> ((s, dir) =>
+      StreamGate.runBounded(s,
+        streamedEvents(s, dir).withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(Exact.sum2(col("value")).as("sum_value"), count(lit(1)).as("cnt"))
+          .select(col("window.start").as("window_start"),
+                  col("window.end").as("window_end"),
+                  col("event_type"), col("sum_value"), col("cnt")))),
+
+    // Session windows under the same fire-once rule: a session fires only
+    // when the watermark passes ITS end (last event + gap) — the state
+    // store merges sessions, append mode emits each exactly once. The
+    // trailing sessions of every user pend forever, like the reference's
+    // day-3 windows.
+    "q_stream_session" -> ((s, dir) =>
+      StreamGate.runBounded(s,
+        streamedEvents(s, dir).withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("session_window.start").as("session_start"),
+                  col("session_window.end").as("session_end"),
+                  col("user_id"), col("cnt")))),
+
+    // Streaming exact dedup at ingest (the training-pipeline shape: drop
+    // repeat observations of a key as they stream in). Projected to the
+    // key columns the output is the distinct key set — deterministic
+    // under any partition/arrival order, hence oracle-able; the
+    // first-row-wins payload is deliberately NOT selected.
+    "q_stream_dedup_keys" -> ((s, dir) =>
+      StreamGate.runBounded(s,
+        streamedEvents(s, dir)
+          .select("user_id", "event_type")
+          .dropDuplicates(Seq("user_id", "event_type")))))
+
+  // The final watermark, ms-truncated exactly as Spark tracks event time
+  // (EventTimeWatermarkExec collects max eventTime/1000).
+  private val WmAll =
+    "make_timestamp(epoch_ms((SELECT max(ts) FROM events)) * 1000)"
+  private val WmMinOfInputs =
+    """make_timestamp(epoch_ms(least(
+      |  (SELECT max(ts) FROM events WHERE user_id % 2 = 0),
+      |  (SELECT max(ts) FROM events WHERE user_id % 2 = 1))) * 1000)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    "q_stream_window_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         |       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+         |       event_type, count(*) AS cnt
+         |FROM events
+         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= $WmMinOfInputs
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_agg_sum" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         |       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+         |       event_type,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |       count(*) AS cnt
+         |FROM events
+         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= $WmAll
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // gaps-and-islands replay of session_window + the firing rule on the
+    // session's OWN end (q_window_session's oracle + the HAVING gate)
+    "q_stream_session" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |numbered AS (
+         |  SELECT user_id, ts,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked)
+         |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+         |       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+         |       user_id, count(*) AS cnt
+         |FROM numbered GROUP BY user_id, sid
+         |HAVING max(ts) + INTERVAL 30 MINUTE <= $WmAll""".stripMargin,
+
+    "q_stream_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events")
+}

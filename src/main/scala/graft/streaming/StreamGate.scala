@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Bounded streaming execution for the ORACLE GATE: run a Structured
+  * Streaming dataflow with `Trigger.AvailableNow` to completion and hand
+  * its full append output back as a batch [[DataFrame]].
+  *
+  * This is what lets the reference's actual STREAMING pipeline (source →
+  * watermark → keyed window → fold → fire-once emission, O1–O8 of
+  * SURVEY.md §2) sit inside the driver's DuckDB correctness gate, which
+  * can only hash batch results: the streaming run is bounded and
+  * deterministic, so its complete output is a pure function of the input
+  * fixture and a DuckDB SQL replay of the firing rule can hash-match it.
+  *
+  * Determinism contract (what makes an oracle possible at all):
+  *  - the staged input is ONE parquet file, so `AvailableNow` processes
+  *    it as ONE micro-batch — no event precedes a watermark raised by an
+  *    earlier batch, hence ZERO late drops, on any host, every run;
+  *  - watermark delay 0 ⇒ the final watermark is exactly the per-input
+  *    max event time (min over inputs when several are unioned — O3b);
+  *  - append mode fires exactly the groups whose window end ≤ that final
+  *    watermark (spec-pinned in PageviewScenarioSpec and StreamGateSpec);
+  *    later windows stay pending forever, exactly like the reference's
+  *    unbounded run (`README.md:54-58` — day-3 windows never fire).
+  *  The oracle therefore replays: batch aggregate + `end <= (min of
+  *  per-input max ts)`. Multi-batch ingest (several files) keeps the
+  *  SAME final watermark but may legitimately drop stragglers that
+  *  arrive after an earlier batch raised the watermark past them — real
+  *  streaming semantics, not gate semantics; the gate stages one file
+  *  precisely to pin the drop-free case. StreamGateSpec pins both.
+  *
+  * Scale: nothing here is fixture-bound — the same dataflow over a
+  * directory being appended to by a 100 TB ingest runs with
+  * `AvailableNow` on a cron cadence (AvailableNowSpec: restart processes
+  * only new data), with the memory sink swapped for parquet/foreachBatch
+  * (SinkModesSpec). The memory sink is gate-only plumbing and holds the
+  * AGGREGATED output (windows × keys), never raw events.
+  */
+object StreamGate {
+
+  private val runSeq = new AtomicLong(0)
+
+  /** Stage `dir`'s events fixture (a single parquet FILE) as a
+    * single-file DIRECTORY — file streams list directories. Idempotent
+    * and cheap: one copy per (fixture, JVM lifetime), keyed like the
+    * DedupQueries fixtures; re-copied if the fixture file changed size
+    * (a regenerated testdata generation). */
+  def stagedEventsDir(dir: String): String = {
+    val fix = "/tmp/graft_stream_events_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val src = Paths.get(s"$dir/events.parquet")
+    val dst = Paths.get(s"$fix/part-0.parquet")
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
+      Files.createDirectories(Paths.get(fix))
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    fix
+  }
+
+  /** Run `out` (a streaming DataFrame) to completion under
+    * `Trigger.AvailableNow` in append mode and return the complete
+    * output as a batch frame. Fresh checkpoint + unique sink table per
+    * call: the gate wants a full deterministic replay, never an
+    * incremental resume (resuming into a NEW memory sink would emit
+    * nothing and silently pass an empty result to the oracle). */
+  def runBounded(spark: SparkSession, out: DataFrame): DataFrame = {
+    val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    val q = out.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try require(q.awaitTermination(600000L),
+      s"bounded stream $name must self-stop under AvailableNow")
+    finally q.stop()
+    spark.table(name)
+  }
+}

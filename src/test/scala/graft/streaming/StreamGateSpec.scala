@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The oracle-gate streaming queries (StreamQueries): bounded
+  * AvailableNow replays whose complete append output must equal the SQL
+  * firing-rule replay — streaming == batch aggregate + `window end <=
+  * final watermark`.
+  *
+  * Also pins the determinism contract StreamGate documents: a
+  * TIME-ORDERED multi-file ingest (one micro-batch per file) emits the
+  * same set as the single-batch run — the watermark only ever trails
+  * data not yet processed — while an ADVERSARIALLY ordered ingest drops
+  * the rows that arrive behind a raised watermark: real streaming
+  * semantics, and exactly why the gate stages one file.
+  */
+class StreamGateSpec extends SparkSpec {
+
+  private def hourlyBatchFired(wmMs: Long): Set[(java.sql.Timestamp, String, Long)] =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("window.end"), col("event_type"), col("cnt"))
+      .collect()
+      .filter(_.getTimestamp(1).getTime <= wmMs)
+      .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+
+  test("q_stream_window_hourly == batch replay gated by the min-of-inputs watermark") {
+    val streamed = graft.StreamQueries.queries("q_stream_window_hourly")(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+
+    // ms truncation, exactly as EventTimeWatermarkExec tracks event time
+    val r = Tables.events(spark, sfDir)
+      .select(
+        max(when(pmod(col("user_id"), lit(2L)) === 0L, col("ts"))).as("e"),
+        max(when(pmod(col("user_id"), lit(2L)) =!= 0L, col("ts"))).as("o"))
+      .head()
+    val wm = math.min(r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+
+    val fired = hourlyBatchFired(wm)
+    assert(streamed == fired && fired.nonEmpty,
+      s"unexpected=${streamed.diff(fired).take(3)} missing=${fired.diff(streamed).take(3)}")
+    // the firing rule is a real restriction here: the fixture's trailing
+    // hour must be pending (otherwise this spec pins nothing)
+    val all = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+    assert(streamed.size < all, "final window(s) must pend, like the reference's day-3")
+  }
+
+  test("time-ordered multi-file ingest emits the same set; adversarial order drops late rows") {
+    val s = spark
+    val ev = Tables.events(s, sfDir)
+    val mid = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+
+    // two single-file halves of the fixture, split on event time
+    def writeHalf(pred: org.apache.spark.sql.Column): java.nio.file.Path = {
+      val d = Files.createTempDirectory("graft-gate-half")
+      ev.filter(pred).repartition(1).write.mode("overwrite").parquet(d.toString)
+      Files.list(d).filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    }
+    val earlyFile = writeHalf(col("ts") < mid)
+    val lateFile = writeHalf(col("ts") >= mid)
+
+    // Guaranteed batch separation: two sequential AvailableNow runs over
+    // one checkpoint (the production cron-cadence shape, AvailableNowSpec)
+    // — run 2 resumes the state store and confronts the watermark run 1
+    // left behind. A parquet sink accumulates the append output across
+    // runs; the memory sink cannot survive a restart.
+    def run(first: java.nio.file.Path, second: java.nio.file.Path)
+      : Set[(java.sql.Timestamp, String, Long)] = {
+      val dir = Files.createTempDirectory("graft-gate-order")
+      val ckpt = Files.createTempDirectory("graft-gate-order-ckpt").toString
+      val outDir = Files.createTempDirectory("graft-gate-order-out").toString
+      def step(f: java.nio.file.Path, name: String): Unit = {
+        Files.copy(f, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        val stream = Tables.normalizeEventTs(
+            s.readStream.schema(ev.schema).parquet(dir.toString))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").as("window_start"),
+                  col("window.end").as("window_end"),
+                  col("event_type"), col("cnt"))
+        val q = stream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt)
+          .option("path", outDir)
+          .start()
+        try assert(q.awaitTermination(120000L)) finally q.stop()
+      }
+      step(first, "a.parquet")
+      step(second, "b.parquet")
+      s.read.schema("window_start timestamp, window_end timestamp, " +
+          "event_type string, cnt long") // empty-dir-safe, same schema
+        .parquet(outDir)
+        .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+    }
+
+    val wm = ev.agg(max("ts")).head().getTimestamp(0).getTime
+    val expected = hourlyBatchFired(wm)
+
+    assert(run(earlyFile, lateFile) == expected,
+      "time-ordered ingest: watermark always trails unseen data — no drops")
+
+    val adversarial = run(lateFile, earlyFile)
+    assert(adversarial != expected && adversarial.nonEmpty,
+      "late-first ingest must drop rows behind the raised watermark " +
+        "(the reason the gate stages exactly one file)")
+  }
+
+  test("q_stream_dedup_keys == distinct keys; q_stream_session == gaps-and-islands replay") {
+    val dk = graft.StreamQueries.queries("q_stream_dedup_keys")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val distinctKeys = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(dk == distinctKeys && dk.nonEmpty)
+
+    // Spark's eviction predicate compares the session's µs end against the
+    // ms-truncated watermark promoted back to µs — replay it exactly
+    // (hour-aligned window ends have no sub-ms part; session ends do)
+    val wmMicros =
+      Tables.events(spark, sfDir).agg(max("ts")).head().getTimestamp(0).getTime * 1000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val streamedSessions = graft.StreamQueries.queries("q_stream_session")(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start"), col("session_window.end"),
+              col("user_id"), col("cnt"))
+      .collect().filter(r => micros(r.getTimestamp(1)) <= wmMicros)
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamedSessions == expected && streamedSessions.nonEmpty,
+      s"unexpected=${streamedSessions.diff(expected).take(3)} missing=${expected.diff(streamedSessions).take(3)}")
+  }
+}
