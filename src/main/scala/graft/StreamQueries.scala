@@ -84,6 +84,34 @@ object StreamQueries {
                   col("session_window.end").as("session_end"),
                   col("user_id"), col("cnt")))),
 
+    // MULTI-stateful-operator pipeline: stream-stream interval join →
+    // windowed count, one streaming query (Spark's watermark propagation
+    // hands the join's output watermark to the downstream aggregate).
+    // Each purchase pairs with the same user's views in the preceding 30
+    // minutes (q_interval_join's predicate, both sides streams); the
+    // pair count per purchase-hour fires once the propagated watermark
+    // passes the hour. The join predicate's CLOSED bound on v_ts is what
+    // lets the engine evict buffered view rows — an unbounded predicate
+    // would accumulate state forever and is rejected in append mode.
+    "q_stream_join_hourly" -> ((s, dir) => {
+      val src = streamedEvents(s, dir)
+      val p = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      val v = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "0 seconds")
+      StreamGate.runBounded(s,
+        p.join(v,
+            col("user_id") === col("v_user") &&
+              col("v_ts") <= col("p_ts") &&
+              col("v_ts") >= col("p_ts") - expr("INTERVAL 30 minutes"))
+          .groupBy(window(col("p_ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(col("window.start").as("window_start"),
+                  col("window.end").as("window_end"), col("n_pairs")))
+    }),
+
     // Streaming exact dedup at ingest (the training-pipeline shape: drop
     // repeat observations of a key as they stream in). Projected to the
     // key columns the output is the distinct key set — deterministic
@@ -146,5 +174,25 @@ object StreamQueries {
          |HAVING max(ts) + INTERVAL 30 MINUTE <= $WmAll""".stripMargin,
 
     "q_stream_dedup_keys" ->
-      "SELECT DISTINCT user_id, event_type FROM events")
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // batch join replay + the firing rule under the PROPAGATED watermark:
+    // a future view row has v_ts >= wm_view and a future purchase row has
+    // p_ts >= wm_purchase; a pair needs both and p_ts >= v_ts, so the
+    // earliest p_ts a future pair can carry is min(wm_purchase, wm_view)
+    // — the join's output watermark on p_ts subtracts nothing
+    // (StreamGateSpec pins the fired set against this rule)
+    "q_stream_join_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', p.ts) AS TIMESTAMP) AS window_start,
+         |       CAST(date_trunc('hour', p.ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+         |       count(*) AS n_pairs
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id
+         | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         | AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+         |WHERE date_trunc('hour', p.ts) + INTERVAL 1 HOUR <= make_timestamp(epoch_ms(least(
+         |  (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+         |  (SELECT max(ts) FROM events WHERE event_type = 'view'))) * 1000)
+         |GROUP BY 1, 2""".stripMargin)
 }

@@ -114,6 +114,35 @@ class StreamGateSpec extends SparkSpec {
         "(the reason the gate stages exactly one file)")
   }
 
+  test("q_stream_join_hourly: join->window pipeline fires by the propagated min watermark") {
+    val ev = Tables.events(spark, sfDir)
+    val streamed = graft.StreamQueries.queries("q_stream_join_hourly")(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toSet
+
+    // propagated output watermark on p_ts: a future pair needs a future
+    // row on SOME side, and p_ts >= v_ts bounds it below by min(wm_p, wm_v)
+    val wm = ev.groupBy("event_type").agg(max("ts").as("m"))
+      .filter(col("event_type").isin("purchase", "view"))
+      .collect().map(_.getTimestamp(1).getTime).min
+
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val expected = p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 30 minutes"))
+      .groupBy(window(col("p_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("window.start"), col("window.end"), col("n_pairs"))
+      .collect().filter(_.getTimestamp(1).getTime <= wm)
+      .map(r => (r.getTimestamp(0), r.getLong(2))).toSet
+
+    assert(streamed == expected && streamed.nonEmpty,
+      s"unexpected=${streamed.diff(expected).take(5)} missing=${expected.diff(streamed).take(5)}")
+  }
+
   test("q_stream_dedup_keys == distinct keys; q_stream_session == gaps-and-islands replay") {
     val dk = graft.StreamQueries.queries("q_stream_dedup_keys")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
