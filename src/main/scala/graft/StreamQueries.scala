@@ -112,6 +112,42 @@ object StreamQueries {
                   col("window.end").as("window_end"), col("n_pairs")))
     }),
 
+    // ARBITRARY keyed state in the gate — the API class the reference's
+    // FoldingState belongs to (Spark: flatMapGroupsWithState). Gap-based
+    // sessionization where the state per user is (last event time µs,
+    // running session id): each micro-batch sorts ITS OWN rows of the
+    // group (memory is O(per-key batch volume), never O(history) — the
+    // state carries two longs across batches, StreamGateSpec pins the
+    // two-batch continuation), assigns q_sessionize's exact rule
+    // (gap > 30 min in µs, ties by event_id), and emits every row with
+    // its session id. Append + NoTimeout: rows emit as processed, so the
+    // complete bounded output is the full assignment — same oracle as
+    // the batch q_sessionize.
+    "q_stream_sessionize_state" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val src = streamedEvents(s, dir)
+        .select("event_id", "user_id", "ts")
+        .as[(Long, Long, java.sql.Timestamp)]
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val out = src.groupByKey(_._2)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, java.sql.Timestamp, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+          var (lastUs, sid) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val rows = it.toVector.sortBy(e => (micros(e._3), e._1)).map { e =>
+            val us = micros(e._3)
+            if (lastUs == Long.MinValue || us - lastUs > 1800000000L) sid += 1
+            lastUs = us
+            (e._1, user, e._3, sid)
+          }
+          state.update((lastUs, sid))
+          rows.iterator
+        }
+      StreamGate.runBounded(s,
+        out.toDF("event_id", "user_id", "ts", "session_id"))
+    }),
+
     // Streaming exact dedup at ingest (the training-pipeline shape: drop
     // repeat observations of a key as they stream in). Projected to the
     // key columns the output is the distinct key set — deterministic
@@ -175,6 +211,25 @@ object StreamQueries {
 
     "q_stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // identical to the batch q_sessionize oracle — the custom-state
+    // streaming assignment must reproduce the window-function replay
+    "q_stream_sessionize_state" ->
+      """SELECT event_id, user_id, ts, session_id FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(sum(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(prev_ts) > 1800000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT event_id, user_id, ts,
+        |        lag(CAST(ts AS TIMESTAMP), 1) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)))""".stripMargin,
 
     // batch join replay + the firing rule under the PROPAGATED watermark:
     // a future view row has v_ts >= wm_view and a future purchase row has

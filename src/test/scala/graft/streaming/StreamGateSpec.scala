@@ -143,6 +143,70 @@ class StreamGateSpec extends SparkSpec {
       s"unexpected=${streamed.diff(expected).take(5)} missing=${expected.diff(streamed).take(5)}")
   }
 
+  test("q_stream_sessionize_state == batch q_sessionize; state continues across batches") {
+    val s = spark
+    val ev = Tables.events(s, sfDir)
+    type Row4 = (Long, Long, java.sql.Timestamp, Long)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Row4] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3))).toSet
+
+    val batch = toSet(graft.RelationalQueries.queries("q_sessionize")(s, sfDir))
+    assert(toSet(graft.StreamQueries.queries("q_stream_sessionize_state")(s, sfDir))
+      == batch && batch.nonEmpty)
+
+    // two-batch continuation: the (lastTs, sid) state must carry the
+    // session rule across the micro-batch boundary (a session straddling
+    // `mid` keeps its id; a new user starting in batch 2 starts at 1)
+    val mid = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val srcDir = Files.createTempDirectory("graft-sess-src")
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-sess-out").toString
+    def step(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val half = Files.createTempDirectory("graft-sess-half")
+      ev.filter(pred).repartition(1).write.mode("overwrite").parquet(half.toString)
+      val f = Files.list(half).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(f, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val stream = Tables.normalizeEventTs(
+          s.readStream.schema(ev.schema).parquet(srcDir.toString))
+        .select("event_id", "user_id", "ts")
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, java.sql.Timestamp, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+          var (lastUs, sid) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val rows = it.toVector.sortBy(e => (micros(e._3), e._1)).map { e =>
+            val us = micros(e._3)
+            if (lastUs == Long.MinValue || us - lastUs > 1800000000L) sid += 1
+            lastUs = us
+            (e._1, user, e._3, sid)
+          }
+          state.update((lastUs, sid))
+          rows.iterator
+        }
+        .toDF("event_id", "user_id", "ts", "session_id")
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .start()
+      try assert(q.awaitTermination(120000L)) finally q.stop()
+    }
+    step(col("ts") < mid, "a.parquet")
+    step(col("ts") >= mid, "b.parquet")
+    val twoBatch = toSet(s.read
+      .schema("event_id long, user_id long, ts timestamp, session_id long")
+      .parquet(outDir))
+    assert(twoBatch == batch,
+      s"unexpected=${twoBatch.diff(batch).take(3)} missing=${batch.diff(twoBatch).take(3)}")
+  }
+
   test("q_stream_dedup_keys == distinct keys; q_stream_session == gaps-and-islands replay") {
     val dk = graft.StreamQueries.queries("q_stream_dedup_keys")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
