@@ -69,6 +69,15 @@ object StreamGate {
     * incremental resume (resuming into a NEW memory sink would emit
     * nothing and silently pass an empty result to the oracle). */
   def runBounded(spark: SparkSession, out: DataFrame): DataFrame = {
+    // Gate hygiene: memory-sink tables from EARLIER bounded runs are
+    // dead weight by the time a new run starts (every gate consumer —
+    // Verify's parquet dump, Bench's noop save, the specs' collects —
+    // materializes before the next query runs), and a bench pass
+    // otherwise accumulates runs × queries tables of aggregated rows in
+    // driver memory. One gate run lives at a time, by contract.
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_stream_gate_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
     val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
     val q = out.writeStream
