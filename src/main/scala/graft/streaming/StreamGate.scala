@@ -68,6 +68,26 @@ object StreamGate {
     * call: the gate wants a full deterministic replay, never an
     * incremental resume (resuming into a NEW memory sink would emit
     * nothing and silently pass an empty result to the oracle). */
+  /** State-partition count for gate runs (override:
+    * SPARK_GRAFT_STREAM_STATE_PARTS). Streaming state partitioning is
+    * fixed at CHECKPOINT CREATION from `spark.sql.shuffle.partitions` —
+    * an upfront sizing decision in Spark, not a runtime one — and must
+    * be sized to STATE volume, not input volume: the gate queries hold
+    * a few thousand (key, window) counters, while the session default
+    * (32) is sized for sf0.1 batch shuffles. Oversizing is not free
+    * parallelism: each stateful operator opens/commits a store PER
+    * partition PER micro-batch (the symmetric hash join opens four), and
+    * the measured commit overhead grows super-linearly with concurrent
+    * store count on local[32] (32 parts: 47 s summed commit; 8: 2.0 s;
+    * 2: 0.35 s — SCALE.md round 16). At 100 TB the same formula applies
+    * with bigger numerators: partitions = state bytes / target partition
+    * size, decided before the first checkpoint write. */
+  private def statePartitions: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+    raw.toIntOption.filter(_ >= 1).getOrElse(throw new IllegalArgumentException(
+      s"SPARK_GRAFT_STREAM_STATE_PARTS must be a positive integer, got '$raw'"))
+  }
+
   def runBounded(spark: SparkSession, out: DataFrame): DataFrame = {
     // Gate hygiene: memory-sink tables from EARLIER bounded runs are
     // dead weight by the time a new run starts (every gate consumer —
@@ -80,13 +100,23 @@ object StreamGate {
       .foreach(t => spark.catalog.dropTempView(t.name))
     val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
-    val q = out.writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .start()
+    // scoped state-partition sizing (see statePartitions): the conf is
+    // read once at query start; gate queries run one at a time, so the
+    // session value is restored immediately after. Results are
+    // partition-count-invariant (hash aggregation / join semantics).
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, statePartitions)
+        out.writeStream
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .start()
+      } finally spark.conf.set(key, prev)
     try require(q.awaitTermination(600000L),
       s"bounded stream $name must self-stop under AvailableNow")
     finally q.stop()
