@@ -294,11 +294,18 @@ object Bench {
       s""""comparable":$comparable,"comparable_why_not":${whyNot.mkString("[", ",", "]")},"bench_attempts":$attempts"""
     val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson,$compJson"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
+    // A SPARK_GRAFT_ONLY-filtered dev run must NOT clobber the in-repo
+    // full-surface artifact (round-16 near-miss: a filtered probe run
+    // overwrote the round's one comparable 193-query artifact minutes
+    // after it was measured; only a manual /tmp copy saved it). Filtered
+    // details go to a sibling file instead.
+    val detailPath =
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL.filtered.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $detailPath write failed: ${e.getMessage}")
     }
     def ms3(d: Double): String = f"$d%.3f"
     val mins = ok.map { case (k, t, _) => (k, t.flatten.map(_._1).min) }

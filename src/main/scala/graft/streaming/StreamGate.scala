@@ -55,9 +55,14 @@ object StreamGate {
       Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
     val src = Paths.get(s"$dir/events.parquet")
     val dst = Paths.get(s"$fix/part-0.parquet")
-    if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
+    // staleness check on (size, source mtime): COPY_ATTRIBUTES preserves
+    // the source's mtime on the copy, so a regenerated fixture — even a
+    // same-size one — mismatches and triggers a re-copy
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src) ||
+        Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)) {
       Files.createDirectories(Paths.get(fix))
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.COPY_ATTRIBUTES)
     }
     fix
   }

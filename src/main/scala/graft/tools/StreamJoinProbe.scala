@@ -44,7 +44,7 @@ object StreamJoinProbe {
       .format("memory").queryName("join_probe")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_PROBE_CKPT_BASE",
+          java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROBE_CKPT_BASE",
             "/tmp")), "join-probe-ckpt").toString)
       .start()
     q.awaitTermination(600000L)
