@@ -148,6 +148,23 @@ object StreamQueries {
         out.toDF("event_id", "user_id", "ts", "session_id"))
     }),
 
+    // BOUNDED-state streaming dedup — the production dedup-at-ingest
+    // shape (dropDuplicatesWithinWatermark): state per key is evicted
+    // once the watermark passes its event time + delay, so state is
+    // O(keys per 30-minute horizon), not O(all keys ever) like
+    // q_stream_dedup_keys' dropDuplicates. The honest caveat is part of
+    // the contract: a duplicate arriving AFTER its key's state was
+    // evicted is re-emitted (StreamGateSpec pins both the in-horizon
+    // drop and the post-eviction re-emission across micro-batches). On
+    // the fixture every event_id is unique, so the bounded run emits
+    // each row exactly once — the oracle is the plain projection.
+    "q_stream_dedup_within_wm" -> ((s, dir) =>
+      StreamGate.runBounded(s,
+        streamedEvents(s, dir)
+          .withWatermark("ts", "30 minutes")
+          .dropDuplicatesWithinWatermark(Seq("event_id"))
+          .select("event_id", "user_id", "event_type"))),
+
     // Streaming exact dedup at ingest (the training-pipeline shape: drop
     // repeat observations of a key as they stream in). Projected to the
     // key columns the output is the distinct key set — deterministic
@@ -211,6 +228,9 @@ object StreamQueries {
 
     "q_stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q_stream_dedup_within_wm" ->
+      "SELECT event_id, user_id, event_type FROM events",
 
     // identical to the batch q_sessionize oracle — the custom-state
     // streaming assignment must reproduce the window-function replay

@@ -207,6 +207,95 @@ class StreamGateSpec extends SparkSpec {
       s"unexpected=${twoBatch.diff(batch).take(3)} missing=${batch.diff(twoBatch).take(3)}")
   }
 
+  test("dropDuplicatesWithinWatermark: in-horizon duplicates drop, evicted keys re-emit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark(Seq("id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddww_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ddww-ckpt").toString)
+      .start()
+    try {
+      ms.addData((1L, t("10:00")), (2L, t("10:05")))
+      q.processAllAvailable() // both first occurrences emit; wm -> 09:35
+      // duplicate of id 1 WITHIN its horizon (state expires 10:30 > wm):
+      // dropped; id 3 advances the watermark to 11:30
+      ms.addData((1L, t("10:01")), (3L, t("12:00")))
+      q.processAllAvailable()
+      // id 1's state (expiry 10:30) is now behind the 11:30 watermark —
+      // evicted, so a fresh occurrence RE-EMITS (the documented bounded-
+      // state caveat; state is O(keys per horizon), not O(keys ever))
+      ms.addData((1L, t("12:01")))
+      q.processAllAvailable()
+      val emitted = s.table("ddww_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq.sorted
+      assert(emitted == Seq((1L, t("10:00")), (1L, t("12:01")),
+          (2L, t("10:05")), (3L, t("12:00"))),
+        s"got $emitted")
+    } finally { q.stop(); s.catalog.dropTempView("ddww_out") }
+  }
+
+  test("streaming physical plans: the stateful operators are the ones declared") {
+    // plan pins, the repo convention: the join query must execute as a
+    // streaming symmetric hash join feeding a state-store aggregate
+    // (NOT collapse to something stateless that happens to match on one
+    // batch), and the windowed queries must evict through
+    // StateStoreSave in append mode. q.explain() is the stable public
+    // surface for a streaming query's executed plan.
+    def explained(out: org.apache.spark.sql.DataFrame): String = {
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("gate_plan_pin")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-pin-ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos)) { q.explain() }
+        bos.toString
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("gate_plan_pin")
+      }
+    }
+
+    val src = Tables.streamEvents(spark, sfDir, StreamGate.stagedEventsDir(sfDir))
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val v = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "0 seconds")
+    val joinPlan = explained(
+      p.join(v,
+          col("user_id") === col("v_user") &&
+            col("v_ts") <= col("p_ts") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 30 minutes"))
+        .groupBy(window(col("p_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_pairs")))
+    assert(joinPlan.contains("StreamingSymmetricHashJoin"),
+      s"interval join must run as the symmetric hash join:\n$joinPlan")
+    assert(joinPlan.contains("StateStoreSave"),
+      s"windowed count must evict through the state store:\n$joinPlan")
+
+    val windowPlan = explained(
+      src.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")))
+    assert(windowPlan.contains("StateStoreSave") &&
+      windowPlan.contains("EventTimeWatermark"),
+      s"windowed agg must carry watermark + state store:\n$windowPlan")
+  }
+
   test("q_stream_dedup_keys == distinct keys; q_stream_session == gaps-and-islands replay") {
     val dk = graft.StreamQueries.queries("q_stream_dedup_keys")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
