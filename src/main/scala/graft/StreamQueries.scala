@@ -15,11 +15,13 @@ import graft.streaming.StreamGate
   * event-time window → fold → fire-once append emission — through the
   * driver's DuckDB hash compare. Each runs bounded (Trigger.AvailableNow
   * over a single staged file: one micro-batch, zero late drops — see
-  * [[graft.streaming.StreamGate]] for the determinism contract) and its
-  * oracle replays the firing rule in SQL: the batch aggregate restricted
-  * to windows whose end ≤ the final watermark (the ms-truncated
-  * min-of-inputs max event time; Spark tracks event time in
-  * milliseconds, so the oracle truncates the same way).
+  * [[graft.streaming.StreamGate]] for the determinism contract). The
+  * windowed queries' oracles replay the firing rule in SQL — the batch
+  * aggregate restricted to windows whose end ≤ the final watermark (the
+  * ms-truncated min-of-inputs max event time; Spark tracks event time
+  * in milliseconds, so the oracle truncates the same way) — while the
+  * dedup/custom-state queries emit their full assignment in the bounded
+  * run, so their oracles are the plain batch replays.
   *
   * The reference never fires its last windows — an unbounded stream
   * never emits the end-of-stream watermark (`README.md:54-58`) — and

@@ -49,7 +49,7 @@ object StreamGate {
     * single-file DIRECTORY — file streams list directories. Idempotent
     * and cheap: one copy per (fixture, JVM lifetime), keyed like the
     * DedupQueries fixtures; re-copied if the fixture file changed size
-    * (a regenerated testdata generation). */
+    * OR source mtime (a regenerated testdata generation, even same-size). */
   def stagedEventsDir(dir: String): String = {
     val fix = "/tmp/graft_stream_events_" +
       Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
@@ -67,12 +67,6 @@ object StreamGate {
     fix
   }
 
-  /** Run `out` (a streaming DataFrame) to completion under
-    * `Trigger.AvailableNow` in append mode and return the complete
-    * output as a batch frame. Fresh checkpoint + unique sink table per
-    * call: the gate wants a full deterministic replay, never an
-    * incremental resume (resuming into a NEW memory sink would emit
-    * nothing and silently pass an empty result to the oracle). */
   /** State-partition count for gate runs (override:
     * SPARK_GRAFT_STREAM_STATE_PARTS). Streaming state partitioning is
     * fixed at CHECKPOINT CREATION from `spark.sql.shuffle.partitions` —
@@ -93,6 +87,12 @@ object StreamGate {
       s"SPARK_GRAFT_STREAM_STATE_PARTS must be a positive integer, got '$raw'"))
   }
 
+  /** Run `out` (a streaming DataFrame) to completion under
+    * `Trigger.AvailableNow` in append mode and return the complete
+    * output as a batch frame. Fresh checkpoint + unique sink table per
+    * call: the gate wants a full deterministic replay, never an
+    * incremental resume (resuming into a NEW memory sink would emit
+    * nothing and silently pass an empty result to the oracle). */
   def runBounded(spark: SparkSession, out: DataFrame): DataFrame = {
     // Gate hygiene: memory-sink tables from EARLIER bounded runs are
     // dead weight by the time a new run starts (every gate consumer —
