@@ -299,8 +299,34 @@ object Bench {
     // overwrote the round's one comparable 193-query artifact minutes
     // after it was measured; only a manual /tmp copy saved it). Filtered
     // details go to a sibling file instead.
+    // A NON-comparable run must never replace a COMPARABLE artifact (it
+    // happened twice: the round-15 driver bench overwrote the committed
+    // comparable artifact through a steal storm, and a round-16
+    // co-tenant did it again minutes after a comparable run landed) —
+    // the flagged detail goes to BENCH_DETAIL.rejected.json instead,
+    // loudly. Even a run whose query set outgrew the stored artifact
+    // waits for a quiet host (the stored `queries` count makes the
+    // coverage gap visible); SPARK_GRAFT_BENCH_FORCE=1 is the escape
+    // hatch when the host never quiets and staleness costs more.
     val detailPath =
-      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL.filtered.json"
+      if (only.nonEmpty) "BENCH_DETAIL.filtered.json"
+      else if (comparable || sys.env.contains("SPARK_GRAFT_BENCH_FORCE"))
+        "BENCH_DETAIL.json"
+      else {
+        val storedComparable = try {
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_DETAIL.json")),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .contains("\"comparable\":true")
+        } catch { case _: Throwable => false }
+        if (storedComparable) {
+          System.err.println(s"[bench] run is non-comparable " +
+            s"(${whyNot.mkString("; ")}) and BENCH_DETAIL.json holds a " +
+            "comparable artifact — writing BENCH_DETAIL.rejected.json " +
+            "instead (force: SPARK_GRAFT_BENCH_FORCE=1)")
+          "BENCH_DETAIL.rejected.json"
+        } else "BENCH_DETAIL.json"
+      }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
