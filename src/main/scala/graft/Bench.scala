@@ -61,8 +61,13 @@ object Bench {
     // min-of-N: this host shows random multi-second CPU-steal spikes (the
     // same query measured 0.6s and 28s back-to-back); round 2 showed
     // min-of-2 still admits them, so default 3 (env-tunable).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
+    val runs = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3")
+      val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_RUNS must be an integer, got '$raw'"))
+      require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n")
+      n
+    }
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")

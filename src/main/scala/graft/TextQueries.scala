@@ -276,8 +276,10 @@ object TextQueries {
     }),
 
     // Multimodal plumbing: byte-level stats over the opaque-binary media
-    // table (full decode pipeline is exercised in MultimodalSpec — the
-    // decoder itself is a stub, see operators.Multimodal).
+    // table. The image path decodes for real (ImageIO PNG decode +
+    // nearest-neighbor resample — operators.Multimodal; q_multimodal_
+    // decode/resize hash-check it); only the synthetic fixture's
+    // audio/video payloads are text-as-bytes stand-ins.
     "q_multimodal_bytes" -> ((s, dir) =>
       graft.operators.Multimodal.byteStats(s, dir)),
 

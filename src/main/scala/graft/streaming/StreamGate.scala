@@ -61,8 +61,17 @@ object StreamGate {
     if (!Files.exists(dst) || Files.size(dst) != Files.size(src) ||
         Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)) {
       Files.createDirectories(Paths.get(fix))
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+      // copy-to-temp + ATOMIC_MOVE: with two JVMs active (sbt test and
+      // the driver bench share /tmp), a plain REPLACE_EXISTING copy of a
+      // regenerated fixture could be mid-write while the other process's
+      // file stream reads part-0.parquet — the move makes the swap
+      // all-or-nothing (same directory, so same filesystem). The unique
+      // temp name keeps two concurrent re-stagers off each other's file.
+      val tmp = Files.createTempFile(Paths.get(fix), ".part-0", ".tmp")
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.COPY_ATTRIBUTES)
+      Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
     }
     fix
   }
@@ -124,7 +133,26 @@ object StreamGate {
       } finally spark.conf.set(key, prev)
     try require(q.awaitTermination(600000L),
       s"bounded stream $name must self-stop under AvailableNow")
-    finally q.stop()
+    finally {
+      q.stop()
+      // the checkpoint is single-use by design (fresh per call — the gate
+      // never resumes) and the memory sink holds the output in driver
+      // memory, so the state-store/offset dirs are dead weight the moment
+      // the query stops: delete them, or a bench pass (streaming queries
+      // × runs × attempts) accumulates dozens of checkpoint trees in /tmp
+      deleteRecursively(Paths.get(ckpt))
+    }
     spark.table(name)
   }
+
+  /** Best-effort recursive delete for the gate's single-use temp trees —
+    * cleanup must never fail a measurement, so IO errors are swallowed. */
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      if (Files.isDirectory(p))
+        scala.util.Using.resource(Files.list(p))(
+          _.forEach((c: java.nio.file.Path) => deleteRecursively(c)))
+      Files.deleteIfExists(p)
+      ()
+    } catch { case _: java.io.IOException => () }
 }

@@ -61,7 +61,8 @@ class StreamGateSpec extends SparkSpec {
     def writeHalf(pred: org.apache.spark.sql.Column): java.nio.file.Path = {
       val d = Files.createTempDirectory("graft-gate-half")
       ev.filter(pred).repartition(1).write.mode("overwrite").parquet(d.toString)
-      Files.list(d).filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      scala.util.Using.resource(Files.list(d))(
+        _.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get())
     }
     val earlyFile = writeHalf(col("ts") < mid)
     val lateFile = writeHalf(col("ts") >= mid)
@@ -165,8 +166,8 @@ class StreamGateSpec extends SparkSpec {
     def step(pred: org.apache.spark.sql.Column, name: String): Unit = {
       val half = Files.createTempDirectory("graft-sess-half")
       ev.filter(pred).repartition(1).write.mode("overwrite").parquet(half.toString)
-      val f = Files.list(half).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val f = scala.util.Using.resource(Files.list(half))(
+        _.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get())
       Files.copy(f, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
@@ -241,6 +242,49 @@ class StreamGateSpec extends SparkSpec {
           (2L, t("10:05")), (3L, t("12:00"))),
         s"got $emitted")
     } finally { q.stop(); s.catalog.dropTempView("ddww_out") }
+  }
+
+  test("firing rule at exact equality: a window whose end == the watermark fires") {
+    // The gate's oracles replay `window end <= final watermark`; the
+    // fixture's max event times are never hour-aligned, so the equality
+    // case was previously unexercised — an engine/oracle disagreement at
+    // end == wm (<= vs <) would have been invisible. Pin it directly:
+    // with delay 0, an event AT 11:00:00.000 raises the watermark to
+    // exactly 11:00:00, the [10:00, 11:00) window's end — that window
+    // MUST fire, while [11:00, 12:00) (holding the boundary event) pends.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def t(hhmmss: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmmss")
+    val ms = MemoryStream[java.sql.Timestamp]
+    val ckpt = Files.createTempDirectory("graft-boundary-ckpt").toString
+    val q = ms.toDF().toDF("ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("boundary_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      ms.addData(t("10:15:00"), t("10:45:00"), t("11:00:00"))
+      q.processAllAvailable()
+      // eviction happens against the PREVIOUS batch's watermark — feed an
+      // empty-progress batch so the 11:00:00 watermark is the one applied
+      ms.addData(t("11:00:00"))
+      q.processAllAvailable()
+      val fired = s.table("boundary_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(fired == Set((t("10:00:00"), 2L)),
+        s"window end == watermark must fire (<=, not <); got $fired")
+    } finally {
+      q.stop()
+      s.catalog.dropTempView("boundary_out")
+      StreamGate.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
   }
 
   test("streaming physical plans: the stateful operators are the ones declared") {
