@@ -51,6 +51,71 @@ object DedupQueries {
     fix
   }
 
+  /** The STREAM-INGESTED index fixture behind q_stream_index_ingest:
+    * the [[maintainedSearchDir]] corpus history — base build over 90% of
+    * the corpus (doc_id % 10 != 7), the remaining slice applied through
+    * the ledgered append path — but with the slice arriving THROUGH a
+    * real Structured Streaming ingest: a bounded `Trigger.AvailableNow`
+    * file stream whose `foreachBatch` routes the micro-batch into the
+    * index family (positions first, then the commit-owning append, both
+    * keyed on the stream's own batchId — the production ingest→serve
+    * loop StreamingIndexMaintenanceSpec pins, now under the hash gate;
+    * round-16 verdict item 2). Append == rebuild is exact for this
+    * family, so serving from the maintained store answers exactly the
+    * full-corpus SQL — q_search_corpus's oracle, unchanged.
+    *
+    * Idempotent at every entry state, inheriting the ledger's replay
+    * discipline: a completed fixture re-reads fresh and skips the stream
+    * entirely; a fresh JVM over the completed fixture rebuilds the base
+    * from the full dir (snapshotStale false → no stream); a crash
+    * mid-stream leaves the batch uncommitted (stamp is last), so the
+    * re-entry re-runs the bounded stream under a FRESH checkpoint — the
+    * same batchId 0 re-lands both partition overwrites and commits. The
+    * single staged file ⇒ exactly one micro-batch ⇒ batchId 0,
+    * deterministic. */
+  private def streamIngestSearchDir(s: SparkSession, dir: String): String = {
+    import graft.operators.InvertedIndex
+    import graft.streaming.StreamGate
+    val fix = "/tmp/graft_stream_ingest_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val docsPath = s"$fix/documents.parquet"
+    val docs = Tables.documents(s, dir)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 7L
+    if (!new java.io.File(docsPath).exists())
+      docs.filter(!isBatch).write.mode("overwrite").parquet(docsPath)
+    InvertedIndex.ensure(s, fix)
+    InvertedIndex.ensurePositions(s, fix)
+    val total = docs.count()
+    if (Tables.documents(s, fix).count() < total)
+      docs.filter(isBatch).write.mode("append").parquet(docsPath)
+    if (InvertedIndex.snapshotStale(s, fix)) {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt")
+      try {
+        docs.filter(isBatch).repartition(1)
+          .write.mode("overwrite").parquet(srcDir.toString)
+        val q = s.readStream.schema(docs.schema).parquet(srcDir.toString)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (!b.isEmpty) {
+              InvertedIndex.appendPositions(s, fix, b, id)
+              InvertedIndex.append(s, fix, b, id)
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try require(q.awaitTermination(600000L),
+          "bounded index-ingest stream must self-stop under AvailableNow")
+        finally q.stop()
+      } finally {
+        StreamGate.deleteRecursively(ckpt)
+        StreamGate.deleteRecursively(srcDir)
+      }
+    }
+    fix
+  }
+
   /** The EDITED-index fixture behind q_search_*_edited: a /tmp twin
     * whose index history is a base build over the FULL corpus followed
     * by one [[graft.operators.InvertedIndex.edit]] batch — doc_id % 20
@@ -1131,6 +1196,17 @@ object DedupQueries {
 
     "q_search_corpus_edited" -> ((s, dir) =>
       graft.operators.InvertedIndex.search(s, editedSearchDir(s, dir),
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
+
+    // the INGEST→SERVE loop under one hash check (round-16 verdict
+    // item 2): a bounded file STREAM ingests the held-out corpus slice
+    // into the ledgered index via foreachBatch, and the query serves
+    // q_search_corpus's ranked answer from that stream-maintained store
+    // — the engine's streaming gate and index families composed, priced
+    // as a pruned bucket read. Oracle: the full-corpus tf-idf SQL,
+    // unchanged (append == rebuild, spec-pinned).
+    "q_stream_index_ingest" -> ((s, dir) =>
+      graft.operators.InvertedIndex.search(s, streamIngestSearchDir(s, dir),
         Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
 
     // BM25-RANKED corpus search (round 11): top-10 DOCUMENTS for a
@@ -3067,6 +3143,7 @@ object DedupQueries {
     // rebased onto the edited-corpus CTE).
     "q_search_corpus" -> corpusRankedSql,
     "q_search_corpus_maintained" -> corpusRankedSql,
+    "q_stream_index_ingest" -> corpusRankedSql,
     "q_search_corpus_edited" -> overEditedCorpus(corpusRankedSql),
     // the persisted vocabulary itself: live df = count of docs holding
     // the term; the edited twin replays the net-row telescoping

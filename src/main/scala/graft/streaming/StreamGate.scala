@@ -76,6 +76,109 @@ object StreamGate {
     fix
   }
 
+  /** Stage a DUPLICATE-SEEDED twin of `dir`'s events fixture: every
+    * `event_id % 10 == 3` row appears TWICE (bit-identical copies — so
+    * first-occurrence-wins is deterministic on every column), still ONE
+    * parquet file ⇒ one micro-batch. The streaming-dedup gate query
+    * streams THIS dir so its oracle — a plain projection of the unique
+    * `events` rows — actually distinguishes `dropDuplicatesWithinWatermark`
+    * from pass-through: a silent no-op would emit the seeded duplicates
+    * and hash-mismatch (round-16 verdict item 1; previously the fixture's
+    * unique event_ids made dedup and pass-through indistinguishable).
+    * Duplicates land in the same micro-batch, where the drop is
+    * unconditional (eviction applies the PREVIOUS batch's watermark, so
+    * no in-batch state expires) — deterministic on any host. Staleness
+    * keys on the SOURCE file's (size, mtime) via a `_src_sig` sidecar
+    * (underscore-prefixed: invisible to Spark's file listing), because a
+    * derived file cannot carry the source's attributes the way
+    * [[stagedEventsDir]]'s byte-copy does. */
+  def stagedEventsDupDir(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val fix = "/tmp/graft_stream_events_dups_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val src = Paths.get(s"$dir/events.parquet")
+    val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    val sigPath = Paths.get(s"$fix/_src_sig")
+    val dst = Paths.get(s"$fix/part-0.parquet")
+    val current = Files.exists(dst) && Files.exists(sigPath) &&
+      new String(Files.readAllBytes(sigPath),
+        java.nio.charset.StandardCharsets.UTF_8) == sig
+    if (!current) {
+      Files.createDirectories(Paths.get(fix))
+      val ev = graft.sources.Tables.events(spark, dir)
+      val seeded = ev.unionByName(
+        ev.filter(pmod(col("event_id"), lit(10L)) === 3L))
+      // single file via a Spark write to a scratch dir, then the same
+      // atomic-swap discipline as stagedEventsDir
+      val scratch = Files.createTempDirectory("graft-dup-stage")
+      try {
+        seeded.repartition(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scala.util.Using.resource(Files.list(scratch))(
+          _.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get())
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        Files.write(sigPath,
+          sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      } finally deleteRecursively(scratch)
+    }
+    fix
+  }
+
+  /** Stage `dir`'s events fixture as TWO single-file halves split on a
+    * deterministic hour-aligned midpoint of the event-time range — the
+    * multi-batch ingest fixture behind [[runBoundedResume]]. Time-ordered
+    * by construction: every half-a row precedes every half-b row, so a
+    * run that ingests a then b can never drop a row behind the watermark
+    * (the watermark only ever trails data not yet processed), and the
+    * hour alignment means no window straddles the split — the fired set
+    * equals the single-batch run's, which is what lets the resume query
+    * share its single-batch twin's oracle. Memoized like
+    * [[stagedEventsDupDir]] (same `_src_sig` staleness sidecar, same
+    * scratch-write + atomic-swap discipline). */
+  def stagedEventsHalves(spark: SparkSession, dir: String)
+    : (java.nio.file.Path, java.nio.file.Path) = {
+    import org.apache.spark.sql.functions.{col, date_trunc, max, min, timestamp_millis}
+    val fix = "/tmp/graft_stream_events_2b_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val src = Paths.get(s"$dir/events.parquet")
+    val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+    val sigPath = Paths.get(s"$fix/_src_sig")
+    val a = Paths.get(s"$fix/half-a.parquet")
+    val b = Paths.get(s"$fix/half-b.parquet")
+    val current = Files.exists(a) && Files.exists(b) && Files.exists(sigPath) &&
+      new String(Files.readAllBytes(sigPath),
+        java.nio.charset.StandardCharsets.UTF_8) == sig
+    if (!current) {
+      Files.createDirectories(Paths.get(fix))
+      val ev = graft.sources.Tables.events(spark, dir)
+      val r = ev.agg(min("ts").cast("long").as("lo"),
+        max("ts").cast("long").as("hi")).head()
+      val midExpr = date_trunc("hour",
+        timestamp_millis(org.apache.spark.sql.functions.lit(
+          (r.getLong(0) + r.getLong(1)) / 2 * 1000L)))
+      def stage(pred: org.apache.spark.sql.Column, dst: java.nio.file.Path): Unit = {
+        val scratch = Files.createTempDirectory("graft-2b-stage")
+        try {
+          ev.filter(pred).repartition(1)
+            .write.mode("overwrite").parquet(scratch.toString)
+          val part = scala.util.Using.resource(Files.list(scratch))(
+            _.filter(_.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get())
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+          ()
+        } finally deleteRecursively(scratch)
+      }
+      stage(col("ts") < midExpr, a)
+      stage(col("ts") >= midExpr, b)
+      Files.write(sigPath,
+        sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    (a, b)
+  }
+
   /** State-partition count for gate runs (override:
     * SPARK_GRAFT_STREAM_STATE_PARTS). Streaming state partitioning is
     * fixed at CHECKPOINT CREATION from `spark.sql.shuffle.partitions` —
@@ -145,9 +248,62 @@ object StreamGate {
     spark.table(name)
   }
 
+  /** Run `build`'s dataflow TWICE under `Trigger.AvailableNow` over ONE
+    * shared checkpoint — the production cron-cadence restart shape
+    * (AvailableNowSpec) — with the source directory growing between the
+    * runs (half-a, then half-b of [[stagedEventsHalves]]); returns the
+    * append output ACCUMULATED across both runs. This is what puts
+    * incremental resume itself under the oracle gate: run 2 reopens the
+    * state store run 1 checkpointed, confronts run 1's watermark, fires
+    * the windows run 1 left pending (including the split-boundary window
+    * whose rows live only in run 1's state), and must land exactly the
+    * single-batch run's total output — the oracle is the single-batch
+    * twin's, unchanged. The sink must be parquet: a memory sink cannot
+    * survive the restart. The checkpoint and the per-call source dir are
+    * single-use and deleted; the (aggregated, small) output parquet is
+    * what the returned frame reads, so it stays. */
+  def runBoundedResume(spark: SparkSession, dir: String,
+                       build: String => DataFrame): DataFrame = {
+    val (a, b) = stagedEventsHalves(spark, dir)
+    val srcDir = Files.createTempDirectory("graft-gate-resume-src")
+    val ckpt = Files.createTempDirectory("graft-gate-resume-ckpt")
+    val outDir = Files.createTempDirectory("graft-gate-resume-out")
+    val schema = build(srcDir.toString).schema
+    val key = "spark.sql.shuffle.partitions"
+    try {
+      def step(f: java.nio.file.Path, name: String): Unit = {
+        Files.copy(f, srcDir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
+        // same scoped state-partition sizing as runBounded; run 2 reuses
+        // the partitioning fixed at the checkpoint's creation either way
+        val prev = spark.conf.get(key)
+        val q =
+          try {
+            spark.conf.set(key, statePartitions)
+            build(srcDir.toString).writeStream
+              .trigger(Trigger.AvailableNow())
+              .outputMode("append")
+              .format("parquet")
+              .option("checkpointLocation", ckpt.toString)
+              .option("path", outDir.toString)
+              .start()
+          } finally spark.conf.set(key, prev)
+        try require(q.awaitTermination(600000L),
+          s"bounded resume run over $name must self-stop under AvailableNow")
+        finally q.stop()
+      }
+      step(a, "a.parquet")
+      step(b, "b.parquet")
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+    }
+    spark.read.schema(schema).parquet(outDir.toString)
+  }
+
   /** Best-effort recursive delete for the gate's single-use temp trees —
     * cleanup must never fail a measurement, so IO errors are swallowed. */
-  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     try {
       if (Files.isDirectory(p))
         scala.util.Using.resource(Files.list(p))(

@@ -244,6 +244,60 @@ class StreamGateSpec extends SparkSpec {
     } finally { q.stop(); s.catalog.dropTempView("ddww_out") }
   }
 
+  test("q_stream_agg_sum_resume == q_stream_agg_sum: two batches, one checkpoint, same set") {
+    type Row5 = (java.sql.Timestamp, java.sql.Timestamp, String, Double, Long)
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[Row5] =
+      df.collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+        r.getString(2), r.getDouble(3), r.getLong(4))).toSet
+    val single = toSet(graft.StreamQueries.queries("q_stream_agg_sum")(spark, sfDir))
+    val resumed = toSet(graft.StreamQueries.queries("q_stream_agg_sum_resume")(spark, sfDir))
+    assert(resumed == single && single.nonEmpty,
+      s"unexpected=${resumed.diff(single).take(3)} missing=${single.diff(resumed).take(3)}")
+    // the split is non-trivial at this sf: both halves must hold rows,
+    // or the resume path degenerates to the single-batch run
+    val (a, b) = StreamGate.stagedEventsHalves(spark, sfDir)
+    assert(spark.read.parquet(a.toString).count() > 0 &&
+      spark.read.parquet(b.toString).count() > 0,
+      "both staged halves must be non-empty for the resume to mean anything")
+  }
+
+  test("q_stream_index_ingest serves the full-corpus answer from the stream-maintained store") {
+    val out = graft.DedupQueries.queries("q_stream_index_ingest")(spark, sfDir)
+    // plan pin: serving reads the persisted postings store through its
+    // bucket pruning — never a corpus scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("inv_index_") && plan.contains("SelectedBucketsCount"),
+      s"serving must read the bucket-pruned postings store:\n${plan.take(2000)}")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val base = toSet(graft.DedupQueries.queries("q_search_corpus")(spark, sfDir))
+    val streamed = toSet(out)
+    assert(streamed == base && base.nonEmpty,
+      s"unexpected=${streamed.diff(base).take(3)} missing=${base.diff(streamed).take(3)}")
+  }
+
+  test("q_stream_dedup_within_wm: the seeded duplicates are DROPPED, not passed through") {
+    val s = spark
+    // the staged twin really is duplicate-seeded (input > unique events)
+    val ev = Tables.events(s, sfDir)
+    val evCount = ev.count()
+    val seededCount = evCount +
+      ev.filter(pmod(col("event_id"), lit(10L)) === 3L).count()
+    val staged = s.read.parquet(StreamGate.stagedEventsDupDir(s, sfDir))
+    assert(staged.count() == seededCount && seededCount > evCount,
+      "dup-staged fixture must hold every event plus the seeded slice")
+
+    // and the gate query's output is exactly the unique events — one row
+    // per event_id, every seeded duplicate dropped in-batch
+    val out = graft.StreamQueries.queries("q_stream_dedup_within_wm")(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected = ev.select("event_id", "user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == expected && out.size.toLong == evCount,
+      s"dedup must emit each seeded event exactly once (got ${out.size} of $evCount)")
+  }
+
   test("firing rule at exact equality: a window whose end == the watermark fires") {
     // The gate's oracles replay `window end <= final watermark`; the
     // fixture's max event times are never hour-aligned, so the equality
