@@ -25,7 +25,7 @@ object Bench {
     * counter cannot see. Recording the hostmark beside the totals lets a
     * reader normalize cross-round comparisons: if hostmark moved, the
     * host moved. ~50M iterations ≈ 0.15-0.3 s on a quiet core. */
-  private def hostmark(): Double = {
+  private[graft] def hostmark(): Double = {
     val t0 = System.nanoTime()
     var z = 0x9E3779B97F4A7C15L
     var i = 0
@@ -45,7 +45,7 @@ object Bench {
     * even when single-thread stays flat — which is exactly the round-9
     * signature (saturating 32-thread queries +25% while the 1-thread
     * mark held 0.15 s). */
-  private def hostmarkParallel(n: Int): Double = {
+  private[graft] def hostmarkParallel(n: Int): Double = {
     val t0 = System.nanoTime()
     val ts = (1 to n).map { _ =>
       val t = new Thread(() => { hostmark(); () })
@@ -53,6 +53,51 @@ object Bench {
     }
     ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** MEMORY-BANDWIDTH reference work (round-16 verdict item 4): `n`
+    * threads stream-sum disjoint stripes of one shared 256 MB long array
+    * (sized far past any LLC — the sum is a pure sequential read the
+    * prefetcher turns into line-rate memory traffic), 8 passes each, wall
+    * time of the slowest thread. The ALU hostmark above holds flat under
+    * memory-bandwidth co-tenancy — the exact steal mode that cost rounds
+    * 14-16 three requalification cycles on the corpus-dedup family
+    * (SCALE.md round 16: untouched bandwidth-heavy queries inflated while
+    * hostmark_mt sat under threshold) — because splitmix mixing lives in
+    * registers. This mark saturates the memory controller instead, so a
+    * co-tenant eating bandwidth inflates it directly. ~2 GB of traffic ≈
+    * 30-100 ms on a quiet host. The array is allocated and filled once
+    * per JVM (driver heap is 128 GiB; 256 MB is noise) so later calls
+    * measure bandwidth, not allocation or page faults. */
+  private lazy val bwArray: Array[Long] = {
+    val a = new Array[Long](1 << 25) // 32M longs = 256 MB
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  private[graft] def hostmarkBw(n: Int): Double = {
+    val a = bwArray
+    val stripe = a.length / n
+    val sinks = new Array[Long](n) // observable sink so the sum survives JIT
+    val t0 = System.nanoTime()
+    val ts = (0 until n).map { k =>
+      val t = new Thread(() => {
+        val end = if (k == n - 1) a.length else (k + 1) * stripe
+        var s = 0L
+        var pass = 0
+        while (pass < 8) {
+          var i = k * stripe
+          while (i < end) { s += a(i); i += 1 }
+          pass += 1
+        }
+        sinks(k) = s
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (sinks.sum == 42L) System.err.println("")
+    dt
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,7 +152,10 @@ object Bench {
     // when suspected runs stay rare (<=10% of queries) AND the parallel
     // hostmark held within 15% of the quiet-host reference (r12's
     // 0.163 s — the all-cores mark, the one co-tenant load actually
-    // moves). A false verdict means: use the artifact for
+    // moves) AND the memory-BANDWIDTH mark held within 1.5x of its
+    // quiet reference (round-16 item 4: ALU marks miss bandwidth-only
+    // co-tenancy, the mode behind the r14-r16 corpus-dedup
+    // requalification cycles). A false verdict means: use the artifact for
     // errors/regressions-in-kind only; requalify before comparing.
     // The mt reference was measured at the driver's config (32 threads
     // on this 32-thread host); hostmarkParallel(n) scales with n, so the
@@ -131,6 +179,21 @@ object Bench {
       raw.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"SPARK_GRAFT_HOSTMARK_MT_THREADS must be an integer, got '$raw'"))
     }
+    // The BANDWIDTH leg's quiet reference (round-16 verdict item 4): the
+    // ALU hostmark under-detects memory-bandwidth co-tenancy — the steal
+    // mode that cost rounds 14-16 three requalification cycles — so the
+    // verdict gets a third leg that saturates the memory controller
+    // instead (hostmarkBw). 0.015 s = min of 8 HostmarkProbe rounds at 32
+    // threads on this host (stable rounds 0.015-0.019, a 1.27x spread),
+    // measured under MILD ALU contention, so a genuinely quiet host is at
+    // or below it. Threshold 1.5x: above stable-round noise, well below
+    // the >=2x inflation a bandwidth-halving co-tenant causes. Same
+    // config guard as the mt leg (thread-count-dependent mark).
+    val ReferenceHostmarkBw = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_HOSTMARK_BW_REF", "0.015")
+      raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_HOSTMARK_BW_REF must be a number (seconds), got '$raw'"))
+    }
     // RETRY ON SELF-FLAG (round-15 verdict item 5): two rounds straight
     // the driver's final bench ran through a host steal storm and stamped
     // itself non-comparable while a quiet run existed — so the bench now
@@ -149,6 +212,7 @@ object Bench {
     final case class Attempt(
       results: Seq[(String, Seq[Option[(Double, Double)]], Boolean)],
       hostmarkBefore: Double, hostmarkAfter: Double, hostmarkMt: Double,
+      hostmarkBwRun: Double,
       suspects: Seq[String], comparable: Boolean, whyNot: List[String])
     def measureOnce(): Attempt = {
     // host-speed reference: min-of-3 before, min-of-3 after the suite
@@ -198,6 +262,9 @@ object Bench {
     }
     val hostmarkAfter = (1 to 3).map(_ => hostmark()).min
     val hostmarkMt = (1 to 2).map(_ => hostmarkParallel(cpus.toInt)).min
+    // min-of-3: sample 1 of the first attempt also absorbs the array
+    // fault-in; the min is the quiet-est slice this attempt saw
+    val hostmarkBwRun = (1 to 3).map(_ => hostmarkBw(cpus.toInt)).min
     val suspects = results.collect {
       case (k, t, _) if t.flatten.exists { case (el, ss) =>
         ss > math.max(0.25, 0.05 * el) } => k
@@ -206,15 +273,20 @@ object Bench {
       if (results.nonEmpty) suspects.size.toDouble / results.size else 0.0
     val mtRegressed = cpus.toInt == ReferenceMtThreads &&
       hostmarkMt > ReferenceHostmarkMt * 1.15
-    val comparable = suspectShare <= 0.10 && !mtRegressed
+    val bwRegressed = cpus.toInt == ReferenceMtThreads &&
+      hostmarkBwRun > ReferenceHostmarkBw * 1.5
+    val comparable = suspectShare <= 0.10 && !mtRegressed && !bwRegressed
     val whyNot =
       (if (suspectShare > 0.10)
         List(s""""steal_suspects ${suspects.size}/${results.size} > 10%"""")
       else Nil) ++
       (if (mtRegressed)
         List(f""""hostmark_mt $hostmarkMt%.3f > 1.15x quiet ref $ReferenceHostmarkMt%.3f"""")
+      else Nil) ++
+      (if (bwRegressed)
+        List(f""""hostmark_bw $hostmarkBwRun%.3f > 1.5x quiet ref $ReferenceHostmarkBw%.3f"""")
       else Nil)
-    Attempt(results, hostmarkBefore, hostmarkAfter, hostmarkMt,
+    Attempt(results, hostmarkBefore, hostmarkAfter, hostmarkMt, hostmarkBwRun,
       suspects, comparable, whyNot)
     }
     var attempts = 0
@@ -231,7 +303,7 @@ object Bench {
           s"(${a.whyNot.mkString("; ")}) — re-measuring")
     }
     val Attempt(results, hostmarkBefore, hostmarkAfter, hostmarkMt,
-      suspects, comparable, whyNot) = chosen
+      hostmarkBwRun, suspects, comparable, whyNot) = chosen
     // A failed query must be LOUD and must NOT contribute a timing: its
     // time-to-crash would read as a (often phantom-fast) measurement. It is
     // omitted from `queries`/the total and listed in `errors` instead.
@@ -297,7 +369,7 @@ object Bench {
       else f"${total * (Round9ReferenceHostmark / hostmarkRun)}%.3f"
     val compJson =
       s""""comparable":$comparable,"comparable_why_not":${whyNot.mkString("[", ",", "]")},"bench_attempts":$attempts"""
-    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson,$compJson"""
+    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_bw_sec":$hostmarkBwRun%.3f,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson,$compJson"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
     // A SPARK_GRAFT_ONLY-filtered dev run must NOT clobber the in-repo
     // full-surface artifact (round-16 near-miss: a filtered probe run

@@ -74,7 +74,7 @@ object ComponentIndex {
   /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
   val BaseBatchId: Long = SnapshotMeta.BaseBatchId
 
-  /** Index-side file parallelism knob (the [[InvertedIndex.Buckets]]
+  /** Index-side file parallelism knob (the [[InvertedIndex]] sizing's fixed-count
     * twin for the component family): the component map and the banded
     * signature store are each one file per bucket per batch partition —
     * a fixture-scale default of 8; at production scale size from a

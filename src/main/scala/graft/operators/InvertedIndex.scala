@@ -78,23 +78,69 @@ object InvertedIndex {
   private[operators] def deletesTable(dir: String): String =
     SnapshotMeta.indexStem("inv_index_", dir) + "_deletes"
 
-  /** Index-side file parallelism knob: every pruned lookup reads ~k/Buckets
-    * of the postings, and every bucket is one file per table partition —
-    * a fixture-scale default of 16; at production scale size it from a
-    * target bucket FILE size, not a count (Buckets ≈ postings bytes /
-    * (#batches × 256 MB), see SCALE.md). Override with
+  /** Index-side file parallelism: every pruned lookup reads ~k/buckets
+    * of the postings, and every bucket is one file per table partition.
+    * The count is CHOSEN AT BUILD TIME from measured bytes (round-16
+    * verdict item 5 — a constant was wrong in both directions: the
+    * 256-bucket fixture rerun measured SLOWER because tiny buckets pay
+    * per-file open cost, and 16 buckets at 100 TB would make 100+ GB
+    * bucket files): [[bucketCountForBytes]] applies the round-13 sizing
+    * formula — next power of two of bytes / 256 MB target bucket-file
+    * size, floored at 16 — to the build input's scan bytes
+    * ([[chooseBuckets]]). The choice is PERSISTED in the table's own
+    * catalog bucket spec — the one place it is both recorded and
+    * ENFORCED (every later partition overwrite must and does conform;
+    * a ledger copy could desync from what the table actually has) — and
+    * read back via [[bucketsOf]] wherever the family adds a table or
+    * folds ([[ensurePositions]], [[compact]]). Override with
     * -Dgraft.index.invBuckets=N BEFORE the first build (the bucket spec
-    * is fixed at table creation). */
-  val Buckets: Int = {
-    val raw = sys.props.getOrElse("graft.index.invBuckets", "16")
-    val n = scala.util.Try(raw.toInt).getOrElse(
-      throw new IllegalArgumentException(
+    * is fixed at table creation; [[compact]] re-evaluates). */
+  private def forcedBuckets: Option[Int] = sys.props.get("graft.index.invBuckets")
+    .map { raw =>
+      val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"-Dgraft.index.invBuckets must be an integer, got '$raw'"))
-    require(n > 0, s"-Dgraft.index.invBuckets must be positive, got $n " +
-      "(note: the bucket spec is fixed at table creation; changing the " +
-      "property later is ignored for existing tables)")
-    n
+      require(n > 0, s"-Dgraft.index.invBuckets must be positive, got $n " +
+        "(note: the bucket spec is fixed at table creation; changing the " +
+        "property later is ignored for existing tables)")
+      n
+    }
+
+  /** The sizing formula, pure: bucket count = next power of two of
+    * ceil(bytes / targetBytes), floored at `minBuckets` (capped at 2^20
+    * — a backstop, never a real configuration). Power of two so probe
+    * hashing stays well-distributed under doubling, min 16 so fixture
+    * scale keeps the measured-faster small-count layout. At 100 TB:
+    * ~1 TB of postings → 4096 buckets of ~256 MB each. */
+  private[operators] def bucketCountForBytes(bytes: Long,
+                                             targetBytes: Long = 256L << 20,
+                                             minBuckets: Int = 16): Int = {
+    require(targetBytes > 0 && minBuckets > 0,
+      s"need positive targetBytes/minBuckets, got $targetBytes/$minBuckets")
+    val need = math.max(1L, (math.max(0L, bytes) + targetBytes - 1) / targetBytes)
+    val pow = java.lang.Long.highestOneBit(need)
+    val np = if (pow == need) need else pow * 2
+    math.max(minBuckets.toLong, math.min(np, 1L << 20)).toInt
   }
+
+  /** The build-time choice: the forced override, else
+    * [[bucketCountForBytes]] over the build input's optimizer scan bytes
+    * (for a parquet corpus: the file bytes — a same-order proxy for the
+    * postings store's bytes, which cannot be known before writing; the
+    * formula only moves in power-of-two steps, so same-order is
+    * enough). */
+  private[operators] def chooseBuckets(docs: DataFrame): Int =
+    forcedBuckets.getOrElse(bucketCountForBytes(
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong))
+
+  /** The PERSISTED choice, read back from the table's catalog bucket
+    * spec — [[chooseBuckets]]' durable record. */
+  private[operators] def bucketsOf(spark: SparkSession, t: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$t exists but carries no bucket spec — not a graft-built index table"))
 
   /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
   val BaseBatchId: Long = SnapshotMeta.BaseBatchId
@@ -220,23 +266,28 @@ object InvertedIndex {
         IvfIndex.dropOrphanLocation(spark, x)
       }
       val docs = graft.sources.Tables.documents(spark, dir)
+      // ONE bytes-sized bucket count for the whole family at this build
+      // (chooseBuckets scaladoc); vocab/deletes are vocabulary-sized and
+      // would floor at 16 on their own — family-uniform keeps the layout
+      // legible and the compact fold consistent
+      val nb = chooseBuckets(docs)
       postings(docs).withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id")
-        .bucketBy(Buckets, "term").sortBy("term", "doc_id")
+        .bucketBy(nb, "term").sortBy("term", "doc_id")
         .saveAsTable(t)
       corpusStats(docs).withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id").saveAsTable(statsTable(dir))
       val v = vocab(docs).localCheckpoint(true)
       v.withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id")
-        .bucketBy(Buckets, "term").sortBy("term")
+        .bucketBy(nb, "term").sortBy("term")
         .saveAsTable(vocabTable(dir))
       // bucketed by VARIANT: the live view groups by (variant, term),
       // which the variant bucketing satisfies shuffle-free, and the
       // batched-fuzzy probe joins on the variant string
       deletes(v).withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id")
-        .bucketBy(Buckets, "variant").sortBy("variant", "term")
+        .bucketBy(nb, "variant").sortBy("variant", "term")
         .saveAsTable(deletesTable(dir))
       SnapshotMeta.stampBatch(spark, metaTable(dir), BaseBatchId,
         SnapshotMeta.fingerprint(docs, "doc_id"))
@@ -507,7 +558,9 @@ object InvertedIndex {
       positions(graft.sources.Tables.documents(spark, dir))
         .withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id")
-        .bucketBy(Buckets, "term").sortBy("term", "doc_id")
+        // the family's persisted choice (the postings table's spec), so
+        // a positions table added later matches the build-time sizing
+        .bucketBy(bucketsOf(spark, table(dir)), "term").sortBy("term", "doc_id")
         .saveAsTable(t)
     }
     t
@@ -561,7 +614,8 @@ object InvertedIndex {
     * the same rows; stats re-sum to the same totals; spec-pinned), and
     * the per-lookup file count drops back to one per selected bucket.
     * Because the bucket spec is re-declared at the rewrite, compaction is
-    * also the sanctioned path to a NEW [[Buckets]] count.
+    * also the sanctioned path to a NEW bucket count (re-evaluated from
+    * each table's stored bytes — see the sizing scaladoc up top).
     *
     * NOT crash-atomic, by contract: each table fold is a drop-and-
     * recreate, so a kill mid-compact can leave a table absent — the
@@ -590,6 +644,13 @@ object InvertedIndex {
     def fold(t: String, bucketCols: Seq[String], sortCols: Seq[String],
              agg: DataFrame => DataFrame = identity,
              live: Boolean = false): Unit = {
+      // the bucket spec is re-declared at the rewrite, so compaction
+      // RE-EVALUATES the sizing formula — per table, from the table's
+      // own stored bytes (now known exactly, unlike at build time): the
+      // sanctioned path to a new count as the store grows or shrinks
+      val nb = forcedBuckets.getOrElse(bucketCountForBytes(
+        spark.table(t).queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong))
       // localCheckpoint truncates lineage, so nothing reads `t` when the
       // overwrite drops it (the ComponentIndex.merge device)
       val src = if (live) withoutTombstones(spark, dir, spark.table(t))
@@ -598,7 +659,7 @@ object InvertedIndex {
       val w = rows.withColumn("batch_id", lit(foldId))
         .write.mode("overwrite").partitionBy("batch_id")
       (if (bucketCols.nonEmpty)
-         w.bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
+         w.bucketBy(nb, bucketCols.head, bucketCols.tail: _*)
            .sortBy(sortCols.head, sortCols.tail: _*)
        else w).saveAsTable(t)
     }

@@ -70,7 +70,7 @@ object IvfIndex {
   /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
   val BaseBatchId: Long = SnapshotMeta.BaseBatchId
 
-  /** Index-side file parallelism knob (the [[InvertedIndex.Buckets]] twin
+  /** Index-side file parallelism knob (the [[InvertedIndex]] sizing's fixed-count twin
     * for the ANN family — cells AND PQ codes share it, so the two tables
     * stay co-bucketed on `cell`): fixture-scale default 8; at production
     * scale size from a target bucket file size (see SCALE.md "Sizing the

@@ -163,7 +163,7 @@ object SnapshotMaintenance {
     * until the next fold — N bounds both, so a daily-batch loop pays
     * one index-IO-only fold every N days instead of accreting partitions
     * forever. The default 32 keeps per-table file counts in the
-    * hundreds at [[InvertedIndex.Buckets]]-sized builds. */
+    * hundreds at fixture-scale bucket counts. */
   private[operators] def compactAfter: Int = {
     val raw = sys.props.getOrElse("graft.index.compactAfter", "32")
     val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(

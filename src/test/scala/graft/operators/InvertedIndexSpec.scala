@@ -840,7 +840,7 @@ class InvertedIndexSpec extends SparkSpec {
         .drop("batch_id").localCheckpoint(true)
       rows.withColumn("batch_id", lit(foldId))
         .write.mode("overwrite").partitionBy("batch_id")
-        .bucketBy(InvertedIndex.Buckets, "term").sortBy("term", "doc_id")
+        .bucketBy(InvertedIndex.bucketsOf(s, t), "term").sortBy("term", "doc_id")
         .saveAsTable(t)
       s.catalog.refreshTable(t)
       // the torn state still serves every answer exactly: folded rows
@@ -1410,5 +1410,29 @@ class InvertedIndexSpec extends SparkSpec {
       assert(InvertedIndex.search(s, dir, Seq("delta"), k = 5).count() == 0,
         "the tombstone must keep hiding the batch after the replay")
     } finally { InvertedIndex.drop(s, dir); rm(dir) }
+  }
+
+  test("bucket sizing: the bytes formula floors at 16 and grows in powers of two; " +
+       "a small build persists the floor, a large build input picks more") {
+    import InvertedIndex.bucketCountForBytes
+    // the formula itself (round-16 verdict item 5): 256 MB target files,
+    // min 16, next power of two
+    assert(bucketCountForBytes(0L) == 16)
+    assert(bucketCountForBytes(1L << 30) == 16) // 1 GB: 4 needed, floored
+    assert(bucketCountForBytes(16L * (256L << 20)) == 16) // exact fit
+    assert(bucketCountForBytes(16L * (256L << 20) + 1) == 32) // next pow2
+    assert(bucketCountForBytes(1L << 40) == 4096) // 1 TB of store bytes
+    assert(bucketCountForBytes(100L << 40) == (1 << 19)) // 100 TB corpus
+    // a synthetic LARGE build input picks more than the floor — range's
+    // plan stats are exact (8 bytes/row) with nothing materialized, so
+    // this is the real chooseBuckets path at 8 GB of scan bytes
+    val big = spark.range(1L << 30).toDF("doc_id")
+    assert(InvertedIndex.chooseBuckets(big) == 32,
+      s"8 GB of scan bytes must pick 32, got ${InvertedIndex.chooseBuckets(big)}")
+    // the fixture-scale build chose the floor and PERSISTED it in the
+    // table's catalog bucket spec (the choice's durable record, read
+    // back by ensurePositions/compact)
+    InvertedIndex.ensure(spark, sfDir)
+    assert(InvertedIndex.bucketsOf(spark, InvertedIndex.table(sfDir)) == 16)
   }
 }
