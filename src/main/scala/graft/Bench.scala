@@ -419,7 +419,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalS = ms3(total)
     println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"queries":$qsMs,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"n_queries":${mins.size},"slowest":$slowest,"detail":"BENCH_DETAIL.json","steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","runs_per_query":$runs,"n_queries":${mins.size},"slowest":$slowest,"detail":"$detailPath","steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$totalS}""")
     spark.stop()
   }
 }
