@@ -284,6 +284,94 @@ object DedupQueries {
     fix
   }
 
+  /** The stream-CDC index fixture behind q_stream_index_cdc —
+    * [[streamIngestSearchDir]]'s EDIT-class twin, completing the
+    * streamed maintenance story under the gate: the base build covers
+    * the FULL corpus, then ONE micro-batch of CDC events (op = delete
+    * for doc_id % 20 == 3; op = upsert with the text doubled for
+    * doc_id % 20 == 11 — exactly [[editedSearchDir]]'s edit, so the
+    * oracle is q_search_corpus_edited's, unchanged) arrives through a
+    * bounded AvailableNow file stream whose foreachBatch routes it into
+    * [[graft.operators.InvertedIndex.edit]] with the stream's own
+    * batchId (0 — non-negative and above the base partition, so
+    * tombstone visibility orders correctly). The outgoing content the
+    * edit compensates with is read from the ORIGINAL dir's documents
+    * semi-joined to the event ids (the maintenance job owns its corpus;
+    * CDC events carry ops + new content only) — everything inside
+    * foreachBatch runs on the micro-batch's own session.
+    *
+    * Same idempotent state machine as [[editedSearchDir]] (full+fresh →
+    * stream the edit; full+stale → the edit committed, land the edited
+    * corpus; edited+fresh → done or a fresh-JVM rebuild over the edited
+    * corpus, identical answers; else → wholesale rebuild), with the
+    * stream replayed under a FRESH checkpoint on re-entry — the edit's
+    * ledger stamp makes a replayed committed batch a no-op. */
+  private def streamCdcSearchDir(s: SparkSession, dir: String): String = {
+    import graft.operators.InvertedIndex
+    import graft.streaming.StreamGate
+    val fix = "/tmp/graft_stream_cdc_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val docsPath = s"$fix/documents.parquet"
+    val docs = Tables.documents(s, dir)
+    val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
+    val isRewritten = pmod(col("doc_id"), lit(20L)) === 11L
+    def editedCorpus = docs.filter(!isRemoved).withColumn("text",
+      when(isRewritten, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")))
+    def applyEditViaStream(): Unit = {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-cdc-src")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt")
+      try {
+        val events = docs.filter(isRemoved)
+          .select(col("doc_id"), lit("delete").as("op"), lit(null).cast("string").as("text"))
+          .unionByName(docs.filter(isRewritten)
+            .select(col("doc_id"), lit("upsert").as("op"),
+              concat(col("text"), lit(" "), col("text")).as("text")))
+        events.repartition(1).write.mode("overwrite").parquet(srcDir.toString)
+        val q = s.readStream.schema(events.schema).parquet(srcDir.toString)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (!b.isEmpty) {
+              val bs = b.sparkSession
+              val removed = Tables.documents(bs, dir)
+                .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+              val added = b.filter(col("op") === "upsert")
+                .select("doc_id", "text")
+              InvertedIndex.appendPositions(bs, fix, added, id)
+              InvertedIndex.edit(bs, fix, removed, added, id)
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try require(q.awaitTermination(600000L),
+          "bounded CDC stream must self-stop under AvailableNow")
+        finally q.stop()
+      } finally {
+        StreamGate.deleteRecursively(ckpt)
+        StreamGate.deleteRecursively(srcDir)
+      }
+      editedCorpus.write.mode("overwrite").parquet(docsPath)
+    }
+    if (!new java.io.File(docsPath).exists())
+      docs.write.mode("overwrite").parquet(docsPath)
+    InvertedIndex.ensure(s, fix)
+    InvertedIndex.ensurePositions(s, fix)
+    val full = Tables.documents(s, fix).count() == docs.count()
+    val stale = InvertedIndex.snapshotStale(s, fix)
+    if (full && !stale) applyEditViaStream()
+    else if (full && stale)
+      editedCorpus.write.mode("overwrite").parquet(docsPath)
+    else if (stale) { // unrecognized state: rebuild from scratch
+      InvertedIndex.drop(s, fix)
+      docs.write.mode("overwrite").parquet(docsPath)
+      InvertedIndex.ensure(s, fix)
+      InvertedIndex.ensurePositions(s, fix)
+      applyEditViaStream()
+    }
+    fix
+  }
+
   /** Per-JVM memo of the promotion fixture's action string — the
     * declared q_snapshot_promote must report what promote() ACTUALLY
     * returned, so the fixture rebuilds once per session (bench re-runs
@@ -1207,6 +1295,15 @@ object DedupQueries {
     // unchanged (append == rebuild, spec-pinned).
     "q_stream_index_ingest" -> ((s, dir) =>
       graft.operators.InvertedIndex.search(s, streamIngestSearchDir(s, dir),
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
+
+    // the EDIT-class half of the streamed maintenance loop: CDC events
+    // (deletes + rewrites) arrive through a bounded stream, foreachBatch
+    // routes them into InvertedIndex.edit with the stream's batchId, and
+    // serving reads THROUGH the resulting tombstones — the oracle is
+    // q_search_corpus_edited's edited-corpus replay, unchanged
+    "q_stream_index_cdc" -> ((s, dir) =>
+      graft.operators.InvertedIndex.search(s, streamCdcSearchDir(s, dir),
         Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
 
     // BM25-RANKED corpus search (round 11): top-10 DOCUMENTS for a
@@ -3144,6 +3241,7 @@ object DedupQueries {
     "q_search_corpus" -> corpusRankedSql,
     "q_search_corpus_maintained" -> corpusRankedSql,
     "q_stream_index_ingest" -> corpusRankedSql,
+    "q_stream_index_cdc" -> overEditedCorpus(corpusRankedSql),
     "q_search_corpus_edited" -> overEditedCorpus(corpusRankedSql),
     // the persisted vocabulary itself: live df = count of docs holding
     // the term; the edited twin replays the net-row telescoping

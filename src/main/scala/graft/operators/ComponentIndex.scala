@@ -74,24 +74,33 @@ object ComponentIndex {
   /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
   val BaseBatchId: Long = SnapshotMeta.BaseBatchId
 
-  /** Index-side file parallelism knob (the [[InvertedIndex]] sizing's fixed-count
-    * twin for the component family): the component map and the banded
-    * signature store are each one file per bucket per batch partition —
-    * a fixture-scale default of 8; at production scale size from a
-    * target bucket FILE size, not a count (Buckets ≈ store bytes /
-    * (#batches × 256 MB), see SCALE.md "Sizing the index bucket
-    * counts"). Override with -Dgraft.index.compBuckets=N BEFORE the
-    * first build (the bucket spec is fixed at table creation). */
-  val Buckets: Int = {
-    val raw = sys.props.getOrElse("graft.index.compBuckets", "8")
-    val n = scala.util.Try(raw.toInt).getOrElse(
-      throw new IllegalArgumentException(
+  /** Forced bucket-count override for the component family
+    * (-Dgraft.index.compBuckets=N, set BEFORE the first build): absent,
+    * the count is sized from bytes at build time — see
+    * [[chooseBuckets]]. The map and the banded store are each one file
+    * per bucket per batch partition. */
+  private def forcedBuckets: Option[Int] = sys.props.get("graft.index.compBuckets")
+    .map { raw =>
+      val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"-Dgraft.index.compBuckets must be an integer, got '$raw'"))
-    require(n > 0, s"-Dgraft.index.compBuckets must be positive, got $n " +
-      "(note: the bucket spec is fixed at table creation; changing the " +
-      "property later is ignored for existing tables)")
-    n
-  }
+      require(n > 0, s"-Dgraft.index.compBuckets must be positive, got $n " +
+        "(note: the bucket spec is fixed at table creation; changing the " +
+        "property later is ignored for existing tables)")
+      n
+    }
+
+  /** The build-time choice ([[InvertedIndex.bucketCountForBytes]],
+    * component floor 8): forced override, else next-pow-2 of the build
+    * input's scan bytes / 256 MB. Persisted in each table's catalog
+    * bucket spec; map REWRITES (merge/edit overwrite the whole map)
+    * read it back via [[InvertedIndex.bucketsOf]] so the choice
+    * survives maintenance, and [[compact]] re-evaluates the banded
+    * store's count from its actual stored bytes (no co-bucketed partner
+    * table constrains it — unlike the ANN family's cells/codes pair). */
+  private def chooseBuckets(input: DataFrame): Int =
+    forcedBuckets.getOrElse(InvertedIndex.bucketCountForBytes(
+      input.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong, minBuckets = 8))
 
   /** STALENESS check (review finding: `tableExists` cannot detect a
     * regenerated fixture at the same path — the stale index would serve
@@ -196,7 +205,7 @@ object ComponentIndex {
       CacheScope.withOperatorCaches {
         bandedComponentMap(docs)
           .write.mode("overwrite")
-          .bucketBy(Buckets, "doc_id").sortBy("doc_id")
+          .bucketBy(chooseBuckets(docs), "doc_id").sortBy("doc_id")
           .saveAsTable(t)
       }
       SnapshotMeta.stampBatch(spark, metaTable(dir), BaseBatchId,
@@ -221,10 +230,12 @@ object ComponentIndex {
     val bt = bandedTable(dir)
     if (!spark.catalog.tableExists(bt)) {
       IvfIndex.dropOrphanLocation(spark, bt)
-      bandedSignatures(graft.sources.Tables.documents(spark, dir))
+      val docs = graft.sources.Tables.documents(spark, dir)
+      bandedSignatures(docs)
         .withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id")
-        .bucketBy(Buckets, "band", "key", "block").sortBy("band", "key", "block")
+        .bucketBy(chooseBuckets(docs), "band", "key", "block")
+        .sortBy("band", "key", "block")
         .saveAsTable(bt)
     }
     bt
@@ -307,10 +318,12 @@ object ComponentIndex {
       // the clustering runs EAGERLY inside components(), and its output
       // is localCheckpoint-backed (truncated lineage) — so by write time
       // nothing reads the tables being updated
+      // the map's persisted count, read BEFORE the overwrite drops it
+      val mapBuckets = InvertedIndex.bucketsOf(spark, t)
       val newMap = mergedFromBanded(spark.table(t),
         withoutTombstones(spark, dir, spark.table(bt)).drop("batch_id"), bb)
       newMap.write.mode("overwrite")
-        .bucketBy(Buckets, "doc_id").sortBy("doc_id").saveAsTable(t)
+        .bucketBy(mapBuckets, "doc_id").sortBy("doc_id").saveAsTable(t)
       SnapshotMeta.overwritePartition(spark, bt, batchId, bb)
       // the writes resolve through the BATCH frame's session — under
       // foreachBatch that is the micro-batch clone, and only the writing
@@ -445,11 +458,12 @@ object ComponentIndex {
       val bb = CacheScope.track(bandedSignatures(added).localCheckpoint(true))
       // eager (components() clusters inside, localCheckpoint-backed), so
       // by write time nothing reads the tables being overwritten
+      val mapBuckets = InvertedIndex.bucketsOf(spark, t)
       val newMap = editedFromBanded(spark.table(t),
         withoutTombstones(spark, dir, spark.table(bt)).drop("batch_id"),
         bb, tombs)
       newMap.write.mode("overwrite")
-        .bucketBy(Buckets, "doc_id").sortBy("doc_id").saveAsTable(t)
+        .bucketBy(mapBuckets, "doc_id").sortBy("doc_id").saveAsTable(t)
       SnapshotMeta.overwritePartition(spark, bt, batchId, bb)
       spark.catalog.refreshTable(t)
       spark.catalog.refreshTable(bt)
@@ -492,11 +506,16 @@ object ComponentIndex {
       .agg(max("batch_id")).head().getLong(0)
     // tombstones apply PHYSICALLY at the fold (dead rows dropped), so
     // the tombstone table retires with the batch partitions
+    // re-evaluate the store's count from its actual stored bytes (the
+    // InvertedIndex.compact rule — the sanctioned recount moment)
+    val nb = forcedBuckets.getOrElse(InvertedIndex.bucketCountForBytes(
+      spark.table(bt).queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong, minBuckets = 8))
     val rows = withoutTombstones(spark, dir, spark.table(bt))
       .drop("batch_id").localCheckpoint(true)
     rows.withColumn("batch_id", lit(foldId))
       .write.mode("overwrite").partitionBy("batch_id")
-      .bucketBy(Buckets, "band", "key", "block")
+      .bucketBy(nb, "band", "key", "block")
       .sortBy("band", "key", "block")
       .saveAsTable(bt)
     spark.sql(s"DROP TABLE IF EXISTS ${tombTable(dir)}")

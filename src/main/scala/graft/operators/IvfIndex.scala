@@ -70,23 +70,40 @@ object IvfIndex {
   /** The base build's ledger partition ([[SnapshotMeta.BaseBatchId]]). */
   val BaseBatchId: Long = SnapshotMeta.BaseBatchId
 
-  /** Index-side file parallelism knob (the [[InvertedIndex]] sizing's fixed-count twin
-    * for the ANN family — cells AND PQ codes share it, so the two tables
-    * stay co-bucketed on `cell`): fixture-scale default 8; at production
-    * scale size from a target bucket file size (see SCALE.md "Sizing the
-    * index bucket counts"). Override with -Dgraft.index.ivfBuckets=N
-    * BEFORE the first build (the bucket spec is fixed at table
-    * creation). */
-  val Buckets: Int = {
-    val raw = sys.props.getOrElse("graft.index.ivfBuckets", "8")
-    val n = scala.util.Try(raw.toInt).getOrElse(
-      throw new IllegalArgumentException(
+  /** Forced bucket-count override for the ANN family
+    * (-Dgraft.index.ivfBuckets=N, set BEFORE the first build): absent,
+    * the count is sized from bytes at build time — see
+    * [[chooseBuckets]]. */
+  private def forcedBuckets: Option[Int] = sys.props.get("graft.index.ivfBuckets")
+    .map { raw =>
+      val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"-Dgraft.index.ivfBuckets must be an integer, got '$raw'"))
-    require(n > 0, s"-Dgraft.index.ivfBuckets must be positive, got $n " +
-      "(note: the bucket spec is fixed at table creation; changing the " +
-      "property later is ignored for existing tables)")
-    n
-  }
+      require(n > 0, s"-Dgraft.index.ivfBuckets must be positive, got $n " +
+        "(note: the bucket spec is fixed at table creation; changing the " +
+        "property later is ignored for existing tables)")
+      n
+    }
+
+  /** The build-time choice ([[InvertedIndex]]'s bytes formula, ANN
+    * floor 8): the forced override, else next-pow-2 of the embeddings
+    * scan bytes / 256 MB. Chosen ONCE per family at the cells build and
+    * persisted in the cells table's catalog bucket spec; every later
+    * rewrite — codes build, either compact fold — reads it back via
+    * [[familyBuckets]], because cells and PQ codes must stay
+    * CO-BUCKETED on `cell` (a per-table recount would silently
+    * reintroduce the shuffle the co-bucketing exists to avoid). The
+    * recount moment for this family is therefore the REBUILD, not
+    * compact — the one divergence from the InvertedIndex rule,
+    * documented here. */
+  private[operators] def chooseBuckets(input: org.apache.spark.sql.DataFrame): Int =
+    forcedBuckets.getOrElse(InvertedIndex.bucketCountForBytes(
+      input.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong, minBuckets = 8))
+
+  /** The family's persisted choice — the cells table's catalog bucket
+    * spec (built by [[ensureIndex]]); codes and folds conform to it. */
+  private[operators] def familyBuckets(spark: SparkSession, dir: String): Int =
+    InvertedIndex.bucketsOf(spark, s"${tableStem(dir)}_cells")
 
   /** Build the index tables for the fixture unless already present;
     * returns the trained centroid matrix (from the persisted centroid
@@ -121,7 +138,7 @@ object IvfIndex {
           SimilarityIVF.cell(col("embedding"), cents).as("cell"))
         .withColumn("batch_id", lit(BaseBatchId))
         .write.partitionBy("batch_id")
-        .bucketBy(Buckets, "cell").sortBy("cell")
+        .bucketBy(chooseBuckets(e), "cell").sortBy("cell")
         .saveAsTable(cellsT)
       import spark.implicits._
       cents.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
@@ -355,11 +372,14 @@ object IvfIndex {
     val fp = SnapshotMeta.summedFingerprint(spark, metaTable(dir))
     val foldId = spark.table(metaTable(dir))
       .agg(max("batch_id")).head().getLong(0)
+    // the family's persisted count, read BEFORE the fold drops the
+    // table — co-bucketing with the codes table must survive the fold
+    val nb = familyBuckets(spark, dir)
     val rows = liveRows(spark, dir, spark.table(cellsT))
       .drop("batch_id").localCheckpoint(true)
     rows.withColumn("batch_id", lit(foldId))
       .write.mode("overwrite").partitionBy("batch_id")
-      .bucketBy(Buckets, "cell").sortBy("cell")
+      .bucketBy(nb, "cell").sortBy("cell")
       .saveAsTable(cellsT)
     spark.sql(s"DROP TABLE IF EXISTS ${tombTable(dir)}")
     dropOrphanLocation(spark, tombTable(dir))

@@ -71,7 +71,8 @@ object PqIndex {
       .drop("batch_id").localCheckpoint(true)
     rows.withColumn("batch_id", lit(foldId))
       .write.mode("overwrite").partitionBy("batch_id")
-      .bucketBy(IvfIndex.Buckets, "cell").sortBy("cell")
+      // the CELLS table's persisted count — codes stay co-bucketed
+      .bucketBy(IvfIndex.familyBuckets(spark, dir), "cell").sortBy("cell")
       .saveAsTable(codesT)
     spark.catalog.refreshTable(codesT)
   }
@@ -139,8 +140,8 @@ object PqIndex {
     * never re-runs the K dot products per row. The cells table's
     * `batch_id` rides along, so the rebuilt codes keep the per-batch
     * partitions the ledgered append path overwrites; bucket count =
-    * [[IvfIndex.Buckets]] so codes and cells stay co-bucketed on
-    * `cell`. */
+    * the cells table's persisted choice ([[IvfIndex.familyBuckets]])
+    * so codes and cells stay co-bucketed on `cell`. */
   private def writeCodes(spark: SparkSession, cellsT: String, codesT: String,
                          cents: Array[Array[Double]],
                          cb: Array[Array[Array[Double]]]): Unit =
@@ -152,7 +153,7 @@ object PqIndex {
           cb).as("codes"), col("batch_id"))
       .write.mode("overwrite")
       .partitionBy("batch_id")
-      .bucketBy(IvfIndex.Buckets, "cell").sortBy("cell")
+      .bucketBy(InvertedIndex.bucketsOf(spark, cellsT), "cell").sortBy("cell")
       .saveAsTable(codesT)
 
   private def loadCodebook(spark: SparkSession, cbT: String): Array[Array[Array[Double]]] = {

@@ -530,7 +530,8 @@ class ComponentIndexSpec extends SparkSpec {
           ComponentIndex.bandedFor(s, dir), bb,
           none.select(col("doc_id")))
         newMap.write.mode("overwrite")
-          .bucketBy(ComponentIndex.Buckets, "doc_id").sortBy("doc_id")
+          .bucketBy(InvertedIndex.bucketsOf(s, ComponentIndex.table(dir)), "doc_id")
+          .sortBy("doc_id")
           .saveAsTable(ComponentIndex.table(dir))
         SnapshotMeta.overwritePartition(s, ComponentIndex.bandedTable(dir),
           batchId2, bb)

@@ -277,6 +277,25 @@ class StreamGateSpec extends SparkSpec {
       s"unexpected=${streamed.diff(base).take(3)} missing=${base.diff(streamed).take(3)}")
   }
 
+  test("q_stream_index_cdc: streamed deletes/rewrites serve the edited-corpus answer through tombstones") {
+    val out = graft.DedupQueries.queries("q_stream_index_cdc")(spark, sfDir)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // parity with the batch edit path: same edit, one arrived through a
+    // CDC stream, one through the direct edit call — identical answers
+    val batchEdited = toSet(
+      graft.DedupQueries.queries("q_search_corpus_edited")(spark, sfDir))
+    val streamed = toSet(out)
+    assert(streamed == batchEdited && streamed.nonEmpty,
+      s"unexpected=${streamed.diff(batchEdited).take(3)} missing=${batchEdited.diff(streamed).take(3)}")
+    // and the edit is a REAL restriction: the edited answer must differ
+    // from the unedited corpus's (else this pins nothing)
+    val unedited = toSet(graft.DedupQueries.queries("q_search_corpus")(spark, sfDir))
+    assert(streamed != unedited,
+      "the CDC edit must change the served ranking (removed/rewritten docs)")
+  }
+
   test("q_stream_dedup_within_wm: the seeded duplicates are DROPPED, not passed through") {
     val s = spark
     // the staged twin really is duplicate-seeded (input > unique events)
