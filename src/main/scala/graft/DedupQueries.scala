@@ -297,8 +297,13 @@ object DedupQueries {
     * tombstone visibility orders correctly). The outgoing content the
     * edit compensates with is read from the ORIGINAL dir's documents
     * semi-joined to the event ids (the maintenance job owns its corpus;
-    * CDC events carry ops + new content only) — everything inside
-    * foreachBatch runs on the micro-batch's own session.
+    * CDC events carry ops + new content only). Session discipline, the
+    * [[streamIngestSearchDir]] pattern: the batch frames carry the
+    * micro-batch CLONE session (writes resolve through it inside
+    * overwritePartition), while the OUTER session is what the index
+    * calls receive — overwritePartition then refreshes the caller's
+    * relation cache too, the StreamingIndexMaintenanceSpec
+    * cross-session-staleness lesson.
     *
     * Same idempotent state machine as [[editedSearchDir]] (full+fresh →
     * stream the edit; full+stale → the edit committed, land the edited
@@ -333,13 +338,14 @@ object DedupQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, id: Long) =>
             if (!b.isEmpty) {
-              val bs = b.sparkSession
-              val removed = Tables.documents(bs, dir)
+              // batch-session frames, outer-session index calls — see
+              // the scaladoc's session-discipline note
+              val removed = Tables.documents(b.sparkSession, dir)
                 .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
               val added = b.filter(col("op") === "upsert")
                 .select("doc_id", "text")
-              InvertedIndex.appendPositions(bs, fix, added, id)
-              InvertedIndex.edit(bs, fix, removed, added, id)
+              InvertedIndex.appendPositions(s, fix, added, id)
+              InvertedIndex.edit(s, fix, removed, added, id)
             }
           }
           .option("checkpointLocation", ckpt.toString)

@@ -99,8 +99,7 @@ object ComponentIndex {
     * table constrains it — unlike the ANN family's cells/codes pair). */
   private def chooseBuckets(input: DataFrame): Int =
     forcedBuckets.getOrElse(InvertedIndex.bucketCountForBytes(
-      input.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong, minBuckets = 8))
+      InvertedIndex.statsBytes(input), minBuckets = 8))
 
   /** STALENESS check (review finding: `tableExists` cannot detect a
     * regenerated fixture at the same path — the stale index would serve
@@ -509,8 +508,7 @@ object ComponentIndex {
     // re-evaluate the store's count from its actual stored bytes (the
     // InvertedIndex.compact rule — the sanctioned recount moment)
     val nb = forcedBuckets.getOrElse(InvertedIndex.bucketCountForBytes(
-      spark.table(bt).queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong, minBuckets = 8))
+      InvertedIndex.tableFileBytes(spark, bt), minBuckets = 8))
     val rows = withoutTombstones(spark, dir, spark.table(bt))
       .drop("batch_id").localCheckpoint(true)
     rows.withColumn("batch_id", lit(foldId))

@@ -116,7 +116,11 @@ object InvertedIndex {
                                              minBuckets: Int = 16): Int = {
     require(targetBytes > 0 && minBuckets > 0,
       s"need positive targetBytes/minBuckets, got $targetBytes/$minBuckets")
-    val need = math.max(1L, (math.max(0L, bytes) + targetBytes - 1) / targetBytes)
+    // ceil-div WITHOUT the +target-1 trick: bytes near Long.MaxValue
+    // would wrap negative and silently return the floor for the hugest
+    // possible store (review finding)
+    val b = math.max(0L, bytes)
+    val need = math.max(1L, b / targetBytes + (if (b % targetBytes > 0) 1L else 0L))
     val pow = java.lang.Long.highestOneBit(need)
     val np = if (pow == need) need else pow * 2
     math.max(minBuckets.toLong, math.min(np, 1L << 20)).toInt
@@ -129,9 +133,41 @@ object InvertedIndex {
     * formula only moves in power-of-two steps, so same-order is
     * enough). */
   private[operators] def chooseBuckets(docs: DataFrame): Int =
-    forcedBuckets.getOrElse(bucketCountForBytes(
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong))
+    forcedBuckets.getOrElse(bucketCountForBytes(statsBytes(docs)))
+
+  /** The optimizer's size estimate, refused when it is the
+    * no-estimate sentinel (`defaultSizeInBytes` = Long.MaxValue, which
+    * a stats-less relation reports): sizing a bucket spec from a
+    * made-up number would persist either the floor or the 2^20 cap
+    * forever — force a count instead. File scans (every production
+    * build input) always carry real file-size stats. NOTE: a
+    * PARTITIONED catalog table without ANALYZE stats also reports the
+    * sentinel (CatalogFileIndex falls back to defaultSizeInBytes) —
+    * compaction sizes from [[tableFileBytes]], never from here. */
+  private[operators] def statsBytes(input: DataFrame): Long = {
+    val sz = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(sz < BigInt(Long.MaxValue),
+      "build input has no size estimate (stats sizeInBytes is the " +
+        "Long.MaxValue sentinel) — build from a file-backed relation or " +
+        "force a bucket count via the family's -Dgraft.index.*Buckets " +
+        "property")
+    sz.toLong
+  }
+
+  /** A catalog table's ACTUAL stored bytes, summed from the filesystem
+    * (getContentSummary over the table location) — the compact-time
+    * sizing input. Plan stats are useless here: the family's tables are
+    * partitioned and carry no ANALYZE stats, so their relations report
+    * the Long.MaxValue sentinel (which the pre-guard formula silently
+    * overflowed to the floor — review finding, spec-pinned). One
+    * metadata round-trip, no data read. */
+  private[operators] def tableFileBytes(spark: SparkSession, t: String): Long = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    loc.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(loc).getLength
+  }
 
   /** The PERSISTED choice, read back from the table's catalog bucket
     * spec — [[chooseBuckets]]' durable record. */
@@ -649,8 +685,7 @@ object InvertedIndex {
       // own stored bytes (now known exactly, unlike at build time): the
       // sanctioned path to a new count as the store grows or shrinks
       val nb = forcedBuckets.getOrElse(bucketCountForBytes(
-        spark.table(t).queryExecution.optimizedPlan.stats.sizeInBytes
-          .min(BigInt(Long.MaxValue)).toLong))
+        tableFileBytes(spark, t)))
       // localCheckpoint truncates lineage, so nothing reads `t` when the
       // overwrite drops it (the ComponentIndex.merge device)
       val src = if (live) withoutTombstones(spark, dir, spark.table(t))

@@ -97,8 +97,7 @@ object IvfIndex {
     * documented here. */
   private[operators] def chooseBuckets(input: org.apache.spark.sql.DataFrame): Int =
     forcedBuckets.getOrElse(InvertedIndex.bucketCountForBytes(
-      input.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong, minBuckets = 8))
+      InvertedIndex.statsBytes(input), minBuckets = 8))
 
   /** The family's persisted choice — the cells table's catalog bucket
     * spec (built by [[ensureIndex]]); codes and folds conform to it. */

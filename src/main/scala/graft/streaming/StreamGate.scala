@@ -173,6 +173,17 @@ object StreamGate {
       }
       stage(col("ts") < midExpr, a)
       stage(col("ts") >= midExpr, b)
+      // TRIPWIRE, not a silent degrade (review finding): a fixture whose
+      // event-time range spans < ~2 hours makes the hour-truncated
+      // midpoint land at-or-before the first event, one half goes empty,
+      // and the "resume" run degenerates to a single batch while its
+      // oracle stays green — fail the gate loudly instead. Every current
+      // fixture spans days; this guards a regenerated one.
+      def n(p: java.nio.file.Path): Long = spark.read.parquet(p.toString).count()
+      require(n(a) > 0 && n(b) > 0,
+        s"stagedEventsHalves($dir): a half is empty (event-time range too " +
+          "narrow for an hour-aligned split) — the resume query would " +
+          "silently stop exercising the restart path")
       Files.write(sigPath,
         sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -237,13 +248,14 @@ object StreamGate {
     try require(q.awaitTermination(600000L),
       s"bounded stream $name must self-stop under AvailableNow")
     finally {
-      q.stop()
       // the checkpoint is single-use by design (fresh per call — the gate
       // never resumes) and the memory sink holds the output in driver
       // memory, so the state-store/offset dirs are dead weight the moment
       // the query stops: delete them, or a bench pass (streaming queries
-      // × runs × attempts) accumulates dozens of checkpoint trees in /tmp
-      deleteRecursively(Paths.get(ckpt))
+      // × runs × attempts) accumulates dozens of checkpoint trees in /tmp.
+      // Nested finally: a throwing q.stop() (stopTimeout, teardown error)
+      // must not skip the deletion (review finding).
+      try q.stop() finally deleteRecursively(Paths.get(ckpt))
     }
     spark.table(name)
   }
@@ -294,15 +306,27 @@ object StreamGate {
       }
       step(a, "a.parquet")
       step(b, "b.parquet")
+      // LOCALIZE the output — it is aggregated (windows × keys, the same
+      // bound the memory sink relies on), so collect it and return an
+      // in-memory frame: the out dir can then be deleted in the finally
+      // below with the checkpoint, instead of accruing one tree per call
+      // (runs × attempts per bench pass — review finding)
+      val rows = spark.read.schema(schema).parquet(outDir.toString)
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 5000 + 1)),
+        schema)
     } finally {
       deleteRecursively(ckpt)
       deleteRecursively(srcDir)
+      deleteRecursively(outDir)
     }
-    spark.read.schema(schema).parquet(outDir.toString)
   }
 
   /** Best-effort recursive delete for the gate's single-use temp trees —
-    * cleanup must never fail a measurement, so IO errors are swallowed. */
+    * cleanup must never fail a measurement, so any non-fatal error is
+    * swallowed (NOT just IOException: Files.list iteration surfaces a
+    * concurrent deletion as UncheckedIOException — review finding). */
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     try {
       if (Files.isDirectory(p))
@@ -310,5 +334,5 @@ object StreamGate {
           _.forEach((c: java.nio.file.Path) => deleteRecursively(c)))
       Files.deleteIfExists(p)
       ()
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -1423,6 +1423,18 @@ class InvertedIndexSpec extends SparkSpec {
     assert(bucketCountForBytes(16L * (256L << 20) + 1) == 32) // next pow2
     assert(bucketCountForBytes(1L << 40) == 4096) // 1 TB of store bytes
     assert(bucketCountForBytes(100L << 40) == (1 << 19)) // 100 TB corpus
+    // overflow guard (review finding): bytes near Long.MaxValue must hit
+    // the cap, not wrap negative and return the floor
+    assert(bucketCountForBytes(Long.MaxValue) == (1 << 20))
+    // and a stats-less build input is REFUSED, not sized from the
+    // Long.MaxValue sentinel (an RDD-backed frame reports
+    // defaultSizeInBytes = Long.MaxValue — no file bytes to estimate from)
+    val statsless = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+    intercept[IllegalArgumentException] { InvertedIndex.statsBytes(statsless) }
     // a synthetic LARGE build input picks more than the floor — range's
     // plan stats are exact (8 bytes/row) with nothing materialized, so
     // this is the real chooseBuckets path at 8 GB of scan bytes
