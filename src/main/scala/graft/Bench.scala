@@ -214,15 +214,11 @@ object Bench {
       hostmarkBefore: Double, hostmarkAfter: Double, hostmarkMt: Double,
       hostmarkBwRun: Double,
       suspects: Seq[String], comparable: Boolean, whyNot: List[String])
-    def measureOnce(): Attempt = {
-    // host-speed reference: min-of-3 before, min-of-3 after the suite
-    // (JIT is warm after the first call; min filters transient stalls)
-    val hostmarkBefore = (1 to 3).map(_ => hostmark()).min
-    // Sorted, fixed execution order: Map iteration order is arbitrary, and
-    // run-to-run order changes made round-1 timings incomparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
+    // One timed measurement set (`runs` runs) of one query — shared by
+    // the full-suite pass and the targeted suspect re-measure below.
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Seq[Option[(Double, Double)]], Boolean) = {
       var failed = false
       val times = (1 to runs).map { _ =>
         var runFailed = false
@@ -258,8 +254,20 @@ object Bench {
         graft.operators.Pq.clearModels()
         dt
       }
-      (name, times, failed)
+      (times, failed)
     }
+    def measureOnce(): Attempt = {
+    // host-speed reference: min-of-3 before, min-of-3 after the suite
+    // (JIT is warm after the first call; min filters transient stalls)
+    val hostmarkBefore = (1 to 3).map(_ => hostmark()).min
+    // Sorted, fixed execution order: Map iteration order is arbitrary, and
+    // run-to-run order changes made round-1 timings incomparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
+        val (times, failed) = timeQuery(name, fn)
+        (name, times, failed)
+      }
     val hostmarkAfter = (1 to 3).map(_ => hostmark()).min
     val hostmarkMt = (1 to 2).map(_ => hostmarkParallel(cpus.toInt)).min
     // min-of-3: sample 1 of the first attempt also absorbs the array
@@ -302,8 +310,87 @@ object Bench {
         System.err.println(s"[bench] attempt $attempts non-comparable " +
           s"(${a.whyNot.mkString("; ")}) — re-measuring")
     }
-    val Attempt(results, hostmarkBefore, hostmarkAfter, hostmarkMt,
+    val Attempt(attemptResults, hostmarkBefore, hostmarkAfter, hostmarkMt,
       hostmarkBwRun, suspects, comparable, whyNot) = chosen
+
+    // ---------- targeted suspect re-measure (round-17 verdict items 2+3)
+    // The whole-suite retry costs ~16 min and r17's KEPT artifact still
+    // carried 6 steal suspects plus 6 unflagged drift cases (untouched
+    // queries 1.7-2.1x slower under co-tenancy the hostmark legs missed).
+    // After a comparable pass, re-measure ONLY the flagged queries —
+    // fixtures and JIT are warm, so seconds each — and splice the extra
+    // runs in; the per-query min then comes from the quietest run seen.
+    val stealFlagged: ((Double, Double)) => Boolean =
+      { case (el, ss) => ss > math.max(0.25, 0.05 * el) }
+    def minSec(t: Seq[Option[(Double, Double)]]): Option[Double] = {
+      val f = t.flatten.map(_._1)
+      if (f.isEmpty) None else Some(f.min)
+    }
+    // DRIFT reference: the last COMPARABLE full-surface artifact's
+    // per-query mins (verdict item 3 — q_ts_anomaly inflated 2.1x with
+    // untouched code and no flag). A query drifts when its min exceeds
+    // 1.5x the reference AND by more than 0.1 s absolute (sub-100 ms
+    // queries jitter legitimately). Drift flags trigger re-measure, never
+    // the gate: a genuine plan regression survives re-measurement and is
+    // REPORTED in drift_suspect for the round's narrative to explain.
+    val prevQueries: Map[String, Double] =
+      if (only.nonEmpty) Map.empty // filtered dev runs skip the drift leg
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DETAIL.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!txt.contains("\"comparable\":true")) Map.empty
+        else {
+          val m = java.util.regex.Pattern
+            .compile("\"queries\":\\{(.*?)\\}").matcher(txt)
+          if (!m.find()) Map.empty
+          else m.group(1).split(",").iterator.flatMap { kv =>
+            val i = kv.lastIndexOf(':')
+            if (i < 0) None
+            else kv.substring(i + 1).toDoubleOption.map(v =>
+              kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"") -> v)
+          }.toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    def drifted(name: String, t: Seq[Option[(Double, Double)]]): Boolean =
+      prevQueries.get(name).exists(prev =>
+        minSec(t).exists(m => m > 1.5 * prev && m - prev > 0.1))
+    val resultsMap = scala.collection.mutable.LinkedHashMap(
+      attemptResults.map(r => r._1 -> r): _*)
+    val remeasureTargets = attemptResults.collect {
+      case (n, t, failed) if !failed &&
+        (t.flatten.exists(stealFlagged) || drifted(n, t)) => n
+    }
+    // only a comparable pass re-measures: a non-comparable artifact is
+    // quarantined whole (below), and re-measuring inside a storm would
+    // just launder the storm into the suspect lists
+    if (comparable && remeasureTargets.nonEmpty) {
+      System.err.println(s"[bench] targeted re-measure of " +
+        s"${remeasureTargets.size} flagged queries " +
+        s"(steal or drift vs last comparable artifact): " +
+        remeasureTargets.mkString(", "))
+      remeasureTargets.foreach { n =>
+        val (t2, f2) = timeQuery(n, SparkEntry.queries(n))
+        if (!f2) {
+          val (_, t0, failed0) = resultsMap(n)
+          resultsMap(n) = (n, t0 ++ t2, failed0)
+        }
+      }
+    }
+    val results = resultsMap.values.toSeq
+    // FINAL per-query flags, post-splice. steal_suspect: the run that
+    // PRODUCED the reported min was itself steal-flagged (steal only ever
+    // inflates, so a clean min is trustworthy regardless of other runs —
+    // the attempt-level comparability share above keeps the conservative
+    // any-run rule and is emitted as steal_suspect_any_run for forensics).
+    val stealSuspectFinal = results.collect {
+      case (k, t, _) if t.flatten.nonEmpty &&
+        stealFlagged(t.flatten.minBy(_._1)) => k
+    }
+    val driftSuspectFinal = results.collect {
+      case (k, t, failed) if !failed && drifted(k, t) => k
+    }
+
     // A failed query must be LOUD and must NOT contribute a timing: its
     // time-to-crash would read as a (often phantom-fast) measurement. It is
     // omitted from `queries`/the total and listed in `errors` instead.
@@ -324,8 +411,17 @@ object Bench {
       s"\"" + k + "\":" + t.map(_.map(_._2.toString).getOrElse("null"))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def names(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectJson = names(stealSuspectFinal)
+    // forensic companions to the final lists: the attempt-level any-run
+    // suspects (the comparability leg's evidence) and the drift watch's
+    // verdict + reference size (0 ⇒ no comparable artifact to drift from)
+    val suspectAux =
+      s""""steal_suspect_any_run":${names(suspects)},""" +
+      s""""drift_suspect":${names(driftSuspectFinal)},""" +
+      s""""drift_ref_queries":${prevQueries.size}"""
+    val errs = names(errors)
     // total FIRST (and repeated LAST as total_check): round 2's artifact
     // lost the leading total to tail truncation of the capture — with the
     // value at both ends, either truncation direction preserves it.
@@ -369,7 +465,15 @@ object Bench {
       else f"${total * (Round9ReferenceHostmark / hostmarkRun)}%.3f"
     val compJson =
       s""""comparable":$comparable,"comparable_why_not":${whyNot.mkString("[", ",", "]")},"bench_attempts":$attempts"""
-    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_bw_sec":$hostmarkBwRun%.3f,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson,$compJson"""
+    // round-17 ADVICE: at an off-reference thread count BOTH host-load
+    // legs of the verdict are skipped (their quiet references are
+    // thread-count-dependent marks) and comparable:true rests on the
+    // steal-share leg alone — say so in the artifact instead of
+    // stamping silently
+    val legsSkipped =
+      if (cpus.toInt == ReferenceMtThreads) "[]"
+      else """["mt","bw"]"""
+    val hm = f""""hostmark_sec":[$hostmarkBefore%.3f,$hostmarkAfter%.3f],"hostmark_mt_sec":$hostmarkMt%.3f,"hostmark_bw_sec":$hostmarkBwRun%.3f,"hostmark_legs_skipped":$legsSkipped,"hostmark_ref_sec":$Round9ReferenceHostmark%.3f,"total_normalized_sec":$normJson,$compJson,$suspectAux"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"raw":$raw,"steal":$steal,"steal_suspect":$suspectJson,$hm,"errors":$errs,"sf":"$sfDir","total_check":$total}"""
     // A SPARK_GRAFT_ONLY-filtered dev run must NOT clobber the in-repo
     // full-surface artifact (round-16 near-miss: a filtered probe run

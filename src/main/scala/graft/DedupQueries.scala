@@ -12,6 +12,78 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
+  /** The code signature every memoized /tmp INDEX fixture keys on
+    * (round-17 verdict item 1): the compiled bytes of the entire index-
+    * maintenance path — the persisted families, the ledger, the shared
+    * tokenization, and this object (the fixture state machines
+    * themselves). Previously these fixtures keyed on the SOURCE
+    * fixture's identity alone, so a store built by a PRIOR round's
+    * correct code kept serving after a maintenance-path edit and the
+    * driver's hash gate never re-exercised append/edit through the new
+    * code — a regression would hash-check stale-but-correct content
+    * until /tmp was wiped by hand. With the signature in the key, any
+    * change to these classes yields a fresh fixture dir (fresh catalog
+    * tables too — table names derive from the dir), and the next
+    * Verify/bench run rebuilds the store THROUGH the changed code.
+    * See [[graft.operators.CodeSig]] for why a bytecode hash beats a
+    * hand-bumped constant. */
+  private[graft] lazy val indexCodeSig: String = graft.operators.CodeSig.of(
+    graft.operators.InvertedIndex.getClass,
+    graft.operators.SnapshotMeta.getClass,
+    graft.operators.ComponentIndex.getClass,
+    graft.operators.IvfIndex.getClass,
+    graft.operators.PqIndex.getClass,
+    graft.operators.SnapshotPromotion.getClass,
+    graft.operators.SnapshotMaintenance.getClass,
+    graft.operators.AnnMaintenance.getClass,
+    graft.operators.KMeans.getClass,
+    graft.operators.Pq.getClass,
+    graft.operators.Dedup.getClass,
+    graft.streaming.StreamGate.getClass,
+    DedupQueries.getClass)
+
+  /** Fixture dir for (family `name`, source `dir`), version-keyed:
+    * `/tmp/graft_<name>_v<codeSig>_<hash64(dir)>` — 64-bit dir hash
+    * (round-17 verdict item 6; the old 32-bit keys could collide two
+    * fixture dirs and silently thrash). Also RETIRES stale siblings of
+    * the same (family, source) built under other code signatures:
+    * unlike the tiny staged-events generations, an index fixture
+    * registers catalog tables in the shared warehouse, so leftovers
+    * accrue real weight — each retired sibling's families are dropped
+    * and its dir deleted, best-effort (a concurrent JVM on different
+    * code rebuilds from scratch anyway; errors never fail a query). */
+  private[graft] def indexFixtureKey(s: SparkSession, name: String,
+                                     dir: String): String = {
+    val dirHash = graft.operators.CodeSig.hash64Hex(dir)
+    val fix = s"/tmp/graft_${name}_v${indexCodeSig}_$dirHash"
+    try {
+      import scala.jdk.CollectionConverters._
+      val prefix = s"graft_${name}_v"
+      val suffix = s"_$dirHash"
+      scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get("/tmp")))(
+        _.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(prefix) && n.endsWith(suffix) &&
+              p.toString != fix
+          }.toList)
+        .foreach { stale =>
+          try {
+            val sd = stale.toString
+            graft.operators.InvertedIndex.drop(s, sd)
+            graft.operators.ComponentIndex.drop(s, sd)
+            graft.operators.IvfIndex.drop(s, sd)
+            graft.operators.PqIndex.drop(s, sd)
+            graft.operators.KMeans.clearModel(sd)
+            graft.operators.Pq.clearModel(sd)
+            graft.streaming.StreamGate.deleteRecursively(stale)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    fix
+  }
+
   /** The MAINTAINED-index fixture behind q_search_*_maintained: a /tmp
     * twin of `dir`'s documents whose index history is base build over
     * 90% of the corpus (doc_id % 10 != 7) + the remaining slice applied
@@ -31,24 +103,51 @@ object DedupQueries {
     * replays both. */
   private def maintainedSearchDir(s: SparkSession, dir: String): String = {
     import graft.operators.InvertedIndex
-    val fix = "/tmp/graft_maint_search_" +
-      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val fix = indexFixtureKey(s, "maint_search", dir)
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isBatch = pmod(col("doc_id"), lit(10L)) === 7L
-    if (!new java.io.File(docsPath).exists())
-      docs.filter(!isBatch).write.mode("overwrite").parquet(docsPath)
-    InvertedIndex.ensure(s, fix)
-    InvertedIndex.ensurePositions(s, fix)
-    val total = docs.count()
-    if (Tables.documents(s, fix).count() < total)
-      docs.filter(isBatch).write.mode("append").parquet(docsPath)
+    ingestFixtureCorpus(s, fix, docsPath, docs, isBatch)
     if (InvertedIndex.snapshotStale(s, fix)) {
       val batch = Tables.documents(s, fix).filter(isBatch)
       InvertedIndex.appendPositions(s, fix, batch)
       InvertedIndex.append(s, fix, batch)
     }
     fix
+  }
+
+  /** Shared corpus state machine of the two APPEND-history fixtures
+    * ([[maintainedSearchDir]], [[streamIngestSearchDir]]): land the base
+    * slice, build the base index over it, then land the batch slice so
+    * the staleness handshake opens for the append. The round-17 ADVICE
+    * repair arm: the batch slice lands via mode("append"), so a torn or
+    * doubled append leaves the fixture corpus at a count that is neither
+    * base-only nor full — an unrecognized state no prior branch ever
+    * repaired (the gate then hash-mismatched persistently until /tmp was
+    * cleaned by hand). Such a fixture is now discarded wholesale (drop
+    * the index family, rewrite the base corpus from the ORIGINAL dir)
+    * before re-entering the normal path. */
+  private def ingestFixtureCorpus(s: SparkSession, fix: String,
+                                  docsPath: String,
+                                  docs: org.apache.spark.sql.DataFrame,
+                                  isBatch: org.apache.spark.sql.Column): Unit = {
+    import graft.operators.InvertedIndex
+    val total = docs.count()
+    val baseCount = docs.filter(!isBatch).count()
+    def landBase(): Unit =
+      docs.filter(!isBatch).write.mode("overwrite").parquet(docsPath)
+    if (!new java.io.File(docsPath).exists()) landBase()
+    else {
+      val n = Tables.documents(s, fix).count()
+      if (n != baseCount && n != total) { // unrecognized: torn/double append
+        InvertedIndex.drop(s, fix)
+        landBase()
+      }
+    }
+    InvertedIndex.ensure(s, fix)
+    InvertedIndex.ensurePositions(s, fix)
+    if (Tables.documents(s, fix).count() < total)
+      docs.filter(isBatch).write.mode("append").parquet(docsPath)
   }
 
   /** The STREAM-INGESTED index fixture behind q_stream_index_ingest:
@@ -76,18 +175,11 @@ object DedupQueries {
   private def streamIngestSearchDir(s: SparkSession, dir: String): String = {
     import graft.operators.InvertedIndex
     import graft.streaming.StreamGate
-    val fix = "/tmp/graft_stream_ingest_" +
-      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val fix = indexFixtureKey(s, "stream_ingest", dir)
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isBatch = pmod(col("doc_id"), lit(10L)) === 7L
-    if (!new java.io.File(docsPath).exists())
-      docs.filter(!isBatch).write.mode("overwrite").parquet(docsPath)
-    InvertedIndex.ensure(s, fix)
-    InvertedIndex.ensurePositions(s, fix)
-    val total = docs.count()
-    if (Tables.documents(s, fix).count() < total)
-      docs.filter(isBatch).write.mode("append").parquet(docsPath)
+    ingestFixtureCorpus(s, fix, docsPath, docs, isBatch)
     if (InvertedIndex.snapshotStale(s, fix)) {
       val srcDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt")
@@ -150,8 +242,7 @@ object DedupQueries {
     * CTEs train on) and re-applies the delete, which self-no-ops once
     * its batch is committed. */
   private def deletedAnnDir(s: SparkSession, dir: String): String = {
-    val fix = "/tmp/graft_del_ann_" +
-      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val fix = indexFixtureKey(s, "del_ann", dir)
     val path = s"$fix/embeddings.parquet"
     def idSig(df: org.apache.spark.sql.DataFrame) = {
       val r = df.agg(count(lit(1)), coalesce(sum("vec_id"), lit(0L))).head()
@@ -193,8 +284,7 @@ object DedupQueries {
     * crash point. */
   private def hygieneSearchDir(s: SparkSession, dir: String): String = {
     import graft.operators.InvertedIndex
-    val fix = "/tmp/graft_hyg_search_" +
-      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val fix = indexFixtureKey(s, "hyg_search", dir)
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
@@ -248,8 +338,7 @@ object DedupQueries {
 
   private def editedSearchDir(s: SparkSession, dir: String): String = {
     import graft.operators.InvertedIndex
-    val fix = "/tmp/graft_edit_search_" +
-      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val fix = indexFixtureKey(s, "edit_search", dir)
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
@@ -287,35 +376,42 @@ object DedupQueries {
   /** The stream-CDC index fixture behind q_stream_index_cdc —
     * [[streamIngestSearchDir]]'s EDIT-class twin, completing the
     * streamed maintenance story under the gate: the base build covers
-    * the FULL corpus, then ONE micro-batch of CDC events (op = delete
-    * for doc_id % 20 == 3; op = upsert with the text doubled for
-    * doc_id % 20 == 11 — exactly [[editedSearchDir]]'s edit, so the
-    * oracle is q_search_corpus_edited's, unchanged) arrives through a
-    * bounded AvailableNow file stream whose foreachBatch routes it into
-    * [[graft.operators.InvertedIndex.edit]] with the stream's own
-    * batchId (0 — non-negative and above the base partition, so
-    * tombstone visibility orders correctly). The outgoing content the
+    * the FULL corpus, then the CDC events (op = delete for doc_id % 20
+    * == 3; op = upsert with the text doubled for doc_id % 20 == 11 —
+    * exactly [[editedSearchDir]]'s edit, so the oracle is
+    * q_search_corpus_edited's, unchanged) arrive as TWO slices
+    * (doc_id % 40 split) through TWO bounded AvailableNow executions
+    * over ONE shared checkpoint — a restart between slices, the
+    * [[graft.streaming.StreamGate.runBoundedResume]] shape (round-17
+    * verdict item 4: two DISTINCT batchIds, 0 then 1, flow through
+    * [[graft.operators.InvertedIndex.edit]]'s ledger in one gate query,
+    * hash-checking batch ordering and cross-batch tombstone visibility
+    * across a restart — run 2 reopens run 1's checkpoint and its edit
+    * must serve through run 1's tombstones). The outgoing content each
     * edit compensates with is read from the ORIGINAL dir's documents
-    * semi-joined to the event ids (the maintenance job owns its corpus;
-    * CDC events carry ops + new content only). Session discipline, the
-    * [[streamIngestSearchDir]] pattern: the batch frames carry the
-    * micro-batch CLONE session (writes resolve through it inside
-    * overwritePartition), while the OUTER session is what the index
-    * calls receive — overwritePartition then refreshes the caller's
-    * relation cache too, the StreamingIndexMaintenanceSpec
+    * semi-joined to that batch's event ids (the maintenance job owns
+    * its corpus; CDC events carry ops + new content only). Session
+    * discipline, the [[streamIngestSearchDir]] pattern: the batch
+    * frames carry the micro-batch CLONE session (writes resolve through
+    * it inside overwritePartition), while the OUTER session is what the
+    * index calls receive — overwritePartition then refreshes the
+    * caller's relation cache too, the StreamingIndexMaintenanceSpec
     * cross-session-staleness lesson.
     *
-    * Same idempotent state machine as [[editedSearchDir]] (full+fresh →
-    * stream the edit; full+stale → the edit committed, land the edited
-    * corpus; edited+fresh → done or a fresh-JVM rebuild over the edited
-    * corpus, identical answers; else → wholesale rebuild), with the
-    * stream replayed under a FRESH checkpoint on re-entry — the edit's
-    * ledger stamp makes a replayed committed batch a no-op. */
+    * Idempotent state machine, SIMPLER than [[editedSearchDir]]'s
+    * because stream replay subsumes the crashed-mid-edit arms: while
+    * the fixture corpus is still FULL, (re)run the whole two-slice
+    * stream under a FRESH checkpoint — each slice's ledger stamp makes
+    * a replayed committed batch a no-op and an uncommitted one applies
+    * (this covers fresh base, crash between the two runs, and crash
+    * before the corpus landed) — then land the edited corpus;
+    * edited+fresh → done, or a fresh-JVM rebuild over the edited
+    * corpus, identical answers either way; anything else → wholesale
+    * rebuild. */
   private def streamCdcSearchDir(s: SparkSession, dir: String): String = {
     import graft.operators.InvertedIndex
     import graft.streaming.StreamGate
-    val fix = "/tmp/graft_stream_cdc_" +
-      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val fix = indexFixtureKey(s, "stream_cdc", dir)
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
@@ -332,27 +428,44 @@ object DedupQueries {
           .unionByName(docs.filter(isRewritten)
             .select(col("doc_id"), lit("upsert").as("op"),
               concat(col("text"), lit(" "), col("text")).as("text")))
-        events.repartition(1).write.mode("overwrite").parquet(srcDir.toString)
-        val q = s.readStream.schema(events.schema).parquet(srcDir.toString)
-          .writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            if (!b.isEmpty) {
-              // batch-session frames, outer-session index calls — see
-              // the scaladoc's session-discipline note
-              val removed = Tables.documents(b.sparkSession, dir)
-                .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
-              val added = b.filter(col("op") === "upsert")
-                .select("doc_id", "text")
-              InvertedIndex.appendPositions(s, fix, added, id)
-              InvertedIndex.edit(s, fix, removed, added, id)
+        // two slices, each carrying BOTH op classes (doc_id % 40 puts
+        // delete ids 3/23 and upsert ids 11/31 on opposite sides), so
+        // each batch exercises tombstones AND rewrites
+        val sliceA = pmod(col("doc_id"), lit(40L)) < 20L
+        // TRIPWIRE (the stagedEventsHalves discipline): a regenerated
+        // fixture whose id space no longer populates both slices would
+        // silently degenerate this back to single-batch CDC
+        val nA = events.filter(sliceA).count()
+        val nB = events.filter(!sliceA).count()
+        require(nA > 0 && nB > 0,
+          s"streamCdcSearchDir($dir): a CDC slice is empty (a=$nA b=$nB) — " +
+            "the multi-batch path would silently stop being exercised")
+        def runSlice(slice: org.apache.spark.sql.Column, name: String): Unit = {
+          graft.streaming.Staging.writeSingleFile(
+            events.filter(slice), srcDir, name)
+          val q = s.readStream.schema(events.schema).parquet(srcDir.toString)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              if (!b.isEmpty) {
+                // batch-session frames, outer-session index calls — see
+                // the scaladoc's session-discipline note
+                val removed = Tables.documents(b.sparkSession, dir)
+                  .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+                val added = b.filter(col("op") === "upsert")
+                  .select("doc_id", "text")
+                InvertedIndex.appendPositions(s, fix, added, id)
+                InvertedIndex.edit(s, fix, removed, added, id)
+              }
             }
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .start()
-        try require(q.awaitTermination(600000L),
-          "bounded CDC stream must self-stop under AvailableNow")
-        finally q.stop()
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          try require(q.awaitTermination(600000L),
+            "bounded CDC stream must self-stop under AvailableNow")
+          finally q.stop()
+        }
+        runSlice(sliceA, "cdc-a.parquet")  // batch 0
+        runSlice(!sliceA, "cdc-b.parquet") // batch 1, resuming the checkpoint
       } finally {
         StreamGate.deleteRecursively(ckpt)
         StreamGate.deleteRecursively(srcDir)
@@ -365,9 +478,13 @@ object DedupQueries {
     InvertedIndex.ensurePositions(s, fix)
     val full = Tables.documents(s, fix).count() == docs.count()
     val stale = InvertedIndex.snapshotStale(s, fix)
-    if (full && !stale) applyEditViaStream()
-    else if (full && stale)
-      editedCorpus.write.mode("overwrite").parquet(docsPath)
+    // full → (re)run the stream regardless of staleness: the per-slice
+    // ledger stamps make committed batches no-ops, so one arm covers
+    // fresh-base, crashed-between-slices, AND corpus-not-yet-landed
+    // (the old full+stale "just land the corpus" arm was only correct
+    // for a single-batch edit — with two slices it would have landed
+    // the edited corpus over a HALF-applied index)
+    if (full) applyEditViaStream()
     else if (stale) { // unrecognized state: rebuild from scratch
       InvertedIndex.drop(s, fix)
       docs.write.mode("overwrite").parquet(docsPath)
@@ -412,8 +529,7 @@ object DedupQueries {
     * "docs=edited+appended ann=edited+appended"). */
   private def promoteFixture(s: SparkSession, dir: String): (String, String) = {
     import graft.operators._
-    val fix = "/tmp/graft_promote_" +
-      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val fix = indexFixtureKey(s, "promote", dir)
     val action = promoteActions.computeIfAbsent(fix, _ => {
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)

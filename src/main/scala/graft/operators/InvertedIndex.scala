@@ -677,15 +677,21 @@ object InvertedIndex {
     // rewrite rows an edit admitted.
     val foldId = spark.table(metaTable(dir))
       .agg(max("batch_id")).head().getLong(0)
+    // the bucket spec is re-declared at the rewrites, so compaction
+    // RE-EVALUATES the sizing formula — ONCE, from the POSTINGS table's
+    // stored bytes (now known exactly, unlike at build time), and the
+    // single count applies to every bucketed fold in the family: the
+    // build's family-uniform rule (round-17 ADVICE — a per-table recount
+    // could desync postings from vocab/deletes/positions and reintroduce
+    // shuffles in the term-bucketed joins the uniform count exists to
+    // avoid). The driver table is the postings store (the family's bulk;
+    // the satellites are strictly narrower projections of the same term
+    // space, so its count is the right order for them too).
+    val nb = forcedBuckets.getOrElse(bucketCountForBytes(
+      tableFileBytes(spark, table(dir))))
     def fold(t: String, bucketCols: Seq[String], sortCols: Seq[String],
              agg: DataFrame => DataFrame = identity,
              live: Boolean = false): Unit = {
-      // the bucket spec is re-declared at the rewrite, so compaction
-      // RE-EVALUATES the sizing formula — per table, from the table's
-      // own stored bytes (now known exactly, unlike at build time): the
-      // sanctioned path to a new count as the store grows or shrinks
-      val nb = forcedBuckets.getOrElse(bucketCountForBytes(
-        tableFileBytes(spark, t)))
       // localCheckpoint truncates lineage, so nothing reads `t` when the
       // overwrite drops it (the ComponentIndex.merge device)
       val src = if (live) withoutTombstones(spark, dir, spark.table(t))

@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.streaming.Staging
+
+/** The fixture VERSION-KEYING contract (round-17 verdict item 1): a
+  * memoized /tmp fixture built under one code signature must never be
+  * consulted under another — any change to the maintenance-path classes
+  * yields a new signature, hence a new fixture key, hence a rebuild
+  * through the changed code (previously the driver's hash gate could
+  * keep serving stores built by a prior round's code). Plus the shared
+  * [[Staging]] generation discipline (verdict item 6): sig-addressed
+  * immutable generations, one atomic publish, crash-safe. */
+class CodeSigSpec extends SparkSpec {
+
+  test("CodeSig: stable within a JVM, distinct across class sets") {
+    val a = CodeSig.of(InvertedIndex.getClass)
+    assert(a == CodeSig.of(InvertedIndex.getClass)) // memo-stable
+    assert(a.length == 16 && a.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    // a different class (different bytes) → different signature; adding
+    // a class to the set → different signature (any member's change
+    // propagates to the composite)
+    assert(a != CodeSig.of(SnapshotMeta.getClass))
+    assert(a != CodeSig.of(InvertedIndex.getClass, SnapshotMeta.getClass))
+  }
+
+  test("hash64Hex: 64-bit keys, distinct for distinct dirs") {
+    val h1 = CodeSig.hash64Hex("/root/testdata/sf0.001")
+    val h2 = CodeSig.hash64Hex("/root/testdata/sf0.01")
+    assert(h1.length == 16 && h1 != h2)
+    assert(h1 == CodeSig.hash64Hex("/root/testdata/sf0.001"))
+  }
+
+  test("indexFixtureKey embeds the code signature — a signature change IS a rebuild") {
+    val key = graft.DedupQueries.indexFixtureKey(spark, "sigspec", sfDir)
+    val sig = graft.DedupQueries.indexCodeSig
+    assert(key == s"/tmp/graft_sigspec_v${sig}_${CodeSig.hash64Hex(sfDir)}")
+    // the fixture state machines key EVERYTHING on this dir (parquet,
+    // catalog table names via SnapshotMeta.indexStem, model memos), so a
+    // different signature — i.e. any recompile of the signed classes —
+    // addresses a fixture that does not exist yet and rebuilds through
+    // the current code. Demonstrate with a counterfactual sibling:
+    val other = s"/tmp/graft_sigspec_v${"0" * 16}_${CodeSig.hash64Hex(sfDir)}"
+    assert(other != key && !Files.exists(Paths.get(other)))
+  }
+
+  test("indexFixtureKey retires stale siblings built under other signatures") {
+    val dirHash = CodeSig.hash64Hex(sfDir)
+    val stale = Paths.get(s"/tmp/graft_sigspec_v${"dead" * 4}_$dirHash")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("marker"), Array[Byte](1))
+    val key = graft.DedupQueries.indexFixtureKey(spark, "sigspec", sfDir)
+    assert(!Files.exists(stale),
+      "a sibling fixture under a different code signature must be retired")
+    assert(key != stale.toString)
+  }
+
+  test("Staging.ensureGeneration: sig-addressed, memoized, atomic, crash-safe") {
+    val root = Files.createTempDirectory("graft-staging-spec")
+    try {
+      var builds = 0
+      def build(sig: String) =
+        Staging.ensureGeneration(root, sig) { scratch =>
+          builds += 1
+          Files.write(scratch.resolve("payload"), sig.getBytes)
+          ()
+        }
+      val g1 = build("v1")
+      assert(Files.exists(g1.resolve("payload")) && builds == 1)
+      assert(build("v1") == g1 && builds == 1) // memoized: no rebuild
+      val g2 = build("v2") // new sig → new generation, old one intact
+      assert(g2 != g1 && builds == 2)
+      assert(new String(Files.readAllBytes(g1.resolve("payload"))) == "v1")
+      assert(new String(Files.readAllBytes(g2.resolve("payload"))) == "v2")
+      // a throwing build publishes NOTHING (the scratch is discarded) —
+      // the next call builds cleanly
+      intercept[RuntimeException] {
+        Staging.ensureGeneration(root, "v3") { _ =>
+          throw new RuntimeException("torn build")
+        }
+      }
+      val names = scala.util.Using.resource(Files.list(root)) { st =>
+        val it = st.iterator()
+        val b = scala.collection.mutable.Buffer.empty[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.toList
+      }
+      assert(names.count(_.startsWith("gen-")) == 2,
+        s"torn build must not publish a generation: $names")
+      val g3 = build("v3")
+      assert(Files.exists(g3.resolve("payload")) && builds == 3)
+    } finally graft.streaming.StreamGate.deleteRecursively(root)
+  }
+}

@@ -278,6 +278,15 @@ class StreamGateSpec extends SparkSpec {
   }
 
   test("q_stream_index_cdc: streamed deletes/rewrites serve the edited-corpus answer through tombstones") {
+    // Force the CANONICAL history in THIS JVM: a fresh JVM over a
+    // completed fixture legally rebuilds the base over the edited corpus
+    // (identical answers, no stream — catalog tables are per-JVM), but
+    // this test pins the STREAMED two-batch structure, so it starts from
+    // scratch: base over the full corpus, then both CDC slices through
+    // one checkpoint.
+    val fix = graft.DedupQueries.indexFixtureKey(spark, "stream_cdc", sfDir)
+    graft.operators.InvertedIndex.drop(spark, fix)
+    StreamGate.deleteRecursively(java.nio.file.Paths.get(fix))
     val out = graft.DedupQueries.queries("q_stream_index_cdc")(spark, sfDir)
     def toSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
@@ -294,6 +303,21 @@ class StreamGateSpec extends SparkSpec {
     val unedited = toSet(graft.DedupQueries.queries("q_search_corpus")(spark, sfDir))
     assert(streamed != unedited,
       "the CDC edit must change the served ranking (removed/rewritten docs)")
+    // MULTI-BATCH structure (round-17 verdict item 4): the CDC events
+    // arrive as two slices through TWO AvailableNow executions over ONE
+    // checkpoint, so two DISTINCT stream batchIds (0, then 1 after the
+    // restart) must sit in the edit ledger beside the base stamp, each
+    // owning its own tombstone partition — serving reads THROUGH batch
+    // 0's tombstones after batch 1 applied (cross-batch visibility),
+    // which the answer-parity assertions above then hash down to the
+    // edited-corpus replay
+    val base = graft.operators.InvertedIndex.BaseBatchId
+    assert(graft.operators.IndexTestAccess.invLedgerBatchIds(spark, fix)
+      == Seq(base, 0L, 1L),
+      "the CDC ledger must carry the base stamp plus batch 0 AND batch 1")
+    assert(graft.operators.IndexTestAccess.invTombstoneBatchIds(spark, fix)
+      == Seq(0L, 1L),
+      "each CDC slice must own its own tombstone partition")
   }
 
   test("q_stream_dedup_within_wm: the seeded duplicates are DROPPED, not passed through") {
