@@ -127,7 +127,7 @@ object DedupQueries {
     * cleaned by hand). Such a fixture is now discarded wholesale (drop
     * the index family, rewrite the base corpus from the ORIGINAL dir)
     * before re-entering the normal path. */
-  private def ingestFixtureCorpus(s: SparkSession, fix: String,
+  private[graft] def ingestFixtureCorpus(s: SparkSession, fix: String,
                                   docsPath: String,
                                   docs: org.apache.spark.sql.DataFrame,
                                   isBatch: org.apache.spark.sql.Column): Unit = {

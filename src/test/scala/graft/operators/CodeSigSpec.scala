@@ -57,6 +57,41 @@ class CodeSigSpec extends SparkSpec {
     assert(key != stale.toString)
   }
 
+  test("ingestFixtureCorpus repairs a torn/double batch append (round-17 ADVICE)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val s = spark
+    val docs = graft.sources.Tables.documents(s, sfDir)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 7L
+    val total = docs.count()
+    val fix = "/tmp/graft_repairspec_" + CodeSig.hash64Hex(sfDir)
+    val docsPath = s"$fix/documents.parquet"
+    try {
+      InvertedIndex.drop(s, fix)
+      graft.streaming.StreamGate.deleteRecursively(Paths.get(fix))
+      // normal flow: base landed, base index built, batch slice landed
+      graft.DedupQueries.ingestFixtureCorpus(s, fix, docsPath, docs, isBatch)
+      assert(graft.sources.Tables.documents(s, fix).count() == total)
+      // CORRUPT: double-land the batch slice (the torn/duplicated append
+      // a crash mid-write could leave) — count now exceeds the corpus
+      docs.filter(isBatch).write.mode("append").parquet(docsPath)
+      assert(graft.sources.Tables.documents(s, fix).count() > total)
+      // re-entry detects the unrecognized count, rebuilds wholesale from
+      // the ORIGINAL dir, and converges back to the full corpus — the
+      // state no prior branch ever repaired
+      graft.DedupQueries.ingestFixtureCorpus(s, fix, docsPath, docs, isBatch)
+      assert(graft.sources.Tables.documents(s, fix).count() == total)
+      // and the index family over it is consistent: appending the batch
+      // slice through the ledger closes the staleness handshake
+      val batch = graft.sources.Tables.documents(s, fix).filter(isBatch)
+      InvertedIndex.appendPositions(s, fix, batch)
+      InvertedIndex.append(s, fix, batch)
+      assert(!InvertedIndex.snapshotStale(s, fix))
+    } finally {
+      InvertedIndex.drop(s, fix)
+      graft.streaming.StreamGate.deleteRecursively(Paths.get(fix))
+    }
+  }
+
   test("Staging.ensureGeneration: sig-addressed, memoized, atomic, crash-safe") {
     val root = Files.createTempDirectory("graft-staging-spec")
     try {
