@@ -163,15 +163,22 @@ object DedupQueries {
     * family, so serving from the maintained store answers exactly the
     * full-corpus SQL — q_search_corpus's oracle, unchanged.
     *
+    * Round 18: the slice arrives as TWO sub-slices (doc_id % 20 == 7
+    * vs == 17) through TWO AvailableNow executions over ONE shared
+    * checkpoint — the [[streamCdcSearchDir]] shape applied to the
+    * APPEND verb, so two DISTINCT stream batchIds (0, then 1 after the
+    * restart) flow through the append ledger in one gate query:
+    * batch-ordering across a restart is hash-checked for BOTH
+    * maintenance verbs. Oracle unchanged (appends commute and sum to
+    * the full corpus).
+    *
     * Idempotent at every entry state, inheriting the ledger's replay
     * discipline: a completed fixture re-reads fresh and skips the stream
     * entirely; a fresh JVM over the completed fixture rebuilds the base
     * from the full dir (snapshotStale false → no stream); a crash
-    * mid-stream leaves the batch uncommitted (stamp is last), so the
-    * re-entry re-runs the bounded stream under a FRESH checkpoint — the
-    * same batchId 0 re-lands both partition overwrites and commits. The
-    * single staged file ⇒ exactly one micro-batch ⇒ batchId 0,
-    * deterministic. */
+    * anywhere mid-stream leaves some batch uncommitted (stamp is last),
+    * so the re-entry re-runs BOTH slices under a FRESH checkpoint —
+    * committed slices no-op via the ledger, uncommitted ones apply. */
   private def streamIngestSearchDir(s: SparkSession, dir: String): String = {
     import graft.operators.InvertedIndex
     import graft.streaming.StreamGate
@@ -184,22 +191,36 @@ object DedupQueries {
       val srcDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt")
       try {
-        docs.filter(isBatch).repartition(1)
-          .write.mode("overwrite").parquet(srcDir.toString)
-        val q = s.readStream.schema(docs.schema).parquet(srcDir.toString)
-          .writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            if (!b.isEmpty) {
-              InvertedIndex.appendPositions(s, fix, b, id)
-              InvertedIndex.append(s, fix, b, id)
+        val sliceA = pmod(col("doc_id"), lit(20L)) === 7L
+        // TRIPWIRE (the CDC discipline): a regenerated id space that
+        // empties a sub-slice would silently degenerate this back to
+        // single-batch ingest
+        val nA = docs.filter(isBatch && sliceA).count()
+        val nB = docs.filter(isBatch && !sliceA).count()
+        require(nA > 0 && nB > 0,
+          s"streamIngestSearchDir($dir): an ingest slice is empty " +
+            s"(a=$nA b=$nB) — the multi-batch path would silently stop " +
+            "being exercised")
+        def runSlice(slice: org.apache.spark.sql.Column, name: String): Unit = {
+          graft.streaming.Staging.writeSingleFile(
+            docs.filter(isBatch && slice), srcDir, name)
+          val q = s.readStream.schema(docs.schema).parquet(srcDir.toString)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              if (!b.isEmpty) {
+                InvertedIndex.appendPositions(s, fix, b, id)
+                InvertedIndex.append(s, fix, b, id)
+              }
             }
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .start()
-        try require(q.awaitTermination(600000L),
-          "bounded index-ingest stream must self-stop under AvailableNow")
-        finally q.stop()
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          try require(q.awaitTermination(600000L),
+            "bounded index-ingest stream must self-stop under AvailableNow")
+          finally q.stop()
+        }
+        runSlice(sliceA, "ingest-a.parquet")  // batch 0
+        runSlice(!sliceA, "ingest-b.parquet") // batch 1, resuming the checkpoint
       } finally {
         StreamGate.deleteRecursively(ckpt)
         StreamGate.deleteRecursively(srcDir)

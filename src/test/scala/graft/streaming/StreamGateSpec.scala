@@ -262,6 +262,11 @@ class StreamGateSpec extends SparkSpec {
   }
 
   test("q_stream_index_ingest serves the full-corpus answer from the stream-maintained store") {
+    // canonical history in THIS JVM (see the CDC test's note): base over
+    // 90%, then BOTH ingest slices streamed through one checkpoint
+    val fix = graft.DedupQueries.indexFixtureKey(spark, "stream_ingest", sfDir)
+    graft.operators.InvertedIndex.drop(spark, fix)
+    StreamGate.deleteRecursively(java.nio.file.Paths.get(fix))
     val out = graft.DedupQueries.queries("q_stream_index_ingest")(spark, sfDir)
     // plan pin: serving reads the persisted postings store through its
     // bucket pruning — never a corpus scan
@@ -275,6 +280,12 @@ class StreamGateSpec extends SparkSpec {
     val streamed = toSet(out)
     assert(streamed == base && base.nonEmpty,
       s"unexpected=${streamed.diff(base).take(3)} missing=${base.diff(streamed).take(3)}")
+    // MULTI-BATCH structure (round 18, the CDC pattern applied to the
+    // APPEND verb): two ingest slices through one checkpoint ⇒ the
+    // append ledger carries the base stamp plus batch 0 AND batch 1
+    assert(graft.operators.IndexTestAccess.invLedgerBatchIds(spark, fix)
+      == Seq(graft.operators.InvertedIndex.BaseBatchId, 0L, 1L),
+      "the ingest ledger must carry the base stamp plus batches 0 and 1")
   }
 
   test("q_stream_index_cdc: streamed deletes/rewrites serve the edited-corpus answer through tombstones") {
