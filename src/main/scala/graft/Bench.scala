@@ -214,6 +214,11 @@ object Bench {
       hostmarkBefore: Double, hostmarkAfter: Double, hostmarkMt: Double,
       hostmarkBwRun: Double,
       suspects: Seq[String], comparable: Boolean, whyNot: List[String])
+    // THE steal-suspect predicate — one definition feeding both the
+    // attempt-level comparability share and the per-query re-measure /
+    // final-flag logic (a tuned threshold must move both together).
+    val stealFlagged: ((Double, Double)) => Boolean =
+      { case (el, ss) => ss > math.max(0.25, 0.05 * el) }
     // One timed measurement set (`runs` runs) of one query — shared by
     // the full-suite pass and the targeted suspect re-measure below.
     def timeQuery(name: String,
@@ -274,8 +279,7 @@ object Bench {
     // fault-in; the min is the quiet-est slice this attempt saw
     val hostmarkBwRun = (1 to 3).map(_ => hostmarkBw(cpus.toInt)).min
     val suspects = results.collect {
-      case (k, t, _) if t.flatten.exists { case (el, ss) =>
-        ss > math.max(0.25, 0.05 * el) } => k
+      case (k, t, _) if t.flatten.exists(stealFlagged) => k
     }
     val suspectShare =
       if (results.nonEmpty) suspects.size.toDouble / results.size else 0.0
@@ -320,8 +324,6 @@ object Bench {
     // After a comparable pass, re-measure ONLY the flagged queries —
     // fixtures and JIT are warm, so seconds each — and splice the extra
     // runs in; the per-query min then comes from the quietest run seen.
-    val stealFlagged: ((Double, Double)) => Boolean =
-      { case (el, ss) => ss > math.max(0.25, 0.05 * el) }
     def minSec(t: Seq[Option[(Double, Double)]]): Option[Double] = {
       val f = t.flatten.map(_._1)
       if (f.isEmpty) None else Some(f.min)
@@ -339,7 +341,23 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")),
           java.nio.charset.StandardCharsets.UTF_8)
-        if (!txt.contains("\"comparable\":true")) Map.empty
+        // the reference must be COMPARABLE and from the SAME run config
+        // (review finding): a stored sf0.1 artifact read by an sf1 run
+        // would mass-flag every query as drifted and turn the "targeted"
+        // re-measure into a second full pass. sf is in every artifact;
+        // cpus is stamped from this round on and checked when present.
+        val sameSf = {
+          val m = java.util.regex.Pattern
+            .compile("\"sf\":\"([^\"]*)\"").matcher(txt)
+          m.find() && m.group(1) == sfDir
+        }
+        val sameCpus = {
+          val m = java.util.regex.Pattern
+            .compile("\"cpus\":([0-9]+)").matcher(txt)
+          !m.find() || m.group(1) == cpus
+        }
+        if (!txt.contains("\"comparable\":true") || !sameSf || !sameCpus)
+          Map.empty
         else {
           val m = java.util.regex.Pattern
             .compile("\"queries\":\\{(.*?)\\}").matcher(txt)
@@ -364,6 +382,7 @@ object Bench {
     // only a comparable pass re-measures: a non-comparable artifact is
     // quarantined whole (below), and re-measuring inside a storm would
     // just launder the storm into the suspect lists
+    val remeasured = scala.collection.mutable.Buffer.empty[String]
     if (comparable && remeasureTargets.nonEmpty) {
       System.err.println(s"[bench] targeted re-measure of " +
         s"${remeasureTargets.size} flagged queries " +
@@ -374,6 +393,7 @@ object Bench {
         if (!f2) {
           val (_, t0, failed0) = resultsMap(n)
           resultsMap(n) = (n, t0 ++ t2, failed0)
+          remeasured += n
         }
       }
     }
@@ -417,10 +437,15 @@ object Bench {
     // forensic companions to the final lists: the attempt-level any-run
     // suspects (the comparability leg's evidence) and the drift watch's
     // verdict + reference size (0 ⇒ no comparable artifact to drift from)
+    // `remeasured` also tells consumers which queries' raw/steal arrays
+    // carry 2x runs_per_query entries (review finding: the global
+    // runs_per_query understates spliced queries); `cpus` closes the
+    // drift reference's config check for future rounds
     val suspectAux =
       s""""steal_suspect_any_run":${names(suspects)},""" +
       s""""drift_suspect":${names(driftSuspectFinal)},""" +
-      s""""drift_ref_queries":${prevQueries.size}"""
+      s""""drift_ref_queries":${prevQueries.size},""" +
+      s""""remeasured":${names(remeasured.toSeq)},"cpus":$cpus"""
     val errs = names(errors)
     // total FIRST (and repeated LAST as total_check): round 2's artifact
     // lost the leading total to tail truncation of the capture — with the

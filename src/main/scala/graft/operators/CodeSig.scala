@@ -64,8 +64,37 @@ object CodeSig {
     try in.readAllBytes() finally in.close()
   }
 
-  /** The 16-hex signature of `classes`' compiled bytes, order-sensitive
-    * (callers pass a fixed list). Memoized per class set per JVM. */
+  /** The class's SATELLITE classfiles (`Foo$$anonfun$N`,
+    * `Foo$$typecreator…`), when the classpath entry is a plain
+    * directory (sbt's layout — always true here). scalac emits SOME
+    * lambda/typetag bodies as separate classfiles, so a same-line edit
+    * inside one could leave the object's own classfile byte-identical
+    * (no line-number shift) — hashing the siblings closes that hole.
+    * Jar-packed classes fall back to the main classfile alone. */
+  private def satelliteBytes(cls: Class[_]): Seq[(String, Array[Byte])] = {
+    val simple = cls.getName.substring(cls.getName.lastIndexOf('.') + 1)
+    val url = cls.getResource(simple + ".class")
+    if (url == null || url.getProtocol != "file") Seq.empty
+    else {
+      val dir = java.nio.file.Paths.get(url.toURI).getParent
+      val stem = simple.stripSuffix("$") + "$$"
+      scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+        val it = st.iterator()
+        val b = scala.collection.mutable.Buffer.empty[(String, Array[Byte])]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(stem) && n.endsWith(".class"))
+            b += ((n, java.nio.file.Files.readAllBytes(p)))
+        }
+        b.sortBy(_._1).toSeq // deterministic order
+      }
+    }
+  }
+
+  /** The 16-hex signature of `classes`' compiled bytes (object
+    * classfile + lambda/typetag satellites), order-sensitive (callers
+    * pass a fixed list). Memoized per class set per JVM. */
   def of(classes: Class[_]*): String = {
     val key = classes.map(_.getName)
     memo.computeIfAbsent(key, _ => {
@@ -75,6 +104,10 @@ object CodeSig {
         // with (improbably) identical bytes still changes the signature
         h = fnv64(c.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8), h)
         h = fnv64(classBytes(c), h)
+        satelliteBytes(c).foreach { case (n, bytes) =>
+          h = fnv64(n.getBytes(java.nio.charset.StandardCharsets.UTF_8), h)
+          h = fnv64(bytes, h)
+        }
       }
       f"$h%016x"
     })

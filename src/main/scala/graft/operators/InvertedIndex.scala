@@ -650,8 +650,9 @@ object InvertedIndex {
     * the same rows; stats re-sum to the same totals; spec-pinned), and
     * the per-lookup file count drops back to one per selected bucket.
     * Because the bucket spec is re-declared at the rewrite, compaction is
-    * also the sanctioned path to a NEW bucket count (re-evaluated from
-    * each table's stored bytes — see the sizing scaladoc up top).
+    * also the sanctioned path to a NEW bucket count — re-evaluated ONCE
+    * from the family's largest member's stored bytes and applied
+    * family-uniform (see the inline sizing comment below).
     *
     * NOT crash-atomic, by contract: each table fold is a drop-and-
     * recreate, so a kill mid-compact can leave a table absent — the
@@ -678,17 +679,23 @@ object InvertedIndex {
     val foldId = spark.table(metaTable(dir))
       .agg(max("batch_id")).head().getLong(0)
     // the bucket spec is re-declared at the rewrites, so compaction
-    // RE-EVALUATES the sizing formula — ONCE, from the POSTINGS table's
-    // stored bytes (now known exactly, unlike at build time), and the
-    // single count applies to every bucketed fold in the family: the
-    // build's family-uniform rule (round-17 ADVICE — a per-table recount
-    // could desync postings from vocab/deletes/positions and reintroduce
+    // RE-EVALUATES the sizing formula — ONCE, and the single count
+    // applies to every bucketed fold in the family: the build's
+    // family-uniform rule (round-17 ADVICE — a per-table recount could
+    // desync postings from vocab/deletes/positions and reintroduce
     // shuffles in the term-bucketed joins the uniform count exists to
-    // avoid). The driver table is the postings store (the family's bulk;
-    // the satellites are strictly narrower projections of the same term
-    // space, so its count is the right order for them too).
+    // avoid). Sized from the LARGEST member's stored bytes (now known
+    // exactly, unlike at build time): positions carries per-OCCURRENCE
+    // rows and typically outweighs the per-(term, doc) postings severalfold
+    // (review finding — postings-only sizing would leave positions
+    // bucket files far past the 256 MB target at scale); the uniform
+    // count at the max keeps every member's files at-or-under target,
+    // smaller members just run more, smaller files.
     val nb = forcedBuckets.getOrElse(bucketCountForBytes(
-      tableFileBytes(spark, table(dir))))
+      (Seq(table(dir)) ++
+        (if (spark.catalog.tableExists(posTable(dir))) Seq(posTable(dir))
+         else Nil))
+        .map(tableFileBytes(spark, _)).max))
     def fold(t: String, bucketCols: Seq[String], sortCols: Seq[String],
              agg: DataFrame => DataFrame = identity,
              live: Boolean = false): Unit = {

@@ -49,12 +49,23 @@ class CodeSigSpec extends SparkSpec {
   test("indexFixtureKey retires stale siblings built under other signatures") {
     val dirHash = CodeSig.hash64Hex(sfDir)
     val stale = Paths.get(s"/tmp/graft_sigspec_v${"dead" * 4}_$dirHash")
+    val fresh = Paths.get(s"/tmp/graft_sigspec_v${"beef" * 4}_$dirHash")
     Files.createDirectories(stale)
+    Files.createDirectories(fresh)
     Files.write(stale.resolve("marker"), Array[Byte](1))
-    val key = graft.DedupQueries.indexFixtureKey(spark, "sigspec", sfDir)
-    assert(!Files.exists(stale),
-      "a sibling fixture under a different code signature must be retired")
-    assert(key != stale.toString)
+    // age the stale sibling past the 2h idle cutoff; `fresh` keeps its
+    // just-created mtime — a live co-tenant's fixture must SURVIVE
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3L * 3600 * 1000))
+    try {
+      val key = graft.DedupQueries.indexFixtureKey(spark, "sigspec", sfDir)
+      assert(!Files.exists(stale),
+        "an idle sibling fixture under a different code signature must be retired")
+      assert(Files.exists(fresh),
+        "a recently-active sibling (a live co-tenant JVM's fixture) must survive")
+      assert(key != stale.toString && key != fresh.toString)
+    } finally graft.streaming.StreamGate.deleteRecursively(fresh)
   }
 
   test("ingestFixtureCorpus repairs a torn/double batch append (round-17 ADVICE)") {

@@ -294,7 +294,10 @@ class StreamGateSpec extends SparkSpec {
     // (identical answers, no stream — catalog tables are per-JVM), but
     // this test pins the STREAMED two-batch structure, so it starts from
     // scratch: base over the full corpus, then both CDC slices through
-    // one checkpoint.
+    // one checkpoint. Co-tenancy note: this deletion is safe beside a
+    // live driver bench because the spec's fixture is sf0.001's while
+    // the bench runs sf0.1 (different dir hash, different fixture), and
+    // the driver runs suite → Verify → bench sequentially.
     val fix = graft.DedupQueries.indexFixtureKey(spark, "stream_cdc", sfDir)
     graft.operators.InvertedIndex.drop(spark, fix)
     StreamGate.deleteRecursively(java.nio.file.Paths.get(fix))

@@ -79,9 +79,13 @@ class WatermarkDemoSpec extends SparkSpec {
     // emits exactly the windows whose end the min-of-inputs watermark
     // passed during that chunk (fired at the first opportunity, held
     // back by the slower input, never early)
-    val sizes0 = p0.grouped(math.max(1, p0.size / nChunks)).map(_.size)
+    // BOTH partitions chunk by the p0-derived size, exactly as
+    // transcript() does (review finding: deriving sizes1 from p1.size
+    // only matched by coincidence of the generator's symmetric ranges)
+    val chunkSize = math.max(1, p0.size / nChunks)
+    val sizes0 = p0.grouped(chunkSize).map(_.size)
       .scanLeft(0)(_ + _).drop(1).toSeq
-    val sizes1 = p1.grouped(math.max(1, p1.size / nChunks)).map(_.size)
+    val sizes1 = p1.grouped(chunkSize).map(_.size)
       .scanLeft(0)(_ + _).drop(1).toSeq
     def wmAfter(i: Int): Long = {
       val n0 = sizes0(math.min(i, sizes0.size - 1))
