@@ -100,6 +100,47 @@ object Bench {
     dt
   }
 
+  /** Parse the DRIFT REFERENCE out of a stored BENCH_DETAIL.json: the
+    * per-query min map of the last COMPARABLE artifact from the SAME run
+    * config (sf and, when stamped, cpus). Returns empty — disabling the
+    * drift leg — when the artifact is non-comparable, from another
+    * config, or unparsable. Extracted and spec-pinned (round-18 verdict
+    * item 4): this is the one place in the gate where a format change
+    * would silently disable the drift watch (`drift_ref_queries:0` the
+    * only tell), so BenchSpec round-trips a real artifact through it.
+    * The hand-rolled regexes are correct for the artifact's actual
+    * shape — a FLAT string→number map whose values are brace-free and
+    * comma-separated — and deliberately lenient about unknown sibling
+    * fields (future rounds add fields). */
+  private[graft] def parseDriftReference(txt: String, sfDir: String,
+                                         cpus: String): Map[String, Double] = {
+    try {
+      val sameSf = {
+        val m = java.util.regex.Pattern
+          .compile("\"sf\":\"([^\"]*)\"").matcher(txt)
+        m.find() && m.group(1) == sfDir
+      }
+      val sameCpus = {
+        val m = java.util.regex.Pattern
+          .compile("\"cpus\":([0-9]+)").matcher(txt)
+        !m.find() || m.group(1) == cpus
+      }
+      if (!txt.contains("\"comparable\":true") || !sameSf || !sameCpus)
+        Map.empty
+      else {
+        val m = java.util.regex.Pattern
+          .compile("\"queries\":\\{(.*?)\\}").matcher(txt)
+        if (!m.find()) Map.empty
+        else m.group(1).split(",").iterator.flatMap { kv =>
+          val i = kv.lastIndexOf(':')
+          if (i < 0) None
+          else kv.substring(i + 1).toDoubleOption.map(v =>
+            kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"") -> v)
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -335,41 +376,18 @@ object Bench {
     // queries jitter legitimately). Drift flags trigger re-measure, never
     // the gate: a genuine plan regression survives re-measurement and is
     // REPORTED in drift_suspect for the round's narrative to explain.
+    // the reference must be COMPARABLE and from the SAME run config
+    // (review finding): a stored sf0.1 artifact read by an sf1 run
+    // would mass-flag every query as drifted and turn the "targeted"
+    // re-measure into a second full pass. sf is in every artifact;
+    // cpus is stamped from round 18 on and checked when present.
     val prevQueries: Map[String, Double] =
       if (only.nonEmpty) Map.empty // filtered dev runs skip the drift leg
-      else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
+      else try parseDriftReference(
+        new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // the reference must be COMPARABLE and from the SAME run config
-        // (review finding): a stored sf0.1 artifact read by an sf1 run
-        // would mass-flag every query as drifted and turn the "targeted"
-        // re-measure into a second full pass. sf is in every artifact;
-        // cpus is stamped from this round on and checked when present.
-        val sameSf = {
-          val m = java.util.regex.Pattern
-            .compile("\"sf\":\"([^\"]*)\"").matcher(txt)
-          m.find() && m.group(1) == sfDir
-        }
-        val sameCpus = {
-          val m = java.util.regex.Pattern
-            .compile("\"cpus\":([0-9]+)").matcher(txt)
-          !m.find() || m.group(1) == cpus
-        }
-        if (!txt.contains("\"comparable\":true") || !sameSf || !sameCpus)
-          Map.empty
-        else {
-          val m = java.util.regex.Pattern
-            .compile("\"queries\":\\{(.*?)\\}").matcher(txt)
-          if (!m.find()) Map.empty
-          else m.group(1).split(",").iterator.flatMap { kv =>
-            val i = kv.lastIndexOf(':')
-            if (i < 0) None
-            else kv.substring(i + 1).toDoubleOption.map(v =>
-              kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"") -> v)
-          }.toMap
-        }
-      } catch { case _: Throwable => Map.empty }
+          java.nio.charset.StandardCharsets.UTF_8), sfDir, cpus)
+      catch { case _: Throwable => Map.empty }
     def drifted(name: String, t: Seq[Option[(Double, Double)]]): Boolean =
       prevQueries.get(name).exists(prev =>
         minSec(t).exists(m => m > 1.5 * prev && m - prev > 0.1))
@@ -403,8 +421,12 @@ object Bench {
     // inflates, so a clean min is trustworthy regardless of other runs —
     // the attempt-level comparability share above keeps the conservative
     // any-run rule and is emitted as steal_suspect_any_run for forensics).
+    // `!failed` matches driftSuspectFinal (round-18 ADVICE): a query that
+    // failed on some runs is omitted from `queries`/total and listed in
+    // `errors` — flagging it here too would hand consumers an
+    // inconsistent artifact to correlate
     val stealSuspectFinal = results.collect {
-      case (k, t, _) if t.flatten.nonEmpty &&
+      case (k, t, failed) if !failed && t.flatten.nonEmpty &&
         stealFlagged(t.flatten.minBy(_._1)) => k
     }
     val driftSuspectFinal = results.collect {
@@ -441,11 +463,21 @@ object Bench {
     // carry 2x runs_per_query entries (review finding: the global
     // runs_per_query understates spliced queries); `cpus` closes the
     // drift reference's config check for future rounds
+    // `written_utc` (round-18 verdict item 6): rejection provenance —
+    // BENCH_DETAIL.rejected.json holds whichever rejection came LAST,
+    // and reconstructing which attempt it was previously took a
+    // cross-reference against the round narrative; with the timestamp
+    // beside bench_attempts and comparable_why_not, the artifact carries
+    // its own provenance (comparable artifacts get the stamp too)
+    val writtenUtc = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.ofEpochMilli(System.currentTimeMillis())
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
     val suspectAux =
       s""""steal_suspect_any_run":${names(suspects)},""" +
       s""""drift_suspect":${names(driftSuspectFinal)},""" +
       s""""drift_ref_queries":${prevQueries.size},""" +
-      s""""remeasured":${names(remeasured.toSeq)},"cpus":$cpus"""
+      s""""remeasured":${names(remeasured.toSeq)},"cpus":$cpus,""" +
+      s""""written_utc":"$writtenUtc""""
     val errs = names(errors)
     // total FIRST (and repeated LAST as total_check): round 2's artifact
     // lost the leading total to tail truncation of the capture — with the

@@ -27,7 +27,7 @@ object DedupQueries {
     * Verify/bench run rebuilds the store THROUGH the changed code.
     * See [[graft.operators.CodeSig]] for why a bytecode hash beats a
     * hand-bumped constant. */
-  private[graft] lazy val indexCodeSig: String = graft.operators.CodeSig.of(
+  private[graft] val indexSignedClasses: Seq[Class[_]] = Seq(
     graft.operators.InvertedIndex.getClass,
     graft.operators.SnapshotMeta.getClass,
     graft.operators.ComponentIndex.getClass,
@@ -40,7 +40,16 @@ object DedupQueries {
     graft.operators.Pq.getClass,
     graft.operators.Dedup.getClass,
     graft.streaming.StreamGate.getClass,
+    // SIGN THE SIGNER (round-18 verdict item 5): a bug fix in the
+    // hashing or staging code must re-key the fixtures built under the
+    // buggy version — otherwise a CodeSig/Staging defect could keep a
+    // wrongly-keyed (or wrongly-staged) fixture serving forever.
+    graft.operators.CodeSig.getClass,
+    graft.streaming.Staging.getClass,
     DedupQueries.getClass)
+
+  private[graft] lazy val indexCodeSig: String =
+    graft.operators.CodeSig.of(indexSignedClasses: _*)
 
   /** Fixture dir for (family `name`, source `dir`), version-keyed:
     * `/tmp/graft_<name>_v<codeSig>_<hash64(dir)>` — 64-bit dir hash
@@ -63,6 +72,18 @@ object DedupQueries {
                                      dir: String): String = {
     val dirHash = graft.operators.CodeSig.hash64Hex(dir)
     val fix = s"/tmp/graft_${name}_v${indexCodeSig}_$dirHash"
+    // touch the resolved fixture's mtime so the 2h idle window below
+    // tracks LAST USE, not build time (round-18 ADVICE: serving reads
+    // never bump a dir's mtime — the index tables live in the warehouse
+    // — so a co-tenant JVM whose session outlives 2h could have its
+    // live fixture retired mid-query by a JVM on a different signature)
+    try {
+      val p = java.nio.file.Paths.get(fix)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+    } catch { case scala.util.control.NonFatal(_) => () }
     try {
       import scala.jdk.CollectionConverters._
       val prefix = s"graft_${name}_v"
@@ -192,10 +213,11 @@ object DedupQueries {
     * anywhere mid-stream leaves some batch uncommitted (stamp is last),
     * so the re-entry re-runs BOTH slices under a FRESH checkpoint —
     * committed slices no-op via the ledger, uncommitted ones apply. */
-  private def streamIngestSearchDir(s: SparkSession, dir: String): String = {
+  private[graft] def streamIngestSearchDir(s: SparkSession, dir: String,
+      family: String = "stream_ingest"): String = {
     import graft.operators.InvertedIndex
     import graft.streaming.StreamGate
-    val fix = indexFixtureKey(s, "stream_ingest", dir)
+    val fix = indexFixtureKey(s, family, dir)
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isBatch = pmod(col("doc_id"), lit(10L)) === 7L
@@ -442,10 +464,11 @@ object DedupQueries {
     * edited+fresh → done, or a fresh-JVM rebuild over the edited
     * corpus, identical answers either way; anything else → wholesale
     * rebuild. */
-  private def streamCdcSearchDir(s: SparkSession, dir: String): String = {
+  private[graft] def streamCdcSearchDir(s: SparkSession, dir: String,
+      family: String = "stream_cdc"): String = {
     import graft.operators.InvertedIndex
     import graft.streaming.StreamGate
-    val fix = indexFixtureKey(s, "stream_cdc", dir)
+    val fix = indexFixtureKey(s, family, dir)
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
@@ -525,6 +548,132 @@ object DedupQueries {
       InvertedIndex.ensure(s, fix)
       InvertedIndex.ensurePositions(s, fix)
       applyEditViaStream()
+    }
+    fix
+  }
+
+  /** The MIXED-VERB streamed maintenance fixture behind
+    * q_stream_index_mixed (round-18 verdict item 2): the two maintenance
+    * verbs INTERLEAVED through ONE checkpoint and ONE ledger — the
+    * ordering a production crawl-ingest-then-correct pipeline exercises,
+    * which [[streamIngestSearchDir]] (append only) and
+    * [[streamCdcSearchDir]] (edit only) each leave unpinned. History:
+    * base build over 90% of the corpus (doc_id % 10 != 7); batch 0 =
+    * the held-out slice arriving as `op = insert` events through the
+    * APPEND verb; restart over the same checkpoint; batch 1 = the CDC
+    * events (op = delete for doc_id % 20 == 3, op = upsert with the
+    * text doubled for % 20 == 11 — [[editedSearchDir]]'s edit classes,
+    * disjoint from the appended slice: insert ids are ≡ 7 mod 10, the
+    * edit ids ≡ 3 or 11 mod 20) through the EDIT verb. One unified
+    * event schema (doc_id, op, text) carries both verbs; foreachBatch
+    * routes on the batch's op mix — a batch with no mutation events
+    * takes the append path (ledgered [[graft.operators.InvertedIndex.append]]),
+    * one with deletes/upserts compensates from the ORIGINAL dir's
+    * documents and takes [[graft.operators.InvertedIndex.edit]]. The
+    * final corpus (full ∖ removed, rewritten doubled) is exactly
+    * [[streamCdcSearchDir]]'s, and append == rebuild is exact for this
+    * family, so the oracle is q_search_corpus_edited's edited-corpus
+    * replay, unchanged.
+    *
+    * Idempotent state machine on the fixture corpus count:
+    *   - base-count → (re)run the whole two-batch stream under a fresh
+    *     checkpoint (the per-batch ledger stamps make committed batches
+    *     no-ops, covering fresh-base, mid-stream crash, and
+    *     crash-before-the-corpus-landed alike), then land the edited
+    *     corpus;
+    *   - edited-count + fresh ledger → complete, or a fresh JVM rebuilt
+    *     the base over the edited corpus — identical answers either way
+    *     (append == rebuild and edit == rebuild, both spec-pinned);
+    *   - anything else → unrecognized; wholesale rebuild. */
+  private[graft] def streamMixedSearchDir(s: SparkSession, dir: String,
+      family: String = "stream_mixed"): String = {
+    import graft.operators.InvertedIndex
+    import graft.streaming.StreamGate
+    val fix = indexFixtureKey(s, family, dir)
+    val docsPath = s"$fix/documents.parquet"
+    val docs = Tables.documents(s, dir)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 7L
+    val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
+    val isRewritten = pmod(col("doc_id"), lit(20L)) === 11L
+    def editedCorpus = docs.filter(!isRemoved).withColumn("text",
+      when(isRewritten, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")))
+    def runStream(): Unit = {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-mixed-src")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-mixed-ckpt")
+      try {
+        val inserts = docs.filter(isBatch)
+          .select(col("doc_id"), lit("insert").as("op"), col("text"))
+        val edits = docs.filter(isRemoved)
+          .select(col("doc_id"), lit("delete").as("op"),
+            lit(null).cast("string").as("text"))
+          .unionByName(docs.filter(isRewritten)
+            .select(col("doc_id"), lit("upsert").as("op"),
+              concat(col("text"), lit(" "), col("text")).as("text")))
+        // TRIPWIRE (the stagedEventsHalves discipline): a regenerated id
+        // space that empties either slice would silently degenerate this
+        // back to a single-verb stream
+        val nI = inserts.count()
+        val nE = edits.count()
+        require(nI > 0 && nE > 0,
+          s"streamMixedSearchDir($dir): a verb slice is empty " +
+            s"(inserts=$nI edits=$nE) — the mixed-verb path would " +
+            "silently stop being exercised")
+        def runSlice(events: DataFrame, name: String): Unit = {
+          graft.streaming.Staging.writeSingleFile(events, srcDir, name)
+          val q = s.readStream.schema(inserts.schema).parquet(srcDir.toString)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              if (!b.isEmpty) {
+                // route on the batch's op mix: no mutations → the APPEND
+                // verb; any delete/upsert → the EDIT verb, compensating
+                // from the original dir (session discipline as in the
+                // CDC fixture: batch-session frames, outer-session calls)
+                val mutations = b.filter(col("op") =!= "insert")
+                if (mutations.isEmpty) {
+                  val added = b.select("doc_id", "text")
+                  InvertedIndex.appendPositions(s, fix, added, id)
+                  InvertedIndex.append(s, fix, added, id)
+                } else {
+                  val removed = Tables.documents(b.sparkSession, dir)
+                    .join(mutations.select("doc_id"), Seq("doc_id"), "left_semi")
+                  val added = b.filter(col("op") === "upsert")
+                    .select("doc_id", "text")
+                  InvertedIndex.appendPositions(s, fix, added, id)
+                  InvertedIndex.edit(s, fix, removed, added, id)
+                }
+              }
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          try require(q.awaitTermination(600000L),
+            "bounded mixed-verb stream must self-stop under AvailableNow")
+          finally q.stop()
+        }
+        runSlice(inserts, "mixed-ingest.parquet") // batch 0: APPEND verb
+        runSlice(edits, "mixed-cdc.parquet") // batch 1: EDIT verb, resumed ckpt
+      } finally {
+        StreamGate.deleteRecursively(ckpt)
+        StreamGate.deleteRecursively(srcDir)
+      }
+      editedCorpus.write.mode("overwrite").parquet(docsPath)
+    }
+    def landBase(): Unit =
+      docs.filter(!isBatch).write.mode("overwrite").parquet(docsPath)
+    if (!new java.io.File(docsPath).exists()) landBase()
+    InvertedIndex.ensure(s, fix)
+    InvertedIndex.ensurePositions(s, fix)
+    val n = Tables.documents(s, fix).count()
+    val baseCount = docs.filter(!isBatch).count()
+    if (n == baseCount) runStream()
+    else if (n == editedCorpus.count() && !InvertedIndex.snapshotStale(s, fix)) ()
+    else { // unrecognized state: rebuild from scratch
+      InvertedIndex.drop(s, fix)
+      landBase()
+      InvertedIndex.ensure(s, fix)
+      InvertedIndex.ensurePositions(s, fix)
+      runStream()
     }
     fix
   }
@@ -1460,6 +1609,18 @@ object DedupQueries {
     // q_search_corpus_edited's edited-corpus replay, unchanged
     "q_stream_index_cdc" -> ((s, dir) =>
       graft.operators.InvertedIndex.search(s, streamCdcSearchDir(s, dir),
+        Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
+
+    // BOTH maintenance verbs interleaved through ONE checkpoint and one
+    // ledger (round-18 verdict item 2): batch 0 streams the held-out
+    // slice through the APPEND verb, a restart resumes the checkpoint,
+    // batch 1 streams CDC deletes/rewrites through the EDIT verb — the
+    // crawl-ingest-then-correct ordering — and serving reads the
+    // appended docs AND reads through batch 1's tombstones in one
+    // answer. Oracle: the edited-corpus replay, unchanged (append ==
+    // rebuild and edit == rebuild compose).
+    "q_stream_index_mixed" -> ((s, dir) =>
+      graft.operators.InvertedIndex.search(s, streamMixedSearchDir(s, dir),
         Seq("join", "hash", "scan", "graftabsentterm"), k = 10)),
 
     // BM25-RANKED corpus search (round 11): top-10 DOCUMENTS for a
@@ -3398,6 +3559,10 @@ object DedupQueries {
     "q_search_corpus_maintained" -> corpusRankedSql,
     "q_stream_index_ingest" -> corpusRankedSql,
     "q_stream_index_cdc" -> overEditedCorpus(corpusRankedSql),
+    // the mixed-verb stream lands the same final corpus as the CDC twin
+    // (append slice folded in, then the same edit classes), so the same
+    // edited-corpus replay is its oracle
+    "q_stream_index_mixed" -> overEditedCorpus(corpusRankedSql),
     "q_search_corpus_edited" -> overEditedCorpus(corpusRankedSql),
     // the persisted vocabulary itself: live df = count of docs holding
     // the term; the edited twin replays the net-row telescoping

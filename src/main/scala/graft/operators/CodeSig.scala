@@ -70,25 +70,37 @@ object CodeSig {
     * lambda/typetag bodies as separate classfiles, so a same-line edit
     * inside one could leave the object's own classfile byte-identical
     * (no line-number shift) — hashing the siblings closes that hole.
-    * Jar-packed classes fall back to the main classfile alone. */
+    * A jar-packed class FAILS LOUDLY (round-18 ADVICE): silently
+    * skipping jar satellites would make the same compiled code yield a
+    * DIFFERENT signature in a jar-layout JVM than in sbt's directory
+    * layout — two same-commit co-tenant JVMs would then address
+    * different fixture dirs, double-build every family, and each would
+    * retire the other's fixture as a stale sibling after 2h. Every
+    * supported entry point here (sbt test, sbt run, plain `java -cp
+    * target/...classes`) loads graft classes from a directory; if a
+    * deployment ever packs them into a jar, signature computation must
+    * be taught to hash the jar's satellite entries, not left to degrade. */
   private def satelliteBytes(cls: Class[_]): Seq[(String, Array[Byte])] = {
     val simple = cls.getName.substring(cls.getName.lastIndexOf('.') + 1)
     val url = cls.getResource(simple + ".class")
-    if (url == null || url.getProtocol != "file") Seq.empty
-    else {
-      val dir = java.nio.file.Paths.get(url.toURI).getParent
-      val stem = simple.stripSuffix("$") + "$$"
-      scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
-        val it = st.iterator()
-        val b = scala.collection.mutable.Buffer.empty[(String, Array[Byte])]
-        while (it.hasNext) {
-          val p = it.next()
-          val n = p.getFileName.toString
-          if (n.startsWith(stem) && n.endsWith(".class"))
-            b += ((n, java.nio.file.Files.readAllBytes(p)))
-        }
-        b.sortBy(_._1).toSeq // deterministic order
+    require(url != null && url.getProtocol == "file",
+      s"${cls.getName} loads from ${if (url == null) "<unresolvable>" else url} " +
+        "— CodeSig only signs directory-layout classfiles (satellite " +
+        "classfiles of jar-packed classes would be silently skipped, " +
+        "making the signature layout-dependent); hash jar entries before " +
+        "packing graft into a jar")
+    val dir = java.nio.file.Paths.get(url.toURI).getParent
+    val stem = simple.stripSuffix("$") + "$$"
+    scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+      val it = st.iterator()
+      val b = scala.collection.mutable.Buffer.empty[(String, Array[Byte])]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith(stem) && n.endsWith(".class"))
+          b += ((n, java.nio.file.Files.readAllBytes(p)))
       }
+      b.sortBy(_._1).toSeq // deterministic order
     }
   }
 

@@ -33,6 +33,42 @@ class CodeSigSpec extends SparkSpec {
     assert(h1 == CodeSig.hash64Hex("/root/testdata/sf0.001"))
   }
 
+  test("the signed set covers the signer itself (CodeSig + Staging)") {
+    // round-18 verdict item 5: indexCodeSig covered the 13 maintenance
+    // classes but not CodeSig or Staging — a bug fix in the hashing or
+    // staging code would NOT have re-keyed fixtures built under the
+    // buggy version. The signed set must include both, closing the
+    // self-reference gap.
+    val signed = graft.DedupQueries.indexSignedClasses.toSet
+    assert(signed.contains(CodeSig.getClass),
+      "a CodeSig change must re-key every fixture it addresses")
+    assert(signed.contains(Staging.getClass),
+      "a Staging change must re-key the fixtures staged through it")
+    // and the composite signature really is CodeSig.of over that list
+    assert(graft.DedupQueries.indexCodeSig
+      == CodeSig.of(graft.DedupQueries.indexSignedClasses: _*))
+  }
+
+  test("indexFixtureKey touches the resolved fixture's mtime — idleness tracks last USE") {
+    // round-18 ADVICE (medium): the 2h sibling-retirement window keyed
+    // on mtime, which serving never advanced — 'quiet for 2h' meant
+    // 'built 2h ago', so a long-lived co-tenant JVM could have its live
+    // fixture retired mid-query. Every indexFixtureKey call now touches
+    // the resolved dir.
+    val fix = java.nio.file.Paths.get(
+      graft.DedupQueries.indexFixtureKey(spark, "touchspec", sfDir))
+    Files.createDirectories(fix)
+    try {
+      val old = System.currentTimeMillis() - 3L * 3600 * 1000
+      Files.setLastModifiedTime(fix,
+        java.nio.file.attribute.FileTime.fromMillis(old))
+      graft.DedupQueries.indexFixtureKey(spark, "touchspec", sfDir)
+      val after = Files.getLastModifiedTime(fix).toMillis
+      assert(after > old + 3600 * 1000L,
+        s"resolving the fixture key must refresh the dir mtime (got $after)")
+    } finally graft.streaming.StreamGate.deleteRecursively(fix)
+  }
+
   test("indexFixtureKey embeds the code signature — a signature change IS a rebuild") {
     val key = graft.DedupQueries.indexFixtureKey(spark, "sigspec", sfDir)
     val sig = graft.DedupQueries.indexCodeSig

@@ -263,11 +263,20 @@ class StreamGateSpec extends SparkSpec {
 
   test("q_stream_index_ingest serves the full-corpus answer from the stream-maintained store") {
     // canonical history in THIS JVM (see the CDC test's note): base over
-    // 90%, then BOTH ingest slices streamed through one checkpoint
-    val fix = graft.DedupQueries.indexFixtureKey(spark, "stream_ingest", sfDir)
+    // 90%, then BOTH ingest slices streamed through one checkpoint.
+    // TEST-PRIVATE family (round-18 ADVICE): forcing the canonical
+    // history by dropping the SHARED fixture could delete store files a
+    // same-commit co-tenant JVM is mid-serve on (same code signature ⇒
+    // same fixture path) — so the spec rebuilds its own family and
+    // leaves the declared query's fixture alone
+    val fix = graft.DedupQueries.indexFixtureKey(spark, "stream_ingest_spec", sfDir)
     graft.operators.InvertedIndex.drop(spark, fix)
     StreamGate.deleteRecursively(java.nio.file.Paths.get(fix))
-    val out = graft.DedupQueries.queries("q_stream_index_ingest")(spark, sfDir)
+    val served = graft.DedupQueries.streamIngestSearchDir(
+      spark, sfDir, "stream_ingest_spec")
+    assert(served == fix)
+    val out = graft.operators.InvertedIndex.search(spark, served,
+      Seq("join", "hash", "scan", "graftabsentterm"), k = 10)
     // plan pin: serving reads the persisted postings store through its
     // bucket pruning — never a corpus scan
     val plan = out.queryExecution.executedPlan.toString
@@ -294,14 +303,18 @@ class StreamGateSpec extends SparkSpec {
     // (identical answers, no stream — catalog tables are per-JVM), but
     // this test pins the STREAMED two-batch structure, so it starts from
     // scratch: base over the full corpus, then both CDC slices through
-    // one checkpoint. Co-tenancy note: this deletion is safe beside a
-    // live driver bench because the spec's fixture is sf0.001's while
-    // the bench runs sf0.1 (different dir hash, different fixture), and
-    // the driver runs suite → Verify → bench sequentially.
-    val fix = graft.DedupQueries.indexFixtureKey(spark, "stream_cdc", sfDir)
+    // one checkpoint — under a TEST-PRIVATE family (round-18 ADVICE: the
+    // shared fixture may be mid-serve in a same-commit co-tenant JVM;
+    // dropping it here was the co-tenancy failure class the 2h
+    // retirement window exists to prevent)
+    val fix = graft.DedupQueries.indexFixtureKey(spark, "stream_cdc_spec", sfDir)
     graft.operators.InvertedIndex.drop(spark, fix)
     StreamGate.deleteRecursively(java.nio.file.Paths.get(fix))
-    val out = graft.DedupQueries.queries("q_stream_index_cdc")(spark, sfDir)
+    val served = graft.DedupQueries.streamCdcSearchDir(
+      spark, sfDir, "stream_cdc_spec")
+    assert(served == fix)
+    val out = graft.operators.InvertedIndex.search(spark, served,
+      Seq("join", "hash", "scan", "graftabsentterm"), k = 10)
     def toSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
@@ -332,6 +345,51 @@ class StreamGateSpec extends SparkSpec {
     assert(graft.operators.IndexTestAccess.invTombstoneBatchIds(spark, fix)
       == Seq(0L, 1L),
       "each CDC slice must own its own tombstone partition")
+  }
+
+  test("q_stream_index_mixed: append THEN edit through ONE checkpoint serves the edited answer") {
+    // round-18 verdict item 2: the two maintenance verbs interleaved
+    // through one ledger/checkpoint — batch 0 appends the held-out
+    // slice, a restart resumes the checkpoint, batch 1 applies the CDC
+    // edit, and serving reads the appended docs THROUGH batch 1's
+    // tombstones. Canonical history forced under a TEST-PRIVATE family.
+    val fix = graft.DedupQueries.indexFixtureKey(spark, "stream_mixed_spec", sfDir)
+    graft.operators.InvertedIndex.drop(spark, fix)
+    StreamGate.deleteRecursively(java.nio.file.Paths.get(fix))
+    val served = graft.DedupQueries.streamMixedSearchDir(
+      spark, sfDir, "stream_mixed_spec")
+    assert(served == fix)
+    val out = graft.operators.InvertedIndex.search(spark, served,
+      Seq("join", "hash", "scan", "graftabsentterm"), k = 10)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // answer parity: same final corpus as the batch edit path — the
+    // appended slice folded in, then the same edit classes
+    val batchEdited = toSet(
+      graft.DedupQueries.queries("q_search_corpus_edited")(spark, sfDir))
+    val streamed = toSet(out)
+    assert(streamed == batchEdited && streamed.nonEmpty,
+      s"unexpected=${streamed.diff(batchEdited).take(3)} missing=${batchEdited.diff(streamed).take(3)}")
+    // both verbs were real restrictions: the answer must differ from the
+    // unedited corpus's (else the edit pinned nothing; the append's
+    // reality is pinned by the ledger below — without batch 0 the
+    // served corpus would be missing 10% of its docs)
+    assert(streamed != toSet(
+      graft.DedupQueries.queries("q_search_corpus")(spark, sfDir)),
+      "the streamed edit must change the served ranking")
+    // MIXED-VERB ledger: base stamp, ingest batch 0, edit batch 1 —
+    // one checkpoint, one ledger, two verbs
+    val base = graft.operators.InvertedIndex.BaseBatchId
+    assert(graft.operators.IndexTestAccess.invLedgerBatchIds(spark, fix)
+      == Seq(base, 0L, 1L),
+      "the mixed ledger must carry the base stamp, the append batch 0, " +
+        "and the edit batch 1")
+    // read-through-tombstone visibility after the restart: only the
+    // EDIT batch owns a tombstone partition (the append owns none)
+    assert(graft.operators.IndexTestAccess.invTombstoneBatchIds(spark, fix)
+      == Seq(1L),
+      "only the edit batch may own a tombstone partition")
   }
 
   test("q_stream_dedup_within_wm: the seeded duplicates are DROPPED, not passed through") {
