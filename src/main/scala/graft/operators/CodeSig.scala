@@ -65,42 +65,75 @@ object CodeSig {
   }
 
   /** The class's SATELLITE classfiles (`Foo$$anonfun$N`,
-    * `Foo$$typecreator…`), when the classpath entry is a plain
-    * directory (sbt's layout — always true here). scalac emits SOME
-    * lambda/typetag bodies as separate classfiles, so a same-line edit
-    * inside one could leave the object's own classfile byte-identical
-    * (no line-number shift) — hashing the siblings closes that hole.
-    * A jar-packed class FAILS LOUDLY (round-18 ADVICE): silently
-    * skipping jar satellites would make the same compiled code yield a
-    * DIFFERENT signature in a jar-layout JVM than in sbt's directory
-    * layout — two same-commit co-tenant JVMs would then address
-    * different fixture dirs, double-build every family, and each would
-    * retire the other's fixture as a stale sibling after 2h. Every
-    * supported entry point here (sbt test, sbt run, plain `java -cp
-    * target/...classes`) loads graft classes from a directory; if a
-    * deployment ever packs them into a jar, signature computation must
-    * be taught to hash the jar's satellite entries, not left to degrade. */
-  private def satelliteBytes(cls: Class[_]): Seq[(String, Array[Byte])] = {
+    * `Foo$$typecreator…`). scalac emits SOME lambda/typetag bodies as
+    * separate classfiles, so a same-line edit inside one could leave the
+    * object's own classfile byte-identical (no line-number shift) —
+    * hashing the siblings closes that hole. BOTH classpath layouts are
+    * supported and produce IDENTICAL signatures (round-18 ADVICE, closed
+    * the layout-independent way): a plain directory (sbt test / `java
+    * -cp target/...classes`) is scanned with Files.list; a jar (sbt
+    * 1.4+ `run`/`runMain` goes through bgRun, whose bgCopyClasspath
+    * packs the classes directory into a target/bg-jobs jar — so the
+    * DRIVER surface loads graft from a jar while the test JVM uses the
+    * directory) is scanned by entry listing. The (simple-name, bytes)
+    * set is the same either way and the hash order is name-sorted, so
+    * two same-commit co-tenant JVMs with different layouts address the
+    * SAME fixture dir — the double-build/retire thrash the previous
+    * loud-failure arm traded for a broken runMain surface. Any OTHER
+    * protocol (jrt, nested jars) still fails loudly. */
+  private[operators] def satelliteBytes(cls: Class[_]): Seq[(String, Array[Byte])] = {
     val simple = cls.getName.substring(cls.getName.lastIndexOf('.') + 1)
     val url = cls.getResource(simple + ".class")
-    require(url != null && url.getProtocol == "file",
-      s"${cls.getName} loads from ${if (url == null) "<unresolvable>" else url} " +
-        "— CodeSig only signs directory-layout classfiles (satellite " +
-        "classfiles of jar-packed classes would be silently skipped, " +
-        "making the signature layout-dependent); hash jar entries before " +
-        "packing graft into a jar")
-    val dir = java.nio.file.Paths.get(url.toURI).getParent
+    require(url != null,
+      s"${cls.getName}: classfile resource unresolvable — cannot " +
+        "version-key fixtures on code identity")
     val stem = simple.stripSuffix("$") + "$$"
-    scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
-      val it = st.iterator()
-      val b = scala.collection.mutable.Buffer.empty[(String, Array[Byte])]
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith(stem) && n.endsWith(".class"))
-          b += ((n, java.nio.file.Files.readAllBytes(p)))
-      }
-      b.sortBy(_._1).toSeq // deterministic order
+    url.getProtocol match {
+      case "file" =>
+        val dir = java.nio.file.Paths.get(url.toURI).getParent
+        scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+          val it = st.iterator()
+          val b = scala.collection.mutable.Buffer.empty[(String, Array[Byte])]
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.startsWith(stem) && n.endsWith(".class"))
+              b += ((n, java.nio.file.Files.readAllBytes(p)))
+          }
+          b.sortBy(_._1).toSeq // deterministic order
+        }
+      case "jar" =>
+        // url = jar:file:/path/to.jar!/pkg/Simple.class — open the jar
+        // OURSELVES (never JarURLConnection's shared cached JarFile,
+        // which the classloader may hold open: closing it would break
+        // later class loads) and list the package dir's entries.
+        val raw = url.getPath
+        val bang = raw.indexOf("!/")
+        require(bang > 0, s"${cls.getName}: unparsable jar URL $url")
+        val jarPath = java.nio.file.Paths.get(new java.net.URI(raw.substring(0, bang)))
+        val pkgDir = {
+          val full = cls.getName.replace('.', '/')
+          full.substring(0, full.length - simple.length) // "" or "pkg/sub/"
+        }
+        scala.util.Using.resource(new java.util.jar.JarFile(jarPath.toFile)) { jar =>
+          val es = jar.entries()
+          val b = scala.collection.mutable.Buffer.empty[(String, Array[Byte])]
+          while (es.hasMoreElements) {
+            val e = es.nextElement()
+            val name = e.getName
+            if (name.startsWith(pkgDir)) {
+              val n = name.substring(pkgDir.length)
+              if (!n.contains('/') && n.startsWith(stem) && n.endsWith(".class"))
+                b += ((n, scala.util.Using.resource(jar.getInputStream(e))(_.readAllBytes())))
+            }
+          }
+          b.sortBy(_._1).toSeq
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"${cls.getName} loads via '$other' ($url) — CodeSig signs " +
+            "directory- and jar-layout classfiles only; teach it this " +
+            "layout before shipping graft through it")
     }
   }
 

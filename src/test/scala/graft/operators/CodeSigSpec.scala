@@ -26,6 +26,66 @@ class CodeSigSpec extends SparkSpec {
     assert(a != CodeSig.of(InvertedIndex.getClass, SnapshotMeta.getClass))
   }
 
+  test("CodeSig satellites: jar layout enumerates the same (name, bytes) set as directory") {
+    // Round-19 fix of the round-18 ADVICE (low): sbt 1.4+ `run`/`runMain`
+    // goes through bgRun, whose bgCopyClasspath packs the classes dir
+    // into a target/bg-jobs JAR — so the DRIVER surface (Verify/Bench)
+    // loads graft classes from a jar while the test JVM loads from the
+    // directory. The previous loud-failure arm therefore broke every
+    // maintained-index query under `sbt runMain`. The fix scans jar
+    // entries instead; this spec pins the contract that matters for
+    // fixture addressing: both layouts yield the SAME satellite set,
+    // hence the SAME signature, hence the SAME fixture dir.
+    val target = InvertedIndex.getClass // has typecreator satellites
+    val fromDir = CodeSig.satelliteBytes(target)
+    assert(fromDir.nonEmpty, "fixture class lost its satellite classfiles — pick another")
+    val classesDir = java.nio.file.Paths.get(
+      target.getProtectionDomain.getCodeSource.getLocation.toURI)
+    val jarPath = Files.createTempFile("codesig-spec", ".jar")
+    try {
+      scala.util.Using.resource(new java.util.jar.JarOutputStream(
+        Files.newOutputStream(jarPath))) { jos =>
+        val pkg = classesDir.resolve("graft/operators")
+        scala.util.Using.resource(Files.list(pkg)) { st =>
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.endsWith(".class")) {
+              jos.putNextEntry(new java.util.jar.JarEntry(s"graft/operators/$n"))
+              jos.write(Files.readAllBytes(p))
+              jos.closeEntry()
+            }
+          }
+        }
+      }
+      // child-first for the target class AND its resources, so the Class
+      // object (and the getResource call inside satelliteBytes) resolve
+      // to the jar, not the parent's directory layout
+      val prefixCls = "graft.operators.InvertedIndex"
+      val prefixRes = "graft/operators/InvertedIndex"
+      val loader = new java.net.URLClassLoader(
+        Array(jarPath.toUri.toURL), getClass.getClassLoader) {
+        override def loadClass(name: String, resolve: Boolean): Class[_] =
+          if (name.startsWith(prefixCls))
+            Option(findLoadedClass(name)).getOrElse(findClass(name))
+          else super.loadClass(name, resolve)
+        override def getResource(name: String): java.net.URL =
+          if (name.startsWith(prefixRes)) findResource(name)
+          else super.getResource(name)
+      }
+      val jarCls = Class.forName(target.getName, false, loader)
+      assert(jarCls.getResource("InvertedIndex$.class").getProtocol == "jar",
+        "spec plumbing: the twin class must resolve resources from the jar")
+      val fromJar = CodeSig.satelliteBytes(jarCls)
+      assert(fromJar.map(_._1) == fromDir.map(_._1),
+        "jar and directory layouts must enumerate the same satellite names")
+      assert(fromJar.zip(fromDir).forall { case ((_, a), (_, b)) =>
+        java.util.Arrays.equals(a, b) },
+        "satellite bytes must match between layouts (same compiled code)")
+    } finally Files.deleteIfExists(jarPath)
+  }
+
   test("hash64Hex: 64-bit keys, distinct for distinct dirs") {
     val h1 = CodeSig.hash64Hex("/root/testdata/sf0.001")
     val h2 = CodeSig.hash64Hex("/root/testdata/sf0.01")
