@@ -29,6 +29,30 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every ImageIO.write /
+  // ImageIO.read over a memory stream creates (and deletes) a temp file,
+  // so a 30k-frame encode pass is 30k file creations serializing on the
+  // filesystem — measured to cap q_multimodal_video at ~4.5 s regardless
+  // of task parallelism. All payloads here are small in-memory byte
+  // arrays; the memory cache is strictly better. JVM-global, set once
+  // when this object first loads (driver == executor in local mode; on a
+  // cluster each executor JVM touches the object before its first codec
+  // call, same as any other static codec init).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Scale-adaptive codec parallelism: the testdata tables are single
+    * row-group parquet files, so a bare scan yields ONE working partition
+    * and the encode stage of every codec path ran single-threaded on a
+    * 32-core host (r17 bench: q_multimodal_video 4.48 s, ~3 s of it one
+    * core encoding PNGs while 31 idled). Spreading the 8-byte ids across
+    * `defaultParallelism` BEFORE encoding shuffles only the narrow id
+    * column — the heavy payload bytes are then born already distributed
+    * and never cross an exchange at all (guide §8: move the proxy, not
+    * the payload). Derived from the cluster, not a constant, so the
+    * driver's lower-core bench legs and a real cluster both scale. */
+  private def codecParallelism(spark: SparkSession): Int =
+    spark.sparkContext.defaultParallelism
+
   /** Typed media row: opaque bytes + structured metadata. */
   case class MediaItem(media_id: Long, kind: String, content: Array[Byte],
                        mime: String, n_bytes: Long)
@@ -98,6 +122,7 @@ object Multimodal {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
+      .repartition(codecParallelism(spark))
       .mapPartitions { ids =>
         // (a heavier codec would initialize HERE, once per partition)
         ids.map(id => ImageItem(id, encodePng(id)))
@@ -106,11 +131,13 @@ object Multimodal {
 
   /** REAL decode stage: `ImageIO.read` each PNG payload to pixels, emit
     * per-channel sums. Batched per partition with controlled parallelism
-    * (`repartition(n)`) so decode throughput is independent of upstream
-    * file layout — the shape a 100 TB media scan needs. */
+    * (`repartition(n)`; `partitions <= 0` inherits the upstream layout —
+    * the declared faces pre-spread the narrow ids before encoding, so
+    * payload bytes then never cross an exchange at all). */
   def decodeImages(media: Dataset[ImageItem], partitions: Int): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
-    media.repartition(partitions).mapPartitions { items =>
+    val in = if (partitions > 0) media.repartition(partitions) else media
+    in.mapPartitions { items =>
       items.map { m =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
         require(img != null, s"media ${m.media_id}: not a decodable image")
@@ -191,9 +218,11 @@ object Multimodal {
   }
 
   /** Declared face of the decode stage: encode the PNG corpus, decode it
-    * back through ImageIO, emit per-image channel sums. */
+    * back through ImageIO, emit per-image channel sums. Encode is already
+    * spread over `codecParallelism` partitions (ids-only shuffle), so the
+    * decode inherits that layout — no payload exchange. */
   def decodeStats(spark: SparkSession, dir: String): DataFrame =
-    decodeImages(imageMedia(spark, dir), partitions = 8).toDF()
+    decodeImages(imageMedia(spark, dir), partitions = 0).toDF()
 
   /** Declared face of the resize stage: real 2x nearest-neighbor
     * downsample of each decoded PNG, stats over the resampled pixels. */
@@ -238,6 +267,44 @@ object Multimodal {
   def audioSamples(id: Long): Int = (400 + id % 201).toInt
   def pcmSample(id: Long, i: Int): Int = ((id * 31 + i * 7) % 65536L - 32768L).toInt
 
+  /** The WAV container SPI providers, resolved ONCE per JVM. Every
+    * `AudioSystem.write` / `getAudioInputStream` call goes through the
+    * JDK's provider registry (`JDK13Services`), whose lookup is a
+    * synchronized static — per-clip calls from 32 concurrent codec tasks
+    * serialize on that lock (measured: parallelizing the encode stage
+    * made q_multimodal_audio SLOWER, 0.85 s -> 1.6 s, pure contention).
+    * Resolving the reader/writer through the public
+    * `javax.sound.sampled.spi` ServiceLoader once and calling the
+    * provider directly is the documented SPI path with identical decode
+    * semantics — the container is still parsed, formats still discovered
+    * from the stream. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer SPI in this JVM"))
+  }
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
+  }
+
+  /** `AudioSystem.getAudioInputStream` semantics — first provider that
+    * recognizes the container wins — over the pre-resolved provider list
+    * (no registry lock). */
+  private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   /** Encode clip `id` as a real WAV via the JDK's javax.sound.sampled
     * (headless-safe: container I/O only, no audio device). PCM is
     * lossless: decoding returns exactly the formula samples. */
@@ -255,8 +322,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
@@ -266,6 +332,7 @@ object Multimodal {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
+      .repartition(codecParallelism(spark))
       .mapPartitions(ids => ids.map(id => AudioItem(id, encodeWav(id))))
   }
 
@@ -275,10 +342,10 @@ object Multimodal {
     * controlled parallelism, same shape as [[decodeImages]]. */
   def decodeAudio(media: Dataset[AudioItem], partitions: Int): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
-    media.repartition(partitions).mapPartitions { items =>
+    val in = if (partitions > 0) media.repartition(partitions) else media
+    in.mapPartitions { items =>
       items.map { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.content))
+        val ais = openAudio(m.content)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
@@ -302,7 +369,7 @@ object Multimodal {
   /** Declared face of the audio stage: encode the WAV corpus, decode it
     * back through javax.sound.sampled, emit integer sample stats. */
   def audioStats(spark: SparkSession, dir: String): DataFrame =
-    decodeAudio(audioMedia(spark, dir), partitions = 8).toDF()
+    decodeAudio(audioMedia(spark, dir), partitions = 0).toDF()
 
   // ---------------------------------------------------------------------
   // Real video path: length-prefixed PNG-frame container, demux + decode
@@ -370,6 +437,7 @@ object Multimodal {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
+      .repartition(codecParallelism(spark))
       .mapPartitions(ids => ids.map(id => VideoItem(id, encodeVideo(id))))
   }
 
@@ -383,7 +451,8 @@ object Multimodal {
   def decodeVideos(media: Dataset[VideoItem], stride: Int,
                    partitions: Int): Dataset[VideoStats] = {
     import media.sparkSession.implicits._
-    media.repartition(partitions).mapPartitions { items =>
+    val in = if (partitions > 0) media.repartition(partitions) else media
+    in.mapPartitions { items =>
       items.map { m =>
         val in = new java.io.DataInputStream(
           new java.io.ByteArrayInputStream(m.content))
@@ -432,5 +501,5 @@ object Multimodal {
     * decode every `stride`-th frame through ImageIO, emit channel sums
     * over the sampled frames. */
   def videoStats(spark: SparkSession, dir: String, stride: Int = 2): DataFrame =
-    decodeVideos(videoMedia(spark, dir), stride, partitions = 8).toDF()
+    decodeVideos(videoMedia(spark, dir), stride, partitions = 0).toDF()
 }
