@@ -138,7 +138,8 @@ object DedupQueries {
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isBatch = pmod(col("doc_id"), lit(10L)) === 7L
-    ingestFixtureCorpus(s, fix, docsPath, docs, isBatch)
+    ingestFixtureCorpus(s, fix, docsPath, docs, isBatch,
+      s"$dir/documents.parquet")
     if (InvertedIndex.snapshotStale(s, fix)) {
       val batch = Tables.documents(s, fix).filter(isBatch)
       InvertedIndex.appendPositions(s, fix, batch)
@@ -161,14 +162,18 @@ object DedupQueries {
   private[graft] def ingestFixtureCorpus(s: SparkSession, fix: String,
                                   docsPath: String,
                                   docs: org.apache.spark.sql.DataFrame,
-                                  isBatch: org.apache.spark.sql.Column): Unit = {
+                                  isBatch: org.apache.spark.sql.Column,
+                                  srcDocsPath: String): Unit = {
     import graft.operators.InvertedIndex
-    val total = docs.count()
+    // row counts from parquet footers (driver-side, ~1 ms) — the same
+    // values df.count() computes, without one Spark scheduler round-trip
+    // per check inside the bench's timed region (ParquetFooter scaladoc)
+    val total = graft.operators.ParquetFooter.rowCount(srcDocsPath)
     def landBase(): Unit =
       docs.filter(!isBatch).write.mode("overwrite").parquet(docsPath)
     if (!new java.io.File(docsPath).exists()) landBase()
     else {
-      val n = Tables.documents(s, fix).count()
+      val n = graft.operators.ParquetFooter.rowCount(docsPath)
       // short-circuit the steady state (review finding): the completed
       // fixture (n == total) pays no extra filtered count — these
       // builders run inside the bench's timed region
@@ -180,7 +185,7 @@ object DedupQueries {
     }
     InvertedIndex.ensure(s, fix)
     InvertedIndex.ensurePositions(s, fix)
-    if (Tables.documents(s, fix).count() < total)
+    if (graft.operators.ParquetFooter.rowCount(docsPath) < total)
       docs.filter(isBatch).write.mode("append").parquet(docsPath)
   }
 
@@ -221,7 +226,8 @@ object DedupQueries {
     val docsPath = s"$fix/documents.parquet"
     val docs = Tables.documents(s, dir)
     val isBatch = pmod(col("doc_id"), lit(10L)) === 7L
-    ingestFixtureCorpus(s, fix, docsPath, docs, isBatch)
+    ingestFixtureCorpus(s, fix, docsPath, docs, isBatch,
+      s"$dir/documents.parquet")
     if (InvertedIndex.snapshotStale(s, fix)) {
       val srcDir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt")
@@ -414,7 +420,9 @@ object DedupQueries {
       docs.write.mode("overwrite").parquet(docsPath)
     InvertedIndex.ensure(s, fix)
     InvertedIndex.ensurePositions(s, fix)
-    val full = Tables.documents(s, fix).count() == docs.count()
+    // footer counts, not Spark jobs — see ParquetFooter
+    val full = graft.operators.ParquetFooter.rowCount(docsPath) ==
+      graft.operators.ParquetFooter.rowCount(s"$dir/documents.parquet")
     val stale = InvertedIndex.snapshotStale(s, fix)
     if (full && !stale) applyEdit()
     else if (full && stale)
@@ -533,7 +541,9 @@ object DedupQueries {
       docs.write.mode("overwrite").parquet(docsPath)
     InvertedIndex.ensure(s, fix)
     InvertedIndex.ensurePositions(s, fix)
-    val full = Tables.documents(s, fix).count() == docs.count()
+    // footer counts, not Spark jobs — see ParquetFooter
+    val full = graft.operators.ParquetFooter.rowCount(docsPath) ==
+      graft.operators.ParquetFooter.rowCount(s"$dir/documents.parquet")
     val stale = InvertedIndex.snapshotStale(s, fix)
     // full → (re)run the stream regardless of staleness: the per-slice
     // ledger stamps make committed batches no-ops, so one arm covers
@@ -664,7 +674,9 @@ object DedupQueries {
     if (!new java.io.File(docsPath).exists()) landBase()
     InvertedIndex.ensure(s, fix)
     InvertedIndex.ensurePositions(s, fix)
-    val n = Tables.documents(s, fix).count()
+    // fixture count from footers (no job); the filtered slice counts
+    // below are content checks and stay Spark jobs
+    val n = graft.operators.ParquetFooter.rowCount(docsPath)
     val baseCount = docs.filter(!isBatch).count()
     if (n == baseCount) runStream()
     else if (n == editedCorpus.count() && !InvertedIndex.snapshotStale(s, fix)) ()

@@ -231,8 +231,18 @@ object Dedup {
     * OUTPUT is the span surface itself. */
   def spanRows(df: DataFrame, idCol: String, textCol: String,
                w: Int = DefaultSpanWidth): DataFrame =
-    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    toked(df, idCol, textCol)
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), w)).as("span"))
+
+  /** Shared head of the span-family scans: (doc_id, toks) with the corpus
+    * spread across the cluster FIRST (Spread.byKey is a no-op on wide
+    * scans) — the split + span-hash + explode stage is the family's
+    * dominant map cost and a single-row-group scan would run it on one
+    * core. */
+  private def toked(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Spread.byKey(df.select(col(idCol).as("doc_id"), col(textCol).as("_text")),
+        "doc_id")
+      .select(col("doc_id"), split(col("_text"), " ").as("toks"))
 
   /** Exact substring-level duplication profile — the span-granular dedup
     * signal document-level methods (MinHash, SimHash) cannot see: a page
@@ -280,6 +290,9 @@ object Dedup {
     // count each doc once per span. Hash-distinct is the same currency the
     // removal family's oracle uses (count(DISTINCT doc_id) per h), and the
     // stats oracle replays it identically.
+    // NO Spread here (A/B'd): the span-hash kernel is cheap codegen and
+    // this shape recomputes the span subtree twice — the id exchange cost
+    // more than the parallelism bought (0.40 s -> 0.58 s at sf0.1)
     statsFromDistinctHashes(
       df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
         .select(col("doc_id"), explode(array_distinct(
@@ -303,6 +316,7 @@ object Dedup {
   def winnowedSpanStats(df: DataFrame, idCol: String, textCol: String,
                         w: Int = DefaultSpanWidth,
                         k: Int = WinnowWindow): DataFrame =
+    // NO Spread (same A/B as duplicatedSpanStats: 0.32 s -> 0.53 s)
     statsFromDistinctHashes(
       df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
         .select(col("doc_id"), explode(array_distinct(
@@ -367,7 +381,7 @@ object Dedup {
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             w: Int = DefaultSpanWidth,
                             minDocs: Int = 2): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val toks = toked(df, idCol, textCol)
     // ALL span occurrences with start positions (0-based) — NOT distinct:
     // a span recurring inside one doc must cover both its sites once the
     // span is known-duplicated across docs. The codegen span-hash kernel
@@ -499,8 +513,9 @@ object Dedup {
     // shingle stage from the scan. Registered with CacheScope so the
     // caller releases it after its action (Verify/Bench do).
     val base = CacheScope.track(
-      df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-                split(col(textCol), " ").as("toks"))
+      Spread.byKey(df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+                   col(textCol).as("_text")), "doc_id")
+        .select(col("doc_id"), col("block"), split(col("_text"), " ").as("toks"))
         .select(col("doc_id"), col("block"),
                 shinglesFromTokens(col("toks"), n).as("grams"))
         .withColumn("sz", size(col("grams")))

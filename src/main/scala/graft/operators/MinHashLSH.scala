@@ -45,8 +45,12 @@ object MinHashLSH {
     * bit for bit. */
   private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
                             blockCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-              split(col(textCol), " ").as("toks"))
+    // Spread.byKey: the shingle+hash stage is the family's dominant map
+    // cost and a single-row-group scan would run it on one core — spread
+    // the corpus by id first (no-op when the scan is already wide)
+    Spread.byKey(df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+                 col(textCol).as("_text")), "doc_id")
+      .select(col("doc_id"), col("block"), split(col("_text"), " ").as("toks"))
       .select(col("doc_id"), col("block"),
         explode(array_distinct(graft.functions.expressions.SpanHash
           .span_hashes(col("toks"), n))).as("h60"))

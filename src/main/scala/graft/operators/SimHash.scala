@@ -30,9 +30,13 @@ object SimHash {
     * DuckDB oracle's 60-sum replica still matches bit-for-bit. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  blockCol: String): DataFrame = {
-    val th = df
-      .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-              explode(split(col(textCol), " ")).as("tok"))
+    // Spread.byKey: the tokenize + explode + hash stage would otherwise
+    // run on one core over a single-row-group scan (no-op on wide scans)
+    val th = Spread.byKey(df
+        .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+                col(textCol).as("_text")), "doc_id")
+      .select(col("doc_id"), col("block"),
+              explode(split(col("_text"), " ")).as("tok"))
       .select(col("doc_id"), col("block"), hash60(col("tok")).as("th"))
     th.groupBy(col("doc_id"), col("block"))
       .agg(graft.functions.expressions.SimHashAggregate

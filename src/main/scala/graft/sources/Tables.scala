@@ -36,9 +36,27 @@ object Tables {
   private def disableNtzInference(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
+  /** Parquet SCHEMA memo, keyed by path. Schema inference is a real
+    * Spark job (footer read — ~35 ms of scheduler round-trip at local
+    * scale), and a bare `spark.read.parquet` pays it on EVERY call: the
+    * bench showed 3-4 such jobs inside single queries (fixture state
+    * machines construct the same relations repeatedly). The schema of a
+    * given path is metadata determined by the writer, not query state —
+    * memoizing it is the same class of per-JVM cache as codegen — and
+    * supplying it via `spark.read.schema(...)` skips inference entirely.
+    * Data is still read from the files on every query. Fixture dirs only
+    * ever gain part-files of the SAME schema (append/overwrite through
+    * the same writers), so the memo never goes stale; a failed first
+    * read (path not yet landed) populates nothing and retries. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     disableNtzInference(spark)
-    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    normalizeNtz(spark.read.schema(schema).parquet(path))
   }
 
   /** Safety net behind the inference conf, shared by batch and streaming

@@ -176,7 +176,8 @@ class CodeSigSpec extends SparkSpec {
       InvertedIndex.drop(s, fix)
       graft.streaming.StreamGate.deleteRecursively(Paths.get(fix))
       // normal flow: base landed, base index built, batch slice landed
-      graft.DedupQueries.ingestFixtureCorpus(s, fix, docsPath, docs, isBatch)
+      graft.DedupQueries.ingestFixtureCorpus(s, fix, docsPath, docs, isBatch,
+        s"$sfDir/documents.parquet")
       assert(graft.sources.Tables.documents(s, fix).count() == total)
       // CORRUPT: double-land the batch slice (the torn/duplicated append
       // a crash mid-write could leave) — count now exceeds the corpus
@@ -185,7 +186,8 @@ class CodeSigSpec extends SparkSpec {
       // re-entry detects the unrecognized count, rebuilds wholesale from
       // the ORIGINAL dir, and converges back to the full corpus — the
       // state no prior branch ever repaired
-      graft.DedupQueries.ingestFixtureCorpus(s, fix, docsPath, docs, isBatch)
+      graft.DedupQueries.ingestFixtureCorpus(s, fix, docsPath, docs, isBatch,
+        s"$sfDir/documents.parquet")
       assert(graft.sources.Tables.documents(s, fix).count() == total)
       // and the index family over it is consistent: appending the batch
       // slice through the ledger closes the staleness handshake
