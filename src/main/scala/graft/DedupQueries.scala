@@ -1032,8 +1032,12 @@ object DedupQueries {
     "q_dedup_semantic" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val cents = KMeans.trainForFixture(e, dir)
+      // spread BEFORE the cell argmax so the trained-assignment scan
+      // parallelizes (the projection otherwise collapses below
+      // embeddingNearDups' exchange and runs on the one scan core)
       Dedup.embeddingNearDups(
-          e.withColumn("cell", SimilarityIVF.cell(col("embedding"), cents)),
+          graft.operators.Spread.byKey(e, "vec_id")
+            .withColumn("cell", SimilarityIVF.cell(col("embedding"), cents)),
           "vec_id", "embedding", "cell", threshold = 0.3)
         .select("id_a", "id_b")
     }),
@@ -1486,7 +1490,8 @@ object DedupQueries {
       val cents = KMeans.trainForFixture(e, dir)
       val h = pmod(graft.functions.PortableHash.hash60(
         col("vec_id").cast("string")), lit(1125899906842624L)) // 2^50
-      e.select(
+      // spread before the trained-cell argmax (q_dedup_semantic's rule)
+      graft.operators.Spread.byKey(e, "vec_id").select(
           SimilarityIVF.cell(col("embedding"), cents).cast("long").as("cell"),
           col("vec_id"), h.as("h"))
         .groupBy("cell")

@@ -131,6 +131,13 @@ object Dedup {
     // is dot/(sqrt(aa)*sqrt(bb)), which the oracle replays EXACTLY (same
     // IEEE operation order — NOT the same last-ulp value as
     // sqrt(aa*bb), so Spark and SQL must use the same form)
+    // NO Spread here (A/B'd both ways): an id exchange would destroy the
+    // CELL-BUCKETED layout the indexed twin reads (its blocked self-join
+    // is shuffle-free by construction — q_dedup_semantic_indexed went
+    // 0.63 s -> 1.68 s with a spread here) and bought nothing for the
+    // label-blocked live path (q_dedup_embedding 0.75 -> 1.68). Callers
+    // whose BLOCK is an expensive computed expression spread their raw
+    // scan before computing it instead (q_dedup_semantic).
     val base = df.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
                          col(vecCol).as("vec"))
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))

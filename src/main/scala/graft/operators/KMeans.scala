@@ -77,11 +77,17 @@ object KMeans {
     * keep their previous centroid. */
   def train(vectors: DataFrame, vecCol: String = "embedding",
             maxIters: Int = MaxIters): Array[Array[Double]] = {
+    // Spread: the per-round assignment scan (K dots + posexplode +
+    // partial agg) ran as ONE ~520 ms task per round over a single
+    // row-group fixture (measured; 3 rounds = 1.6 s of q_sim_ivf_kmeans's
+    // 2.6 s) — round-robin is sound here because the decimal sums are
+    // order-independent by design. No-op on wide scans.
+    val spread = Spread.any(vectors)
     var cents = SimilarityIVF.hashCentroids
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val stats = vectors
+      val stats = spread
         .select(SimilarityIVF.cell(col(vecCol), cents).as("cell"),
                 posexplode(col(vecCol)).as(Seq("dd", "x")))
         .groupBy("cell", "dd")

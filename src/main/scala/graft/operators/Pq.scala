@@ -63,11 +63,16 @@ object Pq {
     * codeword. */
   def trainCodebook(vectors: DataFrame, vecCol: String = "embedding",
                     maxIters: Int = TrainIters): Array[Array[Array[Double]]] = {
+    // Spread: the per-round encode/explode/partial-agg ran as one task
+    // over a single row-group fixture (the KMeans.train finding); decimal
+    // sums are order-independent, so round-robin is sound. No-op on wide
+    // scans.
+    val spread = Spread.any(vectors)
     var cb = codebook
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val stats = vectors
+      val stats = spread
         .select(posexplode(PqExpressions.pq_encode(col(vecCol), cb)).as(Seq("m", "code")),
                 col(vecCol).as("v"))
         .select(col("m"), col("code"),
@@ -112,8 +117,12 @@ object Pq {
                             maxIters: Int = TrainIters,
                             cents: Array[Array[Double]] = SimilarityIVF.hashCentroids)
       : Array[Array[Array[Double]]] =
+    // spread BEFORE the residual projection: cell argmax + subtraction
+    // otherwise collapse into the scan-side project under trainCodebook's
+    // exchange and run on one core per round (q_dedup_semantic's rule)
     trainCodebook(
-      residualFrame(vectors.select(col(vecCol)), vecCol, cents), "res", maxIters)
+      residualFrame(Spread.any(vectors.select(col(vecCol))), vecCol, cents),
+      "res", maxIters)
 
   /** [[trainResidualCodebook]] memoized by fixture — same lifecycle as
     * [[KMeans.trainForFixture]]: one training run per immutable parquet

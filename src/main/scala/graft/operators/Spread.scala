@@ -30,4 +30,15 @@ object Spread {
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, col(key))
     else df
   }
+
+  /** [[byKey]] without a key column: round-robin spread. Spark's
+    * sort-before-repartition (on by default, SPARK-23207) keeps the
+    * row-to-partition assignment deterministic under task retries; use
+    * only above order-insensitive consumers (exact-decimal aggregates,
+    * per-row maps) all the same. */
+  def any(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target)
+    else df
+  }
 }
