@@ -72,10 +72,17 @@ object ConnectedComponents {
     // aggregate over the symmetrized edges (every vertex appears as dst,
     // so no distinct-vertices pass is needed either) — each components()
     // call saves a full checkpoint + convergence cycle.
+    // LAZY localCheckpoint throughout (round-19 A/B): the convergence
+    // check right below is a FULL (non-short-circuiting) aggregate, so it
+    // materializes every partition — writing the checkpoint as a side
+    // effect of that same job instead of paying a separate eager
+    // materialization job per round (2 jobs/round -> 1; the round-2
+    // uncached-partition trap this file documents needed the FULL
+    // aggregate, which stays).
     var labels = edges
       .select(col("dst").as("id"), least(col("src"), col("dst")).as("label"))
       .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence check: labels are elementwise NON-INCREASING, so the
     // label sum is strictly decreasing until the fixpoint — one tiny
     // aggregate per round instead of an old-vs-new join. The aggregate also
@@ -108,7 +115,7 @@ object ConnectedComponents {
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
                 least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // pointer jumping (path halving) from JumpFromRound on: follow each
       // label to ITS label in the same round, contracting label chains by
       // half — only worth its extra materialization when the graph is
@@ -121,7 +128,7 @@ object ConnectedComponents {
         else propagated.as("x")
           .join(propagated.as("y"), col("x.label") === col("y.id"))
           .select(col("x.id").as("id"), col("y.label").as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       // full (non-short-circuiting) aggregate: materializes EVERY partition
       // of next's cache before the previous round is released below
       val s = labelSum(next)
