@@ -88,10 +88,18 @@ object BpeTrain {
             numMerges: Int = NumMerges): DataFrame = {
     val spark = df.sparkSession
 
-    // state: each pre-token as a '|'-wrapped symbol string
+    // state: each pre-token as a '|'-wrapped symbol string. LAZY
+    // localCheckpoints (the ConnectedComponents round-19 device): each
+    // round's argmax collect materializes the round's state as a side
+    // effect, so the separate eager-checkpoint job per merge disappears
+    // (2 jobs/round -> 1 over NumMerges rounds). A state's cache is
+    // released only AFTER its successor materialized — unpersisting a
+    // lazily-checkpointed frame before its consumer runs would strand a
+    // truncated, uncomputable lineage — hence the one-round-late release.
     var state = dictionary(df, textCol).select(col("freq"),
         concat(lit("|"), array_join(split(col("pt"), ""), "||"), lit("|")).as("st"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var prev: DataFrame = null
 
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 0
@@ -113,6 +121,9 @@ object BpeTrain {
         // deterministic argmax: one row of model state to the driver
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
+      // this round's collect materialized `state` — the frame BEFORE it
+      // is now safe to release (no consumer left)
+      if (prev != null) { CacheScope.release(prev); prev = null }
       if (best.isEmpty) exhausted = true
       else {
         val (l, rr, cnt) =
@@ -123,12 +134,13 @@ object BpeTrain {
         val next = state.withColumn("st",
             replace(col("st"), lit("|" + l + "||" + rr + "|"),
               lit("|" + l + rr + "|")))
-          .localCheckpoint(true)
-        CacheScope.release(state)
+          .localCheckpoint(false)
+        prev = state
         state = next
       }
       r += 1
     }
+    if (prev != null) CacheScope.release(prev)
     CacheScope.release(state)
 
     import spark.implicits._
