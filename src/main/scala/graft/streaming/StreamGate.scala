@@ -45,6 +45,19 @@ object StreamGate {
 
   private val runSeq = new AtomicLong(0)
 
+  /** Dev tracing (SPARK_GRAFT_GATE_TRACE=1): stderr timing of the gate's
+    * driver-side phases — start/await/stop/cleanup — the §1.1 empirical
+    * decomposition for the time JobProfile's job log cannot see. */
+  private val trace = sys.env.contains("SPARK_GRAFT_GATE_TRACE")
+  private def traced[T](label: String)(body: => T): T =
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[gate] $label ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    }
+
   /** Stage `dir`'s events fixture (a single parquet FILE) as a
     * single-file DIRECTORY — file streams list directories. One
     * [[Staging]] generation per source (size, mtime); a pure byte copy,
@@ -150,13 +163,101 @@ object StreamGate {
     * partition PER micro-batch (the symmetric hash join opens four), and
     * the measured commit overhead grows super-linearly with concurrent
     * store count on local[32] (32 parts: 47 s summed commit; 8: 2.0 s;
-    * 2: 0.35 s — SCALE.md round 16). At 100 TB the same formula applies
-    * with bigger numerators: partitions = state bytes / target partition
-    * size, decided before the first checkpoint write. */
+    * 2: 0.35 s — SCALE.md round 16). Round 20 profiled WHERE that
+    * overhead lives: every store open serializes on Spark's global
+    * `StateStore.loadedProviders` lock (thread dumps show 7 of 8 tasks
+    * BLOCKED on it at StateStore.scala:1250 while the holder runs
+    * provider init + coordinator RPC inside the critical section), so
+    * instance count — partitions x stores-per-operator x batches — is
+    * the direct cost driver. A parts sweep on the three slowest gate
+    * queries (8/4/2, min-of-3 each, one window): join 3.01/2.78/2.67,
+    * agg-resume 2.58/2.30/2.32, session 1.81/1.71/2.09 — 4 is the
+    * measured floor that still exercises multi-partition state (results
+    * are partition-count-invariant; the specs pin that). At 100 TB the
+    * same formula applies with bigger numerators: partitions = state
+    * bytes / target partition size, decided before the first checkpoint
+    * write. */
   private def statePartitions: Int = {
-    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "4")
     raw.toIntOption.filter(_ >= 1).getOrElse(throw new IllegalArgumentException(
       s"SPARK_GRAFT_STREAM_STATE_PARTS must be a positive integer, got '$raw'"))
+  }
+
+  /** Root for the gate's SINGLE-USE scratch trees (checkpoints, resume
+    * source/output dirs) — override: SPARK_GRAFT_STREAM_SCRATCH. These
+    * trees live for exactly one bounded run and are deleted in the same
+    * call (see [[runBounded]]/[[runBoundedResume]]), so they are shuffle-
+    * scratch-class state, not durable checkpoints: node-local fast
+    * storage is the right home (guide §5/§6 — the state store commits a
+    * delta file per partition per micro-batch into this tree, and the
+    * offset/commit WALs land here too). Default: `java.io.tmpdir` — a
+    * tmpfs root (/dev/shm) was A/B'd this round and measured NEUTRAL on
+    * the stateful gate queries (4 alternated JobProfile sets, mins
+    * 2.93-3.19 s both ways: the page cache already absorbs these
+    * unsynced small writes), so the default stays the least surprising
+    * location and the knob exists for hosts where local disk is actually
+    * slow, or for a deployment that wants the durable-FS semantics. */
+  private[streaming] lazy val scratchRoot: java.nio.file.Path = {
+    val p = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+      .map(Paths.get(_))
+      .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
+    require(Files.isDirectory(p) && Files.isWritable(p),
+      s"stream scratch root $p must be a writable directory")
+    p
+  }
+
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    Files.createTempDirectory(scratchRoot, prefix)
+
+  /** State-store provider for gate runs (override:
+    * SPARK_GRAFT_STREAM_STATE_PROVIDER = hdfs | rocksdb | a fully
+    * qualified provider class). Default hdfs (Spark's
+    * HDFSBackedStateStoreProvider): the gate queries hold a few thousand
+    * small (key, window) entries for 2-4 micro-batches, where the
+    * in-memory-map provider's load+commit is measured faster than
+    * RocksDB's native-store open/compact cycle (A/B'd this round — see
+    * OPTIMIZATION_r20.md; RocksDB is the right answer when per-partition
+    * state outgrows executor memory, which is a 100 TB sizing decision
+    * this env var exists to make without a code change). */
+  private def stateProviderClass: Option[String] =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").map {
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case fqcn => fqcn
+    }
+
+  /** Extra scoped gate confs (dev A/B + deployment tuning):
+    * SPARK_GRAFT_STREAM_CONF="key=value;key=value". Applied around query
+    * start like the partition/provider knobs. */
+  private def extraGateConfs: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_STREAM_CONF").toSeq.flatMap(_.split(';'))
+      .map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_STREAM_CONF entry '$kv' is not key=value")
+        (kv.substring(0, i), kv.substring(i + 1))
+      }
+
+  /** Apply the gate's scoped session confs (state partitions + optional
+    * provider override + extra knobs), run `start`, restore the previous
+    * values. The confs are read once at query start, so restoring
+    * immediately after `start()` returns is sound — gate queries run one
+    * at a time. */
+  private def withGateConfs[T](spark: SparkSession)(start: => T): T = {
+    val sets: Seq[(String, String)] =
+      Seq("spark.sql.shuffle.partitions" -> statePartitions.toString) ++
+        stateProviderClass.map(
+          "spark.sql.streaming.stateStore.providerClass" -> _) ++
+        extraGateConfs
+    val prev = sets.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      sets.foreach { case (k, v) => spark.conf.set(k, v) }
+      start
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Run `out` (a streaming DataFrame) to completion under
@@ -165,6 +266,14 @@ object StreamGate {
     * call: the gate wants a full deterministic replay, never an
     * incremental resume (resuming into a NEW memory sink would emit
     * nothing and silently pass an empty result to the oracle). */
+  /** Memory-sink table names created by earlier [[runBounded]] calls and
+    * not yet dropped — tracked directly so gate hygiene is two map ops,
+    * not a catalog-wide `listTables().collect()` per run (which scans
+    * every warehouse table's metadata; measured ~10-40 ms per gate run
+    * against a warehouse holding the index families). */
+  private val liveSinkTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def runBounded(spark: SparkSession, out: DataFrame): DataFrame = {
     // Gate hygiene: memory-sink tables from EARLIER bounded runs are
     // dead weight by the time a new run starts (every gate consumer —
@@ -172,20 +281,17 @@ object StreamGate {
     // materializes before the next query runs), and a bench pass
     // otherwise accumulates runs × queries tables of aggregated rows in
     // driver memory. One gate run lives at a time, by contract.
-    spark.catalog.listTables().collect()
-      .filter(_.name.startsWith("graft_stream_gate_"))
-      .foreach(t => spark.catalog.dropTempView(t.name))
+    liveSinkTables.forEach(t => spark.catalog.dropTempView(t))
+    liveSinkTables.clear()
     val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    liveSinkTables.add(name)
+    val ckpt = scratchDir("graft-gate-ckpt").toString
     // scoped state-partition sizing (see statePartitions): the conf is
     // read once at query start; gate queries run one at a time, so the
     // session value is restored immediately after. Results are
     // partition-count-invariant (hash aggregation / join semantics).
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val q =
-      try {
-        spark.conf.set(key, statePartitions)
+    val q = traced("start") {
+      withGateConfs(spark) {
         out.writeStream
           .trigger(Trigger.AvailableNow())
           .outputMode("append")
@@ -193,9 +299,10 @@ object StreamGate {
           .queryName(name)
           .option("checkpointLocation", ckpt)
           .start()
-      } finally spark.conf.set(key, prev)
-    try require(q.awaitTermination(600000L),
-      s"bounded stream $name must self-stop under AvailableNow")
+      }
+    }
+    try traced("await")(require(q.awaitTermination(600000L),
+      s"bounded stream $name must self-stop under AvailableNow"))
     finally {
       // the checkpoint is single-use by design (fresh per call — the gate
       // never resumes) and the memory sink holds the output in driver
@@ -204,7 +311,8 @@ object StreamGate {
       // × runs × attempts) accumulates dozens of checkpoint trees in /tmp.
       // Nested finally: a throwing q.stop() (stopTimeout, teardown error)
       // must not skip the deletion (review finding).
-      try q.stop() finally deleteRecursively(Paths.get(ckpt))
+      try traced("stop")(q.stop())
+      finally traced("cleanup")(deleteRecursively(Paths.get(ckpt)))
     }
     spark.table(name)
   }
@@ -226,29 +334,25 @@ object StreamGate {
   def runBoundedResume(spark: SparkSession, dir: String,
                        build: String => DataFrame): DataFrame = {
     val (a, b) = stagedEventsHalves(spark, dir)
-    val srcDir = Files.createTempDirectory("graft-gate-resume-src")
-    val ckpt = Files.createTempDirectory("graft-gate-resume-ckpt")
-    val outDir = Files.createTempDirectory("graft-gate-resume-out")
+    val srcDir = scratchDir("graft-gate-resume-src")
+    val ckpt = scratchDir("graft-gate-resume-ckpt")
+    val outDir = scratchDir("graft-gate-resume-out")
     val schema = build(srcDir.toString).schema
-    val key = "spark.sql.shuffle.partitions"
     try {
       def step(f: java.nio.file.Path, name: String): Unit = {
         Files.copy(f, srcDir.resolve(name),
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
-        // same scoped state-partition sizing as runBounded; run 2 reuses
-        // the partitioning fixed at the checkpoint's creation either way
-        val prev = spark.conf.get(key)
-        val q =
-          try {
-            spark.conf.set(key, statePartitions)
-            build(srcDir.toString).writeStream
-              .trigger(Trigger.AvailableNow())
-              .outputMode("append")
-              .format("parquet")
-              .option("checkpointLocation", ckpt.toString)
-              .option("path", outDir.toString)
-              .start()
-          } finally spark.conf.set(key, prev)
+        // same scoped gate confs as runBounded; run 2 reuses the
+        // partitioning fixed at the checkpoint's creation either way
+        val q = withGateConfs(spark) {
+          build(srcDir.toString).writeStream
+            .trigger(Trigger.AvailableNow())
+            .outputMode("append")
+            .format("parquet")
+            .option("checkpointLocation", ckpt.toString)
+            .option("path", outDir.toString)
+            .start()
+        }
         try require(q.awaitTermination(600000L),
           s"bounded resume run over $name must self-stop under AvailableNow")
         finally q.stop()
