@@ -1178,18 +1178,30 @@ object DedupQueries {
     // oracle. In production the base map and signatures are the
     // persisted index tables (ComponentIndex.merge — the batch join
     // reads the bucketed store with no exchange, plan-pinned in
-    // ComponentIndexSpec); here both sides derive live so the query is
-    // self-contained, the q_corpus_dedup_incremental convention.
+    // ComponentIndexSpec); since round 20 this query reads the SAME
+    // persisted signature store production does (restricted to the base
+    // ids), while the base map — the one piece the stored family cannot
+    // supply — still derives live.
     "q_corpus_dedup_merged" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val base = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
-      // the base's banded signatures are computed ONCE and feed BOTH the
-      // base map derivation and the cross-candidate join — exactly the
-      // sharing merge() gets from its persisted tables (the signature
-      // store stand-in, the q_corpus_dedup_incremental device)
-      val baseBanded = operators.CacheScope.track(
-        operators.ComponentIndex.bandedSignatures(base).localCheckpoint(true))
+      // The base side's banded signatures are READ from the persisted
+      // signature store, restricted to the base ids — in production the
+      // merge path's store side IS the persisted bucketed table
+      // (ComponentIndex.merge reads spark.table(bt); SignatureStoreSpec
+      // pins the no-exchange join), and the round-19 form re-paid the
+      // full shingle+minhash pass over 90% of the corpus for rows the
+      // store already holds (round-20 verdict item 2). Restriction ==
+      // recompute exactly: signatures are per-doc deterministic (each
+      // doc's minima depend only on its own shingles), the store is
+      // built from THIS dir's documents by the same single-definition
+      // derivation (bandedSignatures), and the main fixture's store is
+      // never tombstoned (maintenance queries use their own fixture
+      // dirs). The base MAP still derives live from those rows — the
+      // stored map covers base ∪ batch and cannot stand in for the
+      // base-only clustering.
+      val baseBanded = operators.ComponentIndex.bandedFor(s, dir)
+        .filter(col("doc_id") % 10 =!= 0)
       val baseMap = operators.ConnectedComponents.components(
           MinHashLSH.candidatesFromBanded(baseBanded), "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component_id"))
@@ -1208,17 +1220,26 @@ object DedupQueries {
     // edited map equals the FULL rebuild over the edited corpus exactly
     // — the oracle replays the whole-corpus clustering SQL over an
     // edited-corpus CTE. In production the inputs are the persisted
-    // index tables + tombstones (ComponentIndex.edit); here both sides
-    // derive live, the q_corpus_dedup_merged convention.
+    // index tables + tombstones (ComponentIndex.edit) — and since round
+    // 20 (verdict item 2) this query reads exactly those: the stored
+    // component map and the stored bucketed signature store are the
+    // pre-edit base state an edit arrives AGAINST, so serving them from
+    // the index family is the production shape, while the round-19 live
+    // form re-derived the full-corpus signatures AND re-clustered the
+    // whole corpus on every serve (an O(corpus) recompute per edit at
+    // 100 TB; measured 2 of this query's 3.5 s). Store == live exactly:
+    // both are built by the same single-definition derivations
+    // (bandedComponentMap / bandedSignatures) over this dir's documents,
+    // and the main fixture's index is never tombstoned (maintenance
+    // queries use their own fixture dirs). Only the edit's churn-sized
+    // work — affected-component re-pairing, the rewrites' new
+    // signatures, one clustering over the union — computes live.
     "q_corpus_dedup_edited" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val isRemoved = pmod(col("doc_id"), lit(20L)) === 3L
       val isRewritten = pmod(col("doc_id"), lit(20L)) === 11L
-      val baseBanded = operators.CacheScope.track(
-        operators.ComponentIndex.bandedSignatures(docs).localCheckpoint(true))
-      val baseMap = operators.ConnectedComponents.components(
-          MinHashLSH.candidatesFromBanded(baseBanded), "id_a", "id_b")
-        .select(col("id").as("doc_id"), col("component_id"))
+      val baseMap = operators.ComponentIndex.componentsFor(s, dir)
+      val baseBanded = operators.ComponentIndex.bandedFor(s, dir)
       val removedIds = docs.filter(isRemoved || isRewritten).select("doc_id")
       val added = docs.filter(isRewritten)
         .withColumn("text", concat(col("text"), lit(" "), col("text")))
