@@ -291,26 +291,56 @@ object Multimodal {
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toSeq
   }
 
+  /** Index of the last provider that recognized a container — tried
+    * FIRST on the next call (round 20): the JDK's provider order puts
+    * the AIFF/AU readers before WAVE, so a WAV-only corpus paid 1-2
+    * `UnsupportedAudioFileException` constructions (stack-trace capture
+    * and all) PER CLIP in the recognition loop. The hint changes no
+    * result: the JDK container readers recognize disjoint magic bytes
+    * (RIFF vs FORM vs .snd), so at most one provider accepts a given
+    * stream and "first to recognize" is independent of trial order. */
+  @volatile private var audioReaderHint = 0
+
   /** `AudioSystem.getAudioInputStream` semantics — first provider that
     * recognizes the container wins — over the pre-resolved provider list
-    * (no registry lock). */
+    * (no registry lock), hint-first (see [[audioReaderHint]]). */
   private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-    val it = audioReaders.iterator
-    while (it.hasNext) {
-      val r = it.next()
-      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    val rs = audioReaders
+    val hint = audioReaderHint
+    var i = -1 // -1 = the hinted attempt, then 0..n-1 skipping the hint
+    while (i < rs.length) {
+      val idx = if (i < 0) hint else i
+      if (i < 0 || idx != hint) {
+        val r = rs(idx)
+        try {
+          val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          audioReaderHint = idx
+          return ais
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+      i += 1
     }
     throw new javax.sound.sampled.UnsupportedAudioFileException(
       "Stream of unsupported format")
   }
 
-  /** Encode clip `id` as a real WAV via the JDK's javax.sound.sampled
-    * (headless-safe: container I/O only, no audio device). PCM is
-    * lossless: decoding returns exactly the formula samples. */
-  def encodeWav(id: Long): Array[Byte] = {
+  /** The fixture clips' one PCM format, hoisted (immutable, thread-safe). */
+  private val WavPcmFormat =
+    new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+
+  /** Per-TASK reusable encode buffers (guide §4.5 applied to the JVM
+    * codec path): the PCM staging array (clips are ≤ 600 samples by
+    * [[audioSamples]]) and the container output stream, allocated once
+    * per partition and reset per clip — the WAV payload itself is the
+    * only per-clip allocation left on the encode side. */
+  private final class WavScratch {
+    val pcm = new Array[Byte](2 * 601)
+    val out = new java.io.ByteArrayOutputStream(64 + 2 * 601)
+  }
+
+  private def encodeWav(id: Long, scratch: WavScratch): Array[Byte] = {
     val n = audioSamples(id)
-    val pcm = new Array[Byte](n * 2)
+    val pcm = scratch.pcm
     var i = 0
     while (i < n) {
       val s = pcmSample(id, i)
@@ -318,22 +348,30 @@ object Multimodal {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+      new java.io.ByteArrayInputStream(pcm, 0, n * 2), WavPcmFormat, n.toLong)
+    scratch.out.reset()
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      scratch.out)
+    scratch.out.toByteArray
   }
 
+  /** Encode clip `id` as a real WAV via the JDK's javax.sound.sampled
+    * (headless-safe: container I/O only, no audio device). PCM is
+    * lossless: decoding returns exactly the formula samples. */
+  def encodeWav(id: Long): Array[Byte] = encodeWav(id, new WavScratch)
+
   /** The audio corpus: one WAV per document id, encoded batched in
-    * mapPartitions like [[imageMedia]]. */
+    * mapPartitions like [[imageMedia]] with per-partition scratch. */
   def audioMedia(spark: SparkSession, dir: String): Dataset[AudioItem] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
       .repartition(codecParallelism(spark))
-      .mapPartitions(ids => ids.map(id => AudioItem(id, encodeWav(id))))
+      .mapPartitions { ids =>
+        val scratch = new WavScratch
+        ids.map(id => AudioItem(id, encodeWav(id, scratch)))
+      }
   }
 
   /** REAL decode stage: parse each WAV through AudioSystem (format —
@@ -344,19 +382,29 @@ object Multimodal {
     import media.sparkSession.implicits._
     val in = if (partitions > 0) media.repartition(partitions) else media
     in.mapPartitions { items =>
+      // per-TASK reusable PCM read buffer (guide §4.5): grown on demand,
+      // never reallocated per clip — readAllBytes() was one fresh array
+      // plus internal copies per clip
+      var buf = new Array[Byte](4096)
       items.map { m =>
         val ais = openAudio(m.content)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           s"media ${m.media_id}: unsupported audio format $fmt")
-        val bytes = ais.readAllBytes()
+        var len = 0
+        var r = ais.read(buf, len, buf.length - len)
+        while (r >= 0) {
+          len += r
+          if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+          r = ais.read(buf, len, buf.length - len)
+        }
         val be = fmt.isBigEndian
         var i = 0; var n = 0L; var sum = 0L; var sabs = 0L; var peak = 0L
-        while (i + 1 < bytes.length) {
+        while (i + 1 < len) {
           val v =
-            if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toInt
-            else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+            if (be) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort.toInt
+            else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toInt
           n += 1; sum += v
           val a = math.abs(v.toLong); sabs += a; if (a > peak) peak = a
           i += 2
