@@ -356,7 +356,11 @@ object DedupQueries {
         .otherwise(col("text")))
     def valid: Boolean =
       new java.io.File(docsPath).exists() &&
-        Tables.documents(s, fix).count() == editedCorpus.count() &&
+        // fixture-side row count from footers (pure count, no Spark job —
+        // the ParquetFooter discipline); the edited-corpus expectation is
+        // a filtered count over the source and stays a Spark job
+        graft.operators.ParquetFooter.rowCount(docsPath) ==
+          editedCorpus.count() &&
         !InvertedIndex.snapshotStale(s, fix) &&
         InvertedIndex.hygiene(s, fix)
           .filter(col("tombstoned_rows") > 0).count() == 2

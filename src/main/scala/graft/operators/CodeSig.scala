@@ -110,6 +110,14 @@ object CodeSig {
         val raw = url.getPath
         val bang = raw.indexOf("!/")
         require(bang > 0, s"${cls.getName}: unparsable jar URL $url")
+        // a NESTED-jar URL (protocol still 'jar', two '!/' segments)
+        // would open the OUTER jar below and silently yield an empty
+        // satellite set — the layout-dependent-signature hazard this
+        // arm exists to close. Fail loudly instead (round-19 ADVICE).
+        require(raw.lastIndexOf("!/") == bang,
+          s"${cls.getName}: nested-jar URL $url — CodeSig signs plain " +
+            "directory- and single-jar layouts only; teach it this " +
+            "layout before shipping graft through it")
         val jarPath = java.nio.file.Paths.get(new java.net.URI(raw.substring(0, bang)))
         val pkgDir = {
           val full = cls.getName.replace('.', '/')

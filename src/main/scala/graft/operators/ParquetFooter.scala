@@ -18,17 +18,28 @@ object ParquetFooter {
   /** Total row count of a parquet file, or of every `*.parquet` part
     * file directly under a directory — read from footers, no Spark job.
     * Mirrors what `spark.read.parquet(path).count()` returns for the
-    * same path (Spark's scan also ignores non-parquet marker files). */
+    * same path: non-parquet marker files are ignored AND so are
+    * hidden `_`/`.`-prefixed names (Spark's InMemoryFileIndex rule —
+    * a crashed write's `.part-...parquet` temp file must not make the
+    * footer count diverge from the scan the state machines replaced;
+    * round-19 ADVICE). The Hadoop conf comes from the active session
+    * when one exists, so a non-default filesystem configuration reads
+    * the same files the session's scans do. */
   def rowCount(path: String): Long = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
     val files: Seq[org.apache.hadoop.fs.Path] = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory)
         fs.listStatus(p).toSeq
           .filter(s => s.isFile && s.getLen > 0 &&
-            s.getPath.getName.endsWith(".parquet"))
+            s.getPath.getName.endsWith(".parquet") &&
+            !hidden(s.getPath.getName))
           .map(_.getPath)
       else Seq(p)
     }

@@ -44,17 +44,21 @@ object Tables {
     * given path is metadata determined by the writer, not query state —
     * memoizing it is the same class of per-JVM cache as codegen — and
     * supplying it via `spark.read.schema(...)` skips inference entirely.
-    * Data is still read from the files on every query. Fixture dirs only
-    * ever gain part-files of the SAME schema (append/overwrite through
-    * the same writers), so the memo never goes stale; a failed first
-    * read (path not yet landed) populates nothing and retries. */
+    * Data is still read from the files on every query. The memo key
+    * carries the path's last-modified time (round-19 ADVICE: a path
+    * deleted and rebuilt with a DIFFERENT schema in the same JVM would
+    * otherwise serve the stale memoized schema silently): a rewrite
+    * lands fresh files with a fresh mtime, so the rebuilt path re-infers
+    * — one driver-side stat per load, no Spark job. A failed first read
+    * (path not yet landed) populates nothing and retries. */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    (String, Long), org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     disableNtzInference(spark)
     val path = s"$dir/$name.parquet"
-    val schema = schemaMemo.computeIfAbsent(path,
+    val schema = schemaMemo.computeIfAbsent(
+      (path, new java.io.File(path).lastModified()),
       _ => spark.read.parquet(path).schema)
     normalizeNtz(spark.read.schema(schema).parquet(path))
   }

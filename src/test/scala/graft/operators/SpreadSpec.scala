@@ -39,6 +39,32 @@ class SpreadSpec extends SparkSpec {
     assert(Spread.any(wide) eq wide)
   }
 
+  test("plan-free width probe decides like the physical probe on scan-rooted frames") {
+    val target = spark.sparkContext.defaultParallelism
+    // single-file fixture scans (narrow), with and without narrow ops on top
+    val frames = Seq(
+      graft.sources.Tables.documents(spark, sfDir),
+      graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").filter($"doc_id" > 10),
+      graft.sources.Tables.lineitem(spark, sfDir))
+    frames.foreach { df =>
+      val fast = Spread.byKey(df, df.columns.head)
+      val physicalNarrow = df.rdd.getNumPartitions * 2 <= target
+      // the fast path must fire the repartition exactly when the
+      // physical probe would have
+      assert((fast ne df) == physicalNarrow)
+    }
+    // a multi-file directory exercises the packing arm
+    val dir = java.nio.file.Files.createTempDirectory("spread-width")
+    try {
+      spark.range(1000).toDF("doc_id").repartition(5)
+        .write.mode("overwrite").parquet(dir.toString)
+      val df = spark.read.parquet(dir.toString)
+      val fast = Spread.byKey(df, "doc_id")
+      assert((fast ne df) == (df.rdd.getNumPartitions * 2 <= target))
+    } finally graft.streaming.StreamGate.deleteRecursively(dir)
+  }
+
   test("ParquetFooter.rowCount matches df.count for file and directory layouts") {
     val file = s"$sfDir/documents.parquet"
     val expected = spark.read.parquet(file).count()
